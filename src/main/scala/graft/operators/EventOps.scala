@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time operators over the `events` table — the batch-side semantics
+  * of the reference's event-time machinery. The same Spark expressions run
+  * unchanged under Structured Streaming (graft.streaming does exactly that);
+  * verifying them in batch against the DuckDB oracle pins the semantics.
+  *
+  * Reference anchors:
+  *  - tumbling/sliding windows: WindowState's Interval algebra
+  *    (reference: streaming/src/main/scala/io/gearpump/streaming/state/impl/WindowState.scala:82-158,
+  *    WindowConfig size+step at state/impl/WindowConfig.scala:17-21) —
+  *    replaced 1:1 by Spark's `window(col, size, step)` slicing.
+  *  - event-time filtering on replay: TimeStampFilter
+  *    (reference: streaming/src/main/scala/io/gearpump/streaming/transaction/api/TimeStampFilter.scala:23-25)
+  *    → plain `filter` on the event-time column.
+  */
+object EventOps {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** Tumbling event-time window aggregate (size == step,
+    * reference: state/impl/WindowConfig.scala:21). Epoch-aligned in both
+    * Spark (`window`) and DuckDB (`time_bucket`). */
+  val tumbling = GraftQuery(
+    "ev_window_tumbling",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type")),
+    Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+            count(*) AS n, round(sum(value),4) AS sum_value
+            FROM events GROUP BY w_start, event_type
+            ORDER BY w_start, event_type"""),
+    headline = true)
+
+  /** Sliding event-time window (size 1h, step 30m): every event lands in 2
+    * windows. Oracle replicates Spark's window slicing by enumerating the
+    * k in {0,1} windows containing each event. */
+  val sliding = GraftQuery(
+    "ev_window_sliding",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type")),
+    Some("""SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS w_start,
+            event_type, count(*) AS n, round(sum(value),4) AS sum_value
+            FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+            GROUP BY w_start, event_type
+            ORDER BY w_start, event_type"""))
+
+  /** Session windows (30 min inactivity gap) per user. Oracle uses the
+    * classic gaps-and-islands construction; the break condition matches
+    * Spark's session_window merge rule (sessions merge only when the next
+    * event is strictly inside [start, last+gap)). */
+  val session = GraftQuery(
+    "ev_sessionize",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")),
+    Some("""WITH marked AS (
+              SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS brk
+              FROM events),
+            numbered AS (
+              SELECT user_id, ts, value,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM marked)
+            SELECT user_id, min(ts) AS session_start,
+              count(*) AS n_events, round(sum(value),4) AS sum_value
+            FROM numbered GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
+  /** As-of join: for each purchase, the most recent click of the same user
+    * at-or-before it. Implemented the scale-friendly way — union both
+    * streams, one shuffle on user_id, sort within partition, carry the last
+    * non-null click timestamp forward (`last(_, ignoreNulls)` over an
+    * unbounded-preceding ROWS frame) — no row-exploding range join.
+    * Oracle: DuckDB's native ASOF JOIN. */
+  val asofJoin = GraftQuery(
+    "ev_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
+          lit(null).cast("long").as("event_id"), lit(0).as("is_p"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(null).cast("timestamp").as("click_ts"),
+          col("event_id"), lit(1).as("is_p"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_p"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      clicks.unionByName(purchases)
+        .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1 && col("last_click_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("last_click_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("micros_since_click"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts,
+            epoch_us(p.ts) - epoch_us(c.ts) AS micros_since_click
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
+            ORDER BY p.event_id"""))
+
+  /** Funnel / sequence detection: users with a click strictly before their
+    * last purchase (exists click < purchase pair <=> min(click) < max(purchase)). */
+  val funnel = GraftQuery(
+    "ev_funnel",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"),
+          count(when(col("event_type") === "click", lit(1))).as("n_clicks"),
+          count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"))
+        .filter(col("first_click") < col("last_purchase"))
+        .select(col("user_id"), col("n_clicks"), col("n_purchases"))
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id,
+              count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
+              count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+            FROM events GROUP BY user_id
+            HAVING min(ts) FILTER (WHERE event_type = 'click')
+                 < max(ts) FILTER (WHERE event_type = 'purchase')
+            ORDER BY user_id"""))
+
+  /** Semi-structured JSON extraction from the `props` column (SURVEY §2.8:
+    * from_json/get_json_object surface). */
+  val json = GraftQuery(
+    "ev_json_extract",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), round(avg(col("k")), 4).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, sum(k) AS sum_k, round(avg(k),4) AS avg_k, count(*) AS n
+            FROM (SELECT event_type,
+                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                  FROM events)
+            GROUP BY event_type ORDER BY event_type"""))
+
+  /** Event-time range replay filter — the reference's TimeStampFilter
+    * (reference: transaction/api/TimeStampFilter.scala:23-25) and LifeTime
+    * message-drop (reference: streaming/src/main/scala/io/gearpump/streaming/LifeTime.scala:26-38,
+    * task/Subscription.scala:99-127) are both just event-time predicates. */
+  val timeFilter = GraftQuery(
+    "ev_time_filter",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp")
+          && col("ts") < lit("2024-01-12 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, count(*) AS n FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts < TIMESTAMP '2024-01-12 00:00:00'
+            GROUP BY event_type ORDER BY event_type"""))
+
+  /** Keyed dedup on replay — dropDuplicates, the Spark analog of the
+    * reference's replay dedup guidance (SURVEY §2.6 late data). Keeps the
+    * first event per (user_id, event_type) by timestamp — made deterministic
+    * via min_by on (ts, event_id). */
+  val dedupReplay = GraftQuery(
+    "ev_dedup_replay",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(struct(col("ts"), col("event_id"))).as("first"))
+        .select(col("user_id"), col("event_type"),
+          col("first.ts").as("first_ts"), col("first.event_id").as("first_event_id"))
+        .orderBy(col("user_id"), col("event_type")),
+    Some("""SELECT user_id, event_type, ts AS first_ts, event_id AS first_event_id
+            FROM (SELECT user_id, event_type, ts, event_id,
+                    row_number() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts, event_id) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY user_id, event_type"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    tumbling, sliding, session, asofJoin, funnel, json, timeFilter, dedupReplay)
+}

@@ -1,0 +1,534 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Batch relational operator surface.
+  *
+  * The reference's only relational machinery is hand-rolled code inside user
+  * Tasks (e.g. the word-count HashMap in
+  * reference: examples/streaming/wordcount/src/main/scala/io/gearpump/streaming/examples/wordcount/Sum.scala:27-46);
+  * joins/sorts/set-ops are absent entirely (SURVEY.md §2.4, §2.7). Here the
+  * whole surface is declarative DataFrame code so Catalyst supplies predicate
+  * pushdown, column pruning, partial aggregation, join strategy selection and
+  * whole-stage codegen for free.
+  *
+  * Scale notes: every groupBy below gets map-side partial aggregation; joins
+  * against dimension tables are explicitly `broadcast()` so no shuffle of the
+  * fact table is ever needed for them; top-k is orderBy+limit which Catalyst
+  * plans as TakeOrderedAndProject (no global sort at 100 TB).
+  *
+  * All float aggregates are rounded in BOTH the Spark plan and the DuckDB
+  * oracle so double summation order cannot flip the hash compare.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** TPC-H Q1-style pricing summary: multi-expression grouped aggregation
+    * (partial+final agg picked by Catalyst automatically, SURVEY §2.5). */
+  val q1Agg = GraftQuery(
+    "q1_agg",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity),2) AS sum_qty,
+            round(sum(l_extendedprice),2) AS sum_base_price,
+            round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+            round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+            round(avg(l_quantity),4) AS avg_qty,
+            round(avg(l_extendedprice),4) AS avg_price,
+            round(avg(l_discount),4) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""".stripMargin),
+    headline = true)
+
+  /** Broadcast hash join fact x small dim — the Spark analog of the
+    * reference's BroadcastPartitioner edge
+    * (reference: streaming/src/main/scala/io/gearpump/streaming/partitioner/BroadcastPartitioner.scala:20-31):
+    * the dimension ships to every task, the fact table never shuffles. */
+  val q2JoinBroadcast = GraftQuery(
+    "q2_join_broadcast",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part").filter(col("p_size") < 20)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand,
+            round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+            count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size < 20 GROUP BY p_brand ORDER BY p_brand"""),
+    headline = true)
+
+  /** TPC-H Q3-style 3-way join + grouped agg + deterministic top-k. */
+  val q3JoinMulti = GraftQuery(
+    "q3_join_multi",
+    (s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT o_orderkey, o_orderdate,
+            round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10"""),
+    headline = true)
+
+  /** Left-semi join (EXISTS). */
+  val q4SemiJoin = GraftQuery(
+    "q4_semi_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+            ORDER BY o_orderkey"""))
+
+  /** Left-anti join (NOT EXISTS). */
+  val q5AntiJoin = GraftQuery(
+    "q5_anti_join",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            ORDER BY c_custkey"""))
+
+  /** Left-outer join keeping empty groups (nations with zero customers). */
+  val q6OuterJoin = GraftQuery(
+    "q6_outer_join",
+    (s, dir) => {
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      n.join(c, col("n_nationkey") === col("c_nationkey"), "left_outer")
+        .groupBy(col("n_name"))
+        .agg(
+          count(col("c_custkey")).as("n_cust"),
+          round(coalesce(sum(col("c_acctbal")), lit(0.0)), 2).as("sum_bal"))
+        .orderBy(col("n_name"))
+    },
+    Some("""SELECT n_name, count(c_custkey) AS n_cust,
+            round(coalesce(sum(c_acctbal),0),2) AS sum_bal
+            FROM nation LEFT JOIN customer ON n_nationkey = c_nationkey
+            GROUP BY n_name ORDER BY n_name"""))
+
+  /** Full-outer join on disjoint-ish key sets. */
+  val q7FullOuter = GraftQuery(
+    "q7_full_outer",
+    (s, dir) => {
+      val hi = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("key"), col("c_acctbal").as("bal"))
+      val urg = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey").as("key")).agg(count(lit(1)).as("n_urgent"))
+        .select(col("key"), col("n_urgent"))
+      hi.join(urg, Seq("key"), "full_outer")
+        .select(col("key"), col("bal"), col("n_urgent"))
+        .orderBy(col("key"))
+    },
+    Some("""SELECT coalesce(a.key, b.key) AS key, a.bal, b.n_urgent
+            FROM (SELECT c_custkey AS key, c_acctbal AS bal FROM customer WHERE c_acctbal > 9000) a
+            FULL JOIN (SELECT o_custkey AS key, count(*) AS n_urgent FROM orders
+                       WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey) b
+            ON a.key = b.key
+            ORDER BY key"""))
+
+  /** Ranking window functions: row_number / rank / dense_rank per group
+    * (absent in reference, SURVEY §2.6; built on Spark window exec). */
+  val q8WindowRank = GraftQuery(
+    "q8_window_rank",
+    (s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+          col("rn"), col("rnk"), col("drnk"))
+        .orderBy(col("c_nationkey"), col("rn"))
+    },
+    Some("""SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk, drnk FROM (
+              SELECT c_nationkey, c_custkey, c_acctbal,
+                row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+              FROM customer
+              WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey))
+            WHERE rn <= 3 ORDER BY c_nationkey, rn"""))
+
+  /** Analytic window frame: running sum + lag/lead over explicit ROWS frame. */
+  val q9WindowRunning = GraftQuery(
+    "q9_window_running",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("running_spend",
+          round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+        .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          col("running_spend"), col("prev_price"), col("next_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+            round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_spend,
+            lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+            lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** Deterministic top-k: Catalyst plans orderBy+limit as
+    * TakeOrderedAndProject — per-partition heap + single merge, no global
+    * sort; the pattern that still works at 100 TB. */
+  val q10TopK = GraftQuery(
+    "q10_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""),
+    headline = true)
+
+  /** UNION (distinct) set op. */
+  val q11Union = GraftQuery(
+    "q11_union",
+    (s, dir) => {
+      val a = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("key"))
+      val b = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("key"))
+      a.union(b).distinct().orderBy(col("key"))
+    },
+    Some("""SELECT c_custkey AS key FROM customer WHERE c_acctbal < 0
+            UNION
+            SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000
+            ORDER BY key"""))
+
+  /** INTERSECT set op. */
+  val q12Intersect = GraftQuery(
+    "q12_intersect",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("key"))
+      val p = o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("key"))
+      f.intersect(p).orderBy(col("key"))
+    },
+    Some("""SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey AS key FROM orders WHERE o_orderstatus = 'P'
+            ORDER BY key"""))
+
+  /** EXCEPT set op. */
+  val q13Except = GraftQuery(
+    "q13_except",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("key"))
+      val e = t(s, dir, "events").select(col("user_id").as("key"))
+      c.except(e).orderBy(col("key"))
+    },
+    Some("""SELECT c_custkey AS key FROM customer
+            EXCEPT
+            SELECT user_id AS key FROM events
+            ORDER BY key"""))
+
+  /** ROLLUP hierarchy totals with grouping indicator. */
+  val q14Rollup = GraftQuery(
+    "q14_rollup",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          count(lit(1)).as("n_cust"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"),
+          (grouping(col("r_name")) * 2 + grouping(col("n_name"))).cast("int").as("g"))
+        .orderBy(col("g"), col("r_name"), col("n_name"))
+    },
+    Some("""SELECT r_name, n_name, count(*) AS n_cust,
+            round(sum(c_acctbal),2) AS sum_bal,
+            CAST(grouping(r_name)*2 + grouping(n_name) AS INTEGER) AS g
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+            ORDER BY g, r_name, n_name"""))
+
+  /** CUBE over two dimensions. */
+  val q15Cube = GraftQuery(
+    "q15_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority"))).cast("int").as("g"))
+        .orderBy(col("g"), col("o_orderstatus"), col("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+            round(sum(o_totalprice),2) AS sum_price,
+            CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS INTEGER) AS g
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY g, o_orderstatus, o_orderpriority"""))
+
+  /** DISTINCT aggregation (exact) alongside plain counts. */
+  val q16Distinct = GraftQuery(
+    "q16_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+            count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** String scalar functions (SURVEY §2.8 — absent in reference, where users
+    * call arbitrary JVM code in Task.onNext, e.g. line.split in
+    * reference: examples/streaming/wordcount/src/main/scala/io/gearpump/streaming/examples/wordcount/Split.scala:29). */
+  val q17ScalarString = GraftQuery(
+    "q17_scalar_string",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          length(col("p_name")).as("nlen"),
+          substring(col("p_name"), 1, 5).as("prefix"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), " ", "_").as("snake"),
+          reverse(col("p_type")).as("rev_type"),
+          instr(col("p_name"), "a").cast("long").as("first_a"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey, upper(p_name) AS uname,
+            CAST(length(p_name) AS INTEGER) AS nlen,
+            substring(p_name, 1, 5) AS prefix,
+            concat_ws('-', p_brand, p_type) AS brand_type,
+            regexp_replace(p_name, ' ', '_', 'g') AS snake,
+            reverse(p_type) AS rev_type,
+            CAST(instr(p_name, 'a') AS BIGINT) AS first_a
+            FROM part ORDER BY p_partkey"""))
+
+  /** Date/time scalar functions. */
+  val q18ScalarDatetime = GraftQuery(
+    "q18_scalar_datetime",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("days_since"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey,
+            CAST(year(o_orderdate) AS INTEGER) AS y,
+            CAST(month(o_orderdate) AS INTEGER) AS m,
+            CAST(day(o_orderdate) AS INTEGER) AS d,
+            CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+            datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+            FROM orders ORDER BY o_orderkey"""))
+
+  /** Math scalar functions. */
+  val q19ScalarMath = GraftQuery(
+    "q19_scalar_math",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(abs(col("l_quantity") - 25), 6).as("abs_dev"),
+          floor(col("l_extendedprice")).cast("long").as("floor_price"),
+          ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+          round(pow(col("l_discount") + 1, 2), 6).as("pow_disc"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          pmod(col("l_orderkey"), lit(7)).cast("long").as("mod7"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+            round(abs(l_quantity - 25),6) AS abs_dev,
+            CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+            CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+            round(sqrt(l_quantity),6) AS sqrt_qty,
+            round(pow(l_discount + 1, 2),6) AS pow_disc,
+            round(ln(l_extendedprice),6) AS ln_price,
+            CAST(l_orderkey % 7 AS BIGINT) AS mod7
+            FROM lineitem WHERE l_orderkey < 100
+            ORDER BY l_orderkey, l_linenumber"""))
+
+  /** CASE WHEN + conditional (FILTER-style) aggregation. */
+  val q20CaseAgg = GraftQuery(
+    "q20_case_agg",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("sum_f"),
+          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2).as("sum_o"),
+          count(when(col("o_orderstatus") === "P", lit(1))).as("n_p"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority,
+            round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'),2) AS sum_f,
+            round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'),2) AS sum_o,
+            count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** Scalar-subquery pattern: rows above 1.2x their group average
+    * (implemented as broadcast self-join against the aggregated groups —
+    * the decorrelated plan Catalyst would produce). */
+  val q21Subquery = GraftQuery(
+    "q21_subquery",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+      val avgByBrand = p.groupBy(col("p_brand")).agg(avg(col("p_retailprice")).as("avg_rp"))
+      p.join(broadcast(avgByBrand), Seq("p_brand"))
+        .filter(col("p_retailprice") > col("avg_rp") * 1.05)
+        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
+        .orderBy(col("p_partkey"))
+    },
+    Some("""SELECT p_partkey, p_brand, p_retailprice FROM part p1
+            WHERE p_retailprice > 1.05 * (SELECT avg(p_retailprice) FROM part p2
+                                          WHERE p2.p_brand = p1.p_brand)
+            ORDER BY p_partkey"""))
+
+  /** Statistical aggregates. */
+  val q22Stats = GraftQuery(
+    "q22_stats",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qty_price"),
+          round(min(col("l_extendedprice")), 2).as("min_price"),
+          round(max(col("l_extendedprice")), 2).as("max_price"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+            round(stddev_samp(l_quantity),4) AS sd_qty,
+            round(var_samp(l_quantity),4) AS var_qty,
+            round(corr(l_quantity, l_extendedprice),4) AS corr_qty_price,
+            round(covar_samp(l_quantity, l_extendedprice),4) AS cov_qty_price,
+            round(min(l_extendedprice),2) AS min_price,
+            round(max(l_extendedprice),2) AS max_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Exact interpolated percentiles. */
+  val q23Percentile = GraftQuery(
+    "q23_percentile",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+        .orderBy(col("o_orderstatus")),
+    Some("""SELECT o_orderstatus,
+            round(quantile_cont(o_totalprice, 0.25),4) AS p25,
+            round(quantile_cont(o_totalprice, 0.5),4) AS p50,
+            round(quantile_cont(o_totalprice, 0.75),4) AS p75
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  /** Pivot (long -> wide) with explicit value list. */
+  val q24Pivot = GraftQuery(
+    "q24_pivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy(col("l_linestatus")),
+    Some("""SELECT l_linestatus,
+            round(sum(l_quantity) FILTER (WHERE l_returnflag = 'A'),2) AS "A",
+            round(sum(l_quantity) FILTER (WHERE l_returnflag = 'N'),2) AS "N",
+            round(sum(l_quantity) FILTER (WHERE l_returnflag = 'R'),2) AS "R"
+            FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus"""))
+
+  /** Generator/UDTF surface: explode(split(...)) — the relational form of
+    * the reference's word-split Task
+    * (reference: examples/streaming/wordcount/src/main/scala/io/gearpump/streaming/examples/wordcount/Split.scala:36-46). */
+  val q25Explode = GraftQuery(
+    "q25_explode_wordcount",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20),
+    Some("""SELECT word, count(*) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word ORDER BY n DESC, word LIMIT 20"""),
+    headline = true)
+
+  /** GROUP BY + HAVING. */
+  val q26Having = GraftQuery(
+    "q26_having",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
+        .filter(col("n_orders") >= 20)
+        .orderBy(col("o_custkey")),
+    Some("""SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS spend
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 20
+            ORDER BY o_custkey"""))
+
+  val all: Seq[GraftQuery] = Seq(
+    q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
+    q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
+    q12Intersect, q13Except, q14Rollup, q15Cube, q16Distinct, q17ScalarString,
+    q18ScalarDatetime, q19ScalarMath, q20CaseAgg, q21Subquery, q22Stats,
+    q23Percentile, q24Pivot, q25Explode, q26Having)
+}
