@@ -9,7 +9,13 @@ object SparkEntry {
   /** Every verifiable operator demonstration, in SURVEY §2 inventory order. */
   def registry: Seq[GraftQuery] =
     operators.Relational.all ++
-      operators.EventOps.all
+      operators.EventOps.all ++
+      operators.Dedup.all ++
+      operators.Similarity.all ++
+      operators.TextAnalysis.all ++
+      operators.Multimodal.all ++
+      operators.PageRank.all ++
+      operators.Partitioning.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

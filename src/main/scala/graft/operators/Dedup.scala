@@ -1,0 +1,227 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for large-scale training-data pipelines.
+  *
+  * The reference has no dedup surface at all (its replay dedup is
+  * timestamp-based, reference: transaction/api/TimeStampFilter.scala:23-25);
+  * these are the north-star LLM-pipeline extensions (SURVEY §7.2-8).
+  *
+  * All hashing is md5-based so the DuckDB oracle can reproduce signatures
+  * bit-for-bit: a minhash component is the lexicographic MIN of fixed-width
+  * hex strings, which equals the numeric min — no 64-bit modular arithmetic
+  * needed in either engine.
+  *
+  * Scale notes (100 TB):
+  *  - exact/hash dedup: one shuffle on the 32-char digest, never on the
+  *    full document text.
+  *  - minhash: signatures via 16 map-side partial `min` aggregates (one
+  *    shuffle of doc_id -> 16 hex strings); LSH banding turns the O(n^2)
+  *    pair space into equi-join buckets; only candidates sharing a band are
+  *    verified.
+  *  - simhash: banding over 16-bit sub-fingerprints; 4 bands guarantee (by
+  *    pigeonhole) recall of every pair within Hamming distance 3, so the
+  *    LSH output equals the brute-force oracle exactly.
+  */
+object Dedup {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** Distinct 3-word shingles per document (shared by minhash + jaccard). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
+      .distinct()
+
+  private val NumHashes = 16
+  private val Bands = 4 // 4 bands x 4 rows
+
+  /** 16-component minhash signature, one row per doc, columns mh0..mh15.
+    * Map-side partial min per component -> a single narrow shuffle. */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val mhCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit(":"), col("s")))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+  }
+
+  /** Exact dedup: group identical text, keep lowest doc_id (SURVEY §7.2-8
+    * "exact (hash-groupBy)"). */
+  val exact = GraftQuery(
+    "dedup_exact",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_doc_id"), col("n_copies"))
+        .orderBy(col("keep_doc_id")),
+    Some("""SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text ORDER BY keep_doc_id"""))
+
+  /** Hash-key dedup: shuffle the 16-byte digest, not the document — the
+    * variant that survives 100 TB (a text-keyed shuffle would move the
+    * whole corpus through the network twice). */
+  val hashKey = GraftQuery(
+    "dedup_hash",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_doc_id"), col("h"), col("n_copies"))
+        .orderBy(col("keep_doc_id")),
+    Some("""SELECT min(doc_id) AS keep_doc_id, md5(text) AS h, count(*) AS n_copies
+            FROM documents GROUP BY md5(text) ORDER BY keep_doc_id"""))
+
+  /** MinHash + LSH near-duplicate pairs: 16-hash signature, 4 bands of 4;
+    * pairs sharing >=1 band are verified on signature agreement
+    * (>= 8/16 components equal, i.e. estimated Jaccard >= 0.5). */
+  val minhashLsh = GraftQuery(
+    "dedup_minhash",
+    (s, dir) => {
+      val sig = minhashSig(s, dir).cache()
+      val bandCols = (0 until Bands).map(b =>
+        md5(concat_ws("|", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*)).as(s"band$b"))
+      val banded = sig.select((col("doc_id") +: bandCols): _*)
+      val bands = banded.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("b", "bh")))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("b"), col("bh"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("b"), col("bh")), Seq("b", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val sa = sig.toDF(("doc_a" +: (0 until NumHashes).map(i => s"a$i")): _*)
+      val sb = sig.toDF(("doc_b" +: (0 until NumHashes).map(i => s"b$i")): _*)
+      val nEq = (0 until NumHashes)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), nEq.cast("int").as("n_eq"))
+        .filter(col("n_eq") >= NumHashes / 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                   FROM tok CROSS JOIN LATERAL
+                     (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+                   WHERE len(w) >= 3),
+            mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
+                   FROM sh CROSS JOIN LATERAL
+                     (SELECT unnest(generate_series(0, 15)) AS seed) g
+                   GROUP BY doc_id, seed),
+            sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+            band AS (SELECT doc_id, b,
+                       md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS bh
+                     FROM sig CROSS JOIN LATERAL (SELECT unnest([0,1,2,3]) AS b) g),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            eq AS (SELECT c.doc_a, c.doc_b,
+                     CAST(count(*) FILTER (WHERE x.mh = y.mh) AS INTEGER) AS n_eq
+                   FROM cand c
+                   JOIN mh x ON x.doc_id = c.doc_a
+                   JOIN mh y ON y.doc_id = c.doc_b AND y.seed = x.seed
+                   GROUP BY c.doc_a, c.doc_b)
+            SELECT doc_a, doc_b, n_eq FROM eq WHERE n_eq >= 8
+            ORDER BY doc_a, doc_b"""),
+    headline = true)
+
+  /** Per-token 64-bit SimHash (bit-majority of md5 bits), banded LSH over
+    * 4x16-bit sub-fingerprints, exact Hamming<=3 verification. Pigeonhole:
+    * any pair within distance 3 shares at least one of 4 bands, so the
+    * banded result equals the brute-force oracle. */
+  val simhash = GraftQuery(
+    "dedup_simhash",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      // j-th bit of the token's 64-bit (16 hex chars) md5 prefix
+      val bits = toks
+        .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, 63), j ->
+             cast(floor((instr('0123456789abcdef', substr(h, cast(j div 4 as int) + 1, 1)) - 1)
+                        / pow(2, 3 - j % 4)) as int) % 2)""")).as(Seq("j", "bit")))
+      val simbit = bits.groupBy(col("doc_id"), col("j"))
+        .agg(sum(col("bit") * 2 - 1).as("sb"))
+        .select(col("doc_id"), col("j"),
+          when(col("sb") >= 0, lit("1")).otherwise(lit("0")).as("b"))
+      val sim = simbit.groupBy(col("doc_id"))
+        .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(j, b))), x -> x.b))").as("f"))
+        .cache()
+      val bands = sim.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 3), b -> substring(f, b * 16 + 1, 16))")).as(Seq("b", "bh")))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("b"), col("bh"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("b"), col("bh")), Seq("b", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val fa = sim.toDF("doc_a", "fa")
+      val fb = sim.toDF("doc_b", "fb")
+      cand.join(fa, "doc_a").join(fb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), expr(
+          """cast(aggregate(transform(sequence(1, 64),
+               i -> if(substring(fa, i, 1) = substring(fb, i, 1), 0, 1)),
+               0, (acc, v) -> acc + v) as int)""").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+            th AS (SELECT doc_id, substring(md5(tok), 1, 16) AS h FROM toks),
+            bits AS (SELECT doc_id, j,
+                       CAST(floor((instr('0123456789abcdef', substring(h, CAST(j // 4 AS INTEGER) + 1, 1)) - 1)
+                                  / power(2, 3 - j % 4)) AS INTEGER) % 2 AS bit
+                     FROM th CROSS JOIN LATERAL
+                       (SELECT unnest(generate_series(0, 63)) AS j) g),
+            simbit AS (SELECT doc_id, j,
+                         CASE WHEN sum(bit * 2 - 1) >= 0 THEN '1' ELSE '0' END AS b
+                       FROM bits GROUP BY doc_id, j),
+            sim AS (SELECT doc_id, string_agg(b, '' ORDER BY j) AS f FROM simbit GROUP BY doc_id)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> CASE WHEN substring(a.f, i, 1) = substring(b.f, i, 1) THEN 0 ELSE 1 END)) AS INTEGER) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE list_sum(list_transform(generate_series(1, 64),
+                i -> CASE WHEN substring(a.f, i, 1) = substring(b.f, i, 1) THEN 0 ELSE 1 END)) <= 3
+            ORDER BY doc_a, doc_b"""))
+
+  /** Exact n-gram Jaccard similarity >= 0.8 via inverted-index pair join
+    * (threshold as integer cross-multiplication: 5*inter >= 4*union — no
+    * float in the cut). */
+  val ngramJaccard = GraftQuery(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val sh = shingles(s, dir).cache()
+      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(cnt.toDF("doc_a", "na"), "doc_a")
+        .join(cnt.toDF("doc_b", "nb"), "doc_b")
+        .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                   FROM tok CROSS JOIN LATERAL
+                     (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+                   WHERE len(w) >= 3),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, inter,
+              round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 6) AS jaccard
+            FROM pairs JOIN cnt ca ON ca.doc_id = doc_a JOIN cnt cb ON cb.doc_id = doc_b
+            WHERE inter * 5 >= (ca.n + cb.n - inter) * 4
+            ORDER BY doc_a, doc_b"""))
+
+  val all: Seq[GraftQuery] = Seq(exact, hashKey, minhashLsh, simhash, ngramJaccard)
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: media as opaque `binary` columns + typed
+  * metadata, with decode/feature-extraction done per-partition (SURVEY
+  * §7.2-8). The decode itself is STUBBED (no image/audio libs in this
+  * container) with a deterministic fake; everything Spark-side — schema,
+  * binary handling, partition-parallel batch shape — is real.
+  *
+  * Scale notes: binary payloads stay columnar in parquet; metadata extraction
+  * is pure column expressions; the decode path is `mapPartitions` so a real
+  * decoder amortizes model/codec init once per partition (the same batch
+  * shape Python pipelines get from mapInPandas).
+  */
+object Multimodal {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** Binary metadata extraction — byte length, digest, base64 magic prefix —
+    * all codegen'd column expressions over a `binary` column. */
+  val meta = GraftQuery(
+    "mm_binary_meta",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .select(
+          col("doc_id"),
+          octet_length(col("blob")).as("n_bytes"),
+          md5(col("blob")).as("digest"),
+          base64(expr("substring(blob, 1, 8)")).as("magic_b64"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+              md5(text) AS digest,
+              to_base64(encode(substring(text, 1, 8))) AS magic_b64
+            FROM documents ORDER BY doc_id"""))
+
+  private case class MediaMeta(doc_id: Long, width: Int, height: Int,
+      channels: Int, n_frames: Int, mean_byte: Double)
+
+  /** Partition-parallel "decode": the per-partition loop is the real batch
+    * shape a codec needs; the pixel decode itself is a STUB — a
+    * deterministic fake deriving dimensions from the payload bytes.
+    * Replace `fakeDecode` with an actual codec call in production. */
+  val decodeFeatures = GraftQuery(
+    "mm_decode_features",
+    (s, dir) => {
+      import s.implicits._
+      val bin = t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .as[(Long, Array[Byte])]
+      // STUB: stands in for e.g. JPEG decode; deterministic in the bytes.
+      def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
+        val sum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+        MediaMeta(id,
+          width = 64 + (bytes.length % 193),
+          height = 64 + ((sum % 151).toInt),
+          channels = 3,
+          n_frames = 1 + (bytes.length % 7),
+          mean_byte = math.round(sum.toDouble / bytes.length * 1e4) / 1e4)
+      }
+      bin.mapPartitions { it =>
+        // real codecs would init once here, then stream the partition
+        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+      }.toDF().orderBy(col("doc_id"))
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(meta, decodeFeatures)
+}

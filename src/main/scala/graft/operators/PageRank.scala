@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph computation as driver-side DataFrame iteration — parity
+  * with the reference's PageRank example, which runs a controller/worker
+  * tick protocol until convergence
+  * (reference: examples/pagerank/src/main/scala/io/gearpump/examples/pagerank/PageRankController.scala:38-70,
+  * PageRankWorker.scala:51-72). Spark-native shape per SURVEY §2.1 #22:
+  * a batch loop of join + groupBy-sum per iteration with caching to truncate
+  * lineage; "unmanaged message" RPC becomes plain dataframe recursion.
+  *
+  * Graph: the bipartite supplier<->part graph from lineitem, symmetrized so
+  * every node has out-degree (no dangling-mass handling needed).
+  */
+object PageRank {
+  private val Damping = 0.85
+  private val Iters = 5
+  private val SuppOffset = 100000L
+
+  def run(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+    val fwd = li.select((col("l_suppkey") + SuppOffset).as("src"), col("l_partkey").as("dst"))
+    val rev = li.select(col("l_partkey").as("src"), (col("l_suppkey") + SuppOffset).as("dst"))
+    val edges = fwd.union(rev).distinct().cache()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    val n = nodes.count() // driver-side scalar; fine at any scale
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to Iters) {
+      val contribs = edges
+        .join(deg, "src")
+        .join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15 / n) + lit(Damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+        .cache() // truncate lineage each tick
+    }
+    ranks.select(col("node"), round(col("rank"), 8).as("pr")).orderBy(col("node"))
+  }
+
+  /** Oracle: the same 5 power iterations unrolled as chained CTEs. */
+  private def iterSql(k: Int): String =
+    s"""it$k AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS contrib
+                 FROM edges e JOIN deg d ON d.src = e.src
+                 JOIN r${k - 1} r ON e.src = r.node GROUP BY e.dst),
+        r$k AS (SELECT nodes.node, 0.15 / nn.n + 0.85 * coalesce(it$k.contrib, 0.0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN it$k ON it$k.node = nodes.node)"""
+
+  val pagerank = GraftQuery(
+    "graph_pagerank",
+    run,
+    Some(s"""WITH edges AS (
+               SELECT DISTINCT l_suppkey + $SuppOffset AS src, l_partkey AS dst FROM lineitem
+               UNION
+               SELECT DISTINCT l_partkey AS src, l_suppkey + $SuppOffset AS dst FROM lineitem),
+             deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+             nodes AS (SELECT DISTINCT src AS node FROM edges),
+             nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+             r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+             ${(1 to Iters).map(iterSql).mkString(",\n")}
+             SELECT node, round(rank, 8) AS pr FROM r$Iters ORDER BY node"""))
+
+  val all: Seq[GraftQuery] = Seq(pagerank)
+}

@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over the `embeddings` table (ArrayType(FloatType), 64-d).
+  *
+  * North-star LLM-pipeline operator (SURVEY §7.2-8): brute-force cosine
+  * top-k as the correctness baseline, an IVF-style partitioned variant as
+  * the scale path, and a random-hyperplane LSH bucketing demo.
+  *
+  * All arithmetic is element-wise float->double followed by an ordered
+  * sequential fold, so Spark's `aggregate(...)` and DuckDB's
+  * `list_sum(list_transform(...))` produce bit-identical sums; outputs are
+  * rounded to 4 dp and tie-broken by vec_id so ranking is deterministic
+  * across engines.
+  *
+  * Scale notes (100 TB): the query set is broadcast; similarity is computed
+  * map-side against each data partition (no shuffle of the corpus); only
+  * (n_queries x k) candidate rows move. For a billion-vector corpus the IVF
+  * variant prunes to matching cells before scoring — the standard
+  * ANN recall/cost trade.
+  */
+object Similarity {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  private val Dim = 64
+
+  /** dot(a, b) as an ordered double fold (codegen-friendly, no UDF). */
+  private def dot(a: String, b: String): Column = expr(
+    s"""aggregate(transform(sequence(0, ${Dim - 1}),
+        i -> cast($a[i] as double) * cast($b[i] as double)),
+        cast(0.0 as double), (acc, v) -> acc + v)""")
+
+  private def cosine(a: String, b: String): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private val sqlDot =
+    (a: String, b: String) => s"""list_sum(list_transform(generate_series(1, 64),
+      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
+  private def sqlCos(a: String, b: String) =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  /** Brute-force cosine top-k: broadcast 8 query vectors against the corpus,
+    * rank per query. */
+  val annBruteTopK = GraftQuery(
+    "ann_cosine_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine("embedding", "q_emb"), 4).as("cos_sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+             scored AS (SELECT q.q_id, e.vec_id,
+                          round(${sqlCos("e.embedding", "q.q_emb")}, 4) AS cos_sim
+                        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+             ranked AS (SELECT q_id, vec_id, cos_sim,
+                          row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+                        FROM scored)
+             SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+             FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""),
+    headline = true)
+
+  /** IVF-style ANN: the `label` column acts as the coarse-quantizer cell
+    * assignment; probing only the query's own cell scores ~1/10th of the
+    * corpus (the recall/cost trade that makes billion-vector ANN feasible). */
+  val annIvf = GraftQuery(
+    "ann_ivf_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("label"))
+      val scored = e.join(broadcast(q), Seq("label"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine("embedding", "q_emb"), 4).as("cos_sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label FROM embeddings WHERE vec_id < 8),
+             scored AS (SELECT q.q_id, e.vec_id,
+                          round(${sqlCos("e.embedding", "q.q_emb")}, 4) AS cos_sim
+                        FROM embeddings e JOIN q ON e.label = q.label WHERE e.vec_id <> q.q_id),
+             ranked AS (SELECT q_id, vec_id, cos_sim,
+                          row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+                        FROM scored)
+             SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+             FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""))
+
+  /** Embedding near-duplicate pairs (cosine >= 0.35 on this corpus). */
+  val embNearDup = GraftQuery(
+    "dedup_embedding",
+    (s, dir) => {
+      val a = t(s, dir, "embeddings").select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = t(s, dir, "embeddings").select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"), round(cosine("ea", "eb"), 4).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(${sqlCos("a.embedding", "b.embedding")}, 4) AS cos_sim
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE round(${sqlCos("a.embedding", "b.embedding")}, 4) >= 0.35
+             ORDER BY vec_a, vec_b"""))
+
+  /** Random-hyperplane LSH bucketing (scale path for near-dup at 1B+ rows):
+    * 16-bit signature from deterministic md5-derived hyperplanes; bucket
+    * sizes are the output (rows-only check — the plan is the point). */
+  val lshBuckets = GraftQuery(
+    "ann_lsh_buckets",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // hyperplane h(p)[i] in {-1,+1} from bit i of md5("hp:<p>") — no RNG,
+      // reproducible across runs and engines.
+      val sigBit = (p: Int) => expr(
+        s"""cast(aggregate(transform(sequence(0, ${Dim - 1}),
+            i -> cast(embedding[i] as double) *
+                 (cast(floor((instr('0123456789abcdef',
+                    substr(md5(concat('hp:$p:', cast(i as string))), 1, 1)) - 1) / 8) as int) * 2 - 1)),
+            cast(0.0 as double), (acc, v) -> acc + v) >= 0 as int)""")
+      val sig = e.select(col("vec_id"),
+        concat((0 until 16).map(p => sigBit(p).cast("string")): _*).as("bucket"))
+      sig.groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("bucket"))
+    },
+    None)
+
+  val all: Seq[GraftQuery] = Seq(annBruteTopK, annIvf, embNearDup, lshBuckets)
+}

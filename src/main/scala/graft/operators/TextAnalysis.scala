@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY §7.2-8):
+  * language-ID heuristic, quality scoring, token counting, fingerprinting.
+  * All are pure column expressions (whole-stage codegen, no UDFs) so they
+  * run at scan speed and parallelize embarrassingly — the property that
+  * matters when the corpus is 100 TB.
+  */
+object TextAnalysis {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** Marker-word language-ID heuristic: count hits from per-language marker
+    * sets, argmax with a fixed tie order. (A real model would be a fastText
+    * UDF; the engine-side mechanics — tokenize, score, argmax — are what
+    * this operator pins down.) */
+  val langId = GraftQuery(
+    "text_langid",
+    (s, dir) => {
+      val markers = Map(
+        "en" -> Seq("the", "a", "of"),
+        "de" -> Seq("der", "die", "das"),
+        "es" -> Seq("el", "los", "una"),
+        "fr" -> Seq("le", "la", "les"))
+      val w = split(col("text"), " ")
+      def score(lang: String) = {
+        val set = markers(lang).map(m => s"'$m'").mkString(", ")
+        expr(s"size(filter(split(text, ' '), x -> x IN ($set)))")
+      }
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          score("en").as("s_en"), score("de").as("s_de"),
+          score("es").as("s_es"), score("fr").as("s_fr"))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .select(col("doc_id"), col("pred_lang"),
+          (col("pred_lang") === col("lang")).as("is_correct"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH scored AS (
+              SELECT doc_id, lang,
+                len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of'))) AS s_en,
+                len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'das'))) AS s_de,
+                len(list_filter(string_split(text, ' '), x -> x IN ('el', 'los', 'una'))) AS s_es,
+                len(list_filter(string_split(text, ' '), x -> x IN ('le', 'la', 'les'))) AS s_fr
+              FROM documents)
+            SELECT doc_id,
+              CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                   WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                   WHEN s_es >= s_fr THEN 'es'
+                   ELSE 'fr' END AS pred_lang,
+              (CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END) = lang AS is_correct
+            FROM scored ORDER BY doc_id"""))
+
+  /** Quality scoring: token count, type-token ratio, stopword ratio and a
+    * composite score with bucketing — the standard cheap pre-filter before
+    * expensive model-based quality classifiers. */
+  val quality = GraftQuery(
+    "text_quality",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
+        .select(
+          col("doc_id"), col("n_chars"),
+          size(col("w")).as("n_tokens"),
+          size(array_distinct(col("w"))).as("n_uniq"),
+          expr("size(filter(w, x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is')))").as("n_stop"))
+        .withColumn("ttr", round(col("n_uniq") / col("n_tokens"), 6))
+        .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 6))
+        .withColumn("score",
+          round(least(col("n_tokens") / 100.0, lit(1.0)) * (lit(1.0) - col("stop_ratio")) * col("ttr"), 6))
+        .withColumn("bucket",
+          when(col("score") >= 0.3, "high").when(col("score") >= 0.15, "medium").otherwise("low"))
+        .select(col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_stop"),
+          col("ttr"), col("stop_ratio"), col("score"), col("bucket"))
+        .orderBy(col("doc_id")),
+    Some("""WITH base AS (
+              SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents),
+            m AS (
+              SELECT doc_id,
+                CAST(len(w) AS INTEGER) AS n_tokens,
+                CAST(len(list_distinct(w)) AS INTEGER) AS n_uniq,
+                CAST(len(list_filter(w, x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is'))) AS INTEGER) AS n_stop
+              FROM base),
+            r AS (
+              SELECT doc_id, n_tokens, n_uniq, n_stop,
+                round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS ttr,
+                round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio
+              FROM m)
+            SELECT doc_id, n_tokens, n_uniq, n_stop, ttr, stop_ratio,
+              round(least(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * ttr, 6) AS score,
+              CASE WHEN round(least(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * ttr, 6) >= 0.3 THEN 'high'
+                   WHEN round(least(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * ttr, 6) >= 0.15 THEN 'medium'
+                   ELSE 'low' END AS bucket
+            FROM r ORDER BY doc_id"""))
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single non-alnum), the cheap proxy for
+    * "how many tokens will the tokenizer emit". */
+  val tokenCount = GraftQuery(
+    "text_token_count",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(expr("""regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)""")).as("n_bpe_tokens"),
+          length(col("text")).as("n_chars"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+              CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
+              CAST(length(text) AS INTEGER) AS n_chars
+            FROM documents ORDER BY doc_id"""))
+
+  /** Document fingerprint: md5 of the whitespace-normalized lowercase text
+    * (the cheap canonical-form key used for cross-shard exact dedup). */
+  val fingerprint = GraftQuery(
+    "text_fingerprint",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents ORDER BY doc_id"""))
+
+  /** Winnowing-style rolling fingerprints: min md5 within each sliding
+    * window of 8 shingle hashes — selects a deterministic ~1/8 sample of
+    * shingles per doc as its signature set (rows-only; the mechanism is
+    * the deliverable, used for plagiarism-style containment detection). */
+  val winnow = GraftQuery(
+    "text_winnow",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), expr(
+          "transform(sequence(0, size(w)-3), i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2])))").as("hs"))
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(0, greatest(size(hs) - 8, 0)),
+             j -> array_min(slice(hs, j + 1, 8))))""")).as("fp"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fingerprints"))
+        .orderBy(col("doc_id")),
+    None)
+
+  val all: Seq[GraftQuery] = Seq(langId, quality, tokenCount, fingerprint, winnow)
+}
