@@ -428,17 +428,17 @@ object Relational {
   val q21Subquery = GraftQuery(
     "q21_subquery",
     (s, dir) => {
-      val p = t(s, dir, "part")
-      val avgByBrand = p.groupBy(col("p_brand")).agg(avg(col("p_retailprice")).as("avg_rp"))
-      p.join(broadcast(avgByBrand), Seq("p_brand"))
-        .filter(col("p_retailprice") > col("avg_rp") * 1.05)
-        .select(col("p_partkey"), col("p_brand"), col("p_retailprice"))
-        .orderBy(col("p_partkey"))
+      val c = t(s, dir, "customer")
+      val avgByNation = c.groupBy(col("c_nationkey")).agg(avg(col("c_acctbal")).as("avg_bal"))
+      c.join(broadcast(avgByNation), Seq("c_nationkey"))
+        .filter(col("c_acctbal") > col("avg_bal") * 1.1)
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
     },
-    Some("""SELECT p_partkey, p_brand, p_retailprice FROM part p1
-            WHERE p_retailprice > 1.05 * (SELECT avg(p_retailprice) FROM part p2
-                                          WHERE p2.p_brand = p1.p_brand)
-            ORDER BY p_partkey"""))
+    Some("""SELECT c_custkey, c_nationkey, c_acctbal FROM customer c1
+            WHERE c_acctbal > 1.1 * (SELECT avg(c_acctbal) FROM customer c2
+                                     WHERE c2.c_nationkey = c1.c_nationkey)
+            ORDER BY c_custkey"""))
 
   /** Statistical aggregates. */
   val q22Stats = GraftQuery(
@@ -519,10 +519,10 @@ object Relational {
       t(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
-        .filter(col("n_orders") >= 20)
+        .filter(col("n_orders") >= 15)
         .orderBy(col("o_custkey")),
     Some("""SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS spend
-            FROM orders GROUP BY o_custkey HAVING count(*) >= 20
+            FROM orders GROUP BY o_custkey HAVING count(*) >= 15
             ORDER BY o_custkey"""))
 
   val all: Seq[GraftQuery] = Seq(

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Source factories mirroring the reference's connector inventory
+  * (SURVEY §2.2). The reference pulls records one at a time through
+  * `DataSource.open/read/close/getWatermark`
+  * (reference: streaming/src/main/scala/io/gearpump/streaming/source/DataSource.scala:41-72)
+  * driven by a batching task
+  * (reference: source/DataSourceTask.scala:35-78, batch size 1000 at :48);
+  * in Spark the micro-batch engine IS that loop, so a "source" here is a
+  * factory for a (possibly streaming) Dataset, and the batch-size analog is
+  * `maxOffsetsPerTrigger` / `maxFilesPerTrigger`.
+  */
+object GraftSource {
+
+  /** CollectionDataSource parity (reference: docs/contents/dev/dev-connectors.md:14-19):
+    * a finite in-memory collection as a batch Dataset. */
+  def collection[T: Encoder](spark: SparkSession, data: Seq[T]): Dataset[T] =
+    spark.createDataset(data)(implicitly[Encoder[T]])
+
+  /** Driveable in-process stream for tests and local runs — the analog of
+    * the reference's in-code generator sources (e.g. wordcount `Split`,
+    * reference: examples/streaming/wordcount/.../Split.scala:24-52). */
+  def memory[T: Encoder](spark: SparkSession): MemoryStream[T] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    MemoryStream[T]
+  }
+
+  /** SOL-producer parity (reference: examples/streaming/sol/.../SOLStreamProducer.scala:41-55):
+    * an unbounded rate stream of fixed-size payloads with event time. */
+  def rate(spark: SparkSession, rowsPerSecond: Long, payloadBytes: Int = 100): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(col("timestamp").as("event_time"),
+        // deterministic payload of exactly `payloadBytes` ASCII chars
+        rpad(conv(col("value").cast("string"), 10, 16), payloadBytes, "x").as("payload"))
+
+  /** Streaming file source (HDFS-connector parity, SURVEY §2.2): new files
+    * in `path` become micro-batches; offsets checkpointed in the WAL give
+    * at-least-once replay exactly like the reference's
+    * TimeReplayableSource (reference: transaction/api/TimeReplayableSource.scala:25-31). */
+  def fileStream(spark: SparkSession, path: String, schemaFrom: DataFrame,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
+
+  /** Kafka source configuration (reference: docs/contents/dev/dev-connectors.md:33-80;
+    * timestamp->offset replay per docs/contents/internals/gearpump-internals.md:210-227).
+    * Offline container — returns the fully-configured reader; `.load()` is
+    * the caller's when brokers exist. `startTimestampMs` maps the
+    * reference's startTime replay to `startingOffsetsByTimestamp`. */
+  def kafkaReader(spark: SparkSession, brokers: String, topic: String,
+      startTimestampMs: Option[Long] = None) = {
+    val r = spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("subscribe", topic)
+    startTimestampMs.fold(r)(ts => r.option("startingOffsetsByTimestamp",
+      s"""{"$topic": {"0": $ts}}"""))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative event-time windowing — the replacement for the reference's
+  * WindowState interval algebra
+  * (reference: streaming/src/main/scala/io/gearpump/streaming/state/impl/WindowState.scala:48-158,
+  * Window size/step at state/impl/WindowConfig.scala:17-21, slide trigger at
+  * state/impl/Window.scala:43-45). Spark slices rows into window intervals
+  * at scan time and recomputes partials per window instead of applying
+  * `Group.minus` eviction; results are identical, no inverse needed.
+  *
+  * Allowed lateness: the reference credits any message to its interval until
+  * checkpoint retention drops it (WindowState.scala:71-77); here that bound
+  * is explicit — `withWatermark(delay)` keeps state for `delay` past the
+  * max seen event time, then drops later arrivals.
+  */
+object Windows {
+
+  /** Tumbling window (reference: size == step, WindowConfig.scala:21). */
+  def tumbling(df: DataFrame, timeCol: String, size: String,
+      lateness: String = "0 seconds"): RelGroup =
+    RelGroup(df.withWatermark(timeCol, lateness), window(col(timeCol), size))
+
+  /** Sliding window (reference: size + step, WindowState slide at :82-98). */
+  def sliding(df: DataFrame, timeCol: String, size: String, step: String,
+      lateness: String = "0 seconds"): RelGroup =
+    RelGroup(df.withWatermark(timeCol, lateness), window(col(timeCol), size, step))
+
+  /** Session window (gap-based; absent in the reference — SURVEY §2.6 bonus). */
+  def session(df: DataFrame, timeCol: String, gap: String,
+      lateness: String = "0 seconds"): RelGroup =
+    RelGroup(df.withWatermark(timeCol, lateness), session_window(col(timeCol), gap))
+
+  final case class RelGroup(df: DataFrame, win: Column) {
+    /** group by the window (plus optional keys) and aggregate
+      * (pass pre-aliased aggregate columns). */
+    def agg(keys: Seq[Column], aggs: Column*): DataFrame =
+      df.groupBy((win.as("window") +: keys): _*).agg(aggs.head, aggs.tail: _*)
+    def count(keys: Column*): DataFrame =
+      df.groupBy((win.as("window") +: keys): _*).count()
+  }
+}
