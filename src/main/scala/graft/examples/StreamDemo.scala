@@ -35,7 +35,17 @@ object StreamDemo {
     val agg = MonoidAggregator.longSumOf[Int](_.toLong)
     println("MONOID_SUM=" + spark.createDataset(1 to 100).select(agg.toColumn).head())
 
-    // 4. SOL-parity rate source: measure pass-through rows/s for ~4s
+    // 4. ops introspection over a live query (REST-noun parity)
+    val reg = new graft.ops.AppRegistry(spark)
+    val opsIn = GraftSource.memory[Int](spark)
+    val opsQ = opsIn.toDS().writeStream.format("noop").queryName("ops_live").start()
+    opsIn.addData(1 to 1000: _*)
+    opsQ.processAllAvailable()
+    println("OPS_APPLIST=" + reg.applist)
+    println("OPS_STALLING=" + reg.stalling(60000).size)
+    opsQ.stop(); reg.close()
+
+    // 5. SOL-parity rate source: measure pass-through rows/s for ~4s
     val rate = GraftSource.rate(spark, rowsPerSecond = 200000, payloadBytes = 100)
     val rq = rate.writeStream.format("noop").start()
     Thread.sleep(4000)

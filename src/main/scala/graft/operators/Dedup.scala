@@ -39,7 +39,8 @@ object Dedup {
       .distinct()
 
   private val NumHashes = 16
-  private val Bands = 4 // 4 bands x 4 rows
+  private val Bands = 8 // 8 bands x 2 rows: recall at J=0.8 is 1-(1-0.8^2)^8 ~ 0.9997
+  private val RowsPerBand = NumHashes / Bands
 
   /** 16-component minhash signature, one row per doc, columns mh0..mh15.
     * Map-side partial min per component -> a single narrow shuffle. */
@@ -86,7 +87,7 @@ object Dedup {
     (s, dir) => {
       val sig = minhashSig(s, dir).cache()
       val bandCols = (0 until Bands).map(b =>
-        md5(concat_ws("|", (0 until 4).map(r => col(s"mh${4 * b + r}")): _*)).as(s"band$b"))
+        md5(concat_ws("|", (0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}")): _*)).as(s"band$b"))
       val banded = sig.select((col("doc_id") +: bandCols): _*)
       val bands = banded.select(col("doc_id"),
         posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("b", "bh")))
@@ -115,8 +116,9 @@ object Dedup {
                    GROUP BY doc_id, seed),
             sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
             band AS (SELECT doc_id, b,
-                       md5(sig[4*b+1] || '|' || sig[4*b+2] || '|' || sig[4*b+3] || '|' || sig[4*b+4]) AS bh
-                     FROM sig CROSS JOIN LATERAL (SELECT unnest([0,1,2,3]) AS b) g),
+                       md5(sig[2*b+1] || '|' || sig[2*b+2]) AS bh
+                     FROM sig CROSS JOIN LATERAL
+                       (SELECT unnest(generate_series(0, 7)) AS b) g),
             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                      FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
             eq AS (SELECT c.doc_a, c.doc_b,
@@ -126,8 +128,7 @@ object Dedup {
                    JOIN mh y ON y.doc_id = c.doc_b AND y.seed = x.seed
                    GROUP BY c.doc_a, c.doc_b)
             SELECT doc_a, doc_b, n_eq FROM eq WHERE n_eq >= 8
-            ORDER BY doc_a, doc_b"""),
-    headline = true)
+            ORDER BY doc_a, doc_b"""))
 
   /** Per-token 64-bit SimHash (bit-majority of md5 bits), banded LSH over
     * 4x16-bit sub-fingerprints, exact Hamming<=3 verification. Pigeonhole:
@@ -223,5 +224,38 @@ object Dedup {
             WHERE inter * 5 >= (ca.n + cb.n - inter) * 4
             ORDER BY doc_a, doc_b"""))
 
-  val all: Seq[GraftQuery] = Seq(exact, hashKey, minhashLsh, simhash, ngramJaccard)
+  /** Production-speed MinHash: same algorithm as dedup_minhash but with
+    * 64-bit xxhash64 (codegen'd, no hex strings) — ~5x faster. No DuckDB
+    * oracle (xxhash64 isn't available there); instead DedupSpec asserts it
+    * finds exactly the same near-dup pairs as the md5-oracled variant. */
+  val minhashFast = GraftQuery(
+    "dedup_minhash_fast",
+    (s, dir) => {
+      val sh = shingles(s, dir)
+      val mhCols = (0 until NumHashes).map(i =>
+        min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+      val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*).cache()
+      val bandCols = (0 until Bands).map(b =>
+        xxhash64((0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}")): _*).as(s"band$b"))
+      val banded = sig.select((col("doc_id") +: bandCols): _*)
+      val bands = banded.select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("b", "bh")))
+      val cand = bands.select(col("doc_id").as("doc_a"), col("b"), col("bh"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("b"), col("bh")), Seq("b", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val sa = sig.toDF(("doc_a" +: (0 until NumHashes).map(i => s"a$i")): _*)
+      val sb = sig.toDF(("doc_b" +: (0 until NumHashes).map(i => s"b$i")): _*)
+      val nEq = (0 until NumHashes)
+        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(col("doc_a"), col("doc_b"), nEq.cast("int").as("n_eq"))
+        .filter(col("n_eq") >= NumHashes / 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    None,
+    headline = true)
+
+  val all: Seq[GraftQuery] = Seq(exact, hashKey, minhashLsh, simhash, ngramJaccard, minhashFast)
 }

@@ -43,4 +43,22 @@ class PipelineSpec extends SparkTestBase {
     val b = Pipeline.from(Seq(3).toDF("v"))
     assert(a.merge(b).toDF.as[Int].collect().sorted === Array(1, 2, 3))
   }
+
+  test("complexdag: fan-out + per-branch path recording + fan-in") {
+    // reference complexdag: each Node appends its name to a Vector[String]
+    // payload; Sink receives the interleaved union of all paths
+    // (examples/streaming/complexdag/.../Dag.scala:77-93, Node.scala)
+    import spark.implicits._
+    def node(name: String) = Stage(name, _.withColumn("path",
+      concat(col("path"), lit(s" -> $name"))))
+    val source = Pipeline.from(
+      Seq(1, 2, 3, 4).toDF("v").withColumn("path", lit("source")))
+    val branchEven = source ~> Stage("evens", _.filter(col("v") % 2 === 0)) ~> node("node_1") ~> node("node_2")
+    val branchOdd = source ~> Stage("odds", _.filter(col("v") % 2 === 1)) ~> node("node_3")
+    val got = branchEven.merge(branchOdd).toDF
+      .as[(Int, String)].collect().toMap
+    assert(got === Map(
+      2 -> "source -> node_1 -> node_2", 4 -> "source -> node_1 -> node_2",
+      1 -> "source -> node_3", 3 -> "source -> node_3"))
+  }
 }
