@@ -27,7 +27,21 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // SOL-equivalent streaming pass-through (BASELINE.md): rate source ->
+    // 100-byte payload projection -> noop sink, peak processed rows/s.
+    val streamRps = solThroughput(spark)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_rows_per_sec":$streamRps%.0f,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private def solThroughput(spark: SparkSession): Double = {
+    try {
+      val q = graft.streaming.GraftSource.rate(spark, rowsPerSecond = 5000000, payloadBytes = 100)
+        .writeStream.format("noop").start()
+      Thread.sleep(8000)
+      val rates = q.recentProgress.map(_.processedRowsPerSecond).filterNot(_.isNaN)
+      q.stop()
+      if (rates.nonEmpty) rates.max else 0.0
+    } catch { case _: Throwable => 0.0 }
   }
 }

@@ -15,7 +15,8 @@ object SparkEntry {
       operators.TextAnalysis.all ++
       operators.Multimodal.all ++
       operators.PageRank.all ++
-      operators.Partitioning.all
+      operators.Partitioning.all ++
+      operators.Skew.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

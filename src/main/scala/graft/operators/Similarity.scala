@@ -28,14 +28,23 @@ object Similarity {
 
   private val Dim = 64
 
-  /** dot(a, b) as an ordered double fold (codegen-friendly, no UDF). */
-  private def dot(a: String, b: String): Column = expr(
+  /** dot(a, b) as an ordered double fold — the pure-built-in formulation;
+    * kept as the reference semantics the native expression must match. */
+  private[graft] def dotFold(a: String, b: String): Column = expr(
     s"""aggregate(transform(sequence(0, ${Dim - 1}),
         i -> cast($a[i] as double) * cast($b[i] as double)),
         cast(0.0 as double), (acc, v) -> acc + v)""")
 
-  private def cosine(a: String, b: String): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  private[graft] def cosineFold(a: String, b: String): Column =
+    dotFold(a, b) / (sqrt(dotFold(a, a)) * sqrt(dotFold(b, b)))
+
+  /** Production path: the codegen'd native CosineSimilarity expression —
+    * bit-identical to cosineFold (same accumulation order), ~3x fewer
+    * expression-tree nodes in the hot loop. */
+  private def cosine(s: SparkSession, a: String, b: String): Column = {
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    expr(s"graft_cosine($a, $b)")
+  }
 
   private val sqlDot =
     (a: String, b: String) => s"""list_sum(list_transform(generate_series(1, 64),
@@ -54,7 +63,7 @@ object Similarity {
       val scored = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          round(cosine("embedding", "q_emb"), 4).as("cos_sim"))
+          round(cosine(s, "embedding", "q_emb"), 4).as("cos_sim"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -84,7 +93,7 @@ object Similarity {
       val scored = e.join(broadcast(q), Seq("label"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          round(cosine("embedding", "q_emb"), 4).as("cos_sim"))
+          round(cosine(s, "embedding", "q_emb"), 4).as("cos_sim"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
@@ -108,7 +117,7 @@ object Similarity {
       val a = t(s, dir, "embeddings").select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = t(s, dir, "embeddings").select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"), round(cosine("ea", "eb"), 4).as("cos_sim"))
+        .select(col("vec_a"), col("vec_b"), round(cosine(s, "ea", "eb"), 4).as("cos_sim"))
         .filter(col("cos_sim") >= 0.35)
         .orderBy(col("vec_a"), col("vec_b"))
     },

@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.{SparkTestBase, Tables}
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** The native CosineSimilarity expression must be BIT-identical to the
+  * declarative fold it replaces — that equality is what keeps the DuckDB
+  * oracles valid for the ANN queries. Checked on the real corpus in both
+  * interpreted (nullSafeEval) and codegen paths. */
+class VectorFunctionsSpec extends SparkTestBase {
+
+  test("native expression == declarative fold, bit for bit, on the corpus") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("va") < col("vb")).limit(20000)
+      .select(
+        expr("graft_cosine(ea, eb)").as("native"),
+        Similarity.cosineFold("ea", "eb").as("fold"))
+    val mismatches = pairs.filter(col("native") =!= col("fold")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("interpreted path (eval) agrees with a hand computation") {
+    import spark.implicits._
+    VectorFunctions.ensureRegistered(spark)
+    val df = Seq((Array(1f, 0f, 1f), Array(1f, 1f, 0f))).toDF("a", "b")
+    // codegen disabled -> exercises nullSafeEval
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val got = df.select(expr("graft_cosine(a, b)")).as[Double].head()
+      assert(math.abs(got - 0.5) < 1e-15) // dot=1, |a|=|b|=sqrt(2)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("nulls and mismatched lengths behave") {
+    import spark.implicits._
+    VectorFunctions.ensureRegistered(spark)
+    val df = Seq(
+      (Some(Array(1f, 2f)), None: Option[Array[Float]]),
+      (Some(Array(1f, 0f, 0f, 0f)), Some(Array(1f, 0f)))).toDF("a", "b")
+    val got = df.select(expr("graft_cosine(a, b)")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got(0) === None)       // null propagates
+    assert(got(1) === Some(1.0))  // truncates to shorter length
+  }
+}
