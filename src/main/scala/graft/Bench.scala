@@ -20,18 +20,22 @@ object Bench {
     }
     val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); false }
+      (q.name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v, ok) =>
+      if (ok) "\"" + k + f"\":$v%.3f" else "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val errors = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val total = results.filter(_._3).map(_._2).sum
     // SOL-equivalent streaming pass-through (BASELINE.md): rate source ->
     // 100-byte payload projection -> noop sink, peak processed rows/s.
     val streamRps = solThroughput(spark)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"stream_rows_per_sec":$streamRps%.0f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f,"sf":"$sfDir"}""")
     spark.stop()
+    if (results.exists(!_._3)) sys.exit(1)
   }
 
   private def solThroughput(spark: SparkSession): Double = {

@@ -79,7 +79,7 @@ object Dedup {
     Some("""SELECT min(doc_id) AS keep_doc_id, md5(text) AS h, count(*) AS n_copies
             FROM documents GROUP BY md5(text) ORDER BY keep_doc_id"""))
 
-  /** MinHash + LSH near-duplicate pairs: 16-hash signature, 4 bands of 4;
+  /** MinHash + LSH near-duplicate pairs: 16-hash signature, 8 bands of 2;
     * pairs sharing >=1 band are verified on signature agreement
     * (>= 8/16 components equal, i.e. estimated Jaccard >= 0.5). */
   val minhashLsh = GraftQuery(

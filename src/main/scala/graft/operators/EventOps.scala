@@ -154,7 +154,7 @@ object EventOps {
         .agg(sum(col("k")).as("sum_k"), round(avg(col("k")), 4).as("avg_k"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type")),
-    Some("""SELECT event_type, sum(k) AS sum_k, round(avg(k),4) AS avg_k, count(*) AS n
+    Some("""SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, round(avg(k),4) AS avg_k, count(*) AS n
             FROM (SELECT event_type,
                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
                   FROM events)

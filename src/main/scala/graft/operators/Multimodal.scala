@@ -35,7 +35,7 @@ object Multimodal {
     Some("""SELECT doc_id,
               CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
               md5(text) AS digest,
-              to_base64(encode(substring(text, 1, 8))) AS magic_b64
+              to_base64(unhex(substring(hex(encode(text)), 1, 16))) AS magic_b64
             FROM documents ORDER BY doc_id"""))
 
   private case class MediaMeta(doc_id: Long, width: Int, height: Int,
