@@ -525,10 +525,128 @@ object Relational {
             FROM orders GROUP BY o_custkey HAVING count(*) >= 15
             ORDER BY o_custkey"""))
 
+  /** Array scalar functions (SURVEY §2.8 array_* surface). Arrays are
+    * reduced to deterministic scalars (joined strings / sizes) so the
+    * cross-engine hash compare is representation-independent. */
+  val q29ArrayFuncs = GraftQuery(
+    "q29_array_funcs",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), split(col("p_name"), " ").as("w"))
+        .select(
+          col("p_partkey"),
+          size(col("w")).as("n_words"),
+          array_join(array_sort(col("w")), ",").as("sorted_csv"),
+          array_join(slice(col("w"), 1, 2), ",").as("first2_csv"),
+          array_contains(col("w"), "red").as("has_red"),
+          size(array_distinct(col("w"))).as("n_distinct"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+            CAST(len(w) AS INTEGER) AS n_words,
+            array_to_string(list_sort(w), ',') AS sorted_csv,
+            array_to_string(w[1:2], ',') AS first2_csv,
+            list_contains(w, 'red') AS has_red,
+            CAST(len(list_distinct(w)) AS INTEGER) AS n_distinct
+            FROM (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+            ORDER BY p_partkey"""))
+
+  /** Map scalar functions (SURVEY §2.8 map_* surface): word -> length map
+    * per part name; outputs are order-insensitive scalars (sorted key CSV,
+    * one extracted value, cardinality). */
+  val q30MapFuncs = GraftQuery(
+    "q30_map_funcs",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), array_distinct(split(col("p_name"), " ")).as("ks"))
+        .select(col("p_partkey"),
+          map_from_arrays(col("ks"), transform(col("ks"), x => length(x))).as("m"))
+        .select(
+          col("p_partkey"),
+          size(col("m")).as("n_keys"),
+          array_join(array_sort(map_keys(col("m"))), ",").as("keys_csv"),
+          element_at(col("m"), "red").as("len_red"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+            CAST(cardinality(m) AS INTEGER) AS n_keys,
+            array_to_string(list_sort(map_keys(m)), ',') AS keys_csv,
+            CAST((m['red'])[1] AS INTEGER) AS len_red
+            FROM (SELECT p_partkey,
+                    MAP(ks, list_transform(ks, x -> len(x))) AS m
+                  FROM (SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS ks
+                        FROM part))
+            ORDER BY p_partkey"""))
+
+  /** Regex scalar functions: extract, extract-all, match test, match count.
+    * Spark regexp_extract_all needs explicit group 0 for group-less patterns
+    * (DuckDB defaults to the full match). */
+  val q31Regex = GraftQuery(
+    "q31_regex",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+          array_join(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0)), "").as("vowels"),
+          col("p_name").rlike("e.*t").as("has_e_t"),
+          regexp_count(col("p_name"), lit("[aeiou]")).as("n_vowels"))
+        .orderBy(col("p_partkey")),
+    Some("""SELECT p_partkey,
+            regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+            array_to_string(regexp_extract_all(p_name, '[aeiou]'), '') AS vowels,
+            regexp_matches(p_name, 'e.*t') AS has_e_t,
+            CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels
+            FROM part ORDER BY p_partkey"""))
+
+  /** Conditional scalar functions: coalesce / nullif / greatest / least /
+    * CASE chains. */
+  val q32Conditional = GraftQuery(
+    "q32_conditional",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          round(greatest(col("c_acctbal"), lit(0.0)), 2).as("bal_clamped"),
+          round(least(col("c_acctbal"), lit(1000.0)), 2).as("bal_capped"),
+          coalesce(nullif(col("c_nationkey"), lit(5)), lit(-1)).as("nation_or_neg"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("bal_band"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey,
+            round(greatest(c_acctbal, 0.0),2) AS bal_clamped,
+            round(least(c_acctbal, 1000.0),2) AS bal_capped,
+            coalesce(nullif(c_nationkey, 5), -1) AS nation_or_neg,
+            CASE WHEN c_acctbal < 0 THEN 'neg'
+                 WHEN c_acctbal < 5000 THEN 'mid'
+                 ELSE 'high' END AS bal_band
+            FROM customer ORDER BY c_custkey"""))
+
+  /** Higher-order array functions: transform / filter / aggregate (fold) —
+    * integer folds are exact, so no rounding discipline is needed. */
+  val q33HigherOrder = GraftQuery(
+    "q33_higher_order",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(
+          col("doc_id"),
+          aggregate(transform(col("w"), x => length(x)), lit(0),
+            (acc, x) => acc + x).cast("long").as("total_chars"),
+          size(filter(col("w"), x => length(x) > 4)).as("n_long_words"),
+          array_max(transform(col("w"), x => length(x))).as("max_word_len"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+            CAST(list_sum(list_transform(w, x -> len(x))) AS BIGINT) AS total_chars,
+            CAST(len(list_filter(w, x -> len(x) > 4)) AS INTEGER) AS n_long_words,
+            list_max(list_transform(w, x -> CAST(len(x) AS INTEGER))) AS max_word_len
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
     q12Intersect, q13Except, q14Rollup, q15Cube, q16Distinct, q17ScalarString,
     q18ScalarDatetime, q19ScalarMath, q20CaseAgg, q21Subquery, q22Stats,
-    q23Percentile, q24Pivot, q25Explode, q26Having)
+    q23Percentile, q24Pivot, q25Explode, q26Having, q29ArrayFuncs, q30MapFuncs,
+    q31Regex, q32Conditional, q33HigherOrder)
 }
