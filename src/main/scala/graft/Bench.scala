@@ -40,12 +40,20 @@ object Bench {
 
   private def solThroughput(spark: SparkSession): Double = {
     try {
-      val q = graft.streaming.GraftSource.rate(spark, rowsPerSecond = 5000000, payloadBytes = 100)
+      // Request far above engine capacity (graft.tools.SolProbe saturates
+      // near 18M rows/s on 32 threads) so the measurement reports processing
+      // speed, not the generator's ask.
+      val q = graft.streaming.GraftSource.rate(spark, rowsPerSecond = 60000000, payloadBytes = 100)
         .writeStream.format("noop").start()
-      Thread.sleep(8000)
-      val rates = q.recentProgress.map(_.processedRowsPerSecond).filterNot(_.isNaN)
+      // wait for two completed measurable batches (first ones are catch-up)
+      val deadline = System.currentTimeMillis() + 30000
+      def rates() = q.recentProgress.map(_.processedRowsPerSecond)
+        .filterNot(_.isNaN).filter(_ > 0)
+      while (rates().length < 2 && System.currentTimeMillis() < deadline)
+        Thread.sleep(500)
+      val obs = rates()
       q.stop()
-      if (rates.nonEmpty) rates.max else 0.0
+      if (obs.nonEmpty) obs.max else 0.0
     } catch { case _: Throwable => 0.0 }
   }
 }

@@ -29,14 +29,21 @@ import org.apache.spark.sql.functions._
 object Dedup {
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
 
-  /** Distinct 3-word shingles per document (shared by minhash + jaccard). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** 3-word shingles per document, WITH duplicates. MinHash only takes
+    * per-component minima, and min over a multiset equals min over its set —
+    * so the minhash paths skip the dedup shuffle entirely (at 100 TB the
+    * distinct is a full shuffle of the shingle corpus, ~10x the input). */
+  private def shingleBag(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
-      .distinct()
+
+  /** Distinct shingle SETS — only Jaccard (set intersection/union counts)
+    * actually needs the dedup shuffle. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    shingleBag(s, dir).distinct()
 
   private val NumHashes = 16
   private val Bands = 8 // 8 bands x 2 rows: recall at J=0.8 is 1-(1-0.8^2)^8 ~ 0.9997
@@ -45,7 +52,7 @@ object Dedup {
   /** 16-component minhash signature, one row per doc, columns mh0..mh15.
     * Map-side partial min per component -> a single narrow shuffle. */
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
+    val sh = shingleBag(s, dir)
     val mhCols = (0 until NumHashes).map(i =>
       min(md5(concat(lit(i.toString), lit(":"), col("s")))).as(s"mh$i"))
     sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
@@ -81,27 +88,31 @@ object Dedup {
 
   /** MinHash + LSH near-duplicate pairs: 16-hash signature, 8 bands of 2;
     * pairs sharing >=1 band are verified on signature agreement
-    * (>= 8/16 components equal, i.e. estimated Jaccard >= 0.5). */
+    * (>= 8/16 components equal, i.e. estimated Jaccard >= 0.5).
+    *
+    * Shape (3 shuffles total, scale-critical): the signature ARRAY rides
+    * along through the band explode, so the band self-join already has both
+    * signatures in hand — verification is a zip_with over join output, not
+    * two more signature joins; multi-band duplicate pairs collapse in the
+    * same groupBy that would otherwise be a distinct. */
   val minhashLsh = GraftQuery(
     "dedup_minhash",
     (s, dir) => {
-      val sig = minhashSig(s, dir).cache()
+      val sig = minhashSig(s, dir)
+        .select(col("doc_id"),
+          array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
       val bandCols = (0 until Bands).map(b =>
-        md5(concat_ws("|", (0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}")): _*)).as(s"band$b"))
-      val banded = sig.select((col("doc_id") +: bandCols): _*)
-      val bands = banded.select(col("doc_id"),
-        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("b", "bh")))
-      val cand = bands.select(col("doc_id").as("doc_a"), col("b"), col("bh"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("b"), col("bh")), Seq("b", "bh"))
+        md5(concat_ws("|", (0 until RowsPerBand).map(r =>
+          col("sig").getItem(RowsPerBand * b + r)): _*)))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        posexplode(array(bandCols: _*)).as(Seq("b", "bh")))
+      val nEq = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+      bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("b"), col("bh"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("b"), col("bh")),
+          Seq("b", "bh"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      val sa = sig.toDF(("doc_a" +: (0 until NumHashes).map(i => s"a$i")): _*)
-      val sb = sig.toDF(("doc_b" +: (0 until NumHashes).map(i => s"b$i")): _*)
-      val nEq = (0 until NumHashes)
-        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand.join(sa, "doc_a").join(sb, "doc_b")
         .select(col("doc_a"), col("doc_b"), nEq.cast("int").as("n_eq"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(max(col("n_eq")).as("n_eq"))
         .filter(col("n_eq") >= NumHashes / 2)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -231,26 +242,24 @@ object Dedup {
   val minhashFast = GraftQuery(
     "dedup_minhash_fast",
     (s, dir) => {
-      val sh = shingles(s, dir)
+      val sh = shingleBag(s, dir)
       val mhCols = (0 until NumHashes).map(i =>
         min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
-      val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*).cache()
+      val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
+        .select(col("doc_id"),
+          array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
       val bandCols = (0 until Bands).map(b =>
-        xxhash64((0 until RowsPerBand).map(r => col(s"mh${RowsPerBand * b + r}")): _*).as(s"band$b"))
-      val banded = sig.select((col("doc_id") +: bandCols): _*)
-      val bands = banded.select(col("doc_id"),
-        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("b", "bh")))
-      val cand = bands.select(col("doc_id").as("doc_a"), col("b"), col("bh"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("b"), col("bh")), Seq("b", "bh"))
+        xxhash64((0 until RowsPerBand).map(r =>
+          col("sig").getItem(RowsPerBand * b + r)): _*))
+      val bands = sig.select(col("doc_id"), col("sig"),
+        posexplode(array(bandCols: _*)).as(Seq("b", "bh")))
+      val nEq = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+      bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("b"), col("bh"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("b"), col("bh")),
+          Seq("b", "bh"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      val sa = sig.toDF(("doc_a" +: (0 until NumHashes).map(i => s"a$i")): _*)
-      val sb = sig.toDF(("doc_b" +: (0 until NumHashes).map(i => s"b$i")): _*)
-      val nEq = (0 until NumHashes)
-        .map(i => when(col(s"a$i") === col(s"b$i"), 1).otherwise(0))
-        .reduce(_ + _)
-      cand.join(sa, "doc_a").join(sb, "doc_b")
         .select(col("doc_a"), col("doc_b"), nEq.cast("int").as("n_eq"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(max(col("n_eq")).as("n_eq"))
         .filter(col("n_eq") >= NumHashes / 2)
         .orderBy(col("doc_a"), col("doc_b"))
     },

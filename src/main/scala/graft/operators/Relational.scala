@@ -88,8 +88,14 @@ object Relational {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
+      // Star-join shape: lineitem (the fact table) is the streamed/probe
+      // side; the segment-filtered customer x orders result is the build
+      // side. At bench SF that becomes a small broadcast; at 100 TB AQE
+      // falls back to a shuffle join on orderkey — either way the fact
+      // table is never the build side.
+      val co = c.join(o, col("c_custkey") === col("o_custkey"))
+        .select(col("o_orderkey"), col("o_orderdate"))
+      li.join(co, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
