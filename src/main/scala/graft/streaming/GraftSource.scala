@@ -50,6 +50,21 @@ object GraftSource {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
+  /** Custom pull-source plugin (the reference's DataSource API,
+    * reference: streaming/src/main/scala/io/gearpump/streaming/source/DataSource.scala:41-72)
+    * as a Structured Streaming source via the DataSource V2 adapter
+    * (graft.sources.PullSourceProvider). `numPartitions` = source
+    * parallelism, `batchSize` = gearpump.source.read.batch.size,
+    * `maxBatches` > 0 bounds the stream (tests / AvailableNow-style drains). */
+  def pull(spark: SparkSession, clazz: Class[_ <: graft.sources.PullDataSource],
+      numPartitions: Int = 1, batchSize: Int = 1000, maxBatches: Long = 0L): DataFrame =
+    spark.readStream.format(classOf[graft.sources.PullSourceProvider].getName)
+      .option("class", clazz.getName)
+      .option("numPartitions", numPartitions)
+      .option("batchSize", batchSize)
+      .option("maxBatches", maxBatches)
+      .load()
+
   /** Kafka source configuration (reference: docs/contents/dev/dev-connectors.md:33-80;
     * timestamp->offset replay per docs/contents/internals/gearpump-internals.md:210-227).
     * Offline container — returns the fully-configured reader; `.load()` is
