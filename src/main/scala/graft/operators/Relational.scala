@@ -648,11 +648,54 @@ object Relational {
             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
             ORDER BY doc_id"""))
 
+  /** Top-k per group — the partitioned form of q10's global top-k (SURVEY
+    * §2.7 "streaming top-k per window" is this plus a window key). The
+    * row_number window shuffles once on the group key; no global sort. */
+  val q34TopKPerGroup = GraftQuery(
+    "q34_topk_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_orderpriority"), col("rk").cast("long").as("rk"),
+          col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_orderpriority"), col("rk"))
+    },
+    Some("""SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice,2) AS price
+            FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                    row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                  FROM orders)
+            WHERE rk <= 3 ORDER BY o_orderpriority, rk"""))
+
+  /** Explicit GROUPING SETS (SURVEY §2.5 — beyond rollup/cube) with
+    * grouping() indicator columns disambiguating real NULLs from subtotal
+    * rows. */
+  val q35GroupingSets = GraftQuery(
+    "q35_grouping_sets",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"), col("o_orderstatus"), col("o_orderpriority")),
+    Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+            CAST(grouping(o_orderstatus) AS INTEGER) AS g_status,
+            CAST(grouping(o_orderpriority) AS INTEGER) AS g_prio
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+            ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
     q12Intersect, q13Except, q14Rollup, q15Cube, q16Distinct, q17ScalarString,
     q18ScalarDatetime, q19ScalarMath, q20CaseAgg, q21Subquery, q22Stats,
     q23Percentile, q24Pivot, q25Explode, q26Having, q29ArrayFuncs, q30MapFuncs,
-    q31Regex, q32Conditional, q33HigherOrder)
+    q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets)
 }
