@@ -245,9 +245,13 @@ object Dedup {
       val sh = shingleBag(s, dir)
       val mhCols = (0 until NumHashes).map(i =>
         min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
+      // cache: the band self-join references sig on both sides and the
+      // shuffle/broadcast exchanges differ, so without it the whole
+      // shingle->signature pipeline (the expensive scan) computes twice
       val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
         .select(col("doc_id"),
           array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
+        .cache()
       val bandCols = (0 until Bands).map(b =>
         xxhash64((0 until RowsPerBand).map(r =>
           col("sig").getItem(RowsPerBand * b + r)): _*))
