@@ -41,4 +41,21 @@ object Windows {
     def count(keys: Column*): DataFrame =
       df.groupBy((win.as("window") +: keys): _*).count()
   }
+
+  /** Streaming top-k per window (SURVEY §2.7): ranking functions aren't
+    * allowed on a streaming Dataset, so the recipe is windowed aggregation
+    * upstream + a per-micro-batch row_number cut inside foreachBatch — each
+    * batch of finalized/updated window aggregates is ranked within its
+    * window and only the k best survive. `windowed` must be the output of
+    * `tumbling/sliding(...).agg/count(keys)` (columns: window, keys..., a
+    * measure). Returns a writeStream-ready function for foreachBatch. */
+  def topKPerWindow(k: Int, measure: String, sink: DataFrame => Unit)
+      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window"))
+      .orderBy(col(measure).desc)
+    sink(batch
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k))
+  }
 }

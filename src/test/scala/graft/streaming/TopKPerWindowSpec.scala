@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+object TopKCollector {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long, Int)]()
+}
+
+/** Streaming top-k per window (SURVEY §2.7): windowed count upstream, ranked
+  * cut per micro-batch in foreachBatch — the streaming analog of
+  * q34_topk_per_group. */
+class TopKPerWindowSpec extends SparkTestBase {
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("emits only the k most frequent words per tumbling window") {
+    import spark.implicits._
+    TopKCollector.rows.clear()
+    val in = GraftSource.memory[(String, Timestamp)](spark)
+    val windowed = Windows
+      .tumbling(in.toDS().toDF("word", "ts"), "ts", "1 minute")
+      .count(col("word"))
+    val sink = Windows.topKPerWindow(2, "count", { top: DataFrame =>
+      top.select(col("window.start").cast("string"), col("word"), col("count"), col("rk"))
+        .collect()
+        .foreach(r => TopKCollector.rows.add((r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))))
+    })
+    val q = windowed.writeStream.outputMode("complete").foreachBatch(sink).start()
+    try {
+      // window 10:00: a x3, b x2, c x1  -> top2 = a, b
+      in.addData(
+        ("a", ts("2024-01-01 10:00:01")), ("a", ts("2024-01-01 10:00:02")),
+        ("a", ts("2024-01-01 10:00:03")), ("b", ts("2024-01-01 10:00:04")),
+        ("b", ts("2024-01-01 10:00:05")), ("c", ts("2024-01-01 10:00:06")))
+      q.processAllAvailable()
+      TopKCollector.rows.clear() // keep only the final batch's view
+      // window 10:01: d x2, e x1 -> top2 = d, e; window 10:00 unchanged
+      in.addData(
+        ("d", ts("2024-01-01 10:01:10")), ("d", ts("2024-01-01 10:01:20")),
+        ("e", ts("2024-01-01 10:01:30")))
+      q.processAllAvailable()
+      val byWindow = TopKCollector.rows.toArray(Array.empty[(String, String, Long, Int)])
+        .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSet).toMap
+      assert(byWindow("2024-01-01 10:00:00") === Set(("a", 3L, 1), ("b", 2L, 2)))
+      assert(byWindow("2024-01-01 10:01:00") === Set(("d", 2L, 1), ("e", 1L, 2)))
+    } finally q.stop()
+  }
+}
