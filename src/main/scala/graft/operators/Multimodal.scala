@@ -69,5 +69,34 @@ object Multimodal {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(meta, decodeFeatures)
+  /** Frame sampling plumbing for video-like payloads: derive a frame count
+    * from the container metadata (here: a deterministic function of payload
+    * size, standing in for the codec's header parse) and select every 4th
+    * frame index — the uniform-stride sampling a training pipeline feeds to
+    * a vision encoder. The index arithmetic is the real, scale-tested part;
+    * the decode behind each index stays stubbed (see decodeFeatures). */
+  val frameSample = GraftQuery(
+    "mm_frame_sample",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+        .select(col("doc_id"),
+          (octet_length(col("blob")) % 240 + 16).as("n_frames"))
+        .select(col("doc_id"), col("n_frames"),
+          expr("sequence(0, n_frames - 1, 4)").as("idx"))
+        .select(col("doc_id"), col("n_frames"),
+          size(col("idx")).as("n_sampled"),
+          array_join(col("idx"), ",").as("sampled_csv"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, n_frames,
+              CAST(len(idx) AS INTEGER) AS n_sampled,
+              array_to_string(idx, ',') AS sampled_csv
+            FROM (SELECT doc_id, n_frames,
+                    generate_series(0, n_frames - 1, 4) AS idx
+                  FROM (SELECT doc_id,
+                          CAST(octet_length(encode(text)) % 240 + 16 AS INTEGER) AS n_frames
+                        FROM documents))
+            ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(meta, decodeFeatures, frameSample)
 }

@@ -153,5 +153,27 @@ object TextAnalysis {
         .orderBy(col("doc_id")),
     None)
 
-  val all: Seq[GraftQuery] = Seq(langId, quality, tokenCount, fingerprint, winnow)
+  /** Canonical text normalization — the first stage of every training-data
+    * pipeline: lowercase, strip non-alphanumerics, collapse runs of spaces,
+    * trim. Pure codegen'd column expressions; emitted alongside the original
+    * length so the reduction ratio is visible. */
+  val normalize = GraftQuery(
+    "text_normalize",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+            " +", " ")).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          length(col("norm")).as("n_norm_chars"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, norm, CAST(length(norm) AS INTEGER) AS n_norm_chars
+            FROM (SELECT doc_id,
+                    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                         ' +', ' ', 'g')) AS norm
+                  FROM documents)
+            ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(langId, quality, tokenCount, fingerprint, winnow, normalize)
 }
