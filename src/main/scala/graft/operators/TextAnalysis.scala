@@ -74,10 +74,14 @@ object TextAnalysis {
           size(col("w")).as("n_tokens"),
           size(array_distinct(col("w"))).as("n_uniq"),
           expr("size(filter(w, x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is')))").as("n_stop"))
-        .withColumn("ttr", round(col("n_uniq") / col("n_tokens"), 6))
-        .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 6))
-        .withColumn("score",
-          round(least(col("n_tokens") / 100.0, lit(1.0)) * (lit(1.0) - col("stop_ratio")) * col("ttr"), 6))
+        // explicit half-up via floor: Spark's round is HALF_UP but DuckDB's
+        // is half-even on doubles, and composite scores land on exact .5
+        // ties at the 6th decimal (first seen at sf0.1) — floor(x*1e6+0.5)
+        // is bit-deterministic for the same IEEE double on both engines
+        .withColumn("ttr", expr("floor(n_uniq / n_tokens * 1e6 + 0.5) / 1e6"))
+        .withColumn("stop_ratio", expr("floor(n_stop / n_tokens * 1e6 + 0.5) / 1e6"))
+        .withColumn("score", expr(
+          "floor(least(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * ttr * 1e6 + 0.5) / 1e6"))
         .withColumn("bucket",
           when(col("score") >= 0.3, "high").when(col("score") >= 0.15, "medium").otherwise("low"))
         .select(col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_stop"),
@@ -93,15 +97,18 @@ object TextAnalysis {
               FROM base),
             r AS (
               SELECT doc_id, n_tokens, n_uniq, n_stop,
-                round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS ttr,
-                round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio
-              FROM m)
-            SELECT doc_id, n_tokens, n_uniq, n_stop, ttr, stop_ratio,
-              round(least(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * ttr, 6) AS score,
-              CASE WHEN round(least(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * ttr, 6) >= 0.3 THEN 'high'
-                   WHEN round(least(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * ttr, 6) >= 0.15 THEN 'medium'
+                floor(CAST(n_uniq AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS ttr,
+                floor(CAST(n_stop AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS stop_ratio
+              FROM m),
+            sc AS (
+              SELECT doc_id, n_tokens, n_uniq, n_stop, ttr, stop_ratio,
+                floor(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * (1.0 - stop_ratio) * ttr * 1e6 + 0.5) / 1e6 AS score
+              FROM r)
+            SELECT doc_id, n_tokens, n_uniq, n_stop, ttr, stop_ratio, score,
+              CASE WHEN score >= 0.3 THEN 'high'
+                   WHEN score >= 0.15 THEN 'medium'
                    ELSE 'low' END AS bucket
-            FROM r ORDER BY doc_id"""))
+            FROM sc ORDER BY doc_id"""))
 
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single non-alnum), the cheap proxy for
