@@ -95,51 +95,104 @@ object Dedup {
     * signatures in hand — verification is a zip_with over join output, not
     * two more signature joins; multi-band duplicate pairs collapse in the
     * same groupBy that would otherwise be a distinct. */
+  /** Verified near-dup pairs (doc_a < doc_b, n_eq >= 8), shared by
+    * dedup_minhash and dedup_clusters. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
+      .select(col("doc_id"),
+        array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
+    val bandCols = (0 until Bands).map(b =>
+      md5(concat_ws("|", (0 until RowsPerBand).map(r =>
+        col("sig").getItem(RowsPerBand * b + r)): _*)))
+    val bands = sig.select(col("doc_id"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("b", "bh")))
+    val nEq = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+    bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("b"), col("bh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("b"), col("bh")),
+        Seq("b", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nEq.cast("int").as("n_eq"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(max(col("n_eq")).as("n_eq"))
+      .filter(col("n_eq") >= NumHashes / 2)
+  }
+
+  /** The md5 MinHash pipeline through verified pairs, as DuckDB CTEs (the
+    * text both minhash oracles share). Ends with `eq(doc_a, doc_b, n_eq)`. */
+  private val MinhashPairsCte =
+    """tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+              FROM tok CROSS JOIN LATERAL
+                (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+              WHERE len(w) >= 3),
+       mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
+              FROM sh CROSS JOIN LATERAL
+                (SELECT unnest(generate_series(0, 15)) AS seed) g
+              GROUP BY doc_id, seed),
+       sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+       band AS (SELECT doc_id, b,
+                  md5(sig[2*b+1] || '|' || sig[2*b+2]) AS bh
+                FROM sig CROSS JOIN LATERAL
+                  (SELECT unnest(generate_series(0, 7)) AS b) g),
+       cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       eq AS (SELECT c.doc_a, c.doc_b,
+                CAST(count(*) FILTER (WHERE x.mh = y.mh) AS INTEGER) AS n_eq
+              FROM cand c
+              JOIN mh x ON x.doc_id = c.doc_a
+              JOIN mh y ON y.doc_id = c.doc_b AND y.seed = x.seed
+              GROUP BY c.doc_a, c.doc_b)"""
+
   val minhashLsh = GraftQuery(
     "dedup_minhash",
+    (s, dir) => minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $MinhashPairsCte
+             SELECT doc_a, doc_b, n_eq FROM eq WHERE n_eq >= 8
+             ORDER BY doc_a, doc_b"""))
+
+  /** Near-dup CLUSTERS: connected components over the verified pair graph —
+    * the step a production dedup pipeline runs after LSH so each near-dup
+    * group keeps one canonical document (cluster_id = min doc_id). Spark
+    * side is min-label propagation iterated to a fixpoint with a driver-side
+    * convergence check — the same loop shape as the reference's PageRank
+    * delta convergence (reference: examples/pagerank/.../PageRankController.scala:47-70).
+    * Iteration count is bounded by component diameter; near-dup components
+    * are tiny (pairs share >=50% shingles), so 2-3 ticks at any corpus size.
+    * Oracle: recursive-CTE reachability with min-label aggregation. */
+  val clusters = GraftQuery(
+    "dedup_clusters",
     (s, dir) => {
-      val sig = minhashSig(s, dir)
-        .select(col("doc_id"),
-          array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
-      val bandCols = (0 until Bands).map(b =>
-        md5(concat_ws("|", (0 until RowsPerBand).map(r =>
-          col("sig").getItem(RowsPerBand * b + r)): _*)))
-      val bands = sig.select(col("doc_id"), col("sig"),
-        posexplode(array(bandCols: _*)).as(Seq("b", "bh")))
-      val nEq = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
-      bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("b"), col("bh"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("b"), col("bh")),
-          Seq("b", "bh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), nEq.cast("int").as("n_eq"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(max(col("n_eq")).as("n_eq"))
-        .filter(col("n_eq") >= NumHashes / 2)
-        .orderBy(col("doc_a"), col("doc_b"))
+      val pairs = minhashPairs(s, dir).select(col("doc_a"), col("doc_b")).cache()
+      val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct().cache()
+      var labels = und.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")).cache()
+      var changed = 1L
+      while (changed > 0) {
+        val nbrMin = und.join(labels, col("src") === col("node"))
+          .select(col("dst").as("nb"), col("label"))
+          .groupBy(col("nb")).agg(min(col("label")).as("nbr_min"))
+        val next = labels.join(nbrMin, col("node") === col("nb"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+          .filter(col("label") =!= col("old")).count()
+        labels = next
+      }
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
     },
-    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-            sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-                   FROM tok CROSS JOIN LATERAL
-                     (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
-                   WHERE len(w) >= 3),
-            mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
-                   FROM sh CROSS JOIN LATERAL
-                     (SELECT unnest(generate_series(0, 15)) AS seed) g
-                   GROUP BY doc_id, seed),
-            sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
-            band AS (SELECT doc_id, b,
-                       md5(sig[2*b+1] || '|' || sig[2*b+2]) AS bh
-                     FROM sig CROSS JOIN LATERAL
-                       (SELECT unnest(generate_series(0, 7)) AS b) g),
-            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-                     FROM band a JOIN band b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-            eq AS (SELECT c.doc_a, c.doc_b,
-                     CAST(count(*) FILTER (WHERE x.mh = y.mh) AS INTEGER) AS n_eq
-                   FROM cand c
-                   JOIN mh x ON x.doc_id = c.doc_a
-                   JOIN mh y ON y.doc_id = c.doc_b AND y.seed = x.seed
-                   GROUP BY c.doc_a, c.doc_b)
-            SELECT doc_a, doc_b, n_eq FROM eq WHERE n_eq >= 8
-            ORDER BY doc_a, doc_b"""))
+    Some(s"""WITH RECURSIVE $MinhashPairsCte,
+             pairs AS (SELECT doc_a, doc_b FROM eq WHERE n_eq >= 8),
+             und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                     UNION SELECT doc_b, doc_a FROM pairs),
+             reach(node, r) AS (
+               SELECT DISTINCT src, src FROM und
+               UNION
+               SELECT re.node, u.dst FROM reach re JOIN und u ON u.src = re.r)
+             SELECT node AS doc_id, min(r) AS cluster_id
+             FROM reach GROUP BY node ORDER BY doc_id"""))
 
   /** Per-token 64-bit SimHash (bit-majority of md5 bits), banded LSH over
     * 4x16-bit sub-fingerprints, exact Hamming<=3 verification. Pigeonhole:
@@ -270,5 +323,6 @@ object Dedup {
     None,
     headline = true)
 
-  val all: Seq[GraftQuery] = Seq(exact, hashKey, minhashLsh, simhash, ngramJaccard, minhashFast)
+  val all: Seq[GraftQuery] =
+    Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard, minhashFast)
 }
