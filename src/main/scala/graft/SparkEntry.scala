@@ -16,7 +16,8 @@ object SparkEntry {
       operators.Multimodal.all ++
       operators.PageRank.all ++
       operators.Partitioning.all ++
-      operators.Skew.all
+      operators.Skew.all ++
+      operators.Sampling.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling — the reproducibility primitive of
+  * training-data pipelines. `df.sample()` is seed-and-partitioning dependent
+  * (unverifiable across engines and unstable across re-partitions); hashing
+  * the content into buckets gives samples and train/val/test splits that are
+  * stable under re-runs, re-shards, and engine changes, and assign a doc to
+  * the same split no matter which shard carries it. The reference has no
+  * sampling surface at all — this is north-star pipeline tooling (SURVEY
+  * §7.2-8) built from codegen'd column expressions only.
+  *
+  * Bucket = first 8 hex chars of md5(text) as an int, mod 100 — cheap,
+  * uniform enough for split purposes, and exactly reproducible in any
+  * engine with md5. */
+object Sampling {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  private def bucket = // 0..99, deterministic in the document text
+    (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100).as("bucket")
+
+  private val BucketSql =
+    "CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100"
+
+  /** Stable ~10% sample: every engine, shard, and re-run selects exactly
+    * the same documents. */
+  val hashSample = GraftQuery(
+    "pipeline_hash_sample",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), bucket)
+        .filter(col("bucket") < 10)
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, $BucketSql AS bucket
+             FROM documents WHERE $BucketSql < 10
+             ORDER BY doc_id"""))
+
+  /** Stable 80/10/10 train/val/test split with per-split stats — the split
+    * label is a pure function of content, so no shard ever disagrees. */
+  val hashSplit = GraftQuery(
+    "pipeline_hash_split",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), bucket)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split")),
+    Some(s"""SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                         ELSE 'test' END AS split,
+               count(*) AS n_docs, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+             FROM (SELECT doc_id, $BucketSql AS b FROM documents)
+             GROUP BY split ORDER BY split"""))
+
+  val all: Seq[GraftQuery] = Seq(hashSample, hashSplit)
+}
