@@ -98,5 +98,36 @@ object Multimodal {
                         FROM documents))
             ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(meta, decodeFeatures, frameSample)
+  /** Resize planning: given container dimensions (derived deterministically
+    * from payload size, standing in for the header parse), compute the
+    * fit-within-224x224 aspect-preserving target — the geometry a vision
+    * preprocessor applies per image. Scale-down only (scale capped at 1).
+    * The pixel resample itself stays stubbed; the dimension arithmetic is
+    * the contract a real resizer plugs into. */
+  val resizePlan = GraftQuery(
+    "mm_resize_plan",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("n"))
+        .select(col("doc_id"),
+          (col("n") % 193 + 64).as("w"),
+          (col("n") % 151 + 64).as("h"))
+        .withColumn("scale", least(lit(224.0) / col("w"), lit(224.0) / col("h"), lit(1.0)))
+        .select(col("doc_id"), col("w"), col("h"),
+          floor(col("w") * col("scale")).cast("int").as("out_w"),
+          floor(col("h") * col("scale")).cast("int").as("out_h"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, w, h,
+              CAST(floor(w * scale) AS INTEGER) AS out_w,
+              CAST(floor(h * scale) AS INTEGER) AS out_h
+            FROM (SELECT doc_id, w, h,
+                    least(CAST(224.0 AS DOUBLE) / w, CAST(224.0 AS DOUBLE) / h,
+                          CAST(1.0 AS DOUBLE)) AS scale
+                  FROM (SELECT doc_id,
+                          CAST(octet_length(encode(text)) % 193 + 64 AS INTEGER) AS w,
+                          CAST(octet_length(encode(text)) % 151 + 64 AS INTEGER) AS h
+                        FROM documents))
+            ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(meta, decodeFeatures, frameSample, resizePlan)
 }
