@@ -149,5 +149,46 @@ object Similarity {
     },
     None)
 
-  val all: Seq[GraftQuery] = Seq(annBruteTopK, annIvf, embNearDup, lshBuckets)
+  /** Per-vector int8 quantization — the storage/bandwidth workhorse of
+    * billion-vector ANN (4x smaller than float32, dot products stay in
+    * SIMD-friendly integers). Affine per-vector scheme: q_i =
+    * floor((x_i - min) / scale + 0.5) with scale = (max - min)/255; outputs
+    * summarize the codes and the reconstruction error so correctness is
+    * hash-checkable. floor(+0.5) rather than round: Spark and DuckDB agree
+    * bit-for-bit on floor for the same IEEE double, but not on round's tie
+    * behavior. */
+  val quantizeInt8 = GraftQuery(
+    "emb_quantize_int8",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          expr("cast(array_min(embedding) as double)").as("lo"),
+          expr("cast(array_max(embedding) as double)").as("hi"))
+        .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+        .select(col("vec_id"),
+          round(col("lo"), 6).as("lo_r"), round(col("scale"), 8).as("scale_r"),
+          expr("""aggregate(transform(sequence(0, 63),
+                    i -> cast(floor((cast(embedding[i] as double) - lo) / scale + 0.5) as bigint)),
+                  cast(0 as bigint), (acc, v) -> acc + v)""").as("code_sum"),
+          expr("""cast(array_max(transform(sequence(0, 63),
+                    i -> abs(cast(embedding[i] as double) -
+                         (lo + floor((cast(embedding[i] as double) - lo) / scale + 0.5) * scale))))
+                  <= scale * 0.5 + 1e-12 as boolean)""").as("err_bounded"))
+        .orderBy(col("vec_id")),
+    Some("""SELECT vec_id, round(lo, 6) AS lo_r, round(scale, 8) AS scale_r,
+              CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(floor((CAST(embedding[i] AS DOUBLE) - lo) / scale + 0.5) AS BIGINT)))
+                AS BIGINT) AS code_sum,
+              list_max(list_transform(generate_series(1, 64),
+                i -> abs(CAST(embedding[i] AS DOUBLE) -
+                     (lo + floor((CAST(embedding[i] AS DOUBLE) - lo) / scale + 0.5) * scale))))
+                <= scale * 0.5 + 1e-12 AS err_bounded
+            FROM (SELECT vec_id, embedding,
+                    CAST(list_min(embedding) AS DOUBLE) AS lo,
+                    (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+                  FROM embeddings)
+            ORDER BY vec_id"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(annBruteTopK, annIvf, embNearDup, lshBuckets, quantizeInt8)
 }
