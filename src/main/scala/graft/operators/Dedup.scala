@@ -49,14 +49,20 @@ object Dedup {
   private val Bands = 8 // 8 bands x 2 rows: recall at J=0.8 is 1-(1-0.8^2)^8 ~ 0.9997
   private val RowsPerBand = NumHashes / Bands
 
-  /** 16-component minhash signature, one row per doc, columns mh0..mh15.
-    * Map-side partial min per component -> a single narrow shuffle. */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleBag(s, dir)
-    val mhCols = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit(":"), col("s")))).as(s"mh$i"))
-    sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-  }
+  /** 16-component minhash signature, one row per doc, columns mh0..mh15 —
+    * computed as PER-ROW array expressions (array_min over the transformed
+    * shingle array): zero shuffles, no 16x shingle-row explosion, the whole
+    * signature stage stays inside whole-stage codegen. min over the shingle
+    * bag equals min over the set, so results are identical to the
+    * groupBy-min formulation (and to the DuckDB oracle). */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+      .select((col("doc_id") +: (0 until NumHashes).map(i =>
+        expr(s"array_min(transform(sh, s -> md5(concat('$i', ':', s))))").as(s"mh$i"))): _*)
 
   /** Exact dedup: group identical text, keep lowest doc_id (SURVEY §7.2-8
     * "exact (hash-groupBy)"). */
@@ -295,15 +301,16 @@ object Dedup {
   val minhashFast = GraftQuery(
     "dedup_minhash_fast",
     (s, dir) => {
-      val sh = shingleBag(s, dir)
-      val mhCols = (0 until NumHashes).map(i =>
-        min(xxhash64(lit(i), col("s"))).as(s"mh$i"))
-      // cache: the band self-join references sig on both sides and the
-      // shuffle/broadcast exchanges differ, so without it the whole
-      // shingle->signature pipeline (the expensive scan) computes twice
-      val sig = sh.groupBy(col("doc_id")).agg(mhCols.head, mhCols.tail: _*)
-        .select(col("doc_id"),
-          array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
+      // per-row signatures (see minhashSig): no shuffle, pure codegen.
+      // cache: the band self-join references sig on both sides with
+      // different exchange types, so without it the signature scan runs twice
+      val sig = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .withColumn("sh", expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+        .select(col("doc_id"), array((0 until NumHashes).map(i =>
+          expr(s"array_min(transform(sh, s -> xxhash64($i, s)))")): _*).as("sig"))
         .cache()
       val bandCols = (0 until Bands).map(b =>
         xxhash64((0 until RowsPerBand).map(r =>
