@@ -52,6 +52,38 @@ object StreamDemo {
     val progress = rq.recentProgress.map(p => p.processedRowsPerSecond).filter(_ > 0)
     println(f"SOL_ROWS_PER_SEC=${if (progress.nonEmpty) progress.max else 0.0}%.0f")
     rq.stop()
+
+    // 6. custom pull-source plugin (the reference's DataSource API) running
+    // as a DataSource V2 micro-batch stream
+    val pullQ = GraftSource.pull(spark, classOf[DemoPullSource],
+        numPartitions = 2, batchSize = 4, maxBatches = 2)
+      .writeStream.format("memory").queryName("pull_demo").start()
+    pullQ.processAllAvailable()
+    println("PULL_SOURCE_ROWS=" + spark.table("pull_demo").count())
+    pullQ.stop()
+
+    // 7. ingest-time near-dup detection: doc 31 (arriving in batch 2) is
+    // flagged against doc 30 from batch 1 via stateful LSH band buckets
+    val docs = GraftSource.memory[(Long, String)](spark)
+    val dd = StreamingDedup.detect(spark, docs.toDS().toDF("doc_id", "text"))
+      .toDF("doc_id", "dup_of")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_demo").start()
+    val doc = "the quick brown fox jumps over the lazy dog near the quiet river bank at dawn"
+    docs.addData((30L, doc)); dd.processAllAvailable()
+    docs.addData((31L, doc.replace("quiet", "muddy"))); dd.processAllAvailable()
+    println("STREAM_DEDUP=" + spark.table("dedup_demo").as[(Long, Long)].collect().toSet)
+    dd.stop()
     spark.stop()
   }
+}
+
+/** Bounded deterministic pull source for the demo (see PullSourceSpec). */
+class DemoPullSource extends graft.sources.PullDataSource {
+  private var pid = 0
+  private var i = 0
+  def open(partitionId: Int, startBatch: Long): Unit = { pid = partitionId; i = (startBatch * 4).toInt }
+  def read(): graft.sources.PullMessage =
+    if (i >= 6) null
+    else { val m = graft.sources.PullMessage(s"p$pid-m$i", 1700000000000L + i); i += 1; m }
+  def close(): Unit = ()
 }
