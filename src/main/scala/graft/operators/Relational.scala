@@ -691,11 +691,69 @@ object Relational {
             GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
             ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority"""))
 
+  /** RANGE window frame — value-based framing (all orders within 1000 of
+    * the current price), complementing q9's ROWS frame. Peer rows share a
+    * frame, so results are deterministic without a tie-break column. */
+  val q36WindowRange = GraftQuery(
+    "q36_window_range",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice"))
+        .rangeBetween(-1000L, 0L)
+      t(s, dir, "orders")
+        .withColumn("n_cheaper_near", count(lit(1)).over(w).cast("long"))
+        .withColumn("sum_near", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+          col("n_cheaper_near"), col("sum_near"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price,
+            count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                           RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_cheaper_near,
+            round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                  RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW),2) AS sum_near
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** Distribution / navigation window functions: ntile, percent_rank,
+    * cume_dist, first/last/nth value. percent_rank and cume_dist are single
+    * integer divisions — bit-identical across engines, no rounding needed. */
+  val q37WindowDist = GraftQuery(
+    "q37_window_dist",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 50)
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("cheapest", round(first_value(col("o_totalprice")).over(wf), 2))
+        .withColumn("dearest", round(last_value(col("o_totalprice")).over(wf), 2))
+        .withColumn("second_cheapest", round(nth_value(col("o_totalprice"), 2).over(wf), 2))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("quartile"),
+          col("pct_rank"), col("cume"), col("cheapest"), col("dearest"),
+          col("second_cheapest"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+    Some("""SELECT o_orderpriority, o_orderkey,
+            ntile(4) OVER w AS quartile,
+            percent_rank() OVER w AS pct_rank,
+            cume_dist() OVER w AS cume,
+            round(first_value(o_totalprice) OVER wf,2) AS cheapest,
+            round(last_value(o_totalprice) OVER wf,2) AS dearest,
+            round(nth_value(o_totalprice, 2) OVER wf,2) AS second_cheapest
+            FROM orders WHERE o_custkey < 50
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey),
+                   wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+            ORDER BY o_orderpriority, o_orderkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
     q12Intersect, q13Except, q14Rollup, q15Cube, q16Distinct, q17ScalarString,
     q18ScalarDatetime, q19ScalarMath, q20CaseAgg, q21Subquery, q22Stats,
     q23Percentile, q24Pivot, q25Explode, q26Having, q29ArrayFuncs, q30MapFuncs,
-    q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets)
+    q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets,
+    q36WindowRange, q37WindowDist)
 }
