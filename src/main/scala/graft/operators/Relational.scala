@@ -748,6 +748,46 @@ object Relational {
                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
             ORDER BY o_orderpriority, o_orderkey"""))
 
+  /** Theta/range join (§2.4 nested-loop): price-band categorization via a
+    * non-equi BETWEEN join against a tiny inline band table — Spark plans a
+    * BroadcastNestedLoopJoin with the band side broadcast; the fact side
+    * streams map-side at any scale. */
+  val q38RangeJoin = GraftQuery(
+    "q38_range_join",
+    (s, dir) => {
+      import s.implicits._
+      val bands = Seq(
+        ("budget", 0.0, 50000.0),
+        ("mid", 50000.0, 150000.0),
+        ("premium", 150000.0, 1e12)).toDF("band", "lo", "hi")
+      t(s, dir, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("band"))
+    },
+    Some("""SELECT band, count(*) AS n, round(sum(o_totalprice),2) AS total
+            FROM orders JOIN (VALUES ('budget', 0.0, 50000.0),
+                                     ('mid', 50000.0, 150000.0),
+                                     ('premium', 150000.0, 1e12)) AS b(band, lo, hi)
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band ORDER BY band"""))
+
+  /** Ordered string aggregation (collect + sort + join) — deterministic via
+    * sorting the collected values, never relying on arrival order. */
+  val q39StringAgg = GraftQuery(
+    "q39_string_agg",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy(col("n_regionkey")),
+    Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+            count(*) AS n
+            FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -755,5 +795,5 @@ object Relational {
     q18ScalarDatetime, q19ScalarMath, q20CaseAgg, q21Subquery, q22Stats,
     q23Percentile, q24Pivot, q25Explode, q26Having, q29ArrayFuncs, q30MapFuncs,
     q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets,
-    q36WindowRange, q37WindowDist)
+    q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg)
 }
