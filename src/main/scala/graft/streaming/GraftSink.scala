@@ -35,4 +35,16 @@ object GraftSink {
     w.foreachBatch { (df: org.apache.spark.sql.Dataset[T], batchId: Long) =>
       commit(df.toDF(), batchId)
     }
+
+  /** Kafka sink configuration (reference KafkaSink(topic, props),
+    * reference: docs/contents/dev/dev-connectors.md:21-26,60-76). The input
+    * frame must expose a `value` column (and optionally `key`); offline
+    * container — returns the fully-configured writer, `.start()` is the
+    * caller's when brokers exist. */
+  def kafkaWriter(df: DataFrame, brokers: String, topic: String,
+      checkpointLocation: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.format("kafka")
+      .option("kafka.bootstrap.servers", brokers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointLocation)
 }
