@@ -59,5 +59,36 @@ object Sampling {
              FROM (SELECT doc_id, $BucketSql AS b FROM documents)
              GROUP BY split ORDER BY split"""))
 
-  val all: Seq[GraftQuery] = Seq(hashSample, hashSplit)
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences (budget 512 whitespace tokens) by the running token count in
+    * deterministic doc_id order — each doc's sequence is decided by its
+    * start offset, the standard greedy-by-position packing. One window
+    * shuffle; at corpus scale the ordering column would be a shard-local
+    * position so packing stays partition-parallel. */
+  val packSequences = GraftQuery(
+    "pipeline_pack_sequences",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+        .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("start_tok") / 512).cast("long").as("seq_id"),
+          (col("start_tok") % 512).as("seq_offset"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, n_tokens,
+              CAST(floor(start_tok / 512) AS BIGINT) AS seq_id,
+              start_tok % 512 AS seq_offset
+            FROM (SELECT doc_id, n_tokens,
+                    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+                  FROM (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+                        FROM documents))
+            ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences)
 }
