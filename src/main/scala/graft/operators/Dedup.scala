@@ -184,6 +184,7 @@ object Dedup {
           .cache()
         changed = next.join(labels.withColumnRenamed("label", "old"), "node")
           .filter(col("label") =!= col("old")).count()
+        labels.unpersist() // next is materialized by the count above
         labels = next
       }
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
