@@ -35,10 +35,13 @@ object PageRank {
         .join(ranks, col("src") === col("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(0.15 / n) + lit(Damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
-        .cache() // truncate lineage each tick
+        .cache()
+      next.count() // materialize so lineage actually truncates each tick
+      ranks.unpersist()
+      ranks = next
     }
     ranks.select(col("node"), round(col("rank"), 8).as("pr")).orderBy(col("node"))
   }
