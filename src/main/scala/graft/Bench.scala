@@ -45,10 +45,13 @@ object Bench {
       // speed, not the generator's ask.
       val q = graft.streaming.GraftSource.rate(spark, rowsPerSecond = 60000000, payloadBytes = 100)
         .writeStream.format("noop").start()
-      // wait for two completed measurable batches (first ones are catch-up)
+      // wait for two completed SATURATED batches: only batches that drained
+      // >= 1M rows measure engine capacity — a tiny first batch (startup
+      // backlog over a near-zero duration) could otherwise spike the max
       val deadline = System.currentTimeMillis() + 30000
-      def rates() = q.recentProgress.map(_.processedRowsPerSecond)
-        .filterNot(_.isNaN).filter(_ > 0)
+      def rates() = q.recentProgress
+        .filter(_.numInputRows >= 1000000)
+        .map(_.processedRowsPerSecond).filterNot(_.isNaN).filter(_ > 0)
       while (rates().length < 2 && System.currentTimeMillis() < deadline)
         Thread.sleep(500)
       val obs = rates()

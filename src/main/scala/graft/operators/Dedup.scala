@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for large-scale training-data pipelines.
@@ -45,24 +45,56 @@ object Dedup {
   private def shingles(s: SparkSession, dir: String): DataFrame =
     shingleBag(s, dir).distinct()
 
-  private val NumHashes = 16
+  private[graft] val NumHashes = 16
   private val Bands = 8 // 8 bands x 2 rows: recall at J=0.8 is 1-(1-0.8^2)^8 ~ 0.9997
   private val RowsPerBand = NumHashes / Bands
 
-  /** 16-component minhash signature, one row per doc, columns mh0..mh15 —
-    * computed as PER-ROW array expressions (array_min over the transformed
-    * shingle array): zero shuffles, no 16x shingle-row explosion, the whole
-    * signature stage stays inside whole-stage codegen. min over the shingle
-    * bag equals min over the set, so results are identical to the
-    * groupBy-min formulation (and to the DuckDB oracle). */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+  /** THE per-row MinHash signature — the single implementation behind the
+    * md5-oracled variant, the xxhash64 production variant, and the streaming
+    * path (graft.streaming.StreamingDedup): array_min over the transformed
+    * shingle array, zero shuffles, no 16x shingle-row explosion, the whole
+    * signature stage inside whole-stage codegen. min over the shingle bag
+    * equals min over the set, so results are identical to a groupBy-min
+    * formulation (and to the DuckDB oracle). `hashFor(i)` renders the
+    * component-i hash of shingle `s` as SQL. Input needs (doc_id, text). */
+  private[graft] def perRowSig(docs: DataFrame, hashFor: Int => String): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .withColumn("sh", expr(
         "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-      .select((col("doc_id") +: (0 until NumHashes).map(i =>
-        expr(s"array_min(transform(sh, s -> md5(concat('$i', ':', s))))").as(s"mh$i"))): _*)
+      .select(col("doc_id"), array((0 until NumHashes).map(i =>
+        expr(s"array_min(transform(sh, s -> ${hashFor(i)}))")): _*).as("sig"))
+
+  private[graft] def md5Hash(i: Int): String = s"md5(concat('$i', ':', s))"
+  private[graft] def xxHash(i: Int): String = s"xxhash64($i, s)"
+
+  /** One row per (band, doc): (doc_id, sig, b, bh). `bandHash` combines the
+    * RowsPerBand signature components into the bucket key. */
+  private[graft] def bandedSig(sig: DataFrame, bandHash: Seq[Column] => Column): DataFrame = {
+    val bandCols = (0 until Bands).map(b =>
+      bandHash((0 until RowsPerBand).map(r => col("sig").getItem(RowsPerBand * b + r))))
+    sig.select(col("doc_id"), col("sig"),
+      posexplode(array(bandCols: _*)).as(Seq("b", "bh")))
+  }
+
+  private[graft] def md5Band(cols: Seq[Column]): Column = md5(concat_ws("|", cols: _*))
+  private[graft] def xxBand(cols: Seq[Column]): Column = xxhash64(cols: _*)
+
+  /** Band self-join + signature-agreement verification: pairs (doc_a <
+    * doc_b) sharing >=1 band with >= NumHashes/2 equal components. The
+    * signature array rides through the join so verification is a zip_with
+    * on join output; multi-band duplicates collapse in the groupBy. */
+  private[graft] def verifiedPairs(bands: DataFrame): DataFrame = {
+    val nEq = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+    bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("b"), col("bh"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("b"), col("bh")),
+        Seq("b", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nEq.cast("int").as("n_eq"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(max(col("n_eq")).as("n_eq"))
+      .filter(col("n_eq") >= NumHashes / 2)
+  }
 
   /** Exact dedup: group identical text, keep lowest doc_id (SURVEY §7.2-8
     * "exact (hash-groupBy)"). */
@@ -102,25 +134,12 @@ object Dedup {
     * two more signature joins; multi-band duplicate pairs collapse in the
     * same groupBy that would otherwise be a distinct. */
   /** Verified near-dup pairs (doc_a < doc_b, n_eq >= 8), shared by
-    * dedup_minhash and dedup_clusters. */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(s, dir)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"mh$i")): _*).as("sig"))
-    val bandCols = (0 until Bands).map(b =>
-      md5(concat_ws("|", (0 until RowsPerBand).map(r =>
-        col("sig").getItem(RowsPerBand * b + r)): _*)))
-    val bands = sig.select(col("doc_id"), col("sig"),
-      posexplode(array(bandCols: _*)).as(Seq("b", "bh")))
-    val nEq = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
-    bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("b"), col("bh"))
-      .join(bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("b"), col("bh")),
-        Seq("b", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), nEq.cast("int").as("n_eq"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(max(col("n_eq")).as("n_eq"))
-      .filter(col("n_eq") >= NumHashes / 2)
-  }
+    * dedup_minhash and dedup_clusters. sig is cached — the band self-join
+    * scans it on both sides with different exchange types, so without the
+    * cache the signature stage runs twice. */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    verifiedPairs(bandedSig(
+      perRowSig(t(s, dir, "documents"), md5Hash).cache(), md5Band))
 
   /** The md5 MinHash pipeline through verified pairs, as DuckDB CTEs (the
     * text both minhash oracles share). Ends with `eq(doc_a, doc_b, n_eq)`. */
@@ -187,6 +206,9 @@ object Dedup {
         labels.unpersist() // next is materialized by the count above
         labels = next
       }
+      // und/pairs fed the loop; the final labels (already materialized by
+      // the last count) no longer need them
+      und.unpersist(); pairs.unpersist()
       labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
     },
@@ -301,33 +323,12 @@ object Dedup {
     * finds exactly the same near-dup pairs as the md5-oracled variant. */
   val minhashFast = GraftQuery(
     "dedup_minhash_fast",
-    (s, dir) => {
-      // per-row signatures (see minhashSig): no shuffle, pure codegen.
-      // cache: the band self-join references sig on both sides with
-      // different exchange types, so without it the signature scan runs twice
-      val sig = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .withColumn("sh", expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
-        .select(col("doc_id"), array((0 until NumHashes).map(i =>
-          expr(s"array_min(transform(sh, s -> xxhash64($i, s)))")): _*).as("sig"))
-        .cache()
-      val bandCols = (0 until Bands).map(b =>
-        xxhash64((0 until RowsPerBand).map(r =>
-          col("sig").getItem(RowsPerBand * b + r)): _*))
-      val bands = sig.select(col("doc_id"), col("sig"),
-        posexplode(array(bandCols: _*)).as(Seq("b", "bh")))
-      val nEq = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
-      bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("b"), col("bh"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("b"), col("bh")),
-          Seq("b", "bh"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), nEq.cast("int").as("n_eq"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(max(col("n_eq")).as("n_eq"))
-        .filter(col("n_eq") >= NumHashes / 2)
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) =>
+      // same pipeline as dedup_minhash with xxhash64 in place of md5 hex;
+      // sig cached for the same both-sides-of-the-self-join reason
+      verifiedPairs(bandedSig(
+        perRowSig(t(s, dir, "documents"), xxHash).cache(), xxBand))
+        .orderBy(col("doc_a"), col("doc_b")),
     None,
     headline = true)
 

@@ -127,26 +127,31 @@ object Similarity {
              WHERE round(${sqlCos("a.embedding", "b.embedding")}, 4) >= 0.35
              ORDER BY vec_a, vec_b"""))
 
+  /** Random-hyperplane sign bit p over the `embedding` column: hyperplane
+    * h(p)[i] in {-1,+1} from bit i of md5("hp:<p>:<i>") — no RNG,
+    * reproducible across runs and engines. Shared with the spec that
+    * validates bucket quality so test and production can't drift. */
+  private[graft] def lshSigBit(p: Int): Column = expr(
+    s"""cast(aggregate(transform(sequence(0, ${Dim - 1}),
+        i -> cast(embedding[i] as double) *
+             (cast(floor((instr('0123456789abcdef',
+                substr(md5(concat('hp:$p:', cast(i as string))), 1, 1)) - 1) / 8) as int) * 2 - 1)),
+        cast(0.0 as double), (acc, v) -> acc + v) >= 0 as int)""")
+
+  /** 16-bit bucket string per vector (vec_id, embedding retained). */
+  private[graft] def lshBucketed(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+      concat((0 until 16).map(p => lshSigBit(p).cast("string")): _*).as("bucket"))
+
   /** Random-hyperplane LSH bucketing (scale path for near-dup at 1B+ rows):
     * 16-bit signature from deterministic md5-derived hyperplanes; bucket
     * sizes are the output (rows-only check — the plan is the point). */
   val lshBuckets = GraftQuery(
     "ann_lsh_buckets",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      // hyperplane h(p)[i] in {-1,+1} from bit i of md5("hp:<p>") — no RNG,
-      // reproducible across runs and engines.
-      val sigBit = (p: Int) => expr(
-        s"""cast(aggregate(transform(sequence(0, ${Dim - 1}),
-            i -> cast(embedding[i] as double) *
-                 (cast(floor((instr('0123456789abcdef',
-                    substr(md5(concat('hp:$p:', cast(i as string))), 1, 1)) - 1) / 8) as int) * 2 - 1)),
-            cast(0.0 as double), (acc, v) -> acc + v) >= 0 as int)""")
-      val sig = e.select(col("vec_id"),
-        concat((0 until 16).map(p => sigBit(p).cast("string")): _*).as("bucket"))
-      sig.groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
-        .orderBy(col("bucket"))
-    },
+    (s, dir) =>
+      lshBucketed(t(s, dir, "embeddings"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
+        .orderBy(col("bucket")),
     None)
 
   /** Per-vector int8 quantization — the storage/bandwidth workhorse of
@@ -164,7 +169,9 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           expr("cast(array_min(embedding) as double)").as("lo"),
           expr("cast(array_max(embedding) as double)").as("hi"))
-        .withColumn("scale", (col("hi") - col("lo")) / 255.0)
+        // greatest(., tiny) guards constant vectors: hi==lo would give
+        // scale 0 and 0/0=NaN codes (null in Spark, a cast error in DuckDB)
+        .withColumn("scale", greatest((col("hi") - col("lo")) / 255.0, lit(1e-30)))
         .select(col("vec_id"),
           round(col("lo"), 6).as("lo_r"), round(col("scale"), 8).as("scale_r"),
           expr("""aggregate(transform(sequence(0, 63),
@@ -185,7 +192,7 @@ object Similarity {
                 <= scale * 0.5 + 1e-12 AS err_bounded
             FROM (SELECT vec_id, embedding,
                     CAST(list_min(embedding) AS DOUBLE) AS lo,
-                    (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS scale
+                    greatest((CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0, 1e-30) AS scale
                   FROM embeddings)
             ORDER BY vec_id"""))
 

@@ -45,8 +45,10 @@ trait PullDataSource extends Serializable {
 
   /** Source watermark in epoch millis — "no message with a timestamp earlier
     * than this will be emitted" (reference: source/Watermark.scala:22-36).
-    * Consumed by the veneer as the `withWatermark` delay anchor; the engine
-    * itself tracks watermarks from the event_time column. */
+    * NOT consumed by the DSv2 adapter: Structured Streaming derives
+    * watermarks from the event_time column (apply `withWatermark` on the
+    * loaded stream), so this exists for API-shape parity and for custom
+    * drivers that poll the source directly. */
   def getWatermarkMs: Long = 0L
 }
 

@@ -25,29 +25,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the batch pipeline's: >= 8/16 signature components equal (est. J >= 0.5).
   */
 object StreamingDedup {
-  private val NumHashes = 16
-  private val Bands = 8
-  private val RowsPerBand = NumHashes / Bands
+  private def NumHashes = graft.operators.Dedup.NumHashes
 
-  /** One row per (band, doc): (bh, doc_id, sig). Signature and band hashes
-    * are stateless per-row expressions over `doc_id, text`. */
-  def banded(docs: DataFrame): DataFrame = {
-    val sh = expr(
-      """transform(sequence(0, size(split(text, ' ')) - 3),
-         i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))""")
-    val mh = (i: Int) =>
-      expr(s"array_min(transform(sh, s -> xxhash64($i, s)))")
-    val withSig = docs
-      .filter(size(split(col("text"), " ")) >= 3)
-      .withColumn("sh", sh)
-      .withColumn("sig", array((0 until NumHashes).map(mh): _*))
-      .drop("sh")
-    val bandCols = (0 until Bands).map(b =>
-      xxhash64((0 until RowsPerBand).map(r =>
-        col("sig").getItem(RowsPerBand * b + r)): _*))
-    withSig.select(col("doc_id"), col("sig"),
-      explode(array(bandCols: _*)).as("bh"))
-  }
+  /** One row per (band, doc): (doc_id, sig, b, bh) — THE batch pipeline's
+    * signature and banding arithmetic (graft.operators.Dedup.perRowSig /
+    * bandedSig with the xxhash64 family), so batch and streaming dedup can
+    * never drift apart. */
+  def banded(docs: DataFrame): DataFrame =
+    graft.operators.Dedup.bandedSig(
+      graft.operators.Dedup.perRowSig(docs, graft.operators.Dedup.xxHash),
+      graft.operators.Dedup.xxBand)
 
   /** Match report: (doc_id, dup_of) for every band-bucket hit against an
     * earlier document. Novel docs emit nothing; take min(dup_of) per doc_id
@@ -66,11 +53,15 @@ object StreamingDedup {
           // batch arrival order is nondeterministic; process by doc_id so
           // "earlier" is well-defined within a batch too
           rows.toSeq.sortBy(_._2).foreach { case (_, docId, sig) =>
-            seen.foreach { case (seenId, seenSig) =>
-              val nEq = sig.iterator.zip(seenSig.iterator).count { case (x, y) => x == y }
-              if (nEq >= NumHashes / 2 && seenId != docId) out += ((docId, seenId))
+            // at-least-once replay re-delivers doc_ids: an already-seen doc
+            // must neither re-emit its matches nor bloat the state
+            if (!seen.exists(_._1 == docId)) {
+              seen.foreach { case (seenId, seenSig) =>
+                val nEq = sig.iterator.zip(seenSig.iterator).count { case (x, y) => x == y }
+                if (nEq >= NumHashes / 2) out += ((docId, seenId))
+              }
+              seen = (docId, sig) :: seen
             }
-            seen = (docId, sig) :: seen
           }
           state.update(seen)
           out.result().iterator

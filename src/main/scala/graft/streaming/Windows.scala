@@ -48,12 +48,13 @@ object Windows {
     * batch of finalized/updated window aggregates is ranked within its
     * window and only the k best survive. `windowed` must be the output of
     * `tumbling/sliding(...).agg/count(keys)` (columns: window, keys..., a
-    * measure). Returns a writeStream-ready function for foreachBatch. */
-  def topKPerWindow(k: Int, measure: String, sink: DataFrame => Unit)
-      : (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
+    * measure); pass the key columns as `tieBreak` so ties on the measure cut
+    * deterministically. Returns a writeStream-ready foreachBatch function. */
+  def topKPerWindow(k: Int, measure: String, tieBreak: Seq[String],
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("window"))
-      .orderBy(col(measure).desc)
+      .orderBy(col(measure).desc +: tieBreak.map(col(_).asc): _*)
     sink(batch
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k))

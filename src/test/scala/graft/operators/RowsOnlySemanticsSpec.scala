@@ -28,17 +28,8 @@ class RowsOnlySemanticsSpec extends SparkTestBase {
     val sig = SparkEntry.queries("ann_lsh_buckets")(spark, sf) // bucket histogram (smoke)
     assert(sig.count() > 1, "expected multiple buckets")
 
-    val withBucket = {
-      val dim = 64
-      val sigBit = (p: Int) => expr(
-        s"""cast(aggregate(transform(sequence(0, ${dim - 1}),
-            i -> cast(embedding[i] as double) *
-                 (cast(floor((instr('0123456789abcdef',
-                    substr(md5(concat('hp:$p:', cast(i as string))), 1, 1)) - 1) / 8) as int) * 2 - 1)),
-            cast(0.0 as double), (acc, v) -> acc + v) >= 0 as int)""")
-      e.select(col("vec_id"), col("embedding"),
-        concat((0 until 16).map(p => sigBit(p).cast("string")): _*).as("bucket"))
-    }
+    // the production bucketing expression itself — not a copy that can drift
+    val withBucket = Similarity.lshBucketed(e)
     val a = withBucket.select(col("vec_id").as("va"), col("embedding").as("ea"), col("bucket").as("ba"))
     val b = withBucket.select(col("vec_id").as("vb"), col("embedding").as("eb"), col("bucket").as("bb"))
     val pairs = a.crossJoin(b).filter(col("va") < col("vb"))

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.{greatest, least}
 
 /** Incremental MinHash dedup: near-dups must be flagged against documents
   * seen in EARLIER micro-batches (state crosses batches), novel docs pass
@@ -53,5 +54,20 @@ class StreamingDedupIncrementalSpec extends SparkTestBase {
     // identical text -> identical signature -> all 8 band hashes collide
     val collisions = b.groupBy("bh").count().filter($"count" === 2).count()
     assert(collisions === 8L)
+  }
+
+  test("batch-mode detect() finds exactly the pairs dedup_minhash_fast finds") {
+    import spark.implicits._
+    // same candidates, same verification threshold, same corpus -> the
+    // streaming operator's flags must equal the batch pipeline's pairs
+    val docs = graft.Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val streamed = StreamingDedup.detect(spark, docs)
+      .toDF("doc_id", "dup_of")
+      .select(least($"doc_id", $"dup_of").as("a"), greatest($"doc_id", $"dup_of").as("b"))
+      .distinct().as[(Long, Long)].collect().toSet
+    val batch = graft.SparkEntry.queries("dedup_minhash_fast")(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(streamed === batch,
+      s"streaming-only=${streamed -- batch} batch-only=${batch -- streamed}")
   }
 }

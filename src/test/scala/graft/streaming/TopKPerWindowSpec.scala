@@ -23,7 +23,7 @@ class TopKPerWindowSpec extends SparkTestBase {
     val windowed = Windows
       .tumbling(in.toDS().toDF("word", "ts"), "ts", "1 minute")
       .count(col("word"))
-    val sink = Windows.topKPerWindow(2, "count", { top: DataFrame =>
+    val sink = Windows.topKPerWindow(2, "count", Seq("word"), { top: DataFrame =>
       top.select(col("window.start").cast("string"), col("word"), col("count"), col("rk"))
         .collect()
         .foreach(r => TopKCollector.rows.add((r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))))
