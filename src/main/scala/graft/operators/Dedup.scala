@@ -18,10 +18,10 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB):
   *  - exact/hash dedup: one shuffle on the 32-char digest, never on the
   *    full document text.
-  *  - minhash: signatures via 16 map-side partial `min` aggregates (one
-  *    shuffle of doc_id -> 16 hex strings); LSH banding turns the O(n^2)
-  *    pair space into equi-join buckets; only candidates sharing a band are
-  *    verified.
+  *  - minhash: signatures are PER-ROW array expressions (no shuffle at
+  *    all before banding); LSH banding turns the O(n^2) pair space into
+  *    equi-join buckets; only candidates sharing a band are verified —
+  *    3 shuffles end-to-end.
   *  - simhash: banding over 16-bit sub-fingerprints; 4 bands guarantee (by
   *    pigeonhole) recall of every pair within Hamming distance 3, so the
   *    LSH output equals the brute-force oracle exactly.
@@ -124,19 +124,11 @@ object Dedup {
     Some("""SELECT min(doc_id) AS keep_doc_id, md5(text) AS h, count(*) AS n_copies
             FROM documents GROUP BY md5(text) ORDER BY keep_doc_id"""))
 
-  /** MinHash + LSH near-duplicate pairs: 16-hash signature, 8 bands of 2;
-    * pairs sharing >=1 band are verified on signature agreement
-    * (>= 8/16 components equal, i.e. estimated Jaccard >= 0.5).
-    *
-    * Shape (3 shuffles total, scale-critical): the signature ARRAY rides
-    * along through the band explode, so the band self-join already has both
-    * signatures in hand — verification is a zip_with over join output, not
-    * two more signature joins; multi-band duplicate pairs collapse in the
-    * same groupBy that would otherwise be a distinct. */
-  /** Verified near-dup pairs (doc_a < doc_b, n_eq >= 8), shared by
-    * dedup_minhash and dedup_clusters. sig is cached — the band self-join
-    * scans it on both sides with different exchange types, so without the
-    * cache the signature stage runs twice. */
+  /** Verified near-dup pairs (doc_a < doc_b, n_eq >= 8/16 components equal,
+    * i.e. estimated Jaccard >= 0.5), shared by dedup_minhash and
+    * dedup_clusters. sig is cached — the band self-join scans it on both
+    * sides with different exchange types, so without the cache the
+    * signature stage runs twice. */
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     verifiedPairs(bandedSig(
       perRowSig(t(s, dir, "documents"), md5Hash).cache(), md5Band))
