@@ -198,6 +198,46 @@ object EventOps {
                   FROM events)
             WHERE rn = 1 ORDER BY user_id, event_type"""))
 
+  /** DYNAMIC-gap session windows: the inactivity gap depends on the event
+    * (purchases hold a session open 60 min, other events 20 min) —
+    * session_window(col, gapExpr), beyond the reference's fixed size+step
+    * windows. Oracle: overlap-islands — an event joins the session while it
+    * starts before the max end ([start, end) half-open, so ts == prev end
+    * opens a new session, matching Spark's merge rule). */
+  val sessionDynamic = GraftQuery(
+    "ev_session_dynamic",
+    (s, dir) => {
+      val gap = when(col("event_type") === "purchase", "60 minutes").otherwise("20 minutes")
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    Some("""WITH g AS (
+              SELECT user_id, ts,
+                ts + CASE WHEN event_type = 'purchase' THEN 60 ELSE 20 END
+                     * INTERVAL '1 minute' AS e
+              FROM events),
+            m AS (
+              SELECT user_id, ts,
+                max(e) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+              FROM g),
+            b AS (
+              SELECT user_id, ts,
+                CASE WHEN prev_end IS NULL OR ts >= prev_end THEN 1 ELSE 0 END AS brk
+              FROM m),
+            n AS (
+              SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM b)
+            SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+            FROM n GROUP BY user_id, sid
+            ORDER BY user_id, session_start"""))
+
   val all: Seq[GraftQuery] = Seq(
-    tumbling, sliding, session, asofJoin, funnel, json, timeFilter, dedupReplay)
+    tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
+    timeFilter, dedupReplay)
 }
