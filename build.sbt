@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Suites share one SparkSession (SparkTestBase getOrCreate) and several
+// specs mutate session confs (broadcast threshold, state-store provider)
+// that other suites' plan assertions read — run suites sequentially so a
+// concurrent conf flip can't flake an unrelated assertion.
+Test / parallelExecution := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
