@@ -33,8 +33,16 @@ object Bench {
     // SOL-equivalent streaming pass-through (BASELINE.md): rate source ->
     // 100-byte payload projection -> noop sink, peak processed rows/s.
     val streamRps = solThroughput(spark)
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f,"sf":"$sfDir"}"""
+    // Evidence must be unlosable (round-2 lesson: the TaskKilled WARN flood
+    // after solThroughput's q.stop() pushed the metric line out of the
+    // harness's captured log tail). So: persist to a file FIRST, then stop
+    // Spark (quiescing all executor log output), then print the line last.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_out.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
+    println(json)
     if (results.exists(!_._3)) sys.exit(1)
   }
 

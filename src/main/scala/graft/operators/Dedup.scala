@@ -29,22 +29,6 @@ import org.apache.spark.sql.functions._
 object Dedup {
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
 
-  /** 3-word shingles per document, WITH duplicates. MinHash only takes
-    * per-component minima, and min over a multiset equals min over its set —
-    * so the minhash paths skip the dedup shuffle entirely (at 100 TB the
-    * distinct is a full shuffle of the shingle corpus, ~10x the input). */
-  private def shingleBag(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
-
-  /** Distinct shingle SETS — only Jaccard (set intersection/union counts)
-    * actually needs the dedup shuffle. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    shingleBag(s, dir).distinct()
-
   private[graft] val NumHashes = 16
   private val Bands = 8 // 8 bands x 2 rows: recall at J=0.8 is 1-(1-0.8^2)^8 ~ 0.9997
   private val RowsPerBand = NumHashes / Bands
@@ -215,42 +199,50 @@ object Dedup {
              SELECT node AS doc_id, min(r) AS cluster_id
              FROM reach GROUP BY node ORDER BY doc_id"""))
 
+  /** PER-ROW 64-bit SimHash fingerprint: one aggregate over the token array
+    * accumulates the 64 bit-counts as an int array (zip_with add of each
+    * token's md5-prefix bits), and the finish lambda renders the majority
+    * vote — bit j is 1 iff 2 * count_of_ones(j) >= n_tokens, identical to
+    * the classic sum(bit*2-1) >= 0 formulation. Zero shuffles, no
+    * 64-rows-per-token explosion: the whole fingerprint stage is a scan-side
+    * expression (the same per-row rewrite MinHash got in [[perRowSig]]).
+    * Input needs (doc_id, text). */
+  private[graft] def simhashSig(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), expr(
+        """aggregate(
+             transform(w, tok -> substring(md5(tok), 1, 16)),
+             array_repeat(0, 64),
+             (acc, h) -> zip_with(acc, transform(sequence(0, 63), j ->
+                 cast(floor((instr('0123456789abcdef', substr(h, cast(j div 4 as int) + 1, 1)) - 1)
+                            / pow(2, 3 - j % 4)) as int) % 2),
+               (a, b) -> a + b),
+             acc -> concat_ws('', transform(acc, c -> if(2 * c >= size(w), '1', '0'))))""").as("f"))
+
   /** Per-token 64-bit SimHash (bit-majority of md5 bits), banded LSH over
     * 4x16-bit sub-fingerprints, exact Hamming<=3 verification. Pigeonhole:
     * any pair within distance 3 shares at least one of 4 bands, so the
-    * banded result equals the brute-force oracle. */
+    * banded result equals the brute-force oracle. The fingerprint rides the
+    * band explode (like MinHash's [[verifiedPairs]]) so verification is an
+    * expression on the join output — shuffles carry only (doc_id, f, band),
+    * and the only shuffles in the whole query are the band self-join plus
+    * the pair-collapse groupBy. */
   val simhash = GraftQuery(
     "dedup_simhash",
     (s, dir) => {
-      val toks = t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      // j-th bit of the token's 64-bit (16 hex chars) md5 prefix
-      val bits = toks
-        .select(col("doc_id"), substring(md5(col("tok")), 1, 16).as("h"))
-        .select(col("doc_id"), posexplode(expr(
-          """transform(sequence(0, 63), j ->
-             cast(floor((instr('0123456789abcdef', substr(h, cast(j div 4 as int) + 1, 1)) - 1)
-                        / pow(2, 3 - j % 4)) as int) % 2)""")).as(Seq("j", "bit")))
-      val simbit = bits.groupBy(col("doc_id"), col("j"))
-        .agg(sum(col("bit") * 2 - 1).as("sb"))
-        .select(col("doc_id"), col("j"),
-          when(col("sb") >= 0, lit("1")).otherwise(lit("0")).as("b"))
-      val sim = simbit.groupBy(col("doc_id"))
-        .agg(expr("concat_ws('', transform(array_sort(collect_list(struct(j, b))), x -> x.b))").as("f"))
-        .cache()
-      val bands = sim.select(col("doc_id"),
+      val sim = simhashSig(t(s, dir, "documents")).cache()
+      val bands = sim.select(col("doc_id"), col("f"),
         posexplode(expr("transform(sequence(0, 3), b -> substring(f, b * 16 + 1, 16))")).as(Seq("b", "bh")))
-      val cand = bands.select(col("doc_id").as("doc_a"), col("b"), col("bh"))
-        .join(bands.select(col("doc_id").as("doc_b"), col("b"), col("bh")), Seq("b", "bh"))
+      bands.select(col("doc_id").as("doc_a"), col("f").as("fa"), col("b"), col("bh"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("f").as("fb"), col("b"), col("bh")),
+          Seq("b", "bh"))
         .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      val fa = sim.toDF("doc_a", "fa")
-      val fb = sim.toDF("doc_b", "fb")
-      cand.join(fa, "doc_a").join(fb, "doc_b")
         .select(col("doc_a"), col("doc_b"), expr(
           """cast(aggregate(transform(sequence(1, 64),
                i -> if(substring(fa, i, 1) = substring(fb, i, 1), 0, 1)),
                0, (acc, v) -> acc + v) as int)""").as("hamming"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(min(col("hamming")).as("hamming"))
         .filter(col("hamming") <= 3)
         .orderBy(col("doc_a"), col("doc_b"))
     },
@@ -273,22 +265,54 @@ object Dedup {
                 i -> CASE WHEN substring(a.f, i, 1) = substring(b.f, i, 1) THEN 0 ELSE 1 END)) <= 3
             ORDER BY doc_a, doc_b"""))
 
-  /** Exact n-gram Jaccard similarity >= 0.8 via inverted-index pair join
-    * (threshold as integer cross-multiplication: 5*inter >= 4*union — no
-    * float in the cut). */
+  /** Document-frequency ceiling for the ngram-Jaccard inverted index: a
+    * shingle present in more docs than this is dropped from CANDIDATE
+    * GENERATION (never from verification). An unpruned index pays O(df^2)
+    * candidate pairs per shingle — one stopword trigram ("of the and") with
+    * df=10^6 would alone emit 10^12 pairs at corpus scale. Recall argument:
+    * a J>=0.8 pair shares >= 0.8/1.8 ~ 44% of its combined shingle set, so
+    * losing it requires EVERY shared shingle to be corpus-hot — near-dup
+    * docs share their rare content shingles, not just stopword runs.
+    * DedupSpec cross-checks the pruned output equals the unpruned
+    * brute-force at test SF. */
+  private[graft] val MaxShingleDf = 50
+
+  /** Exact n-gram Jaccard similarity >= 0.8 (threshold as integer
+    * cross-multiplication: 5*inter >= 4*union — no float in the cut).
+    * Shape for 100 TB:
+    *  - per-row DISTINCT shingle arrays (array_distinct, scan-side) replace
+    *    the corpus-wide `distinct()` shuffle of round 2;
+    *  - the inverted index is df-pruned ([[MaxShingleDf]]) before the
+    *    self-join, capping candidates per shingle;
+    *  - verification is exact array_intersect over the FULL per-doc shingle
+    *    sets, so pruning cannot change reported counts — only skip pairs
+    *    whose every common shingle is hot. */
   val ngramJaccard = GraftQuery(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val sh = shingles(s, dir).cache()
-      val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("s")), "s")
+      val docsSh = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("sh"))
+        .cache()
+      val idx = docsSh.select(col("doc_id"), explode(col("sh")).as("s"))
+      // df >= 2: a shingle in one doc can't generate a pair anyway
+      val rare = idx.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= MaxShingleDf)
+        .select(col("s"))
+      val pruned = idx.join(rare, "s")
+      val cand = pruned.select(col("doc_id").as("doc_a"), col("s"))
+        .join(pruned.select(col("doc_id").as("doc_b"), col("s")), "s")
         .filter(col("doc_a") < col("doc_b"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(cnt.toDF("doc_a", "na"), "doc_a")
-        .join(cnt.toDF("doc_b", "nb"), "doc_b")
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+        .join(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("cast(size(array_intersect(sa, sb)) as bigint)").as("inter"),
+          expr("cast(size(sa) as bigint)").as("na"),
+          expr("cast(size(sb) as bigint)").as("nb"))
         .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
         .select(col("doc_a"), col("doc_b"), col("inter"),
           round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))

@@ -76,6 +76,42 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(s.contains("TakeOrderedAndProject"), s"plan:\n$s")
   }
 
+  private def shuffleExchanges(p: SparkPlan): Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] = {
+    val out = collection.mutable.Buffer[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]()
+    def walk(n: SparkPlan): Unit = {
+      n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => out += s
+        case _ =>
+      }
+      n.children.foreach(walk); n.subqueries.foreach(walk)
+    }
+    walk(p); out.toSeq
+  }
+
+  test("pipeline_pack_sequences: prefix sum is partition-parallel — no single-partition exchange") {
+    // round-2 shape was Window.orderBy with no partitionBy = Exchange
+    // SinglePartition = the whole corpus prefix-summed by ONE task; the
+    // two-phase rewrite must never declare a single-partition distribution
+    val df = SparkEntry.queries("pipeline_pack_sequences")(spark, sf)
+    df.collect() // force AQE final plan
+    val singles = shuffleExchanges(df.queryExecution.executedPlan)
+      .filter(_.outputPartitioning == org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(singles.isEmpty,
+      s"single-partition exchange in pack_sequences plan:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("dedup_simhash: the fingerprint stage is scan-side — zero shuffles before banding") {
+    // round-2 shape exploded 64 rows PER TOKEN and shuffled (doc_id, bit)
+    // twice; the per-row rewrite keeps the whole signature inside the scan
+    val sig = Dedup.simhashSig(
+      graft.Tables.t(spark, sf, "documents").select("doc_id", "text"))
+    sig.collect()
+    assert(shuffleExchanges(sig.queryExecution.executedPlan).isEmpty,
+      s"fingerprint stage should not shuffle:\n${sig.queryExecution.executedPlan}")
+  }
+
   test("dedup_hash: the shuffle carries digests, not document text") {
     // the exchange output should be (digest, doc_id, partial counts); the
     // text column must die at the scan->project boundary
