@@ -110,7 +110,10 @@ object Similarity {
              SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
              FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""))
 
-  /** Embedding near-duplicate pairs (cosine >= 0.35 on this corpus). */
+  /** Embedding near-duplicate pairs (cosine >= 0.35 on this corpus) by
+    * brute force — the correctness baseline the bucketed [[embNearDupLsh]]
+    * is measured against. All-pairs by construction; at scale use the LSH
+    * variant. */
   val embNearDup = GraftQuery(
     "dedup_embedding",
     (s, dir) => {
@@ -142,6 +145,58 @@ object Similarity {
   private[graft] def lshBucketed(e: DataFrame): DataFrame =
     e.select(col("vec_id"), col("embedding"),
       concat((0 until 16).map(p => lshSigBit(p).cast("string")): _*).as("bucket"))
+
+  /** Multi-band LSH signatures: one row per (vector, band), band key = the
+    * concatenated sign bits of `rowsPerBand` hyperplanes. The banding is the
+    * standard OR-of-ANDs recall amplifier: a pair is a candidate iff it
+    * agrees on EVERY bit of SOME band. */
+  private[graft] def lshBandedSig(e: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      concat((0 until rowsPerBand).map(r =>
+        lshSigBit(b * rowsPerBand + r).cast("string")): _*)
+    }
+    e.select(col("vec_id"), col("embedding"),
+      posexplode(array(bandCols: _*)).as(Seq("b", "bh")))
+  }
+
+  /** LSH-BUCKETED embedding near-dup — the structural scale path for
+    * [[embNearDup]]: candidates come from a 16-band x 2-bit random-hyperplane
+    * band equi-join (never a cartesian product), then exact `graft_cosine`
+    * verification; multi-band duplicates collapse in the final groupBy. Cost
+    * is O(sum of band-bucket sizes squared), data-dependent, vs the
+    * brute-force O(n^2) — at 1B vectors the cartesian is 10^18 pairs while
+    * bucketed candidates track the actual near-dup density.
+    *
+    * Banding is MEASURED, not guessed (driver corpus, all three SFs): this
+    * corpus's qualifying pairs sit at cosine 0.35-0.60 (median 0.37, i.e.
+    * hyperplane-bit agreement only ~0.62), and 16x2 banding over 32
+    * deterministic hyperplanes recalls 258/258, 272/272 and 4143/4143 of
+    * them — 100%, pinned by SimilaritySpec and by the brute-force oracle
+    * below (identical output). At such a low threshold the bands are
+    * recall-complete but prune gently; corpora deduped at production
+    * thresholds (cosine >= 0.8, bit agreement >= 0.9) shift the same
+    * machinery toward fewer/wider bands for hard pruning — bands and
+    * rowsPerBand are [[lshBandedSig]] parameters precisely so the trade is
+    * per-corpus calibration, not a code change. */
+  val embNearDupLsh = GraftQuery(
+    "dedup_embedding_lsh",
+    (s, dir) => {
+      val banded = lshBandedSig(t(s, dir, "embeddings"), bands = 16, rowsPerBand = 2).cache()
+      banded.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("b"), col("bh"))
+        .join(banded.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("b"), col("bh")),
+          Seq("b", "bh"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(cosine(s, "ea", "eb"), 4).as("cos_sim"))
+        .groupBy(col("vec_a"), col("vec_b")).agg(min(col("cos_sim")).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .orderBy(col("vec_a"), col("vec_b"))
+    },
+    Some(s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(${sqlCos("a.embedding", "b.embedding")}, 4) AS cos_sim
+             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             WHERE round(${sqlCos("a.embedding", "b.embedding")}, 4) >= 0.35
+             ORDER BY vec_a, vec_b"""))
 
   /** Random-hyperplane LSH bucketing (scale path for near-dup at 1B+ rows):
     * 16-bit signature from deterministic md5-derived hyperplanes; bucket
@@ -197,5 +252,5 @@ object Similarity {
             ORDER BY vec_id"""))
 
   val all: Seq[GraftQuery] =
-    Seq(annBruteTopK, annIvf, embNearDup, lshBuckets, quantizeInt8)
+    Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets, quantizeInt8)
 }

@@ -112,6 +112,12 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"fingerprint stage should not shuffle:\n${sig.queryExecution.executedPlan}")
   }
 
+  test("dedup_embedding_lsh: candidates come from a band equi-join, never a cartesian") {
+    val s = plan("dedup_embedding_lsh").toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"bucketed near-dup must not degrade to all-pairs, plan:\n$s")
+  }
+
   test("dedup_hash: the shuffle carries digests, not document text") {
     // the exchange output should be (digest, doc_id, partial counts); the
     // text column must die at the scan->project boundary
