@@ -22,20 +22,36 @@ final class AppRegistry(spark: SparkSession) {
       batchId: Long, inputRowsPerSecond: Double, processedRowsPerSecond: Double,
       batchDurationMs: Long, numInputRows: Long, timestamp: String)
 
+  /** Batch-latency distribution over the retained window — the per-query
+    * analog of the reference's per-task processTime/receiveLatency
+    * histograms aggregated for the dashboard
+    * (reference: streaming/src/main/scala/io/gearpump/streaming/task/TaskActor.scala:56-62,
+    * core/src/main/scala/io/gearpump/metrics/ProcessorAggregator.scala:43-160). */
+  final case class LatencyHistogram(
+      count: Int, meanMs: Double, p50Ms: Long, p95Ms: Long, p99Ms: Long, maxMs: Long)
+
   private val lastSeen = TrieMap.empty[java.util.UUID, (Long, Metrics)] // id -> (nanoTime, m)
+  // ring buffer of recent batch durations per query (histogram window)
+  private val retained = 256
+  private val durations = TrieMap.empty[java.util.UUID, scala.collection.mutable.ArrayDeque[Long]]
 
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
+      val durMs = p.durationMs.values.stream.mapToLong(_.longValue).sum
       lastSeen.put(p.id, (System.nanoTime(),
         Metrics(p.batchId, nz(p.inputRowsPerSecond), nz(p.processedRowsPerSecond),
-          p.durationMs.values.stream.mapToLong(_.longValue).sum, p.numInputRows,
-          p.timestamp)))
+          durMs, p.numInputRows, p.timestamp)))
+      val ring = durations.getOrElseUpdate(p.id, scala.collection.mutable.ArrayDeque.empty)
+      ring.synchronized {
+        ring.append(durMs)
+        if (ring.size > retained) { ring.removeHead(); () }
+      }
       ()
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
-      lastSeen.remove(e.id); ()
+      lastSeen.remove(e.id); durations.remove(e.id); ()
     }
   }
   spark.streams.addListener(listener)
@@ -49,17 +65,31 @@ final class AppRegistry(spark: SparkSession) {
     active.map(q => s"""{"id":"${q.id}","name":${jstr(q.name)},"isActive":${q.isActive}}""")
       .mkString("[", ",", "]")
 
-  /** REST `appmaster/<id>` parity: status + last progress. */
+  /** REST `appmaster/<id>` parity: status + last progress + latency. */
   def appDetail(id: java.util.UUID): Option[String] =
     active.find(_.id == id).map { q =>
       val m = lastSeen.get(id).map(_._2)
       s"""{"id":"${q.id}","name":${jstr(q.name)},"status":${q.status.json},""" +
-        s""""lastProgress":${m.fold("null")(fmt)}}"""
+        s""""lastProgress":${m.fold("null")(fmt)},""" +
+        s""""latency":${latency(id).fold("null")(fmtHist)}}"""
     }
 
   /** REST `.../metrics` parity. */
   def metrics: Map[String, Metrics] =
     lastSeen.map { case (id, (_, m)) => id.toString -> m }.toMap
+
+  /** Percentiles over the retained batch-duration window (nearest-rank). */
+  def latency(id: java.util.UUID): Option[LatencyHistogram] =
+    durations.get(id).flatMap { ring =>
+      val snap = ring.synchronized { ring.toVector }
+      if (snap.isEmpty) None
+      else {
+        val s = snap.sorted
+        def pct(p: Double): Long = s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
+        Some(LatencyHistogram(s.size, s.sum.toDouble / s.size,
+          pct(0.50), pct(0.95), pct(0.99), s.last))
+      }
+    }
 
   /** REST `.../stallingtasks` parity: active queries with no progress event
     * within the threshold (default mirrors the reference's 60 s). */
@@ -75,12 +105,20 @@ final class AppRegistry(spark: SparkSession) {
 
   def close(): Unit = { spark.streams.removeListener(listener); () }
 
-  private def fmt(m: Metrics): String =
+  private[ops] def fmtHist(h: LatencyHistogram): String =
+    s"""{"count":${h.count},"meanMs":${h.meanMs},"p50Ms":${h.p50Ms},""" +
+      s""""p95Ms":${h.p95Ms},"p99Ms":${h.p99Ms},"maxMs":${h.maxMs}}"""
+
+  private[ops] def fmt(m: Metrics): String =
     s"""{"batchId":${m.batchId},"inputRowsPerSecond":${m.inputRowsPerSecond},""" +
       s""""processedRowsPerSecond":${m.processedRowsPerSecond},""" +
       s""""batchDurationMs":${m.batchDurationMs},"numInputRows":${m.numInputRows},""" +
       s""""timestamp":${jstr(m.timestamp)}}"""
-  private def jstr(s: String): String =
+  private def jstr(s: String): String = AppRegistry.jstrStatic(s)
+}
+
+object AppRegistry {
+  private[ops] def jstrStatic(s: String): String =
     if (s == null) "null"
     else "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"

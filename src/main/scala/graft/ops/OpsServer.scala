@@ -1,0 +1,110 @@
+package graft.ops
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+/** The HTTP face of [[AppRegistry]] — parity with the reference's REST
+  * service layer (reference:
+  * services/jvm/src/main/scala/io/gearpump/services/{MasterService,AppMasterService}.scala;
+  * endpoint spec docs/contents/dev/dev-rest-api.md). Zero new dependencies:
+  * JDK `com.sun.net.httpserver` (the dashboard talks JSON, not HTML).
+  *
+  * Endpoints (paths mirror the reference's nouns):
+  *  - GET    /api/v1.0/master                         — engine summary
+  *  - GET    /api/v1.0/master/applist                 — active queries
+  *  - GET    /api/v1.0/master/config                  — runtime conf
+  *  - GET    /api/v1.0/appmaster/<id>                 — query detail (+latency)
+  *  - GET    /api/v1.0/appmaster/<id>/metrics         — last progress
+  *  - GET    /api/v1.0/appmaster/<id>/stallingtasks   — ?threshold=ms
+  *  - DELETE /api/v1.0/appmaster/<id>                 — stop the query (kill)
+  *
+  * `POST submitapp` / `restart` have no Spark-library analog (queries are
+  * code, not uploadable jars) — by design, not omission.
+  */
+final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0) {
+
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val startedAtMs = System.currentTimeMillis()
+
+  server.createContext("/api/v1.0/", (x: HttpExchange) => handle(x))
+  server.setExecutor(null) // serve on the dispatch thread; ops traffic is light
+
+  def start(): OpsServer = { server.start(); this }
+
+  /** Bound port (useful when constructed with port 0 = ephemeral). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def stop(): Unit = server.stop(0)
+
+  private def handle(x: HttpExchange): Unit = {
+    val path = x.getRequestURI.getPath.stripPrefix("/api/v1.0/").stripSuffix("/")
+    val method = x.getRequestMethod
+    try {
+      (method, path.split("/").toList) match {
+        case ("GET", "master" :: Nil) => respond(x, 200, masterSummary)
+        case ("GET", "master" :: "applist" :: Nil) => respond(x, 200, registry.applist)
+        case ("GET", "master" :: "config" :: Nil) => respond(x, 200, configJson)
+        case ("GET", "appmaster" :: id :: Nil) =>
+          withId(x, id)(uuid => registry.appDetail(uuid) match {
+            case Some(json) => respond(x, 200, json)
+            case None => respond(x, 404, s"""{"error":"no active query $id"}""")
+          })
+        case ("GET", "appmaster" :: id :: "metrics" :: Nil) =>
+          withId(x, id) { uuid =>
+            val m = registry.metrics.get(uuid.toString)
+            val h = registry.latency(uuid)
+            respond(x, 200,
+              s"""{"lastProgress":${m.fold("null")(registry.fmt)},""" +
+                s""""latency":${h.fold("null")(registry.fmtHist)}}""")
+          }
+        case ("GET", "appmaster" :: id :: "stallingtasks" :: Nil) =>
+          withId(x, id) { uuid =>
+            val threshold = query(x, "threshold").map(_.toLong).getOrElse(60000L)
+            val stalled = registry.stalling(threshold).exists(_.id == uuid)
+            respond(x, 200, s"""{"id":"$uuid","stalling":$stalled}""")
+          }
+        case ("DELETE", "appmaster" :: id :: Nil) =>
+          withId(x, id)(uuid => registry.active.find(_.id == uuid) match {
+            case Some(q) => q.stop(); respond(x, 200, """{"status":"success"}""")
+            case None => respond(x, 404, s"""{"error":"no active query $id"}""")
+          })
+        case _ => respond(x, 404, s"""{"error":"unknown endpoint ${x.getRequestURI.getPath}"}""")
+      }
+    } catch {
+      case e: Exception => respond(x, 500, s"""{"error":${AppRegistry.jstrStatic(e.toString)}}""")
+    }
+  }
+
+  private def masterSummary: String = {
+    val up = System.currentTimeMillis() - startedAtMs
+    s"""{"engine":"graft","sparkVersion":"${spark.version}",""" +
+      s""""master":"${spark.sparkContext.master}","appName":"${spark.sparkContext.appName}",""" +
+      s""""uptimeMs":$up,"activeQueries":${registry.active.size}}"""
+  }
+
+  private def configJson: String =
+    spark.conf.getAll.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${AppRegistry.jstrStatic(k)}:${AppRegistry.jstrStatic(v)}"
+    }.mkString("{", ",", "}")
+
+  private def withId(x: HttpExchange, id: String)(f: java.util.UUID => Unit): Unit =
+    try f(java.util.UUID.fromString(id))
+    catch { case _: IllegalArgumentException =>
+      respond(x, 400, s"""{"error":"malformed query id"}""") }
+
+  private def query(x: HttpExchange, key: String): Option[String] =
+    Option(x.getRequestURI.getQuery).flatMap(_.split("&").collectFirst {
+      case kv if kv.startsWith(key + "=") => kv.substring(key.length + 1)
+    })
+
+  private def respond(x: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    x.getResponseHeaders.set("Content-Type", "application/json")
+    x.sendResponseHeaders(code, bytes.length.toLong)
+    val os = x.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+}

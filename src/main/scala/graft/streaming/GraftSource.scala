@@ -65,6 +65,22 @@ object GraftSource {
       .option("maxBatches", maxBatches)
       .load()
 
+  /** EXACTLY-ONCE custom pull source (the reference's TimeReplayableSource,
+    * reference: transaction/api/TimeReplayableSource.scala:20-31): records
+    * are addressed by per-partition record offsets checkpointed in the
+    * offset WAL, so a replayed epoch re-reads the same records. Pair with an
+    * epoch-idempotent sink (GraftSink.foreachBatchIdempotent / file sink)
+    * for end-to-end exactly-once. `maxRecordsPerTrigger` > 0 bounds each
+    * micro-batch (flow control); an idle source quiesces (drains terminate). */
+  def replayablePull(spark: SparkSession,
+      clazz: Class[_ <: graft.sources.ReplayablePullDataSource],
+      numPartitions: Int = 1, maxRecordsPerTrigger: Long = 0L): DataFrame =
+    spark.readStream.format(classOf[graft.sources.ReplayablePullSourceProvider].getName)
+      .option("class", clazz.getName)
+      .option("numPartitions", numPartitions)
+      .option("maxRecordsPerTrigger", maxRecordsPerTrigger)
+      .load()
+
   /** Kafka source configuration (reference: docs/contents/dev/dev-connectors.md:33-80;
     * timestamp->offset replay per docs/contents/internals/gearpump-internals.md:210-227).
     * Offline container — returns the fully-configured reader; `.load()` is

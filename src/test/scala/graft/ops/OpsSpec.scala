@@ -29,6 +29,74 @@ class OpsSpec extends SparkTestBase {
     } finally { q.stop(); reg.close() }
   }
 
+  test("latency histogram tracks batch-duration percentiles per query") {
+    import spark.implicits._
+    val reg = new AppRegistry(spark)
+    val in = GraftSource.memory[Int](spark)
+    val q = in.toDS().writeStream.format("noop").queryName("ops_latency").start()
+    try {
+      for (b <- 1 to 5) { in.addData(b); q.processAllAvailable() }
+      val h = reg.latency(q.id)
+      assert(h.isDefined, "histogram after progress events")
+      val hist = h.get
+      assert(hist.count >= 5)
+      assert(hist.p50Ms <= hist.p95Ms && hist.p95Ms <= hist.p99Ms && hist.p99Ms <= hist.maxMs)
+      assert(hist.meanMs >= 0.0 && hist.maxMs >= 0L)
+      // appDetail embeds the histogram for the dashboard
+      assert(reg.appDetail(q.id).get.contains("\"latency\":{\"count\""))
+    } finally { q.stop(); reg.close() }
+  }
+
+  test("OpsServer serves the REST nouns over HTTP and DELETE kills the query") {
+    import spark.implicits._
+    val reg = new AppRegistry(spark)
+    val srv = new OpsServer(spark, reg).start()
+    val in = GraftSource.memory[Int](spark)
+    val q = in.toDS().writeStream.format("noop").queryName("ops_http").start()
+
+    def get(path: String): (Int, String) = {
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      is.close()
+      (code, body)
+    }
+    try {
+      in.addData(1 to 20: _*)
+      q.processAllAvailable()
+
+      val (mc, master) = get("/api/v1.0/master")
+      assert(mc === 200 && master.contains("\"activeQueries\":") &&
+        master.contains(spark.version))
+      val (lc, list) = get("/api/v1.0/master/applist")
+      assert(lc === 200 && list.contains("ops_http"))
+      val (cc, conf) = get("/api/v1.0/master/config")
+      assert(cc === 200 && conf.contains("spark.sql.shuffle.partitions"))
+      val (dc, detail) = get(s"/api/v1.0/appmaster/${q.id}")
+      assert(dc === 200 && detail.contains("\"lastProgress\"") && detail.contains("\"latency\""))
+      val (xc, met) = get(s"/api/v1.0/appmaster/${q.id}/metrics")
+      assert(xc === 200 && met.contains("\"batchId\""))
+      val (sc, stall) = get(s"/api/v1.0/appmaster/${q.id}/stallingtasks?threshold=60000")
+      assert(sc === 200 && stall.contains("\"stalling\":false"))
+      val (s2, stall2) = get(s"/api/v1.0/appmaster/${q.id}/stallingtasks?threshold=-1")
+      assert(s2 === 200 && stall2.contains("\"stalling\":true"))
+      assert(get("/api/v1.0/nope")._1 === 404)
+      assert(get(s"/api/v1.0/appmaster/not-a-uuid")._1 === 400)
+      assert(get(s"/api/v1.0/appmaster/${java.util.UUID.randomUUID()}")._1 === 404)
+
+      // DELETE = the reference's kill-app
+      val del = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}/api/v1.0/appmaster/${q.id}")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      del.setRequestMethod("DELETE")
+      assert(del.getResponseCode === 200)
+      del.getInputStream.close()
+      q.awaitTermination(30000)
+      assert(!q.isActive)
+    } finally { if (q.isActive) q.stop(); srv.stop(); reg.close() }
+  }
+
   test("redeploy: stop -> new plan -> restart from same checkpoint, exactly once") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft-redeploy-in").toString
