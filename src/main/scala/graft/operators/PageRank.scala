@@ -20,7 +20,20 @@ object PageRank {
   private val Iters = 5
   private val SuppOffset = 100000L
 
-  def run(s: SparkSession, dir: String): DataFrame = {
+  def run(s: SparkSession, dir: String): DataFrame =
+    iterate(s, dir, maxIters = Iters, tol = 0.0)
+
+  /** Delta-convergence stop — parity with the reference controller's
+    * DELTA-threshold termination (reference:
+    * examples/pagerank/src/main/scala/io/gearpump/examples/pagerank/PageRankController.scala:47-70):
+    * stop when max |rank_k - rank_{k-1}| < `tol`, capped at `maxIters`.
+    * The per-tick delta is one scalar `max` aggregate — a driver-side
+    * convergence count, same cost shape as the reference's tick RPC. */
+  def runUntilConverged(s: SparkSession, dir: String,
+      tol: Double = 1e-6, maxIters: Int = 50): DataFrame =
+    iterate(s, dir, maxIters, tol)
+
+  private def iterate(s: SparkSession, dir: String, maxIters: Int, tol: Double): DataFrame = {
     val li = Tables.t(s, dir, "lineitem")
     val fwd = li.select((col("l_suppkey") + SuppOffset).as("src"), col("l_partkey").as("dst"))
     val rev = li.select(col("l_partkey").as("src"), (col("l_suppkey") + SuppOffset).as("dst"))
@@ -29,19 +42,31 @@ object PageRank {
     val nodes = edges.select(col("src").as("node")).distinct().cache()
     val n = nodes.count() // driver-side scalar; fine at any scale
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to Iters) {
+    var it = 0
+    var converged = false
+    while (it < maxIters && !converged) {
       val contribs = edges
         .join(deg, "src")
         .join(ranks, col("src") === col("node"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+      // localCheckpoint (eager) truncates the LOGICAL plan too — with cache
+      // alone the nested-join plan grows per tick and planning/explain cost
+      // explodes after ~tens of iterations (on a cluster: checkpoint to a
+      // reliable dir instead; same lineage-cut, executor-loss-safe)
       val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(0.15 / n) + lit(Damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
-        .cache()
-      next.count() // materialize so lineage actually truncates each tick
+        .localCheckpoint(true)
+      if (tol > 0.0) {
+        // one scalar per tick: the reference's convergence check
+        val delta = next.as("a").join(ranks.as("b"), col("a.node") === col("b.node"))
+          .agg(max(abs(col("a.rank") - col("b.rank")))).head().getDouble(0)
+        converged = delta < tol
+      }
       ranks.unpersist()
       ranks = next
+      it += 1
     }
     ranks.select(col("node"), round(col("rank"), 8).as("pr")).orderBy(col("node"))
   }

@@ -25,7 +25,6 @@ object TextAnalysis {
         "de" -> Seq("der", "die", "das"),
         "es" -> Seq("el", "los", "una"),
         "fr" -> Seq("le", "la", "les"))
-      val w = split(col("text"), " ")
       def score(lang: String) = {
         val set = markers(lang).map(m => s"'$m'").mkString(", ")
         expr(s"size(filter(split(text, ' '), x -> x IN ($set)))")

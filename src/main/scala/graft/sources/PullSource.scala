@@ -35,9 +35,13 @@ trait PullDataSource extends Serializable {
     * analog of the reference's `startTime` replay point. */
   def open(partitionId: Int, startBatch: Long): Unit
 
-  /** Pull the next message, or null when nothing is currently available
-    * (ends the partition's micro-batch early, exactly like the reference's
-    * null-dropping read loop, source/DataSourceTask.scala:54-62). */
+  /** Pull the next message, or null when nothing is currently available.
+    * NOTE a deliberate divergence from the reference's read loop
+    * (source/DataSourceTask.scala:54-62, which SKIPS nulls and keeps
+    * reading within the batch): here the first null ends the partition's
+    * micro-batch early, deferring any remaining messages to the next
+    * trigger. Intermittently-null sources therefore deliver fewer messages
+    * per trigger than the reference would — same totals, later batches. */
   def read(): PullMessage
 
   /** Release resources (end of the micro-batch run for this partition). */

@@ -34,6 +34,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * `numPartitions` is the reference's source-processor parallelism
   * (Processor.scala:30); `batchSize` is `gearpump.source.read.batch.size`.
   * Offsets are batch indices (see PullDataSource scaladoc for semantics).
+  *
+  * CAVEAT — unbounded mode (`maxBatches` = 0) never quiesces: the planning
+  * clock advances every trigger whether or not the source has data, so each
+  * trigger re-opens the source per partition (one null read when idle) and
+  * `processAllAvailable()` will not terminate. Run unbounded pull streams
+  * with a ProcessingTime trigger sized to the source's cadence, use
+  * `maxBatches` for drains/tests, or prefer
+  * [[ReplayablePullSourceProvider]], whose record offsets stop advancing
+  * when the source is idle (and add exactly-once replay).
   */
 class PullSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -127,7 +136,9 @@ private[sources] final case class PullInputPartition(
 /** Executor-side driver of the user source: reflective instantiation (the
   * reference's TaskLauncher reflection), then up to
   * `batchSize * (endBatch - startBatch)` reads, stopping early on null —
-  * the DataSourceTask.onNext loop verbatim. */
+  * the DataSourceTask.onNext cadence, except that the reference skips nulls
+  * within a batch while this reader ends the micro-batch on the first null
+  * (remaining messages surface next trigger; see PullDataSource.read). */
 private[sources] class PullPartitionReader(p: PullInputPartition)
   extends PartitionReader[InternalRow] {
 

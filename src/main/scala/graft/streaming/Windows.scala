@@ -45,11 +45,18 @@ object Windows {
   /** Streaming top-k per window (SURVEY §2.7): ranking functions aren't
     * allowed on a streaming Dataset, so the recipe is windowed aggregation
     * upstream + a per-micro-batch row_number cut inside foreachBatch — each
-    * batch of finalized/updated window aggregates is ranked within its
-    * window and only the k best survive. `windowed` must be the output of
+    * batch of finalized window aggregates is ranked within its window and
+    * only the k best survive. `windowed` must be the output of
     * `tumbling/sliding(...).agg/count(keys)` (columns: window, keys..., a
     * measure); pass the key columns as `tieBreak` so ties on the measure cut
-    * deterministically. Returns a writeStream-ready foreachBatch function. */
+    * deterministically. Returns a writeStream-ready foreachBatch function.
+    *
+    * REQUIRES APPEND output mode (windows emitted once, after the watermark
+    * closes them): the cut is per batch, so it is only the window's true
+    * top-k when the window's final aggregate arrives whole in one batch. In
+    * update mode a batch ranks only the keys updated in that batch and
+    * earlier emissions are never retracted — route update-mode streams into
+    * a window-keyed upsert store (the idempotent-sink pattern) instead. */
   def topKPerWindow(k: Int, measure: String, tieBreak: Seq[String],
       sink: DataFrame => Unit): (DataFrame, Long) => Unit = { (batch: DataFrame, _: Long) =>
     val w = org.apache.spark.sql.expressions.Window
