@@ -13,6 +13,7 @@ object SparkEntry {
       operators.Dedup.all ++
       operators.Similarity.all ++
       operators.TextAnalysis.all ++
+      operators.Curation.all ++
       operators.Multimodal.all ++
       operators.PageRank.all ++
       operators.Partitioning.all ++

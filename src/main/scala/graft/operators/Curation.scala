@@ -1,0 +1,228 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators beyond the reference's surface (SURVEY
+  * §7.2-8 north-star set): repetition filtering, PII scrubbing, n-gram
+  * language-model scoring, and the composed keep/reject filter stage every
+  * corpus pipeline runs before training. All per-document work is pure
+  * column expressions (scan-speed, codegen'd, no shuffle); the LM scorer's
+  * shuffles are key-partitioned joins that scale with corpus size.
+  *
+  * Cross-engine float discipline per the house rules: ratios are
+  * floor(x*1e6+0.5)/1e6 on both engines (half-up, bit-deterministic);
+  * probabilities are integer-scaled before summing so aggregation order
+  * cannot change the result.
+  */
+object Curation {
+  private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
+
+  /** Gopher/C4-style repetition signals: duplicate-word fraction, most-
+    * frequent-word fraction, duplicate 3-gram fraction. Per-row expressions
+    * only — the filter runs at scan speed on 100 TB. (The per-doc
+    * top-word count is O(uniq x tokens) inside one row's lambda — bounded
+    * because quality filters run on document prefixes, not books.) */
+  val repetition = GraftQuery(
+    "text_repetition",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          size(array_distinct(col("w"))).as("n_uniq"),
+          expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+            .as("top_cnt"),
+          // slice(w,1,0) = typed empty array; sequence(0, n) would DESCEND
+          // for n<0, so the guard is load-bearing
+          expr("""case when size(w) >= 3
+                    then transform(sequence(0, size(w)-3),
+                         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+                    else slice(w, 1, 0) end""").as("g3"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("floor(cast(n_tokens - n_uniq as double) / n_tokens * 1e6 + 0.5) / 1e6")
+            .as("dup_word_frac"),
+          expr("floor(cast(top_cnt as double) / n_tokens * 1e6 + 0.5) / 1e6")
+            .as("top_word_frac"),
+          size(col("g3")).as("n_3grams"),
+          expr("""case when size(g3) = 0 then 0.0
+                    else floor(cast(size(g3) - size(array_distinct(g3)) as double)
+                         / size(g3) * 1e6 + 0.5) / 1e6 end""").as("dup_3gram_frac"))
+        .orderBy(col("doc_id")),
+    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            m AS (SELECT doc_id,
+                    CAST(len(w) AS INTEGER) AS n_tokens,
+                    CAST(len(list_distinct(w)) AS INTEGER) AS n_uniq,
+                    list_max(list_transform(list_distinct(w),
+                      x -> len(list_filter(w, y -> y = x)))) AS top_cnt,
+                    list_transform(generate_series(1, len(w) - 2),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3
+                  FROM base)
+            SELECT doc_id, n_tokens,
+              floor(CAST(n_tokens - n_uniq AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS dup_word_frac,
+              floor(CAST(top_cnt AS DOUBLE) / n_tokens * 1e6 + 0.5) / 1e6 AS top_word_frac,
+              CAST(len(g3) AS INTEGER) AS n_3grams,
+              CASE WHEN len(g3) = 0 THEN 0.0
+                   ELSE floor(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)
+                        / len(g3) * 1e6 + 0.5) / 1e6 END AS dup_3gram_frac
+            FROM m ORDER BY doc_id"""))
+
+  // PII patterns — the RE2/Java-regex common subset (no lookaround, no
+  // backrefs) so Spark and DuckDB compile the identical automaton
+  private val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val Ipv4Pat = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+
+  /** PII detection + redaction (emails, IPv4) — the mandatory scrub stage
+    * before web text becomes training data. The driver corpus contains no
+    * PII, so the operator deterministically plants synthetic markers
+    * (a function of doc_id, identically on both engines) and then must find
+    * and redact exactly those — the detector is exercised for real, not
+    * vacuously green on zero matches. */
+  val piiScrub = GraftQuery(
+    "text_pii_scrub",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+              .otherwise(lit("")),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" host 10."), (col("doc_id") % 200).cast("string"),
+                lit("."), (col("doc_id") % 100).cast("string"),
+                lit("."), (col("doc_id") % 50).cast("string")))
+              .otherwise(lit(""))).as("txt"))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(txt, '$EmailPat', 0)")).as("n_emails"),
+          size(expr(s"regexp_extract_all(txt, '$Ipv4Pat', 0)")).as("n_ips"),
+          regexp_replace(regexp_replace(col("txt"), EmailPat, "<EMAIL>"),
+            Ipv4Pat, "<IP>").as("scrubbed"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH aug AS (
+               SELECT doc_id, text
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+                           || '.' || CAST(doc_id % 100 AS VARCHAR)
+                           || '.' || CAST(doc_id % 50 AS VARCHAR)
+                         ELSE '' END AS txt
+               FROM documents)
+             SELECT doc_id,
+               CAST(len(regexp_extract_all(txt, '$EmailPat')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(txt, '$Ipv4Pat')) AS INTEGER) AS n_ips,
+               regexp_replace(regexp_replace(txt, '$EmailPat', '<EMAIL>', 'g'),
+                 '$Ipv4Pat', '<IP>', 'g') AS scrubbed
+             FROM aug ORDER BY doc_id"""))
+
+  /** Corpus bigram language model + per-document scoring — the cheap
+    * fluency/perplexity proxy used to rank web text. Two key-partitioned
+    * aggregations build the model (bigram counts, prefix counts); scoring
+    * joins each document's bigrams to the model ON THE BIGRAM KEY — the
+    * shuffle is data-parallel and skew follows token frequency (a hot
+    * bigram like "of the" is one reducer key with a long count list, which
+    * the AQE skew machinery splits; see Skew.scala).
+    *
+    * Float discipline: p = c_bigram/c_prefix is a single division
+    * (bit-identical across engines); each p is scaled to an int
+    * (floor(p*1e8+0.5)) BEFORE summing so the per-doc sum is exact integer
+    * arithmetic — aggregation order cannot flip a bit. */
+  val lmBigramScore = GraftQuery(
+    "lm_bigram_score",
+    (s, dir) => {
+      // fact table: one narrow (doc_id, bg) row per bigram occurrence
+      val bigrams = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(w)-2),
+             i -> concat_ws(' ', w[i], w[i+1]))""")).as("bg"))
+        .cache()
+      // model build groups the FACT table once on bg; prefix totals then
+      // come from the (distinct-bigram-sized) MODEL, never re-shuffling the
+      // facts — and the scoring join below is on the same bg partitioning,
+      // so the grouped exchange is reusable
+      val model = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val w1Counts = model.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
+      val scoredModel = model.join(w1Counts, "w1")
+        .select(col("bg"), expr(
+          "cast(floor(cast(c_bg as double) / c_w1 * 1e8 + 0.5) as bigint)").as("p_scaled"))
+      bigrams
+        .join(scoredModel, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("sum_scaled"))
+        .withColumn("avg_p", expr(
+          "floor(cast(sum_scaled as double) / n_bigrams / 100.0 + 0.5) / 1e6"))
+        .select(col("doc_id"), col("n_bigrams"), col("sum_scaled"), col("avg_p"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            bigr AS (
+              SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+                unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1])) AS bg
+              FROM base WHERE len(w) >= 2),
+            bgc AS (SELECT bg, count(*) AS c_bg FROM bigr GROUP BY bg),
+            w1c AS (SELECT w1, count(*) AS c_w1 FROM bigr GROUP BY w1),
+            scored AS (
+              SELECT b.doc_id,
+                CAST(floor(CAST(c.c_bg AS DOUBLE) / u.c_w1 * 1e8 + 0.5) AS BIGINT) AS p_scaled
+              FROM bigr b JOIN bgc c ON b.bg = c.bg JOIN w1c u ON b.w1 = u.w1)
+            SELECT doc_id, count(*) AS n_bigrams,
+              CAST(sum(p_scaled) AS BIGINT) AS sum_scaled,
+              floor(CAST(sum(p_scaled) AS DOUBLE) / count(*) / 100.0 + 0.5) / 1e6 AS avg_p
+            FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+
+  // multilingual stop-marker list: the union of the langId marker sets
+  private val Stops = Seq("the", "a", "of", "der", "die", "das",
+    "el", "los", "una", "le", "la", "les")
+
+  /** The composed keep/reject filter stage — length bounds, lexical
+    * diversity, stopword signal — emitting the FIRST failing rule as the
+    * reject reason (the audit trail a curation pipeline ships with every
+    * drop decision). Pure per-row expressions over one scan. */
+  val qualityFilter = GraftQuery(
+    "pipeline_quality_filter",
+    (s, dir) => {
+      val stopSet = Stops.map(m => s"'$m'").mkString(", ")
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          expr("floor(cast(size(array_distinct(w)) as double) / size(w) * 1e6 + 0.5) / 1e6")
+            .as("ttr"),
+          expr(s"floor(cast(size(filter(w, x -> x IN ($stopSet))) as double) / size(w) * 1e6 + 0.5) / 1e6")
+            .as("stop_ratio"))
+        .withColumn("reason",
+          when(col("n_tokens") < 10, "too_short")
+            .when(col("n_tokens") > 2000, "too_long")
+            .when(col("ttr") < 0.2, "low_diversity")
+            .when(col("stop_ratio") < 0.01, "no_stopwords")
+            .otherwise("ok"))
+        .withColumn("keep", col("reason") === "ok")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH m AS (
+               SELECT doc_id,
+                 CAST(len(w) AS INTEGER) AS n_tokens,
+                 floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 1e6 + 0.5) / 1e6 AS ttr,
+                 floor(CAST(len(list_filter(w, x -> x IN (${Stops.map(m => s"'$m'").mkString(", ")})))
+                   AS DOUBLE) / len(w) * 1e6 + 0.5) / 1e6 AS stop_ratio
+               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+             r AS (
+               SELECT doc_id, n_tokens, ttr, stop_ratio,
+                 CASE WHEN n_tokens < 10 THEN 'too_short'
+                      WHEN n_tokens > 2000 THEN 'too_long'
+                      WHEN ttr < 0.2 THEN 'low_diversity'
+                      WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+                      ELSE 'ok' END AS reason
+               FROM m)
+             SELECT doc_id, n_tokens, ttr, stop_ratio, reason, reason = 'ok' AS keep
+             FROM r ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(repetition, piiScrub, lmBigramScore, qualityFilter)
+}

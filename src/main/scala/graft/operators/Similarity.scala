@@ -209,6 +209,32 @@ object Similarity {
         .orderBy(col("bucket")),
     None)
 
+  /** Radius (range) similarity search: every corpus vector within a cosine
+    * threshold of each query — retrieval's "give me all candidates above
+    * the bar" complement to top-k. Same 100 TB plan as the top-k: queries
+    * broadcast, corpus scored and filtered map-side, zero corpus shuffle;
+    * only qualifying rows leave the scan. */
+  val annRangeSearch = GraftQuery(
+    "ann_range_search",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(s, "embedding", "q_emb"), 4).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.30)
+        .orderBy(col("q_id"), col("vec_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 4)
+             SELECT q.q_id, e.vec_id,
+               round(${sqlCos("e.embedding", "q.q_emb")}, 4) AS cos_sim
+             FROM embeddings e CROSS JOIN q
+             WHERE e.vec_id <> q.q_id
+               AND round(${sqlCos("e.embedding", "q.q_emb")}, 4) >= 0.30
+             ORDER BY q_id, vec_id"""))
+
   /** Per-vector int8 quantization — the storage/bandwidth workhorse of
     * billion-vector ANN (4x smaller than float32, dot products stay in
     * SIMD-friendly integers). Affine per-vector scheme: q_i =
@@ -252,5 +278,6 @@ object Similarity {
             ORDER BY vec_id"""))
 
   val all: Seq[GraftQuery] =
-    Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets, quantizeInt8)
+    Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
+      annRangeSearch, quantizeInt8)
 }
