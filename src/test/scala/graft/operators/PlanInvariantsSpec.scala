@@ -118,6 +118,35 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"bucketed near-dup must not degrade to all-pairs, plan:\n$s")
   }
 
+  private def hashShuffles(p: SparkPlan) =
+    shuffleExchanges(p).filter(_.outputPartitioning
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+
+  test("text_repetition: per-row signals shuffle nothing but the output sort") {
+    val df = SparkEntry.queries("text_repetition")(spark, sf)
+    df.collect()
+    val hs = hashShuffles(df.queryExecution.executedPlan)
+    assert(hs.isEmpty,
+      s"repetition signals must be scan-side (no hash exchange):\n${df.queryExecution.executedPlan}")
+  }
+
+  test("ann_range_search: corpus is scored map-side — queries broadcast, no corpus hash shuffle") {
+    val df = SparkEntry.queries("ann_range_search")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    assert(broadcastSubtrees(p).nonEmpty, s"query set should broadcast:\n$p")
+    assert(hashShuffles(p).isEmpty,
+      s"range search must not hash-shuffle the corpus:\n$p")
+  }
+
+  test("lm_bigram_score: scoring joins are key-partitioned, never nested-loop") {
+    val df = SparkEntry.queries("lm_bigram_score")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"LM scoring must join on the bigram key, plan:\n$s")
+  }
+
   test("dedup_hash: the shuffle carries digests, not document text") {
     // the exchange output should be (digest, doc_id, partial counts); the
     // text column must die at the scan->project boundary
