@@ -333,6 +333,59 @@ object Dedup {
             WHERE inter * 5 >= (ca.n + cb.n - inter) * 4
             ORDER BY doc_a, doc_b"""))
 
+  /** Asymmetric n-gram CONTAINMENT C(A,B) = |S(A) n S(B)| / |S(A)| >= 0.9 —
+    * catches "doc A is mostly inside doc B" (boilerplate wrappers, quote
+    * farms, partial scrapes) that symmetric Jaccard misses when the host
+    * document is much larger. Same 100 TB shape as [[ngramJaccard]]:
+    * per-row distinct shingle arrays, df-pruned inverted index for
+    * candidates ([[MaxShingleDf]]), exact verification over full sets, and
+    * an integer cross-multiplied cut (10*inter >= 9*|S(A)|, no float).
+    * Ordered pairs: both directions are tested, a containment relation is
+    * not symmetric. */
+  val containment = GraftQuery(
+    "dedup_containment",
+    (s, dir) => {
+      val docsSh = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("sh"))
+        .cache()
+      val idx = docsSh.select(col("doc_id"), explode(col("sh")).as("s"))
+      val rare = idx.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= MaxShingleDf)
+        .select(col("s"))
+      val pruned = idx.join(rare, "s")
+      val cand = pruned.select(col("doc_id").as("doc_a"), col("s"))
+        .join(pruned.select(col("doc_id").as("doc_b"), col("s")), "s")
+        .filter(col("doc_a") =!= col("doc_b")) // ordered: both directions
+        .select(col("doc_a"), col("doc_b")).distinct()
+      cand
+        .join(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+        .join(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("cast(size(array_intersect(sa, sb)) as bigint)").as("inter"),
+          expr("cast(size(sa) as bigint)").as("na"))
+        .filter(col("inter") * 10 >= col("na") * 9)
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          round(col("inter") / col("na"), 6).as("containment"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                   FROM tok CROSS JOIN LATERAL
+                     (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+                   WHERE len(w) >= 3),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+                      GROUP BY a.doc_id, b.doc_id)
+            SELECT doc_a, doc_b, inter,
+              round(CAST(inter AS DOUBLE) / ca.n, 6) AS containment
+            FROM pairs JOIN cnt ca ON ca.doc_id = doc_a
+            WHERE inter * 10 >= ca.n * 9
+            ORDER BY doc_a, doc_b"""))
+
   /** Production-speed MinHash: same algorithm as dedup_minhash but with
     * 64-bit xxhash64 (codegen'd, no hex strings) — ~5x faster. No DuckDB
     * oracle (xxhash64 isn't available there); instead DedupSpec asserts it
@@ -349,5 +402,6 @@ object Dedup {
     headline = true)
 
   val all: Seq[GraftQuery] =
-    Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard, minhashFast)
+    Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
+      containment, minhashFast)
 }

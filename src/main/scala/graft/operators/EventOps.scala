@@ -237,7 +237,86 @@ object EventOps {
             FROM n GROUP BY user_id, sid
             ORDER BY user_id, session_start"""))
 
+  /** Weekly cohort retention — the standard product-analytics matrix:
+    * users grouped by first-seen week, distinct-user counts at each week
+    * offset. Scale shape: the first-seen aggregate and the activity join
+    * both hash on user_id (one partitioning, exchange-reusable), then a
+    * small (cohorts x offsets) aggregate. No window functions, no
+    * single-task stage. */
+  val cohortRetention = GraftQuery(
+    "ev_cohort_retention",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val firstSeen = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+      val activity = ev
+        .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+        .distinct()
+      activity.join(firstSeen, "user_id")
+        .select(col("user_id"), col("cohort_week").cast("date").as("cohort_week"),
+          (datediff(col("act_week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+        .groupBy(col("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+    Some("""WITH first_seen AS (
+              SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+              FROM events GROUP BY user_id),
+            activity AS (
+              SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS act_week
+              FROM events)
+            SELECT f.cohort_week,
+              CAST(datediff('day', f.cohort_week, a.act_week) / 7 AS INTEGER) AS week_offset,
+              count(DISTINCT a.user_id) AS n_users
+            FROM activity a JOIN first_seen f USING (user_id)
+            GROUP BY f.cohort_week, week_offset
+            ORDER BY f.cohort_week, week_offset"""))
+
+  /** Per-type z-score anomaly flagging over the `value` measure. Mean and
+    * variance come from EXACT integer-scaled sums (values floored to 1e-6
+    * before summing), so aggregation order cannot move a bit and both
+    * engines derive the identical mean/std — the float discipline that
+    * makes a statistical cut hash-comparable. Map-side partial aggregation
+    * applies as usual; the stats table is tiny and broadcast back. */
+  val anomalyZscore = GraftQuery(
+    "ev_anomaly_zscore",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("v6", expr("cast(floor(value * 1e6 + 0.5) as decimal(38,0))"))
+      val stats = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("v6")).as("s1"),
+          sum(col("v6") * col("v6")).as("s2"))
+        .select(col("event_type"),
+          expr("cast(s1 as double) / n / 1e6").as("mean"),
+          expr("sqrt(greatest(cast(s2 as double) / n / 1e12 - pow(cast(s1 as double) / n / 1e6, 2), cast(0.0 as double)))").as("std"))
+      ev.join(broadcast(stats), "event_type")
+        // std > 0 guard: a constant group would give z = 0/0, and the
+        // engines disagree on NaN comparison semantics
+        .filter(col("std") > 0)
+        .withColumn("z", expr("floor((value - mean) / std * 1e4 + 0.5) / 1e4"))
+        .filter(abs(col("z")) >= 3.0)
+        .select(col("event_id"), col("event_type"),
+          expr("floor(value * 1e6 + 0.5) / 1e6").as("value_r"), col("z"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH v AS (SELECT event_id, event_type, value,
+                         CAST(floor(value * 1e6 + 0.5) AS HUGEINT) AS v6
+                       FROM events),
+            stats AS (
+              SELECT event_type,
+                CAST(sum(v6) AS DOUBLE) / count(*) / 1e6 AS mean,
+                sqrt(greatest(CAST(sum(v6 * v6) AS DOUBLE) / count(*) / 1e12
+                  - pow(CAST(sum(v6) AS DOUBLE) / count(*) / 1e6, 2), CAST(0.0 AS DOUBLE))) AS std
+              FROM v GROUP BY event_type)
+            SELECT event_id, v.event_type, floor(value * 1e6 + 0.5) / 1e6 AS value_r,
+              floor((value - mean) / std * 1e4 + 0.5) / 1e4 AS z
+            FROM v JOIN stats USING (event_type)
+            WHERE std > 0
+              AND abs(floor((value - mean) / std * 1e4 + 0.5) / 1e4) >= 3.0
+            ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
-    timeFilter, dedupReplay)
+    timeFilter, dedupReplay, cohortRetention, anomalyZscore)
 }
