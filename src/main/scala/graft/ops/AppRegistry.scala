@@ -18,9 +18,13 @@ import scala.collection.concurrent.TrieMap
   */
 final class AppRegistry(spark: SparkSession) {
 
+  /** `phases` is the engine's per-batch duration breakdown
+    * (addBatch/getBatch/walCommit/...) — the per-stage detail the
+    * reference's dashboard splits out of processTime. */
   final case class Metrics(
       batchId: Long, inputRowsPerSecond: Double, processedRowsPerSecond: Double,
-      batchDurationMs: Long, numInputRows: Long, timestamp: String)
+      batchDurationMs: Long, numInputRows: Long, timestamp: String,
+      phases: Map[String, Long] = Map.empty)
 
   /** Batch-latency distribution over the retained window — the per-query
     * analog of the reference's per-task processTime/receiveLatency
@@ -42,7 +46,9 @@ final class AppRegistry(spark: SparkSession) {
       val durMs = p.durationMs.values.stream.mapToLong(_.longValue).sum
       lastSeen.put(p.id, (System.nanoTime(),
         Metrics(p.batchId, nz(p.inputRowsPerSecond), nz(p.processedRowsPerSecond),
-          durMs, p.numInputRows, p.timestamp)))
+          durMs, p.numInputRows, p.timestamp,
+          { import scala.jdk.CollectionConverters._
+            p.durationMs.asScala.map { case (k, v) => k -> v.longValue }.toMap })))
       val ring = durations.getOrElseUpdate(p.id, scala.collection.mutable.ArrayDeque.empty)
       ring.synchronized {
         ring.append(durMs)
@@ -113,7 +119,9 @@ final class AppRegistry(spark: SparkSession) {
     s"""{"batchId":${m.batchId},"inputRowsPerSecond":${m.inputRowsPerSecond},""" +
       s""""processedRowsPerSecond":${m.processedRowsPerSecond},""" +
       s""""batchDurationMs":${m.batchDurationMs},"numInputRows":${m.numInputRows},""" +
-      s""""timestamp":${jstr(m.timestamp)}}"""
+      s""""timestamp":${jstr(m.timestamp)},""" +
+      s""""durationMs":${m.phases.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")}}"""
   private def jstr(s: String): String = AppRegistry.jstrStatic(s)
 }
 

@@ -78,6 +78,7 @@ class OpsSpec extends SparkTestBase {
       assert(dc === 200 && detail.contains("\"lastProgress\"") && detail.contains("\"latency\""))
       val (xc, met) = get(s"/api/v1.0/appmaster/${q.id}/metrics")
       assert(xc === 200 && met.contains("\"batchId\""))
+      assert(met.contains("\"durationMs\":{"), s"per-phase breakdown in $met")
       val (sc, stall) = get(s"/api/v1.0/appmaster/${q.id}/stallingtasks?threshold=60000")
       assert(sc === 200 && stall.contains("\"stalling\":false"))
       val (s2, stall2) = get(s"/api/v1.0/appmaster/${q.id}/stallingtasks?threshold=-1")

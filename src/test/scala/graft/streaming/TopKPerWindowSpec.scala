@@ -48,4 +48,38 @@ class TopKPerWindowSpec extends SparkTestBase {
       assert(byWindow("2024-01-01 10:01:00") === Set(("d", 2L, 1), ("e", 1L, 2)))
     } finally q.stop()
   }
+
+  test("update mode: the upsert store ranks against FULL window state, not just the batch") {
+    import spark.implicits._
+    val store = new Windows.WindowTopKStore
+    val emitted = new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+    val in = GraftSource.memory[(String, Timestamp)](spark)
+    val windowed = Windows
+      .tumbling(in.toDS().toDF("word", "ts"), "ts", "1 minute")
+      .count(col("word"))
+      .select(col("window.start").cast("string").as("window"),
+        col("word").as("key"), col("count").cast("double").as("measure"))
+    val sink = Windows.topKPerWindowUpsert(2, store,
+      (w, top) => { emitted.put(w, top); () })
+    val q = windowed.writeStream.outputMode("update").foreachBatch(sink).start()
+    try {
+      // batch 1 — window 10:00: a x3, b x2, c x1
+      in.addData(
+        ("a", ts("2024-01-01 10:00:01")), ("a", ts("2024-01-01 10:00:02")),
+        ("a", ts("2024-01-01 10:00:03")), ("b", ts("2024-01-01 10:00:04")),
+        ("b", ts("2024-01-01 10:00:05")), ("c", ts("2024-01-01 10:00:06")))
+      q.processAllAvailable()
+      assert(emitted.get("2024-01-01 10:00:00") === Seq(("a", 3.0), ("b", 2.0)))
+
+      // batch 2 updates ONLY c (c x3 -> count 4): the update batch contains
+      // just c, and a per-batch row_number cut would emit c as "rank 1" —
+      // the upsert store must instead rank c against a and b
+      in.addData(
+        ("c", ts("2024-01-01 10:00:07")), ("c", ts("2024-01-01 10:00:08")),
+        ("c", ts("2024-01-01 10:00:09")))
+      q.processAllAvailable()
+      assert(emitted.get("2024-01-01 10:00:00") === Seq(("c", 4.0), ("a", 3.0)),
+        "top-k reflects all keys ever seen in the window")
+    } finally q.stop()
+  }
 }
