@@ -175,7 +175,8 @@ object Curation {
             SELECT doc_id, count(*) AS n_bigrams,
               CAST(sum(p_scaled) AS BIGINT) AS sum_scaled,
               floor(CAST(sum(p_scaled) AS DOUBLE) / count(*) / 100.0 + 0.5) / 1e6 AS avg_p
-            FROM scored GROUP BY doc_id ORDER BY doc_id"""))
+            FROM scored GROUP BY doc_id ORDER BY doc_id"""),
+    headline = true)
 
   // multilingual stop-marker list: the union of the langId marker sets
   private val Stops = Seq("the", "a", "of", "der", "die", "das",

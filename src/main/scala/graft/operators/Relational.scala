@@ -788,6 +788,51 @@ object Relational {
             count(*) AS n
             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey"""))
 
+  /** Argmax/argmin aggregation (max_by/min_by — DuckDB arg_max/arg_min):
+    * "which supplier ships the priciest part per nation" — the associated-
+    * value-at-extremum aggregate that otherwise needs a self-join or a
+    * window cut. Tie discipline: the extremum is taken over a UNIQUE
+    * maximand (extended price + supplier key epsilon) so both engines pick
+    * the same row without relying on tie-break order. */
+  val q40Argmax = GraftQuery(
+    "q40_argmax",
+    (s, dir) =>
+      t(s, dir, "supplier")
+        .join(t(s, dir, "lineitem"),
+          col("s_suppkey") === col("l_suppkey"))
+        // unique maximand: no two rows share (price, suppkey, orderkey, linenumber)
+        .withColumn("m", col("l_extendedprice") * 1000000
+          + col("l_orderkey") * 10 + col("l_linenumber"))
+        .groupBy(col("s_nationkey"))
+        .agg(expr("max_by(s_name, m)").as("top_supplier"),
+          round(max(col("l_extendedprice")), 2).as("top_price"),
+          expr("min_by(s_name, m)").as("bottom_supplier"))
+        .orderBy(col("s_nationkey")),
+    Some("""SELECT s_nationkey,
+              arg_max(s_name, l_extendedprice * 1000000 + l_orderkey * 10 + l_linenumber) AS top_supplier,
+              round(max(l_extendedprice), 2) AS top_price,
+              arg_min(s_name, l_extendedprice * 1000000 + l_orderkey * 10 + l_linenumber) AS bottom_supplier
+            FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+            GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  /** Grouped median (exact): Spark `median` == DuckDB `median` for doubles
+    * (even-count groups average the two middle values — deterministic, no
+    * percentile interpolation ambiguity). */
+  val q41Median = GraftQuery(
+    "q41_median",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("median(l_extendedprice)"), 2).as("median_price"),
+          round(expr("median(l_quantity)"), 2).as("median_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              round(median(l_extendedprice), 2) AS median_price,
+              round(CAST(median(l_quantity) AS DOUBLE), 2) AS median_qty,
+              count(*) AS n
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -795,5 +840,6 @@ object Relational {
     q18ScalarDatetime, q19ScalarMath, q20CaseAgg, q21Subquery, q22Stats,
     q23Percentile, q24Pivot, q25Explode, q26Having, q29ArrayFuncs, q30MapFuncs,
     q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets,
-    q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg)
+    q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
+    q41Median)
 }
