@@ -53,6 +53,21 @@ object Dedup {
   private[graft] def md5Hash(i: Int): String = s"md5(concat('$i', ':', s))"
   private[graft] def xxHash(i: Int): String = s"xxhash64($i, s)"
 
+  /** Production signature path: each shingle STRING is hashed once
+    * (xxhash64), and the NumHashes permutations mix the resulting 8-byte
+    * value (xxhash64 over a long) — same independent-family structure,
+    * ~NumHashes x less string hashing. The md5 variant keeps per-perm
+    * string hashes because the DuckDB oracle must reproduce them. */
+  private[graft] def perRowSigFast(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))
+      .withColumn("hs", expr("transform(sh, s -> xxhash64(s))"))
+      .select(col("doc_id"), array((0 until NumHashes).map(i =>
+        expr(s"array_min(transform(hs, h -> xxhash64($i, h)))")): _*).as("sig"))
+
   /** One row per (band, doc): (doc_id, sig, b, bh). `bandHash` combines the
     * RowsPerBand signature components into the bucket key. */
   private[graft] def bandedSig(sig: DataFrame, bandHash: Seq[Column] => Column): DataFrame = {
@@ -393,10 +408,10 @@ object Dedup {
   val minhashFast = GraftQuery(
     "dedup_minhash_fast",
     (s, dir) =>
-      // same pipeline as dedup_minhash with xxhash64 in place of md5 hex;
+      // same pipeline as dedup_minhash with the hash-once xxhash64 family;
       // sig cached for the same both-sides-of-the-self-join reason
       verifiedPairs(bandedSig(
-        perRowSig(t(s, dir, "documents"), xxHash).cache(), xxBand))
+        perRowSigFast(t(s, dir, "documents")).cache(), xxBand))
         .orderBy(col("doc_a"), col("doc_b")),
     None,
     headline = true)

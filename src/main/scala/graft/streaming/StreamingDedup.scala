@@ -28,12 +28,12 @@ object StreamingDedup {
   private def NumHashes = graft.operators.Dedup.NumHashes
 
   /** One row per (band, doc): (doc_id, sig, b, bh) — THE batch pipeline's
-    * signature and banding arithmetic (graft.operators.Dedup.perRowSig /
-    * bandedSig with the xxhash64 family), so batch and streaming dedup can
-    * never drift apart. */
+    * signature and banding arithmetic (graft.operators.Dedup.perRowSigFast /
+    * bandedSig, the hash-once xxhash64 family), so batch and streaming
+    * dedup can never drift apart. */
   def banded(docs: DataFrame): DataFrame =
     graft.operators.Dedup.bandedSig(
-      graft.operators.Dedup.perRowSig(docs, graft.operators.Dedup.xxHash),
+      graft.operators.Dedup.perRowSigFast(docs),
       graft.operators.Dedup.xxBand)
 
   /** Match report: (doc_id, dup_of) for every band-bucket hit against an
