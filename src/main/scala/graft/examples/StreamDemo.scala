@@ -62,6 +62,21 @@ object StreamDemo {
     println("PULL_SOURCE_ROWS=" + spark.table("pull_demo").count())
     pullQ.stop()
 
+    // 6b. exactly-once replayable pull source + the REST face: record
+    // offsets in the WAL, live HTTP introspection while it runs
+    DemoLedger.fill(8)
+    val reg2 = new graft.ops.AppRegistry(spark)
+    val srv = new graft.ops.OpsServer(spark, reg2).start()
+    val repQ = GraftSource.replayablePull(spark, classOf[DemoReplayableSource],
+        numPartitions = 1, maxRecordsPerTrigger = 3)
+      .writeStream.format("memory").queryName("replay_demo").start()
+    repQ.processAllAvailable()
+    val http = new java.net.URI(
+      s"http://127.0.0.1:${srv.boundPort}/api/v1.0/master").toURL.openStream()
+    println("REPLAYABLE_ROWS=" + spark.table("replay_demo").count()
+      + " REST_MASTER=" + new String(http.readAllBytes()).take(60) + "...")
+    http.close(); repQ.stop(); srv.stop(); reg2.close()
+
     // 7. ingest-time near-dup detection: doc 31 (arriving in batch 2) is
     // flagged against doc 30 from batch 1 via stateful LSH band buckets
     val docs = GraftSource.memory[(Long, String)](spark)
@@ -75,6 +90,21 @@ object StreamDemo {
     dd.stop()
     spark.stop()
   }
+}
+
+/** In-memory record log backing the replayable-source demo. */
+object DemoLedger {
+  @volatile var n = 0
+  def fill(k: Int): Unit = n = k
+}
+
+/** Record-offset-addressable demo source (see ReplayableSourceSpec). */
+class DemoReplayableSource extends graft.sources.ReplayablePullDataSource {
+  def open(partitionId: Int): Unit = ()
+  def available(partitionId: Int): Long = DemoLedger.n.toLong
+  def read(partitionId: Int, offset: Long): graft.sources.PullMessage =
+    graft.sources.PullMessage(s"r$offset", 1700000000000L + offset)
+  def close(): Unit = ()
 }
 
 /** Bounded deterministic pull source for the demo (see PullSourceSpec). */
