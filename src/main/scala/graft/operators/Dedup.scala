@@ -51,7 +51,6 @@ object Dedup {
         expr(s"array_min(transform(sh, s -> ${hashFor(i)}))")): _*).as("sig"))
 
   private[graft] def md5Hash(i: Int): String = s"md5(concat('$i', ':', s))"
-  private[graft] def xxHash(i: Int): String = s"xxhash64($i, s)"
 
   /** Production signature path: each shingle STRING is hashed once
     * (xxhash64), and the NumHashes permutations mix the resulting 8-byte

@@ -30,6 +30,10 @@ class ConnectedComponentsPropertySpec extends SparkTestBase {
 
   test("cluster id == min reachable node, on arbitrary graphs (vs union-find)") {
     import spark.implicits._
+    // suite hygiene: drop cached relations accumulated by earlier suites
+    // before the iterative joins (their task page requests otherwise
+    // thrash against pinned storage memory)
+    spark.catalog.clearCache()
     val params = SCTest.Parameters.default.withMinSuccessfulTests(6)
     val r = SCTest.check(params, Prop.forAll(edgesGen) { edges =>
       edges.isEmpty || {
