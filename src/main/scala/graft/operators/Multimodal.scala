@@ -5,6 +5,13 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Typed decode output of [[Multimodal.decodeFeatures]]. Top-level (not
+  * nested/private) so the ExpressionEncoder's generated code can resolve the
+  * accessors — a nested private case class forces a silent fallback to the
+  * interpreted encoder (Janino can't reference the hidden class). */
+final case class MediaMeta(doc_id: Long, width: Int, height: Int,
+    channels: Int, n_frames: Int, mean_byte: Double)
+
 /** Multimodal-column plumbing: media as opaque `binary` columns + typed
   * metadata, with decode/feature-extraction done per-partition (SURVEY
   * §7.2-8). The decode itself is STUBBED (no image/audio libs in this
@@ -37,9 +44,6 @@ object Multimodal {
               md5(text) AS digest,
               to_base64(unhex(substring(hex(encode(text)), 1, 16))) AS magic_b64
             FROM documents ORDER BY doc_id"""))
-
-  private case class MediaMeta(doc_id: Long, width: Int, height: Int,
-      channels: Int, n_frames: Int, mean_byte: Double)
 
   /** Partition-parallel "decode": the per-partition loop is the real batch
     * shape a codec needs; the pixel decode itself is a STUB — a

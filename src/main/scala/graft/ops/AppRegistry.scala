@@ -17,22 +17,7 @@ import scala.collection.concurrent.TrieMap
   * Exposed as JSON strings so an HTTP layer is a trivial wrapper.
   */
 final class AppRegistry(spark: SparkSession) {
-
-  /** `phases` is the engine's per-batch duration breakdown
-    * (addBatch/getBatch/walCommit/...) — the per-stage detail the
-    * reference's dashboard splits out of processTime. */
-  final case class Metrics(
-      batchId: Long, inputRowsPerSecond: Double, processedRowsPerSecond: Double,
-      batchDurationMs: Long, numInputRows: Long, timestamp: String,
-      phases: Map[String, Long] = Map.empty)
-
-  /** Batch-latency distribution over the retained window — the per-query
-    * analog of the reference's per-task processTime/receiveLatency
-    * histograms aggregated for the dashboard
-    * (reference: streaming/src/main/scala/io/gearpump/streaming/task/TaskActor.scala:56-62,
-    * core/src/main/scala/io/gearpump/metrics/ProcessorAggregator.scala:43-160). */
-  final case class LatencyHistogram(
-      count: Int, meanMs: Double, p50Ms: Long, p95Ms: Long, p99Ms: Long, maxMs: Long)
+  import AppRegistry.{LatencyHistogram, Metrics}
 
   private val lastSeen = TrieMap.empty[java.util.UUID, (Long, Metrics)] // id -> (nanoTime, m)
   // ring buffer of recent batch durations per query (histogram window)
@@ -126,6 +111,22 @@ final class AppRegistry(spark: SparkSession) {
 }
 
 object AppRegistry {
+  /** `phases` is the engine's per-batch duration breakdown
+    * (addBatch/getBatch/walCommit/...) — the per-stage detail the
+    * reference's dashboard splits out of processTime. */
+  final case class Metrics(
+      batchId: Long, inputRowsPerSecond: Double, processedRowsPerSecond: Double,
+      batchDurationMs: Long, numInputRows: Long, timestamp: String,
+      phases: Map[String, Long] = Map.empty)
+
+  /** Batch-latency distribution over the retained window — the per-query
+    * analog of the reference's per-task processTime/receiveLatency
+    * histograms aggregated for the dashboard
+    * (reference: streaming/src/main/scala/io/gearpump/streaming/task/TaskActor.scala:56-62,
+    * core/src/main/scala/io/gearpump/metrics/ProcessorAggregator.scala:43-160). */
+  final case class LatencyHistogram(
+      count: Int, meanMs: Double, p50Ms: Long, p95Ms: Long, p99Ms: Long, maxMs: Long)
+
   private[ops] def jstrStatic(s: String): String =
     if (s == null) "null"
     else "\"" + s.flatMap {
