@@ -225,5 +225,44 @@ object Curation {
              SELECT doc_id, n_tokens, ttr, stop_ratio, reason, reason = 'ok' AS keep
              FROM r ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(repetition, piiScrub, lmBigramScore, qualityFilter)
+  /** Train/eval DECONTAMINATION — the overlap check every LLM training run
+    * must pass: find training documents sharing >= 2 distinct 3-grams with
+    * any benchmark document (here the planted benchmark set is doc_id % 97
+    * = 0 — deterministic, same on both engines). 100 TB shape: the
+    * benchmark n-gram index is EVAL-SET-sized (millions of n-grams, not
+    * corpus-sized), so it is explicitly `broadcast()` and the corpus is
+    * scanned map-side — zero corpus shuffle before the per-pair count. */
+  val decontaminate = GraftQuery(
+    "pipeline_decontaminate",
+    (s, dir) => {
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("s"))
+      val bench = sh.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_doc"), col("s"))
+      val train = sh.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id").as("train_doc"), col("s"))
+      train.join(broadcast(bench), "s")
+        .groupBy(col("train_doc"), col("bench_doc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("train_doc"), col("bench_doc"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                   FROM tok CROSS JOIN LATERAL
+                     (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+                   WHERE len(w) >= 3),
+            bench AS (SELECT doc_id AS bench_doc, s FROM sh WHERE doc_id % 97 = 0),
+            train AS (SELECT doc_id AS train_doc, s FROM sh WHERE doc_id % 97 <> 0)
+            SELECT train_doc, bench_doc, count(*) AS n_shared
+            FROM train JOIN bench USING (s)
+            GROUP BY train_doc, bench_doc
+            HAVING count(*) >= 2
+            ORDER BY train_doc, bench_doc"""))
+
+  val all: Seq[GraftQuery] =
+    Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate)
 }

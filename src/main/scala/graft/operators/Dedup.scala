@@ -423,7 +423,47 @@ object Dedup {
     None,
     headline = true)
 
+  /** SUB-DOCUMENT (chunk-level) dedup: split each document into consecutive
+    * 10-token chunks (trailing partial chunk included), digest each chunk,
+    * and report per document how many of its chunks also occur elsewhere in
+    * the corpus — the C4/RefinedWeb-style granularity that catches repeated
+    * boilerplate inside otherwise-unique documents, which document-level
+    * dedup misses entirely. 100 TB shape: exactly [[hashKey]]'s — the
+    * chunking and digesting are scan-side per-row expressions, and the only
+    * thing that ever shuffles is the 32-char digest (never chunk text);
+    * dup counts come from one digest groupBy joined back onto the digest
+    * fact rows. */
+  val chunk = GraftQuery(
+    "dedup_chunk",
+    (s, dir) => {
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, cast(floor((size(w)-1)/10) as int)),
+               c -> md5(concat_ws(' ', slice(w, c*10+1, 10))))""")).as("h"))
+      val counts = chunks.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      chunks.join(counts, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          expr("floor(cast(n_dup_chunks as double) / n_chunks * 1e6 + 0.5) / 1e6"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            ch AS (SELECT doc_id,
+                     md5(array_to_string(w[(c*10+1):(c*10+10)], ' ')) AS h
+                   FROM tok CROSS JOIN LATERAL
+                     (SELECT unnest(generate_series(0, CAST(floor((len(w)-1)/10) AS INTEGER))) AS c) g),
+            cnt AS (SELECT h, count(*) AS n FROM ch GROUP BY h)
+            SELECT doc_id, count(*) AS n_chunks,
+              CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+              floor(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) * 1e6 + 0.5) / 1e6 AS dup_frac
+            FROM ch JOIN cnt USING (h)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
-      containment, minhashFast)
+      containment, minhashFast, chunk)
 }

@@ -124,5 +124,34 @@ object Sampling {
                         FROM documents))
             ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences)
+  /** STRATIFIED deterministic sampling — per-group rates (class rebalancing,
+    * domain mixing) with the same content-hash stability as [[hashSample]]:
+    * each label keeps a different deterministic fraction ((label % 3 + 1) x
+    * 10%), and membership is a pure function of the row key, so every
+    * shard/engine/re-run keeps exactly the same rows. Pure scan-side
+    * expressions + one tiny groupBy on the label — no corpus shuffle, no
+    * seed, no `df.sample` partitioning dependence. */
+  val stratifiedSample = GraftQuery(
+    "pipeline_stratified_sample",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          (conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100).as("bucket"))
+        .withColumn("rate_pct", (col("label") % 3 + 1) * 10)
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("bucket") < col("rate_pct"), 1).otherwise(0)).as("n_kept"),
+          min(when(col("bucket") < col("rate_pct"), col("vec_id"))).as("first_kept"))
+        .orderBy(col("label")),
+    Some("""SELECT label, count(*) AS n_total,
+              CAST(sum(CASE WHEN bucket < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              min(CASE WHEN bucket < rate_pct THEN vec_id END) AS first_kept
+            FROM (SELECT vec_id, label,
+                    CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+                    (label % 3 + 1) * 10 AS rate_pct
+                  FROM embeddings)
+            GROUP BY label ORDER BY label"""))
+
+  val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences, stratifiedSample)
 }
