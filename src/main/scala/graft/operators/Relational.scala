@@ -833,6 +833,38 @@ object Relational {
               count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Correlated LATERAL subquery with LIMIT — "top-2 customers per nation"
+    * as the per-row dependent subquery shape (the SQL-standard form of
+    * [[q34TopKPerGroup]]'s window cut). Catalyst DECORRELATES the lateral
+    * into a ranked join (DecorrelateInnerQuery rewrites the correlated
+    * LIMIT via window functions), so the executed plan is the same
+    * shuffle-once ranked aggregate as q34 — per-outer-row re-execution
+    * never happens, which is exactly why the declarative form scales. */
+  val q42LateralTopN = GraftQuery(
+    "q42_lateral_topn",
+    (s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql("""SELECT n.n_name, t.c_name, t.c_acctbal
+               FROM nation n, LATERAL (
+                 SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c.c_acctbal DESC, c.c_custkey
+                 LIMIT 2
+               ) t
+               ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+    },
+    Some("""SELECT n.n_name, t.c_name, t.c_acctbal
+            FROM nation n, LATERAL (
+              SELECT c_name, round(c_acctbal, 2) AS c_acctbal
+              FROM customer c
+              WHERE c.c_nationkey = n.n_nationkey
+              ORDER BY c.c_acctbal DESC, c.c_custkey
+              LIMIT 2
+            ) t
+            ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -841,5 +873,5 @@ object Relational {
     q23Percentile, q24Pivot, q25Explode, q26Having, q29ArrayFuncs, q30MapFuncs,
     q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets,
     q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
-    q41Median)
+    q41Median, q42LateralTopN)
 }
