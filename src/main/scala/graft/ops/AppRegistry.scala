@@ -33,7 +33,10 @@ final class AppRegistry(spark: SparkSession) {
         Metrics(p.batchId, nz(p.inputRowsPerSecond), nz(p.processedRowsPerSecond),
           durMs, p.numInputRows, p.timestamp,
           { import scala.jdk.CollectionConverters._
-            p.durationMs.asScala.map { case (k, v) => k -> v.longValue }.toMap })))
+            p.durationMs.asScala.map { case (k, v) => k -> v.longValue }.toMap },
+          { import scala.jdk.CollectionConverters._
+            p.observedMetrics.asScala.map { case (k, row) =>
+              k -> row.json }.toMap })))
       val ring = durations.getOrElseUpdate(p.id, scala.collection.mutable.ArrayDeque.empty)
       ring.synchronized {
         ring.append(durMs)
@@ -106,6 +109,8 @@ final class AppRegistry(spark: SparkSession) {
       s""""batchDurationMs":${m.batchDurationMs},"numInputRows":${m.numInputRows},""" +
       s""""timestamp":${jstr(m.timestamp)},""" +
       s""""durationMs":${m.phases.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")},""" +
+      s""""observedMetrics":${m.observed.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")}}"""
   private def jstr(s: String): String = AppRegistry.jstrStatic(s)
 }
@@ -113,11 +118,17 @@ final class AppRegistry(spark: SparkSession) {
 object AppRegistry {
   /** `phases` is the engine's per-batch duration breakdown
     * (addBatch/getBatch/walCommit/...) — the per-stage detail the
-    * reference's dashboard splits out of processTime. */
+    * reference's dashboard splits out of processTime. `observed` carries the
+    * query's `df.observe(name, exprs...)` metrics — the analog of the
+    * reference's user-registered per-task counters surfaced in the task
+    * metrics JSON (reference: streaming/.../task/TaskActor.scala:56-62
+    * registers per-task meters; user tasks add their own via
+    * TaskContext). */
   final case class Metrics(
       batchId: Long, inputRowsPerSecond: Double, processedRowsPerSecond: Double,
       batchDurationMs: Long, numInputRows: Long, timestamp: String,
-      phases: Map[String, Long] = Map.empty)
+      phases: Map[String, Long] = Map.empty,
+      observed: Map[String, String] = Map.empty)
 
   /** Batch-latency distribution over the retained window — the per-query
     * analog of the reference's per-task processTime/receiveLatency

@@ -29,6 +29,30 @@ class OpsSpec extends SparkTestBase {
     } finally { q.stop(); reg.close() }
   }
 
+  test("observe() metrics surface in the registry — user counters like the reference's task meters") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val reg = new AppRegistry(spark)
+    val in = GraftSource.memory[Int](spark)
+    val q = in.toDS().toDF("v")
+      .observe("quality", count(lit(1)).as("rows"), sum(when($"v" % 2 === 0, 1).otherwise(0)).as("evens"))
+      .writeStream.format("noop").queryName("ops_observe").start()
+    try {
+      in.addData(1 to 10: _*)
+      q.processAllAvailable()
+      // progress events arrive on the async listener bus; wait bounded
+      val deadline = System.currentTimeMillis() + 15000
+      def find() = reg.metrics.values.find(_.observed.contains("quality"))
+      while (find().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val m = find()
+      assert(m.isDefined, s"observed metrics missing: ${reg.metrics}")
+      val json = m.get.observed("quality")
+      assert(json.contains("\"rows\":10") && json.contains("\"evens\":5"), json)
+      // and the REST metrics JSON embeds them
+      assert(reg.fmt(m.get).contains("\"observedMetrics\":{\"quality\""))
+    } finally { q.stop(); reg.close() }
+  }
+
   test("latency histogram tracks batch-duration percentiles per query") {
     import spark.implicits._
     val reg = new AppRegistry(spark)
