@@ -48,19 +48,24 @@ object Bench {
 
   private def solThroughput(spark: SparkSession): Double = {
     try {
-      // Request far above engine capacity (graft.tools.SolProbe saturates
-      // near 18M rows/s on 32 threads) so the measurement reports processing
-      // speed, not the generator's ask.
-      val q = graft.streaming.GraftSource.rate(spark, rowsPerSecond = 60000000, payloadBytes = 100)
+      // The relational queries above leave cached blocks (signature caches
+      // etc.) in storage memory; drop them so the stream measures engine
+      // capacity, not a memory-pressured engine (round-3 lesson: the SOL
+      // number collapsed 17M -> 4M purely from bench-context interference).
+      spark.catalog.clearCache()
+      // Fixed 5M-row micro-batches: every batch is a uniform saturation
+      // sample. The plain `rate` source at an above-capacity ask grows its
+      // backlog without bound, so a probe window saw only 1-2 giant,
+      // memory-hungry batches — one bad sample decided the headline number.
+      val q = graft.streaming.GraftSource
+        .rateFixedBatch(spark, rowsPerBatch = 5000000, payloadBytes = 100)
         .writeStream.format("noop").start()
-      // wait for two completed SATURATED batches: only batches that drained
-      // >= 1M rows measure engine capacity — a tiny first batch (startup
-      // backlog over a near-zero duration) could otherwise spike the max
       val deadline = System.currentTimeMillis() + 30000
-      def rates() = q.recentProgress
-        .filter(_.numInputRows >= 1000000)
+      // skip the first batch (codegen/classloading) and require a healthy
+      // sample count before reporting the peak
+      def rates() = q.recentProgress.drop(1)
         .map(_.processedRowsPerSecond).filterNot(_.isNaN).filter(_ > 0)
-      while (rates().length < 2 && System.currentTimeMillis() < deadline)
+      while (rates().length < 10 && System.currentTimeMillis() < deadline)
         Thread.sleep(500)
       val obs = rates()
       q.stop()

@@ -32,12 +32,25 @@ object GraftSource {
   /** SOL-producer parity (reference: examples/streaming/sol/.../SOLStreamProducer.scala:41-55):
     * an unbounded rate stream of fixed-size payloads with event time. */
   def rate(spark: SparkSession, rowsPerSecond: Long, payloadBytes: Int = 100): DataFrame =
-    spark.readStream.format("rate")
+    solPayload(spark.readStream.format("rate")
       .option("rowsPerSecond", rowsPerSecond)
-      .load()
-      .select(col("timestamp").as("event_time"),
-        // deterministic payload of exactly `payloadBytes` ASCII chars
-        rpad(conv(col("value").cast("string"), 10, 16), payloadBytes, "x").as("payload"))
+      .load(), payloadBytes)
+
+  /** Same SOL payload over the `rate-micro-batch` source: exactly
+    * `rowsPerBatch` rows per micro-batch regardless of processing speed.
+    * Fixed batch sizes make saturation throughput measurable from many
+    * uniform samples — the plain `rate` source at an above-capacity ask
+    * grows its backlog without bound, so a probe window sees only one or
+    * two giant (and memory-hungry) batches. */
+  def rateFixedBatch(spark: SparkSession, rowsPerBatch: Long, payloadBytes: Int = 100): DataFrame =
+    solPayload(spark.readStream.format("rate-micro-batch")
+      .option("rowsPerBatch", rowsPerBatch)
+      .load(), payloadBytes)
+
+  private def solPayload(raw: DataFrame, payloadBytes: Int): DataFrame =
+    raw.select(col("timestamp").as("event_time"),
+      // deterministic payload of exactly `payloadBytes` ASCII chars
+      rpad(conv(col("value").cast("string"), 10, 16), payloadBytes, "x").as("payload"))
 
   /** Streaming file source (HDFS-connector parity, SURVEY §2.2): new files
     * in `path` become micro-batches; offsets checkpointed in the WAL give

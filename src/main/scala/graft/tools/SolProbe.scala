@@ -16,10 +16,13 @@ object SolProbe {
     val rates = args.headOption.getOrElse("20000000")
       .split(",").toSeq.map(_.toLong)
     val secs = if (args.length > 1) args(1).toInt else 12
+    val fixedBatch = args.length > 2 && args(2) == "fixed"
     val spark = Engine.session("sol-probe")
     rates.foreach { r =>
-      val q = GraftSource.rate(spark, rowsPerSecond = r, payloadBytes = 100)
-        .writeStream.format("noop").start()
+      val src =
+        if (fixedBatch) GraftSource.rateFixedBatch(spark, rowsPerBatch = r, payloadBytes = 100)
+        else GraftSource.rate(spark, rowsPerSecond = r, payloadBytes = 100)
+      val q = src.writeStream.format("noop").start()
       Thread.sleep(secs * 1000L)
       val obs = q.recentProgress.map(_.processedRowsPerSecond).filterNot(_.isNaN)
       q.stop()
