@@ -425,8 +425,11 @@ object Dedup {
 
   /** SUB-DOCUMENT (chunk-level) dedup: split each document into consecutive
     * 10-token chunks (trailing partial chunk included), digest each chunk,
-    * and report per document how many of its chunks also occur elsewhere in
-    * the corpus — the C4/RefinedWeb-style granularity that catches repeated
+    * and report per document how many of its chunks occur more than once in
+    * the corpus — a GLOBAL occurrence count, so a chunk repeated twice
+    * within a single otherwise-unique document counts as duplicated (that
+    * is the boilerplate signal we want). The C4/RefinedWeb-style granularity
+    * catches repeated
     * boilerplate inside otherwise-unique documents, which document-level
     * dedup misses entirely. 100 TB shape: exactly [[hashKey]]'s — the
     * chunking and digesting are scan-side per-row expressions, and the only

@@ -36,7 +36,7 @@ final class AppRegistry(spark: SparkSession) {
             p.durationMs.asScala.map { case (k, v) => k -> v.longValue }.toMap },
           { import scala.jdk.CollectionConverters._
             p.observedMetrics.asScala.map { case (k, row) =>
-              k -> row.json }.toMap })))
+              k -> sanitizeJson(row.json) }.toMap })))
       val ring = durations.getOrElseUpdate(p.id, scala.collection.mutable.ArrayDeque.empty)
       ring.synchronized {
         ring.append(durMs)
@@ -51,6 +51,7 @@ final class AppRegistry(spark: SparkSession) {
   spark.streams.addListener(listener)
 
   private def nz(d: Double) = if (d.isNaN) 0.0 else d
+  private def sanitizeJson(j: String): String = AppRegistry.sanitizeJson(j)
 
   def active: Seq[StreamingQuery] = spark.streams.active.toSeq
 
@@ -137,6 +138,13 @@ object AppRegistry {
     * core/src/main/scala/io/gearpump/metrics/ProcessorAggregator.scala:43-160). */
   final case class LatencyHistogram(
       count: Int, meanMs: Double, p50Ms: Long, p95Ms: Long, p99Ms: Long, maxMs: Long)
+
+  /** Row.json renders non-finite doubles (e.g. avg() over zero rows) as bare
+    * NaN/Infinity, which would make the whole /metrics payload invalid JSON
+    * when embedded — map them to null. Token-boundary anchors keep string
+    * values containing "NaN" untouched. */
+  private[ops] def sanitizeJson(j: String): String =
+    j.replaceAll("""(?<=[:,\[])\s*(-?Infinity|NaN)(?=\s*[,}\]])""", "null")
 
   private[ops] def jstrStatic(s: String): String =
     if (s == null) "null"

@@ -16,6 +16,12 @@ object Time {
       if (args.length > 1) args(1).split(",").toSeq
       else SparkEntry.registry.filter(_.headline).map(_.name)
     val reps = if (args.length > 2) args(2).toInt else 3
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")}\n" +
+        s"valid names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = Engine.session("graft-time")
     names.foreach { n =>
       val times = (1 to reps).map { _ =>

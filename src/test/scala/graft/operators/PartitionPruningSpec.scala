@@ -34,12 +34,21 @@ class PartitionPruningSpec extends SparkTestBase {
       .filter(col("l_returnflag") === "R")
       .agg(sum(col("l_quantity")).as("q"))
     val scan = df.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters: [isnotnull(l_returnflag"),
-      s"expected a partition filter on the scan:\n$scan")
-    // the pruned scan must not carry the predicate as a post-scan data
-    // filter on l_returnflag — pruning happened at the directory level
-    assert(scan.contains("(l_returnflag#") || scan.contains("= R"),
-      s"partition filter should reference the literal:\n$scan")
+    // the `= R` literal must live INSIDE the PartitionFilters segment
+    // (directory-level pruning), and the post-scan data filters / pushed
+    // parquet filters must not mention l_returnflag at all
+    val partFilters = scan.linesIterator
+      .find(_.contains("PartitionFilters:")).getOrElse("")
+    assert(partFilters.contains("isnotnull(l_returnflag") &&
+      partFilters.contains("= R)"),
+      s"expected the literal predicate as a partition filter:\n$scan")
+    val nonPartition = scan.linesIterator
+      .filterNot(_.contains("PartitionFilters:"))
+      .filter(l => l.contains("PushedFilters:") || l.trim.startsWith("+- Filter") ||
+        l.trim.startsWith("Filter "))
+      .mkString("\n")
+    assert(!nonPartition.contains("l_returnflag"),
+      s"partition predicate leaked into a post-scan data filter:\n$scan")
   }
 
   test("dynamic partition pruning: a dim filter prunes fact partitions through the join") {

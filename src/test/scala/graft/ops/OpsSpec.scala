@@ -158,4 +158,14 @@ class OpsSpec extends SparkTestBase {
     // no loss, no reprocessing of the old offsets
     assert(RedeployCollector.seen.asScala.toSeq.sorted === Seq(1L, 2L, 3L, 40L, 50L, 60L))
   }
+
+  test("observed-metrics JSON stays valid when observe() yields non-finite doubles") {
+    // avg() over zero rows renders as bare NaN via Row.json — the sanitizer
+    // must null it without touching legitimate "NaN" string values
+    val dirty = """{"n":0,"avg":NaN,"hi":Infinity,"lo":-Infinity,"tag":"NaN"}"""
+    val clean = AppRegistry.sanitizeJson(dirty)
+    assert(clean === """{"n":0,"avg":null,"hi":null,"lo":null,"tag":"NaN"}""")
+    // and the result parses as JSON (json4s strict parse)
+    org.json4s.jackson.JsonMethods.parse(clean)
+  }
 }
