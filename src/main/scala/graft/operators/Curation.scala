@@ -132,22 +132,25 @@ object Curation {
   val lmBigramScore = GraftQuery(
     "lm_bigram_score",
     (s, dir) => {
-      // fact table: one narrow (doc_id, bg) row per bigram occurrence
+      // fact table: one narrow (doc_id, bg) row per bigram occurrence.
+      // NOT cached: at 100 TB a cache of the exploded corpus would evict or
+      // spill; the corpus is scanned exactly twice (model build + scoring),
+      // each scan pruned to (doc_id, text).
       val bigrams = t(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .filter(size(col("w")) >= 2)
         .select(col("doc_id"), explode(expr(
           """transform(sequence(0, size(w)-2),
              i -> concat_ws(' ', w[i], w[i+1]))""")).as("bg"))
-        .cache()
-      // model build groups the FACT table once on bg; prefix totals then
-      // come from the (distinct-bigram-sized) MODEL, never re-shuffling the
-      // facts — and the scoring join below is on the same bg partitioning,
-      // so the grouped exchange is reusable
+      // model build groups the FACT table once on bg; the prefix totals are
+      // a window over the (distinct-bigram-sized) MODEL — one shuffle of
+      // model rows by w1, never a second pass over the facts and no
+      // model-vs-model self-join (which would compute the aggregate twice)
       val model = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
         .withColumn("w1", substring_index(col("bg"), " ", 1))
-      val w1Counts = model.groupBy(col("w1")).agg(sum(col("c_bg")).as("c_w1"))
-      val scoredModel = model.join(w1Counts, "w1")
+      val scoredModel = model
+        .withColumn("c_w1", sum(col("c_bg"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
         .select(col("bg"), expr(
           "cast(floor(cast(c_bg as double) / c_w1 * 1e8 + 0.5) as bigint)").as("p_scaled"))
       bigrams
