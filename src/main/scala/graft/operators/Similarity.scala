@@ -277,7 +277,119 @@ object Similarity {
                   FROM embeddings)
             ORDER BY vec_id"""))
 
+  /** Nearest-seed cluster assignment shared by the k-means family: seeds are
+    * the embeddings of vec_id 0..7 (deterministic, no RNG), every vector is
+    * scored against the broadcast seed set map-side, and the argmax is a
+    * groupBy max(struct) — partial-aggregated, so the shuffle carries ONE
+    * row per vector, not k. Ties on the 4-dp cosine break toward the lowest
+    * centroid id (the negated id inside the struct), matching the oracle's
+    * ORDER BY cs DESC, c_id. */
+  private def kmeansAssign(s: SparkSession, e: DataFrame): DataFrame = {
+    val seeds = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    e.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        round(cosine(s, "embedding", "c_emb"), 4).as("cs"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cs"), (-col("c_id")).as("neg_c"), col("c_id"))).as("best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("best.c_id").as("cluster"),
+        col("best.cs").as("cos_sim"), col("embedding"))
+  }
+
+  private val sqlAssign =
+    s"""seeds AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
+       kscored AS (SELECT e.vec_id, s.c_id,
+                     round(${sqlCos("e.embedding", "s.c_emb")}, 4) AS cs
+                   FROM embeddings e CROSS JOIN seeds s),
+       assign AS (SELECT vec_id, c_id AS cluster, cs AS cos_sim
+                  FROM (SELECT vec_id, c_id, cs,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id) AS rn
+                        FROM kscored) WHERE rn = 1)"""
+
+  /** K-MEANS ASSIGNMENT step over the embedding corpus: nearest of 8
+    * deterministic seed centroids by cosine. 100 TB shape: centroids are
+    * always broadcast-small (k rows), scoring is map-side, and the argmax
+    * is a partial-agg groupBy — the corpus shuffles once, narrow rows, no
+    * window over k-times-inflated scores. This is the per-iteration cost
+    * model of distributed Lloyd's; [[kmeansUpdate]] is the other half. */
+  val kmeansAssignQ = GraftQuery(
+    "emb_kmeans_assign",
+    (s, dir) =>
+      kmeansAssign(s, t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("cluster"), col("cos_sim"))
+        .orderBy(col("vec_id")),
+    Some(s"""WITH $sqlAssign
+             SELECT vec_id, cluster, cos_sim FROM assign ORDER BY vec_id"""))
+
+  /** K-MEANS UPDATE step (one Lloyd iteration): element-wise mean of member
+    * vectors per cluster. The mean is 64 independent `sum` aggregates
+    * generated over `embedding[i]` — fully codegen'd, map-side partial
+    * aggregation, ONE shuffle whose payload is k x 64 partial sums, never
+    * the vectors. (The alternative — posexplode to (vector, dim) rows —
+    * inflates the corpus 64x through the exchange; this shape moves only
+    * aggregates.) Output is long-format (cluster, dim, mean) for the
+    * oracle; means are rounded to 6 dp, far above the ~1e-15 accumulation-
+    * order noise of double sums. */
+  val kmeansUpdate = GraftQuery(
+    "emb_kmeans_update",
+    (s, dir) => {
+      val sums: Seq[Column] = (0 until Dim).map(i =>
+        sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
+      val agg = kmeansAssign(s, t(s, dir, "embeddings"))
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"), sums.head, sums.tail: _*)
+      agg.select(col("cluster"), col("n_members"),
+        posexplode(array((0 until Dim).map(i =>
+          round(col(s"s$i") / col("n_members"), 6)): _*)).as(Seq("d", "mean")))
+        .select(col("cluster"), (col("d") + 1).as("dim"), col("n_members"), col("mean"))
+        .orderBy(col("cluster"), col("dim"))
+    },
+    Some(s"""WITH $sqlAssign,
+             m AS (SELECT a.vec_id, a.cluster, e.embedding
+                   FROM assign a JOIN embeddings e USING (vec_id)),
+             d AS (SELECT cluster, i AS dim, CAST(embedding[i] AS DOUBLE) AS v
+                   FROM m CROSS JOIN LATERAL
+                     (SELECT unnest(generate_series(1, 64)) AS i) g)
+             SELECT cluster, CAST(dim AS INTEGER) AS dim,
+               count(*) AS n_members, round(sum(v) / count(*), 6) AS mean
+             FROM d GROUP BY cluster, dim ORDER BY cluster, dim"""))
+
+  /** SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023 shape): cluster the corpus
+    * (nearest-seed assignment), then search for near-duplicates ONLY within
+    * a cluster — pairwise cosine >= 0.35 flags the higher-id member, keep
+    * the lowest id. The cluster equi-join bounds the pair count at
+    * O(sum of cluster sizes squared) instead of O(n^2); in production k is
+    * calibrated to the corpus (~sqrt(n) clusters keeps per-cluster
+    * all-pairs tractable at billions of vectors) — k=8 here only because
+    * the oracle re-derives the same clustering. */
+  val semanticDedup = GraftQuery(
+    "dedup_semantic",
+    (s, dir) => {
+      val m = kmeansAssign(s, t(s, dir, "embeddings"))
+      val a = m.select(col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = m.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val dups = a.join(b, "cluster").filter(col("vec_a") < col("vec_b"))
+        .filter(round(cosine(s, "ea", "eb"), 4) >= 0.35)
+        .select(col("vec_b").as("vec_id")).distinct()
+      m.select(col("vec_id"), col("cluster"))
+        .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          coalesce(!col("dup"), lit(true)).as("keep"))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""WITH $sqlAssign,
+             m AS (SELECT a.vec_id, a.cluster, e.embedding
+                   FROM assign a JOIN embeddings e USING (vec_id)),
+             dup AS (SELECT DISTINCT b.vec_id
+                     FROM m a JOIN m b
+                       ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                     WHERE round(${sqlCos("a.embedding", "b.embedding")}, 4) >= 0.35)
+             SELECT m.vec_id, m.cluster, (dup.vec_id IS NULL) AS keep
+             FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+             ORDER BY m.vec_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
-      annRangeSearch, quantizeInt8)
+      annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup)
 }

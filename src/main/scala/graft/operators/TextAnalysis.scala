@@ -180,6 +180,55 @@ object TextAnalysis {
                   FROM documents)
             ORDER BY doc_id"""))
 
+  /** TF-IDF top terms per document — the classic relevance/keyword signal a
+    * curation pipeline uses for topic tagging and near-boilerplate spotting.
+    * 100 TB shape: term frequencies are one partial-agg groupBy of the
+    * exploded tokens; document frequencies re-aggregate the (much smaller)
+    * per-doc-term table; the idf join is on the term key (AQE broadcasts
+    * the vocabulary when it fits, falls back to a hash join when web-scale
+    * vocab doesn't); the corpus count joins in as a broadcast 1-row
+    * aggregate, not a collected literal. Float discipline: idf is
+    * floor-rounded to 6 dp BEFORE the tf multiply, and the final score is
+    * floor-scaled to an exact integer, so engines can't drift in the last
+    * ulp of ln(). */
+  val tfidf = GraftQuery(
+    "text_tfidf",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfTerm = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfTerm, "term").crossJoin(broadcast(nDocs))
+        .withColumn("idf_r",
+          expr("floor(ln(cast(n_docs as double) / df) * 1e6 + 0.5) / 1e6"))
+        .withColumn("score_scaled",
+          expr("cast(floor(tf * idf_r * 1e6 + 0.5) as bigint)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score_scaled").desc, col("term"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("score_scaled"), col("rank"))
+        .orderBy(col("doc_id"), col("rank"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            dfp AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+                     CAST(floor(tf.tf *
+                       (floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e6 + 0.5) / 1e6)
+                       * 1e6 + 0.5) AS BIGINT) AS score_scaled
+                   FROM tf JOIN dfp USING (term) CROSS JOIN n),
+            rk AS (SELECT doc_id, term, tf, score_scaled,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY score_scaled DESC, term) AS rank
+                   FROM sc)
+            SELECT doc_id, term, tf, score_scaled, CAST(rank AS INTEGER) AS rank
+            FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""))
+
   val all: Seq[GraftQuery] =
-    Seq(langId, quality, tokenCount, fingerprint, winnow, normalize)
+    Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf)
 }
