@@ -338,7 +338,7 @@ object Similarity {
         sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
       val agg = kmeansAssign(s, t(s, dir, "embeddings"))
         .groupBy(col("cluster"))
-        .agg(count(lit(1)).as("n_members"), sums.head, sums.tail: _*)
+        .agg(count(lit(1)).as("n_members"), sums: _*)
       agg.select(col("cluster"), col("n_members"),
         posexplode(array((0 until Dim).map(i =>
           round(col(s"s$i") / col("n_members"), 6)): _*)).as(Seq("d", "mean")))
