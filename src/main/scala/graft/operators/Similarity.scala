@@ -366,7 +366,11 @@ object Similarity {
   val semanticDedup = GraftQuery(
     "dedup_semantic",
     (s, dir) => {
-      val m = kmeansAssign(s, t(s, dir, "embeddings"))
+      // cached: the assignment feeds both sides of the within-cluster
+      // self-join AND the final keep/drop join — without the cache the
+      // corpus is scored against the seeds three times (three scans +
+      // three argmax shuffles; confirmed in the formatted plan).
+      val m = kmeansAssign(s, t(s, dir, "embeddings")).cache()
       val a = m.select(col("cluster"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = m.select(col("cluster"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
       val dups = a.join(b, "cluster").filter(col("vec_a") < col("vec_b"))

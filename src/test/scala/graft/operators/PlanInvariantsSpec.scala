@@ -147,6 +147,34 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"LM scoring must join on the bigram key, plan:\n$s")
   }
 
+  test("dedup_semantic: the cluster assignment is scored once and reused via cache") {
+    // the assignment feeds three consumers (both self-join sides + the
+    // keep/drop join); uncached, the corpus is scored against the seeds
+    // three times. The cached plan must show cache scans in the outer tree
+    // and push the one seed-scoring nested-loop inside the cached relation.
+    spark.sharedState.cacheManager.clearCache()
+    val df = SparkEntry.queries("dedup_semantic")(spark, sf)
+    df.collect()
+    var cacheScans = 0; var scoringJoins = 0
+    def walk(n: SparkPlan): Unit = {
+      n match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case _ =>
+      }
+      if (n.nodeName.contains("InMemoryTableScan")) cacheScans += 1
+      if (n.nodeName.contains("BroadcastNestedLoopJoin")) scoringJoins += 1
+      n.children.foreach(walk); n.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(cacheScans >= 3,
+      s"expected all three assignment consumers to read the cache, got $cacheScans:\n${df.queryExecution.executedPlan}")
+    assert(scoringJoins == 0,
+      s"seed scoring should run once inside the cached relation, not per consumer:\n${df.queryExecution.executedPlan}")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("dedup_hash: the shuffle carries digests, not document text") {
     // the exchange output should be (digest, doc_id, partial counts); the
     // text column must die at the scan->project boundary
