@@ -266,6 +266,35 @@ object Curation {
             HAVING count(*) >= 2
             ORDER BY train_doc, bench_doc"""))
 
+  /** MIXTURE QUOTA sampling — hit a target per-source composition by taking
+    * a fixed deterministic quota from each source (domain/dataset mixing,
+    * the knob every pretraining recipe turns). Selection is the top-25 of
+    * each source by an independent content hash (uniform "random" draw,
+    * reproducible everywhere; doc_id tie-break). Scale shape: `rk <= 25`
+    * compiles to WindowGroupLimit, so each map partition keeps at most 25
+    * rows per source BEFORE the shuffle — the exchange carries
+    * O(quota x sources x partitions), never the corpus (pinned in
+    * PlanInvariantsSpec). */
+  val mixtureQuota = GraftQuery(
+    "curation_mixture_quota",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 25)
+        .select(col("source"), col("doc_id"), col("rk"))
+        .orderBy(col("source"), col("rk"))
+    },
+    Some("""SELECT source, doc_id, CAST(rk AS INTEGER) AS rk
+            FROM (SELECT source, doc_id, row_number() OVER (PARTITION BY source
+                    ORDER BY md5('mix:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+                  FROM documents)
+            WHERE rk <= 25 ORDER BY source, rk"""))
+
   val all: Seq[GraftQuery] =
-    Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate)
+    Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
+      mixtureQuota)
 }

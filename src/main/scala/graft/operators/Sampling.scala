@@ -153,5 +153,63 @@ object Sampling {
                   FROM embeddings)
             GROUP BY label ORDER BY label"""))
 
-  val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences, stratifiedSample)
+  /** Deterministic GLOBAL SHUFFLE into training shards — the "randomize the
+    * corpus, write N files, replay exactly" step before training. Shard is
+    * a content hash of the key; within-shard order is an independent hash
+    * (decorrelated salt) with a doc_id tie-break, so the permutation is a
+    * pure function of the data: every engine, re-run, and re-shard produces
+    * byte-identical shard files. 100 TB shape: shard count is chosen
+    * proportional to corpus size (one shard ≈ one output file, a few
+    * hundred MB), so the per-shard window is task-sized by construction
+    * and the plan is one hash shuffle on the shard key — exactly the
+    * repartition-and-sort a distributed shard writer performs. */
+  val shardAssign = GraftQuery(
+    "pipeline_shard_assign",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 16).as("shard")
+      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), shard,
+          md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    Some("""SELECT doc_id, shard, CAST(row_number() OVER
+              (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
+            FROM (SELECT doc_id,
+                    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS shard,
+                    md5('shuf:' || CAST(doc_id AS VARCHAR)) AS h
+                  FROM documents)
+            ORDER BY shard, pos"""))
+
+  /** Token-budget TRUNCATION (max-sequence-length enforcement): cap every
+    * document at 64 whitespace tokens, reporting the kept count, whether it
+    * was cut, and a digest of the truncated text (narrow output; the digest
+    * pins that the slice itself — not just the lengths — is identical
+    * across engines). Pure per-row expressions: runs at scan speed, no
+    * shuffle but the presentation sort. */
+  val truncate = GraftQuery(
+    "pipeline_truncate",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          least(size(col("w")), lit(64)).as("n_kept"),
+          (size(col("w")) > 64).as("truncated"),
+          md5(array_join(slice(col("w"), 1, 64), " ")).as("digest"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              CAST(len(w) AS INTEGER) AS n_tokens,
+              CAST(least(len(w), 64) AS INTEGER) AS n_kept,
+              len(w) > 64 AS truncated,
+              md5(array_to_string(list_slice(w, 1, 64), ' ')) AS digest
+            FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            ORDER BY doc_id"""))
+
+  val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
+    stratifiedSample, shardAssign, truncate)
 }

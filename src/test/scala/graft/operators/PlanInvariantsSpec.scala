@@ -175,6 +175,15 @@ class PlanInvariantsSpec extends SparkTestBase {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("curation_mixture_quota: per-source quota prunes map-side via WindowGroupLimit") {
+    // rk <= 25 must compile to WindowGroupLimit so each map partition keeps
+    // at most 25 rows per source BEFORE the exchange — the shuffle carries
+    // O(quota x sources x partitions), never the corpus
+    val s = plan("curation_mixture_quota").toString
+    assert(s.contains("WindowGroupLimit"),
+      s"quota filter should push a group limit below the window sort, plan:\n$s")
+  }
+
   test("dedup_hash: the shuffle carries digests, not document text") {
     // the exchange output should be (digest, doc_id, partial counts); the
     // text column must die at the scan->project boundary
