@@ -229,6 +229,36 @@ object TextAnalysis {
             SELECT doc_id, term, tf, score_scaled, CAST(rank AS INTEGER) AS rank
             FROM rk WHERE rank <= 3 ORDER BY doc_id, rank"""))
 
+  /** CORPUS-WIDE TOKEN FREQUENCIES from a Count-Min sketch
+    * ([[graft.functions.CMSketch]]): the scalable alternative to an exact
+    * token groupBy when the vocabulary itself is too big to shuffle — each
+    * executor folds its partitions into one depth x width table and only
+    * the few-KB tables merge. Output compares the sketch estimate to the
+    * exact count for the 20 most frequent tokens and checks the CMS
+    * guarantee `exact <= est <= exact + (e/width) * N`. No DuckDB oracle
+    * (the sketch is hash-defined, not SQL-expressible) — rows-only here;
+    * the algebra and error bound are pinned by CountMinSketchSpec. */
+  val cmsHeavyHitters = GraftQuery(
+    "text_cms_heavy_hitters",
+    (s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val sk = toks.as[String].select(graft.functions.CMSketch.agg().toColumn).head()
+      // top-20 exact counts: a tiny driver-side table; the sketch itself is
+      // the driver-sized summary, so estimating against it is a local map
+      val rows = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+        .collect().toSeq.map { r =>
+          val tok = r.getString(0); val ex = r.getLong(1); val est = sk.estimate(tok)
+          (tok, ex, est, est >= ex && est <= ex + sk.errorBound)
+        }
+      s.createDataFrame(rows).toDF("tok", "exact_cnt", "est_cnt", "within_bound")
+        .orderBy(col("exact_cnt").desc, col("tok"))
+    },
+    None)
+
   val all: Seq[GraftQuery] =
-    Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf)
+    Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
+      cmsHeavyHitters)
 }
