@@ -3,6 +3,7 @@ package graft.operators
 import graft.{SparkEntry, SparkTestBase}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.functions.{col, sum}
 
 /** Scale-posture invariants, pinned in CI instead of by eyeball: filters
   * reach the parquet scan, projections prune columns, broadcast joins build
@@ -182,6 +183,36 @@ class PlanInvariantsSpec extends SparkTestBase {
     val s = plan("curation_mixture_quota").toString
     assert(s.contains("WindowGroupLimit"),
       s"quota filter should push a group limit below the window sort, plan:\n$s")
+  }
+
+  test("runtime bloom-filter pruning: a selective dim filter reaches the fact scan as might_contain") {
+    // at 100 TB the winning plan for fact JOIN selective-dim is a runtime
+    // bloom filter built from the dim keys and applied at the fact scan,
+    // so non-matching fact rows die before the shuffle. Spark injects it
+    // size-driven; the toy SF is pushed over the line by zeroing the
+    // application-side threshold and disabling broadcast (the 1000x
+    // simulation, same trick as the q3 build-side test).
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = graft.Tables.t(spark, benchSf, "lineitem")
+      val dim = graft.Tables.t(spark, benchSf, "part")
+        .filter(col("p_size") === 1 && col("p_brand") === "Brand#11")
+      val q = fact.join(dim, col("l_partkey") === col("p_partkey"))
+        .agg(sum(col("l_quantity")).as("q"))
+      q.collect()
+      val s = q.queryExecution.executedPlan.toString
+      assert(s.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side, plan:\n$s")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("dedup_hash: the shuffle carries digests, not document text") {
