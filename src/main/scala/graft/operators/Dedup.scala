@@ -466,7 +466,62 @@ object Dedup {
             FROM ch JOIN cnt USING (h)
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** PRIORITY KEEP: when the same content arrives from several sources
+    * (snapshot overlap, mirror crawls), keep ONE canonical copy chosen by
+    * source priority (lower source ordinal wins here) with a doc_id
+    * tie-break — the cross-source dedup policy step that follows exact
+    * dedup in every corpus merge. Scale shape: min(struct(...)) is a
+    * partial-aggregated argmin — one digest-keyed shuffle of narrow rows,
+    * NO per-group sort and no window (the oracle uses the equivalent
+    * rn=1 window SQL; the engine side deliberately does not). */
+  val priorityKeep = GraftQuery(
+    "dedup_priority_keep",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(md5(col("text")).as("h"),
+          substring(col("source"), 4, 10).cast("int").as("prio"),
+          col("doc_id"))
+        .groupBy(col("h"))
+        .agg(min(struct(col("prio"), col("doc_id"))).as("best"),
+          count(lit(1)).as("n_copies"))
+        .select(col("h"), col("best.doc_id").as("keep_doc"),
+          col("best.prio").as("keep_prio"), col("n_copies"))
+        .orderBy(col("keep_doc")),
+    Some("""SELECT h, doc_id AS keep_doc, prio AS keep_prio, n_copies
+            FROM (SELECT h, doc_id, prio, count(*) OVER (PARTITION BY h) AS n_copies,
+                    row_number() OVER (PARTITION BY h ORDER BY prio, doc_id) AS rn
+                  FROM (SELECT md5(text) AS h, doc_id,
+                          CAST(substring(source, 4, 10) AS INTEGER) AS prio
+                        FROM documents))
+            WHERE rn = 1 ORDER BY keep_doc"""))
+
+  /** INCREMENTAL INGEST DELTA: which incoming documents are genuinely new
+    * against an existing snapshot? (doc_id % 7 = 0 plays the snapshot, the
+    * rest the incoming batch — same synthetic-split trick as
+    * decontamination.) The membership test is a LEFT ANTI join on the
+    * content digest: both sides project to (digest[, id]) before the
+    * exchange, so the shuffle carries 32-char digests, never text; at
+    * 100 TB the snapshot side is a digest index that AQE broadcasts when
+    * it fits. This is the "don't re-ingest what the last crawl already
+    * has" step of a continuously-updated corpus. */
+  val ingestDelta = GraftQuery(
+    "dedup_ingest_delta",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val snapshot = docs.filter(col("doc_id") % 7 === 0).select(col("h"))
+      docs.filter(col("doc_id") % 7 =!= 0)
+        .join(snapshot, Seq("h"), "left_anti")
+        .select(col("doc_id"), col("h"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, md5(text) AS h FROM documents
+            WHERE doc_id % 7 <> 0
+              AND md5(text) NOT IN
+                (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
+            ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
-      containment, minhashFast, chunk)
+      containment, minhashFast, chunk, priorityKeep, ingestDelta)
 }

@@ -39,6 +39,29 @@ class CountMinSketchSpec extends SparkTestBase {
       "map-side partials + merge must reproduce the sequential sketch exactly")
   }
 
+  test("CMS as streaming state: one sketch accumulates exactly across micro-batches") {
+    import spark.implicits._
+    val in = graft.streaming.GraftSource.memory[String](spark)
+    val sketches = in.toDS().flatMap(_.split(" "))
+      .groupByKey(_ => 0)
+      .agg(CMSketch.agg(4, 256).toColumn.name("sk"))
+    val q = sketches.writeStream
+      .outputMode("update").format("memory").queryName("cms_stream").start()
+    try {
+      in.addData("a b a", "c a")
+      q.processAllAvailable()
+      in.addData("a d b")
+      q.processAllAvailable()
+      val sk = spark.table("cms_stream").as[(Int, CMSketch)]
+        .collect().map(_._2).maxBy(_.n) // update mode re-emits; last has all
+      assert(sk.n === 8)
+      // four distinct keys in a 4x256 sketch: estimates are exact unless a
+      // key collides in EVERY row — not possible with this fixed hash family
+      assert(sk.estimate("a") === 4 && sk.estimate("b") === 2 &&
+        sk.estimate("c") === 1 && sk.estimate("d") === 1)
+    } finally q.stop()
+  }
+
   test("estimates never under-count and respect the (e/width)*N ceiling") {
     import spark.implicits._
     val toks = graft.Tables.t(spark, sf, "documents")
