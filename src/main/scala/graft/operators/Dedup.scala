@@ -470,22 +470,29 @@ object Dedup {
     * (snapshot overlap, mirror crawls), keep ONE canonical copy chosen by
     * source priority (lower source ordinal wins here) with a doc_id
     * tie-break — the cross-source dedup policy step that follows exact
-    * dedup in every corpus merge. Scale shape: min(struct(...)) is a
-    * partial-aggregated argmin — one digest-keyed shuffle of narrow rows,
-    * NO per-group sort and no window (the oracle uses the equivalent
-    * rn=1 window SQL; the engine side deliberately does not). */
+    * dedup in every corpus merge. Scale shape: the argmin is (prio, doc_id)
+    * PACKED INTO ONE LONG (prio << 40 | doc_id) so the aggregate is a
+    * primitive `min` — HashAggregate with a mutable fixed-width buffer and
+    * map-side partials. (`min(struct(...))` computes the same answer but
+    * falls back to SortAggregate — a per-partition sort on the digest on
+    * both sides of the exchange; measured in the formatted plan.) Packing
+    * bound: doc_id < 2^40, prio < 2^23 — both documented invariants of the
+    * corpus key space. One digest-keyed shuffle of narrow rows, no
+    * per-group sort and no window (the oracle uses the equivalent rn=1
+    * window SQL; the engine side deliberately does not). */
   val priorityKeep = GraftQuery(
     "dedup_priority_keep",
     (s, dir) =>
       t(s, dir, "documents")
         .select(md5(col("text")).as("h"),
-          substring(col("source"), 4, 10).cast("int").as("prio"),
-          col("doc_id"))
+          (shiftleft(substring(col("source"), 4, 10).cast("long"), 40)
+            + col("doc_id")).as("packed"))
         .groupBy(col("h"))
-        .agg(min(struct(col("prio"), col("doc_id"))).as("best"),
-          count(lit(1)).as("n_copies"))
-        .select(col("h"), col("best.doc_id").as("keep_doc"),
-          col("best.prio").as("keep_prio"), col("n_copies"))
+        .agg(min(col("packed")).as("best"), count(lit(1)).as("n_copies"))
+        .select(col("h"),
+          (col("best") % (1L << 40)).as("keep_doc"),
+          shiftrightunsigned(col("best"), 40).cast("int").as("keep_prio"),
+          col("n_copies"))
         .orderBy(col("keep_doc")),
     Some("""SELECT h, doc_id AS keep_doc, prio AS keep_prio, n_copies
             FROM (SELECT h, doc_id, prio, count(*) OVER (PARTITION BY h) AS n_copies,

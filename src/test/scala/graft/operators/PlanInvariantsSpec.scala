@@ -185,6 +185,17 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"quota filter should push a group limit below the window sort, plan:\n$s")
   }
 
+  test("dedup_priority_keep: packed argmin stays in HashAggregate, never SortAggregate") {
+    // min(struct(prio, doc_id)) computes the same answer but lowers to
+    // SortAggregate (struct buffers aren't hash-mutable) = per-partition
+    // sorts on the digest on BOTH sides of the exchange; the single-long
+    // packing keeps the argmin a primitive min with map-side partials
+    val s = plan("dedup_priority_keep").toString
+    assert(s.contains("HashAggregate"), s"expected hash aggregation, plan:\n$s")
+    assert(!s.contains("SortAggregate"),
+      s"argmin must not fall back to sort aggregation, plan:\n$s")
+  }
+
   test("runtime bloom-filter pruning: a selective dim filter reaches the fact scan as might_contain") {
     // at 100 TB the winning plan for fact JOIN selective-dim is a runtime
     // bloom filter built from the dim keys and applied at the fact scan,
