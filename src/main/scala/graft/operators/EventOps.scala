@@ -316,7 +316,45 @@ object EventOps {
               AND abs(floor((value - mean) / std * 1e4 + 0.5) / 1e4) >= 3.0
             ORDER BY event_id"""))
 
+  /** Interval (temporal proximity) join with NO equi-key: every
+    * purchase paired with every click — any user — within ±5 minutes.
+    * A naive plan is a BroadcastNestedLoopJoin (or cartesian) that streams
+    * the full click set past every purchase; at 100 TB that is O(n·m).
+    * Scale form used here: bucket time into bins of exactly the join
+    * radius (300 s). A purchase lands in its single bin; a click is
+    * replicated to the ≤3 bins its ±300 s window can overlap, and the
+    * join becomes a plain shuffled equi-join on `bin` followed by the
+    * exact |gap| ≤ 300 s residual filter. Each qualifying pair meets in
+    * exactly one bin (the purchase's), so no dedup step is needed.
+    * PlanInvariantsSpec pins that the plan contains no nested-loop or
+    * cartesian join. */
+  val intervalJoinBinned = GraftQuery(
+    "ev_interval_join_binned",
+    (s, dir) => {
+      val B = 300000000L // join radius == bin width, in microseconds
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("ts").as("p_ts"), unix_micros(col("ts")).as("p_us"))
+        .withColumn("bin", expr(s"p_us div ${B}L"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("c_us"))
+        .withColumn("bin",
+          explode(expr(s"sequence((c_us - ${B}L) div ${B}L, (c_us + ${B}L) div ${B}L)")))
+      p.join(c, "bin")
+        .filter(abs(col("p_us") - col("c_us")) <= B)
+        .groupBy(date_trunc("hour", col("p_ts")).as("hr"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("p_us") - col("c_us"))).as("sum_gap_us"))
+        .orderBy(col("hr"))
+    },
+    Some("""SELECT date_trunc('hour', p.ts) AS hr, count(*) AS n_pairs,
+              sum(abs(epoch_us(p.ts) - epoch_us(c.ts))) AS sum_gap_us
+            FROM events p JOIN events c
+              ON p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
-    timeFilter, dedupReplay, cohortRetention, anomalyZscore)
+    timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned)
 }

@@ -119,6 +119,12 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"bucketed near-dup must not degrade to all-pairs, plan:\n$s")
   }
 
+  test("ev_interval_join_binned: no-equi-key temporal join runs as a bin equi-join, never nested-loop") {
+    val s = plan("ev_interval_join_binned").toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"binned interval join must not degrade to all-pairs, plan:\n$s")
+  }
+
   private def hashShuffles(p: SparkPlan) =
     shuffleExchanges(p).filter(_.outputPartitioning
       .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
