@@ -53,19 +53,21 @@ object Bench {
       // capacity, not a memory-pressured engine (round-3 lesson: the SOL
       // number collapsed 17M -> 4M purely from bench-context interference).
       spark.catalog.clearCache()
-      // Fixed 5M-row micro-batches: every batch is a uniform saturation
+      // Fixed 20M-row micro-batches: every batch is a uniform saturation
       // sample. The plain `rate` source at an above-capacity ask grows its
       // backlog without bound, so a probe window saw only 1-2 giant,
       // memory-hungry batches — one bad sample decided the headline number.
+      // 20M (not smaller) so per-batch planning/commit overhead is noise
+      // against ~1.5 s of generate+project work per batch.
       val q = graft.streaming.GraftSource
-        .rateFixedBatch(spark, rowsPerBatch = 5000000, payloadBytes = 100)
+        .rateFixedBatch(spark, rowsPerBatch = 20000000, payloadBytes = 100)
         .writeStream.format("noop").start()
       val deadline = System.currentTimeMillis() + 30000
       // skip the first batch (codegen/classloading) and require a healthy
       // sample count before reporting the peak
       def rates() = q.recentProgress.drop(1)
         .map(_.processedRowsPerSecond).filterNot(_.isNaN).filter(_ > 0)
-      while (rates().length < 10 && System.currentTimeMillis() < deadline)
+      while (rates().length < 8 && System.currentTimeMillis() < deadline)
         Thread.sleep(500)
       val obs = rates()
       q.stop()

@@ -45,6 +45,10 @@ object GraftSource {
   def rateFixedBatch(spark: SparkSession, rowsPerBatch: Long, payloadBytes: Int = 100): DataFrame =
     solPayload(spark.readStream.format("rate-micro-batch")
       .option("rowsPerBatch", rowsPerBatch)
+      // unlike `rate`, this source does NOT default numPartitions to the
+      // cluster's parallelism — unset, every batch generates on ONE task
+      // and the probe measures a single core
+      .option("numPartitions", spark.sparkContext.defaultParallelism)
       .load(), payloadBytes)
 
   private def solPayload(raw: DataFrame, payloadBytes: Int): DataFrame =
