@@ -774,6 +774,53 @@ object Relational {
               ON o_totalprice >= lo AND o_totalprice < hi
             GROUP BY band ORDER BY band"""))
 
+  /** Six-table star join (TPC-H Q5 shape): local-supplier revenue per
+    * nation for one region and one order year. The scale discipline:
+    * region->nation is a broadcast chain (tiny dims), supplier is
+    * broadcast, and the two genuinely large relations (orders filtered by
+    * date, lineitem) meet in shuffle joins on their keys — the fact table
+    * is never broadcast (q3's PlanInvariantsSpec pins that discipline under
+    * a shrunken threshold). Revenue is summed in integer cents so both
+    * engines aggregate exactly, independent of float summation order. */
+  val q43JoinSix = GraftQuery(
+    "q43_join_six",
+    (s, dir) => {
+      val asiaNations = broadcast(
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+      val orders96 = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "customer")
+        .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+        .join(orders96, col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          sum(expr("cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)"))
+            .as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+              sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                AS revenue_cents,
+              count(*) AS n_items
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+              AND l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+              AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1997-01-01'
+            GROUP BY n_name ORDER BY revenue_cents DESC, n_name"""))
+
   /** Ordered string aggregation (collect + sort + join) — deterministic via
     * sorting the collected values, never relying on arrival order. */
   val q39StringAgg = GraftQuery(
@@ -873,5 +920,5 @@ object Relational {
     q23Percentile, q24Pivot, q25Explode, q26Having, q29ArrayFuncs, q30MapFuncs,
     q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets,
     q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
-    q41Median, q42LateralTopN)
+    q41Median, q42LateralTopN, q43JoinSix)
 }

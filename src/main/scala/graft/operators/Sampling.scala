@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deterministic content-hash sampling — the reproducibility primitive of
@@ -210,6 +210,57 @@ object Sampling {
             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
             ORDER BY doc_id"""))
 
+  /** Morton (Z-order) interleave of the low `bits` bits of two integral
+    * columns — the multi-dimensional clustering key behind z-ordered data
+    * layout. Unrolled shift/mask terms, fully codegen'd. */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _).cast("long")
+
+  /** Z-ordered write: cluster `df` on the interleaved key of two dimensions
+    * and lay files out in z-value ranges. Each output partition then covers
+    * a tight bounding box in BOTH dimensions, so file-level min/max stats
+    * prune scans filtered on either column — the layout optimization a
+    * 100 TB corpus needs for multi-dimensional access patterns (a sort on
+    * one column leaves the other unclustered). */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
+      partitions: Int, path: String): Unit =
+    df.withColumn("_z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+
+  /** The z-curve locality profile as an oracled query: bucket lineitem's
+    * (partkey, suppkey) plane by the top bits of the interleaved key and
+    * report each bucket's bounding box. Tight per-bucket min/max on BOTH
+    * dimensions is exactly the property that makes the layout prunable;
+    * ZOrderSpec quantifies it against a row-order baseline. */
+  val zorderProfile = GraftQuery(
+    "pipeline_zorder",
+    (s, dir) => {
+      val z = t(s, dir, "lineitem")
+        .select((col("l_partkey") % 1024).as("x"), (col("l_suppkey") % 1024).as("y"))
+        .withColumn("zval", zValue(col("x"), col("y"), 10))
+      z.groupBy(shiftright(col("zval"), 12).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("zbucket"))
+    },
+    Some("""WITH z AS (SELECT CAST(l_partkey % 1024 AS BIGINT) AS x,
+                              CAST(l_suppkey % 1024 AS BIGINT) AS y FROM lineitem),
+            zz AS (SELECT x, y, CAST(list_sum(list_transform(range(0, 10), i ->
+                     ((x // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i)) +
+                     ((y // (1::BIGINT << i)) % 2) * (1::BIGINT << (2*i+1))))
+                   AS BIGINT) AS zval FROM z)
+            SELECT zval >> 12 AS zbucket, count(*) AS n,
+              min(x) AS min_x, max(x) AS max_x,
+              min(y) AS min_y, max(y) AS max_y
+            FROM zz GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
-    stratifiedSample, shardAssign, truncate)
+    stratifiedSample, shardAssign, truncate, zorderProfile)
 }
