@@ -294,7 +294,49 @@ object Curation {
                   FROM documents)
             WHERE rk <= 25 ORDER BY source, rk"""))
 
+  /** Temperature-based source rebalancing (the `n^alpha` mixture reweight
+    * every multilingual/multi-domain pretraining recipe applies): keep rate
+    * r_g = base * (n_max / n_g)^(1/2) capped at 1 — big groups downsampled
+    * toward the base rate, small groups kept nearly whole (alpha = 0.5).
+    * The keep decision is the deterministic content-hash draw used by all
+    * graft sampling ops, and the sqrt threshold is evaluated by integer
+    * cross-multiplication (b^2 * n_g < base^2 * M^2 * n_max with M = 1e6
+    * hash buckets) so both engines make bit-identical decisions — no
+    * float-rounded probability ever compares against a hash.
+    * Scale shape: the per-group counts are a tiny broadcast (group
+    * cardinality = languages/domains, not documents); the corpus is
+    * scanned ONCE with the keep predicate evaluated map-side. */
+  val temperatureSample = GraftQuery(
+    "curation_temperature_sample",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("lang"),
+        (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 1000000L).as("b"))
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val nMax = broadcast(counts.agg(max(col("n_docs")).as("n_max")))
+      docs.join(broadcast(counts), "lang")
+        .crossJoin(nMax) // 1 row, broadcast: a map-side constant
+        .groupBy(col("lang"), col("n_docs"))
+        .agg(sum(when(col("b") * col("b") * col("n_docs") <
+          lit(250000000000L) * col("n_max"), 1L).otherwise(0L)).as("n_kept"))
+        .withColumn("kept_rate",
+          expr("cast(n_kept * 10000 div n_docs as double) / 10000.0d"))
+        .select(col("lang"), col("n_docs"), col("n_kept"), col("kept_rate"))
+        .orderBy(col("lang"))
+    },
+    Some("""WITH d AS (SELECT lang,
+                 CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 1000000 AS b
+               FROM documents),
+            c AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY lang),
+            m AS (SELECT max(n_docs) AS n_max FROM c)
+            SELECT d.lang, c.n_docs,
+              count(*) FILTER (WHERE b * b * c.n_docs < 250000000000 * m.n_max)
+                AS n_kept,
+              ((count(*) FILTER (WHERE b * b * c.n_docs < 250000000000 * m.n_max))
+                 * 10000 // c.n_docs) / 10000.0 AS kept_rate
+            FROM d JOIN c USING (lang) CROSS JOIN m
+            GROUP BY d.lang, c.n_docs ORDER BY d.lang"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
-      mixtureQuota)
+      mixtureQuota, temperatureSample)
 }
