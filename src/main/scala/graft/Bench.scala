@@ -12,6 +12,12 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Engine.session("graft-bench", s"local[$cpus]")
     val headline = SparkEntry.registry.filter(_.headline)
+    // SOL streaming first, on a pristine JVM: the relational queries below
+    // leave broadcast blocks and old-gen garbage that starve the 20M-row
+    // stream batches (observed: 1.5 s/batch fresh vs >30 s/batch after the
+    // batch suite — a single-JVM-bench artifact, not engine capacity; on a
+    // cluster, streaming doesn't share executors with a finished batch job).
+    val streamRps = solThroughput(spark)
     // warm the JVM/codegen once on the smallest SF so per-query times
     // measure the engine, not first-call classloading.
     headline.foreach { q =>
@@ -30,9 +36,6 @@ object Bench {
     }.mkString("{", ",", "}")
     val errors = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    // SOL-equivalent streaming pass-through (BASELINE.md): rate source ->
-    // 100-byte payload projection -> noop sink, peak processed rows/s.
-    val streamRps = solThroughput(spark)
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f,"sf":"$sfDir"}"""
     // Evidence must be unlosable (round-2 lesson: the TaskKilled WARN flood
@@ -48,11 +51,6 @@ object Bench {
 
   private def solThroughput(spark: SparkSession): Double = {
     try {
-      // The relational queries above leave cached blocks (signature caches
-      // etc.) in storage memory; drop them so the stream measures engine
-      // capacity, not a memory-pressured engine (round-3 lesson: the SOL
-      // number collapsed 17M -> 4M purely from bench-context interference).
-      spark.catalog.clearCache()
       // Fixed 20M-row micro-batches: every batch is a uniform saturation
       // sample. The plain `rate` source at an above-capacity ask grows its
       // backlog without bound, so a probe window saw only 1-2 giant,
@@ -62,16 +60,18 @@ object Bench {
       val q = graft.streaming.GraftSource
         .rateFixedBatch(spark, rowsPerBatch = 20000000, payloadBytes = 100)
         .writeStream.format("noop").start()
-      val deadline = System.currentTimeMillis() + 30000
-      // skip the first batch (codegen/classloading) and require a healthy
-      // sample count before reporting the peak
+      val deadline = System.currentTimeMillis() + 45000
+      // skip the first batch (codegen/classloading); JIT keeps ramping the
+      // per-batch rate until ~batch 12-15, so collect enough samples that
+      // the max reflects steady state
       def rates() = q.recentProgress.drop(1)
         .map(_.processedRowsPerSecond).filterNot(_.isNaN).filter(_ > 0)
-      while (rates().length < 8 && System.currentTimeMillis() < deadline)
+      while (rates().length < 20 && System.currentTimeMillis() < deadline)
         Thread.sleep(500)
       val obs = rates()
       q.stop()
+      System.err.println(s"[bench] SOL batches: ${obs.map(_.toLong).mkString(",")}")
       if (obs.nonEmpty) obs.max else 0.0
-    } catch { case _: Throwable => 0.0 }
+    } catch { case e: Throwable => System.err.println(s"[bench] SOL probe: $e"); 0.0 }
   }
 }

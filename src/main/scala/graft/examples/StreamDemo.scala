@@ -88,6 +88,20 @@ object StreamDemo {
     docs.addData((31L, doc.replace("quiet", "muddy"))); dd.processAllAvailable()
     println("STREAM_DEDUP=" + spark.table("dedup_demo").as[(Long, Long)].collect().toSet)
     dd.stop()
+
+    // 8. CEP: click followed by purchase within 5 minutes, per user
+    import graft.streaming.Cep
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val cepIn = GraftSource.memory[Cep.CepEvent](spark)
+    val cepQ = Cep.detect(cepIn.toDS().withWatermark("ts", "10 seconds"),
+        first = "click", second = "purchase", withinMs = 300000L)
+      .writeStream.outputMode("append").format("memory").queryName("cep_demo").start()
+    cepIn.addData(
+      Cep.CepEvent("u1", "click", ts("2024-01-01 10:00:00")),
+      Cep.CepEvent("u1", "purchase", ts("2024-01-01 10:02:30")))
+    cepQ.processAllAvailable()
+    println("CEP_MATCHES=" + spark.table("cep_demo").count())
+    cepQ.stop()
     spark.stop()
   }
 }

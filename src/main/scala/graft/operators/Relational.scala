@@ -819,7 +819,8 @@ object Relational {
               AND r_name = 'ASIA'
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate < DATE '1997-01-01'
-            GROUP BY n_name ORDER BY revenue_cents DESC, n_name"""))
+            GROUP BY n_name ORDER BY revenue_cents DESC, n_name"""),
+    headline = true)
 
   /** Ordered string aggregation (collect + sort + join) — deterministic via
     * sorting the collected values, never relying on arrival order. */

@@ -33,7 +33,7 @@ object Cep {
       gapMs: Long)
 
   /** State = epoch-ms of the latest `first` event, or MinValue. */
-  private final class Detector(first: String, second: String, withinMs: Long)
+  private[streaming] final class Detector(first: String, second: String, withinMs: Long)
       extends Serializable {
 
     def process(key: String, rows: Iterator[CepEvent],
@@ -74,6 +74,116 @@ object Cep {
     val d = new Detector(first, second, withinMs)
     events.groupByKey(_.key)
       .flatMapGroupsWithState[Long, PatternMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(d.process _)
+  }
+
+  final case class SeqMatch(key: String, startTs: Timestamp, endTs: Timestamp)
+
+  /** Multi-step chain state: how many steps matched, chain start, last
+    * matched step's timestamp. */
+  private[streaming] final class SeqDetector(steps: Seq[String], withinMs: Long)
+      extends Serializable {
+    def process(key: String, rows: Iterator[CepEvent],
+        state: GroupState[(Int, Long, Long)]): Iterator[SeqMatch] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var (n, t0, tPrev) = state.getOption.getOrElse((0, 0L, 0L))
+        val out = Seq.newBuilder[SeqMatch]
+        rows.toSeq.sortBy(_.ts.getTime).foreach { ev =>
+          val ts = ev.ts.getTime
+          if (n > 0 && ts - t0 > withinMs) { n = 0 } // chain expired
+          if (n == 0) {
+            if (ev.etype == steps.head) { n = 1; t0 = ts; tPrev = ts }
+          } else if (ev.etype == steps(n) && ts > tPrev) {
+            n += 1; tPrev = ts
+            if (n == steps.size) {
+              out += SeqMatch(key, new Timestamp(t0), new Timestamp(tPrev))
+              n = 0 // non-overlapping: restart after a full match
+            }
+          }
+        }
+        if (n == 0) state.remove()
+        else {
+          state.update((n, t0, tPrev))
+          if (state.getCurrentWatermarkMs() >= 0)
+            state.setTimeoutTimestamp(
+              math.max(t0 + withinMs, state.getCurrentWatermarkMs() + 1))
+        }
+        out.result().iterator
+      }
+    }
+  }
+
+  /** Ordered multi-step pattern (funnel chain): `steps` must occur in
+    * strict event-time order, the whole chain inside `withinMs` of its
+    * first step. Greedy earliest-start, non-overlapping matches; partial
+    * chains are dropped once the watermark passes start + withinMs. */
+  def detectSequence(events: Dataset[CepEvent], steps: Seq[String],
+      withinMs: Long): Dataset[SeqMatch] = {
+    require(steps.size >= 2, "a sequence pattern needs at least two steps")
+    val spark: SparkSession = events.sparkSession
+    import spark.implicits._
+    val d = new SeqDetector(steps, withinMs)
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[(Int, Long, Long), SeqMatch](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(d.process _)
+  }
+
+  final case class AbsenceAlert(key: String, firstTs: Timestamp,
+      deadlineTs: Timestamp)
+
+  /** Absence detection state = latest unanswered `first` timestamp. */
+  private[streaming] final class AbsenceDetector(first: String, second: String,
+      withinMs: Long) extends Serializable {
+    def process(key: String, rows: Iterator[CepEvent],
+        state: GroupState[Long]): Iterator[AbsenceAlert] = {
+      def alert(aTs: Long) =
+        AbsenceAlert(key, new Timestamp(aTs), new Timestamp(aTs + withinMs))
+      if (state.hasTimedOut) {
+        // watermark passed firstTs + withinMs with no answering `second`
+        val a = state.get
+        state.remove()
+        Iterator.single(alert(a))
+      } else {
+        var pending = state.getOption.getOrElse(Long.MinValue)
+        val out = Seq.newBuilder[AbsenceAlert]
+        rows.toSeq.sortBy(_.ts.getTime).foreach { ev =>
+          val ts = ev.ts.getTime
+          // any event past the deadline proves the absence in-stream,
+          // before the watermark timer would fire
+          if (pending != Long.MinValue && ts > pending + withinMs) {
+            out += alert(pending); pending = Long.MinValue
+          }
+          if (ev.etype == first) pending = ts // latest-wins, see scaladoc
+          else if (ev.etype == second && pending != Long.MinValue &&
+            ts > pending) pending = Long.MinValue // answered in time
+        }
+        if (pending == Long.MinValue) state.remove()
+        else {
+          state.update(pending)
+          if (state.getCurrentWatermarkMs() >= 0)
+            state.setTimeoutTimestamp(
+              math.max(pending + withinMs, state.getCurrentWatermarkMs() + 1))
+        }
+        out.result().iterator
+      }
+    }
+  }
+
+  /** Negative pattern: `first` NOT answered by `second` within `withinMs`
+    * (cart abandonment, missed heartbeat). The alert fires either in-stream
+    * (a later event proves the deadline passed) or from the event-time
+    * timer once the watermark clears the deadline — the timer-EMISSION
+    * path of the reference's watermark-callback machinery, not just
+    * timer GC. A new `first` before the previous one's deadline replaces
+    * it (latest-wins; the common monitoring semantics). */
+  def detectAbsence(events: Dataset[CepEvent], first: String, second: String,
+      withinMs: Long): Dataset[AbsenceAlert] = {
+    val spark: SparkSession = events.sparkSession
+    import spark.implicits._
+    val d = new AbsenceDetector(first, second, withinMs)
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[Long, AbsenceAlert](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(d.process _)
   }
 }
