@@ -17,9 +17,13 @@ object Bench {
     // stream batches (observed: 1.5 s/batch fresh vs >30 s/batch after the
     // batch suite — a single-JVM-bench artifact, not engine capacity; on a
     // cluster, streaming doesn't share executors with a finished batch job).
-    val streamRps = solThroughput(spark)
+    val streamRps =
+      if (sys.env.get("SPARK_GRAFT_SOL").contains("off")) 0.0
+      else solThroughput(spark)
+    // drop the probe's garbage before timing the relational suite, then
     // warm the JVM/codegen once on the smallest SF so per-query times
     // measure the engine, not first-call classloading.
+    System.gc()
     headline.foreach { q =>
       try q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -55,8 +59,9 @@ object Bench {
       // sample. The plain `rate` source at an above-capacity ask grows its
       // backlog without bound, so a probe window saw only 1-2 giant,
       // memory-hungry batches — one bad sample decided the headline number.
-      // 20M (not smaller) so per-batch planning/commit overhead is noise
-      // against ~1.5 s of generate+project work per batch.
+      // 20M balances amortizing per-batch planning/commit overhead against
+      // heap churn (40M-row ~5 GB batches degrade later samples AND the
+      // relational suite afterwards).
       val q = graft.streaming.GraftSource
         .rateFixedBatch(spark, rowsPerBatch = 20000000, payloadBytes = 100)
         .writeStream.format("noop").start()

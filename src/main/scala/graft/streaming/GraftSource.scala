@@ -51,10 +51,19 @@ object GraftSource {
       .option("numPartitions", spark.sparkContext.defaultParallelism)
       .load(), payloadBytes)
 
-  private def solPayload(raw: DataFrame, payloadBytes: Int): DataFrame =
+  private def solPayload(raw: DataFrame, payloadBytes: Int): DataFrame = {
+    // Reference producer parity (SOLStreamProducer.scala:42-56,58-60): it
+    // pre-builds 100 random digit-strings of `sizeInBytes` at onStart and
+    // every message is messages(rand.nextInt(100)) — an array pick, never
+    // per-message string construction. Mirror that: a deterministic pool
+    // of 100 payloads built once on the driver, indexed by value % 100.
+    val rand = new java.util.Random(42)
+    val pool = Array.fill(100)(
+      Iterator.continually(rand.nextInt(9)).take(payloadBytes).mkString)
+    val poolCol = array(pool.map(lit(_)): _*)
     raw.select(col("timestamp").as("event_time"),
-      // deterministic payload of exactly `payloadBytes` ASCII chars
-      rpad(conv(col("value").cast("string"), 10, 16), payloadBytes, "x").as("payload"))
+      element_at(poolCol, (col("value") % 100 + 1).cast("int")).as("payload"))
+  }
 
   /** Streaming file source (HDFS-connector parity, SURVEY §2.2): new files
     * in `path` become micro-batches; offsets checkpointed in the WAL give
