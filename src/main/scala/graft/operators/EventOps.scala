@@ -354,7 +354,37 @@ object EventOps {
              AND c.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
             GROUP BY 1 ORDER BY 1"""))
 
+  /** The SAME temporal proximity join written the way a user naturally
+    * would — a naive `abs(p_us - c_us) <= 300s` theta-join, no manual
+    * binning — relying on [[graft.plans.ProximityJoin]] to rewrite the plan
+    * into the binned equi-join at optimization time. Oracle-identical to
+    * ev_interval_join_binned by construction; ProximityJoinSpec pins that
+    * the rewrite fires and the nested loop is gone. */
+  val intervalJoinAuto = GraftQuery(
+    "ev_interval_join_auto",
+    (s, dir) => {
+      graft.plans.ProximityJoin.install(s)
+      val B = 300000000L
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("ts").as("p_ts"), unix_micros(col("ts")).as("p_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(unix_micros(col("ts")).as("c_us"))
+      p.join(c, abs(col("p_us") - col("c_us")) <= B)
+        .groupBy(date_trunc("hour", col("p_ts")).as("hr"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("p_us") - col("c_us"))).as("sum_gap_us"))
+        .orderBy(col("hr"))
+    },
+    Some("""SELECT date_trunc('hour', p.ts) AS hr, count(*) AS n_pairs,
+              sum(abs(epoch_us(p.ts) - epoch_us(c.ts))) AS sum_gap_us
+            FROM events p JOIN events c
+              ON p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
+            GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
-    timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned)
+    timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
+    intervalJoinAuto)
 }

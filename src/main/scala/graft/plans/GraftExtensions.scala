@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
     (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)
+    // optimizer rules: proximity theta-joins become binned equi-joins
+    ext.injectOptimizerRule(_ => ProximityJoin)
+  }
 }

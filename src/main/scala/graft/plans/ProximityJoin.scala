@@ -1,0 +1,138 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite a proximity theta-join — an inner join whose ONLY
+  * cross-side predicate is `abs(a - b) <= r` — into a binned equi-join.
+  *
+  * Without it, Spark plans such a join as a BroadcastNestedLoopJoin (or a
+  * cartesian product): every left row is checked against every right row,
+  * O(n*m) — a scale-killer the reference never hits only because it has no
+  * join operator at all (SURVEY §2.4). The rewrite is the classic interval
+  * blocking scheme (same construction as the hand-written
+  * ev_interval_join_binned, operators/EventOps.scala): bucket the axis into
+  * bins of exactly the join radius `r`, keep the left row in its single bin
+  * `a div r`, replicate each right row to the <= 3 bins its +-r window can
+  * overlap (`sequence((b-r) div r, (b+r) div r)`), and join on bin equality
+  * with the exact |a-b| <= r predicate as a residual filter. Integer
+  * division is monotone, so `a div r` always lands inside that contiguous
+  * bin range — no qualifying pair is lost — and the sequence's values are
+  * distinct, so no pair is duplicated. The planner sees an equi-condition
+  * and picks a shuffled hash/sort-merge join: data-parallel, skew handled
+  * by AQE, no all-pairs blow-up.
+  *
+  * Scope guards (each keeps the rewrite strictly semantics-preserving):
+  *  - inner joins only — outer variants would need null-extension care;
+  *  - integral bin axis (int/long; timestamps enter via unix_micros);
+  *  - no existing cross-side equi-conjunct (Spark already hash-joins on it,
+  *    binning would only add a 3x replication for nothing);
+  *  - radius is a foldable non-negative literal after constant folding.
+  *
+  * Installed per-session by [[ProximityJoin.install]] or for every session
+  * via `spark.sql.extensions=graft.plans.GraftExtensions`. The rule runs in
+  * the operator-optimization batch; its output contains a cross-side
+  * equi-conjunct, so it can never re-match its own rewrite (fixed-point
+  * safe).
+  */
+object ProximityJoin extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Idempotently add the rule to a live session's extra optimizations. */
+  def install(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations.contains(this))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ this
+
+  def remove(spark: SparkSession): Unit =
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations.filterNot(_ == this)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hasEquiKey = conjuncts.exists {
+        case EqualTo(a, b) => crossSide(a, b, j).isDefined
+        case EqualNullSafe(a, b) => crossSide(a, b, j).isDefined
+        case _ => false
+      }
+      val prox: Option[(Expression, Expression, Long)] =
+        if (hasEquiKey) None
+        else conjuncts.collectFirst { case ProximityPredicate(a, b, r) => (a, b, r) }
+      prox.flatMap { case (a, b, r) =>
+        crossSide(a, b, j).map { case (leftExpr, rightExpr) =>
+          rewrite(j, leftExpr, rightExpr, r, cond, hint)
+        }
+      }.getOrElse(j)
+  }
+
+  /** Orient (a, b) so the first element only references `left` and the
+    * second only `right`; None when either side mixes or is unbound. */
+  private def crossSide(a: Expression, b: Expression, j: Join): Option[(Expression, Expression)] =
+    if (a.references.nonEmpty && b.references.nonEmpty &&
+      a.references.subsetOf(j.left.outputSet) && b.references.subsetOf(j.right.outputSet))
+      Some((a, b))
+    else if (a.references.nonEmpty && b.references.nonEmpty &&
+      a.references.subsetOf(j.right.outputSet) && b.references.subsetOf(j.left.outputSet))
+      Some((b, a))
+    else None
+
+  /** `abs(a - b) <= r` in either comparison orientation, strict or not
+    * (strict < r is still covered by <= r bins; the original predicate
+    * rides along as the exact residual). */
+  private object ProximityPredicate {
+    def unapply(e: Expression): Option[(Expression, Expression, Long)] = e match {
+      case LessThanOrEqual(AbsDiff(a, b), Radius(r)) => Some((a, b, r))
+      case LessThan(AbsDiff(a, b), Radius(r)) => Some((a, b, r))
+      case GreaterThanOrEqual(Radius(r), AbsDiff(a, b)) => Some((a, b, r))
+      case GreaterThan(Radius(r), AbsDiff(a, b)) => Some((a, b, r))
+      case _ => None
+    }
+  }
+
+  private object AbsDiff {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case Abs(Subtract(a, b, _), _) if integral(a) && integral(b) => Some((a, b))
+      case _ => None
+    }
+  }
+
+  private object Radius {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) if v > 0 => Some(v)
+      case Literal(v: Int, IntegerType) if v > 0 => Some(v.toLong)
+      case _ => None
+    }
+  }
+
+  private def integral(e: Expression): Boolean =
+    e.dataType == LongType || e.dataType == IntegerType
+
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+
+  private def rewrite(j: Join, leftExpr: Expression, rightExpr: Expression,
+      r: Long, cond: Expression, hint: JoinHint): LogicalPlan = {
+    val radius = Literal(r, LongType)
+    // left row -> its single bin
+    val binL = Alias(IntegralDivide(asLong(leftExpr), radius), "graft_prox_bin")()
+    val newLeft = Project(j.left.output :+ binL, j.left)
+    // right row -> the <= 3 bins its [b-r, b+r] window can overlap
+    val binRAttr = AttributeReference("graft_prox_bin_r", LongType,
+      nullable = true)()
+    // Sequence is TimeZoneAwareExpression: without an explicit zone the
+    // expression stays unresolved and plan validation rejects the rewrite
+    val seq = Sequence(
+      IntegralDivide(Subtract(asLong(rightExpr), radius), radius),
+      IntegralDivide(Add(asLong(rightExpr), radius), radius),
+      Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
+    val newRight = Generate(Explode(seq), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(binRAttr), j.right)
+    val newCond = And(EqualTo(binL.toAttribute, binRAttr), cond)
+    // restore the original join schema (drop both bin columns)
+    Project(j.output, Join(newLeft, newRight, Inner, Some(newCond), hint))
+  }
+}

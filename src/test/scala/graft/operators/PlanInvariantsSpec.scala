@@ -125,6 +125,14 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"binned interval join must not degrade to all-pairs, plan:\n$s")
   }
 
+  test("ev_interval_join_auto: the naive theta-join spelling is rewritten by ProximityJoin") {
+    val s = plan("ev_interval_join_auto").toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"ProximityJoin rewrite must remove the nested loop, plan:\n$s")
+    assert(s.contains("graft_prox_bin"),
+      s"expected the rule's bin columns in the plan:\n$s")
+  }
+
   private def hashShuffles(p: SparkPlan) =
     shuffleExchanges(p).filter(_.outputPartitioning
       .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])

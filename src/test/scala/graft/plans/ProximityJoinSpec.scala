@@ -1,0 +1,102 @@
+package graft.plans
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** ProximityJoin must turn the naive |a-b| <= r theta-join into a binned
+  * equi-join (no nested-loop / cartesian in the physical plan) without
+  * changing results, and must leave ineligible joins alone. */
+class ProximityJoinSpec extends SparkTestBase {
+
+  private def withRule[T](f: => T): T = {
+    ProximityJoin.install(spark)
+    try f finally ProximityJoin.remove(spark)
+  }
+
+  private def left: DataFrame = {
+    import spark.implicits._
+    // values straddle zero on purpose: integer division truncates toward
+    // zero, and the bin-coverage argument must survive that
+    (-500L to 500L by 7L).map(v => (v, s"L$v")).toDF("a", "la")
+  }
+  private def right: DataFrame = {
+    import spark.implicits._
+    (-500L to 500L by 11L).map(v => (v, s"R$v")).toDF("b", "rb")
+  }
+
+  private def naive(l: DataFrame, r: DataFrame): DataFrame =
+    l.join(r, abs(col("a") - col("b")) <= 25L)
+
+  test("proximity theta-join is rewritten to a binned equi-join with identical results") {
+    val expected = naive(left, right).collect().toSet // rule NOT installed: BNLJ
+    assert(expected.nonEmpty)
+    withRule {
+      val df = naive(left, right)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"expected the rewrite to remove the nested loop:\n$plan")
+      assert(plan.contains("graft_prox_bin"), s"expected bin columns in the plan:\n$plan")
+      assert(df.collect().toSet === expected)
+    }
+  }
+
+  test("strict < and flipped >= orientations rewrite too, results intact") {
+    withRule {
+      val lt = left.join(right, abs(col("a") - col("b")) < 25L)
+      val flipped = left.join(right, lit(25L) >= abs(col("b") - col("a")))
+      for (df <- Seq(lt, flipped)) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"orientation variant not rewritten:\n$plan")
+      }
+      // strict < must not admit the boundary pair that <= would
+      val ltSet = lt.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ltSet.forall { case (a, b) => math.abs(a - b) < 25 })
+    }
+  }
+
+  test("a join that already has an equi-key is left alone") {
+    withRule {
+      val l = left.withColumn("k", col("a") % 10)
+      val r = right.withColumn("k", col("b") % 10)
+      val df = l.join(r,
+        l("k") === r("k") && abs(col("a") - col("b")) <= 25L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("graft_prox_bin"),
+        s"equi-keyed join must not be binned:\n$plan")
+    }
+  }
+
+  test("outer proximity joins are not rewritten (inner-only guard)") {
+    withRule {
+      val df = left.join(right, abs(col("a") - col("b")) <= 25L, "left_outer")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("graft_prox_bin"),
+        s"outer join must not be rewritten:\n$plan")
+      // and the results are still the outer-join results
+      assert(df.count() >= left.count())
+    }
+  }
+
+  test("randomized: binned results equal brute force across radii and value ranges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val radius = Seq(3L, 17L, 100L)(trial - 1)
+      val lv = Seq.fill(120)(rnd.nextLong() % 1000).map(v => (v, s"l$v")).toDF("a", "la")
+      val rv = Seq.fill(120)(rnd.nextLong() % 1000).map(v => (v, s"r$v")).toDF("b", "rb")
+      val cond = abs(col("a") - col("b")) <= radius
+      val expected = lv.join(rv, cond).select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val got = withRule {
+        val df = lv.join(rv, cond)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("graft_prox_bin"), s"trial $trial: rewrite did not fire")
+        df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      }
+      assert(got === expected, s"trial $trial (radius $radius)")
+    }
+  }
+}
