@@ -8,7 +8,10 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Optimizer rule: rewrite a proximity theta-join — an inner join whose ONLY
-  * cross-side predicate is `abs(a - b) <= r` — into a binned equi-join.
+  * cross-side predicate bounds the difference of the two sides, written
+  * either `abs(a - b) <= r` or as the asymmetric band pair
+  * `a - b <= r1 AND b - a <= r2` (i.e. a BETWEEN b - r2 AND b + r1) —
+  * into a binned equi-join.
   *
   * Without it, Spark plans such a join as a BroadcastNestedLoopJoin (or a
   * cartesian product): every left row is checked against every right row,
@@ -59,14 +62,42 @@ object ProximityJoin extends Rule[LogicalPlan] with PredicateHelper {
         case EqualNullSafe(a, b) => crossSide(a, b, j).isDefined
         case _ => false
       }
-      val prox: Option[(Expression, Expression, Long)] =
+      val prox: Option[(Expression, Expression, Long, Long)] =
         if (hasEquiKey) None
-        else conjuncts.collectFirst { case ProximityPredicate(a, b, r) => (a, b, r) }
-      prox.flatMap { case (a, b, r) =>
-        crossSide(a, b, j).map { case (leftExpr, rightExpr) =>
-          rewrite(j, leftExpr, rightExpr, r, cond, hint)
-        }
+        else absForm(conjuncts, j).orElse(bandForm(conjuncts, j))
+      prox.map { case (leftExpr, rightExpr, up, down) =>
+        rewrite(j, leftExpr, rightExpr, up, down, cond, hint)
       }.getOrElse(j)
+  }
+
+  /** `abs(a - b) <= r`: symmetric band, oriented so the first expression
+    * belongs to the left plan side. Yields (l, r, up, down) meaning
+    * l - r <= up AND r - l <= down. */
+  private def absForm(conjuncts: Seq[Expression], j: Join):
+      Option[(Expression, Expression, Long, Long)] =
+    conjuncts.collectFirst { case ProximityPredicate(a, b, r) => (a, b, r) }
+      .flatMap { case (a, b, r) =>
+        crossSide(a, b, j).map { case (l, rr) => (l, rr, r, r) }
+      }
+
+  /** The asymmetric band spelling: a pair of conjuncts `x - y <= r1` and
+    * `y - x <= r2` over the same (x, y) — i.e. x BETWEEN y - r2 AND y + r1
+    * written out. Normalized to (l, r, up, down) with l from the left plan
+    * side. */
+  private def bandForm(conjuncts: Seq[Expression], j: Join):
+      Option[(Expression, Expression, Long, Long)] = {
+    val bounds = conjuncts.collect { case DiffBound(x, y, r) => (x, y, r) }
+    val pairs = for {
+      (x1, y1, r1) <- bounds
+      (x2, y2, r2) <- bounds
+      if x1.semanticEquals(y2) && y1.semanticEquals(x2)
+    } yield (x1, y1, r1, r2) // x1 - y1 <= r1, y1 - x1 <= r2
+    pairs.flatMap { case (x, y, up, down) =>
+      crossSide(x, y, j).map { case (l, r) =>
+        // crossSide may have swapped the pair: bounds swap with it
+        if (l eq x) (l, r, up, down) else (l, r, down, up)
+      }
+    }.headOption
   }
 
   /** Orient (a, b) so the first element only references `left` and the
@@ -108,26 +139,42 @@ object ProximityJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** One half of the band spelling: `x - y <= r` (any comparison
+    * orientation, strict or not). */
+  private object DiffBound {
+    def unapply(e: Expression): Option[(Expression, Expression, Long)] = e match {
+      case LessThanOrEqual(Subtract(x, y, _), Radius(r)) if integral(x) && integral(y) => Some((x, y, r))
+      case LessThan(Subtract(x, y, _), Radius(r)) if integral(x) && integral(y) => Some((x, y, r))
+      case GreaterThanOrEqual(Radius(r), Subtract(x, y, _)) if integral(x) && integral(y) => Some((x, y, r))
+      case GreaterThan(Radius(r), Subtract(x, y, _)) if integral(x) && integral(y) => Some((x, y, r))
+      case _ => None
+    }
+  }
+
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType
 
   private def asLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)
 
+  /** Bin-bucket the join: the left row's value l satisfies
+    * l in [r - down, r + up], so with bin width w = max(up, down) the left
+    * row keeps its single `l div w` bin and the right row is replicated to
+    * the <= 4 bins `(r - down) div w .. (r + up) div w` (contiguous by
+    * monotonicity of integer division; distinct, so no pair duplicates). */
   private def rewrite(j: Join, leftExpr: Expression, rightExpr: Expression,
-      r: Long, cond: Expression, hint: JoinHint): LogicalPlan = {
-    val radius = Literal(r, LongType)
+      up: Long, down: Long, cond: Expression, hint: JoinHint): LogicalPlan = {
+    val width = Literal(math.max(up, down), LongType)
     // left row -> its single bin
-    val binL = Alias(IntegralDivide(asLong(leftExpr), radius), "graft_prox_bin")()
+    val binL = Alias(IntegralDivide(asLong(leftExpr), width), "graft_prox_bin")()
     val newLeft = Project(j.left.output :+ binL, j.left)
-    // right row -> the <= 3 bins its [b-r, b+r] window can overlap
     val binRAttr = AttributeReference("graft_prox_bin_r", LongType,
       nullable = true)()
     // Sequence is TimeZoneAwareExpression: without an explicit zone the
     // expression stays unresolved and plan validation rejects the rewrite
     val seq = Sequence(
-      IntegralDivide(Subtract(asLong(rightExpr), radius), radius),
-      IntegralDivide(Add(asLong(rightExpr), radius), radius),
+      IntegralDivide(Subtract(asLong(rightExpr), Literal(down, LongType)), width),
+      IntegralDivide(Add(asLong(rightExpr), Literal(up, LongType)), width),
       Some(Literal(1L, LongType)), Some(conf.sessionLocalTimeZone))
     val newRight = Generate(Explode(seq), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(binRAttr), j.right)

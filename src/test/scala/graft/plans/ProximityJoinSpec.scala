@@ -80,6 +80,33 @@ class ProximityJoinSpec extends SparkTestBase {
     }
   }
 
+  test("asymmetric band spelling (a-b <= r1 AND b-a <= r2) rewrites and matches brute force") {
+    val cond = (col("a") - col("b") <= 10L) && (col("b") - col("a") <= 30L)
+    val expected = left.join(right, cond).select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(expected.nonEmpty)
+    withRule {
+      val df = left.join(right, cond)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"band spelling not rewritten:\n$plan")
+      assert(plan.contains("graft_prox_bin"))
+      val got = df.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === expected)
+      assert(got.forall { case (a, b) => a - b <= 10 && b - a <= 30 })
+    }
+  }
+
+  test("a one-sided difference bound is not rewritten (no finite band)") {
+    withRule {
+      val df = left.join(right, col("a") - col("b") <= 10L)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("graft_prox_bin"),
+        s"one-sided bound must not be binned:\n$plan")
+    }
+  }
+
   test("randomized: binned results equal brute force across radii and value ranges") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
