@@ -34,6 +34,9 @@ object Engine {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the engine's own optimizer extensions (idempotent; external callers
+    // get the same via spark.sql.extensions=graft.plans.GraftExtensions)
+    graft.plans.ProximityJoin.install(spark)
     spark
   }
 }

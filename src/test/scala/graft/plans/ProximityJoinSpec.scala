@@ -14,6 +14,14 @@ class ProximityJoinSpec extends SparkTestBase {
     try f finally ProximityJoin.remove(spark)
   }
 
+  /** Engine.session now installs the rule by default — the brute-force
+    * controls below must run with it explicitly OFF to stay a genuinely
+    * independent plan. */
+  private def withoutRule[T](f: => T): T = {
+    ProximityJoin.remove(spark)
+    try f finally ProximityJoin.install(spark)
+  }
+
   private def left: DataFrame = {
     import spark.implicits._
     // values straddle zero on purpose: integer division truncates toward
@@ -29,7 +37,12 @@ class ProximityJoinSpec extends SparkTestBase {
     l.join(r, abs(col("a") - col("b")) <= 25L)
 
   test("proximity theta-join is rewritten to a binned equi-join with identical results") {
-    val expected = naive(left, right).collect().toSet // rule NOT installed: BNLJ
+    val expected = withoutRule {
+      val df = naive(left, right)
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "control must be the un-rewritten nested loop")
+      df.collect().toSet
+    }
     assert(expected.nonEmpty)
     withRule {
       val df = naive(left, right)
@@ -82,8 +95,10 @@ class ProximityJoinSpec extends SparkTestBase {
 
   test("asymmetric band spelling (a-b <= r1 AND b-a <= r2) rewrites and matches brute force") {
     val cond = (col("a") - col("b") <= 10L) && (col("b") - col("a") <= 30L)
-    val expected = left.join(right, cond).select("a", "b").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val expected = withoutRule {
+      left.join(right, cond).select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
     assert(expected.nonEmpty)
     withRule {
       val df = left.join(right, cond)
@@ -115,8 +130,10 @@ class ProximityJoinSpec extends SparkTestBase {
       val lv = Seq.fill(120)(rnd.nextLong() % 1000).map(v => (v, s"l$v")).toDF("a", "la")
       val rv = Seq.fill(120)(rnd.nextLong() % 1000).map(v => (v, s"r$v")).toDF("b", "rb")
       val cond = abs(col("a") - col("b")) <= radius
-      val expected = lv.join(rv, cond).select("a", "b").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expected = withoutRule {
+        lv.join(rv, cond).select("a", "b").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      }
       val got = withRule {
         val df = lv.join(rv, cond)
         val plan = df.queryExecution.executedPlan.toString
