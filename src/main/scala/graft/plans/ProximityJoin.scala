@@ -36,6 +36,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *    binning would only add a 3x replication for nothing);
   *  - radius is a foldable non-negative literal after constant folding.
   *
+  * Boundary note: the replication arithmetic computes `b + up` / `b - down`,
+  * so values within the radius of Long.MaxValue/MinValue overflow — under
+  * ANSI mode (the Spark 4 default) that is a LOUD SparkArithmeticException,
+  * never silent wrong bins. Domains that live at the extremes of long
+  * (vanishingly rare for the time/measure axes this targets) should keep
+  * the manual binned spelling; the alternative — widening every right row
+  * to overflow-proof constant bin offsets — would cost ~66% extra
+  * replication on every normal query to serve that corner.
+  *
   * Installed per-session by [[ProximityJoin.install]] or for every session
   * via `spark.sql.extensions=graft.plans.GraftExtensions`. The rule runs in
   * the operator-optimization batch; its output contains a cross-side
