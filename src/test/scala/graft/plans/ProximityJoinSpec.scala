@@ -122,6 +122,35 @@ class ProximityJoinSpec extends SparkTestBase {
     }
   }
 
+  test("a double-typed axis is not rewritten (integral-only guard)") {
+    import spark.implicits._
+    val l = Seq((1.5, "a"), (2.5, "b")).toDF("a", "la")
+    val r = Seq((1.6, "x"), (9.0, "y")).toDF("b", "rb")
+    withRule {
+      val df = l.join(r, abs(col("a") - col("b")) <= 1.0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("graft_prox_bin"),
+        s"double axis must not be binned:\n$plan")
+      assert(df.count() === 2) // (1.5,1.6) and (2.5,1.6); 9.0 matches nothing
+    }
+  }
+
+  test("null join-axis values match nothing, same as the naive join") {
+    import spark.implicits._
+    val l = Seq((Some(10L), "a"), (None, "b"), (Some(40L), "c"))
+      .toDF("a", "la")
+    val r = Seq((Some(12L), "x"), (None, "y")).toDF("b", "rb")
+    val cond = abs(col("a") - col("b")) <= 5L
+    val expected = withoutRule { l.join(r, cond).collect().toSet }
+    withRule {
+      val df = l.join(r, cond)
+      assert(df.queryExecution.executedPlan.toString.contains("graft_prox_bin"))
+      assert(df.collect().toSet === expected)
+      // only the (10, 12) pair qualifies; nulls pair with nothing
+      assert(df.count() === 1)
+    }
+  }
+
   test("randomized: binned results equal brute force across radii and value ranges") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
