@@ -383,8 +383,52 @@ object EventOps {
              AND c.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
             GROUP BY 1 ORDER BY 1"""))
 
+  /** Batch analog of the streaming CEP pair detector (graft.streaming.Cep
+    * .detect): for every `purchase`, the latest strictly-earlier `click` by
+    * the same user within 5 minutes. Mirrors the detector's latest-first-
+    * wins + gap > 0 semantics, made tie-deterministic by the RANGE frame
+    * (a click at the purchase's own timestamp is never a candidate — the
+    * same pairs the gap > 0 rule admits). One window pass over the
+    * key-partitioned stream of the two event types; no self-join. */
+  val cepPairs = GraftQuery(
+    "ev_cep_pairs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("last_click_us",
+          max(when(col("event_type") === "click", col("ts_us"))).over(w))
+        .filter(col("event_type") === "purchase" &&
+          col("last_click_us").isNotNull &&
+          col("ts_us") - col("last_click_us") <= 300000000L)
+        .select(col("user_id"),
+          expr("timestamp_micros(last_click_us)").as("first_ts"),
+          col("ts").as("second_ts"),
+          expr("(ts_us - last_click_us) div 1000").as("gap_ms"))
+        .orderBy(col("user_id"), col("second_ts"))
+    },
+    Some("""WITH ce AS (
+              SELECT user_id, event_type, ts, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            marked AS (
+              SELECT user_id, event_type, ts, ts_us,
+                max(CASE WHEN event_type = 'click' THEN ts_us END) OVER (
+                  PARTITION BY user_id ORDER BY ts_us
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_us
+              FROM ce)
+            SELECT user_id, make_timestamp(last_click_us) AS first_ts,
+              ts AS second_ts, (ts_us - last_click_us) // 1000 AS gap_ms
+            FROM marked
+            WHERE event_type = 'purchase' AND last_click_us IS NOT NULL
+              AND ts_us - last_click_us <= 300000000
+            ORDER BY user_id, second_ts"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
-    intervalJoinAuto)
+    intervalJoinAuto, cepPairs)
 }

@@ -32,9 +32,23 @@ object Cep {
   final case class PatternMatch(key: String, firstTs: Timestamp, secondTs: Timestamp,
       gapMs: Long)
 
-  /** State = epoch-ms of the latest `first` event, or MinValue. */
+  /** Event time in epoch MICROS — Timestamp.getTime alone would quantize
+    * Spark's microsecond TimestampType to milliseconds, so emitted firstTs
+    * values would not round-trip (CepBatchParitySpec pins batch/stream
+    * timestamp equality). */
+  private[streaming] def toUs(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  private[streaming] def usTs(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** State = epoch-us of the latest `first` event, or MinValue. */
   private[streaming] final class Detector(first: String, second: String, withinMs: Long)
       extends Serializable {
+    private val withinUs = withinMs * 1000L
 
     def process(key: String, rows: Iterator[CepEvent],
         state: GroupState[Long]): Iterator[PatternMatch] = {
@@ -45,12 +59,12 @@ object Cep {
       } else {
         var lastFirst = state.getOption.getOrElse(Long.MinValue)
         val out = Seq.newBuilder[PatternMatch]
-        rows.toSeq.sortBy(_.ts.getTime).foreach { ev =>
-          if (ev.etype == first) lastFirst = math.max(lastFirst, ev.ts.getTime)
+        rows.toSeq.sortBy(ev => toUs(ev.ts)).foreach { ev =>
+          if (ev.etype == first) lastFirst = math.max(lastFirst, toUs(ev.ts))
           else if (ev.etype == second && lastFirst != Long.MinValue) {
-            val gap = ev.ts.getTime - lastFirst
-            if (gap > 0 && gap <= withinMs)
-              out += PatternMatch(key, new Timestamp(lastFirst), ev.ts, gap)
+            val gap = toUs(ev.ts) - lastFirst
+            if (gap > 0 && gap <= withinUs)
+              out += PatternMatch(key, usTs(lastFirst), ev.ts, gap / 1000L)
           }
         }
         if (lastFirst == Long.MinValue) state.remove()
@@ -58,7 +72,8 @@ object Cep {
           state.update(lastFirst)
           if (state.getCurrentWatermarkMs() >= 0)
             state.setTimeoutTimestamp(
-              math.max(lastFirst + withinMs, state.getCurrentWatermarkMs() + 1))
+              math.max(Math.floorDiv(lastFirst, 1000L) + withinMs,
+                state.getCurrentWatermarkMs() + 1))
         }
         out.result().iterator
       }
@@ -83,21 +98,23 @@ object Cep {
     * matched step's timestamp. */
   private[streaming] final class SeqDetector(steps: Seq[String], withinMs: Long)
       extends Serializable {
+    private val withinUs = withinMs * 1000L
+
     def process(key: String, rows: Iterator[CepEvent],
         state: GroupState[(Int, Long, Long)]): Iterator[SeqMatch] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
         var (n, t0, tPrev) = state.getOption.getOrElse((0, 0L, 0L))
         val out = Seq.newBuilder[SeqMatch]
-        rows.toSeq.sortBy(_.ts.getTime).foreach { ev =>
-          val ts = ev.ts.getTime
-          if (n > 0 && ts - t0 > withinMs) { n = 0 } // chain expired
+        rows.toSeq.sortBy(ev => toUs(ev.ts)).foreach { ev =>
+          val ts = toUs(ev.ts)
+          if (n > 0 && ts - t0 > withinUs) { n = 0 } // chain expired
           if (n == 0) {
             if (ev.etype == steps.head) { n = 1; t0 = ts; tPrev = ts }
           } else if (ev.etype == steps(n) && ts > tPrev) {
             n += 1; tPrev = ts
             if (n == steps.size) {
-              out += SeqMatch(key, new Timestamp(t0), new Timestamp(tPrev))
+              out += SeqMatch(key, usTs(t0), usTs(tPrev))
               n = 0 // non-overlapping: restart after a full match
             }
           }
@@ -107,7 +124,8 @@ object Cep {
           state.update((n, t0, tPrev))
           if (state.getCurrentWatermarkMs() >= 0)
             state.setTimeoutTimestamp(
-              math.max(t0 + withinMs, state.getCurrentWatermarkMs() + 1))
+              math.max(Math.floorDiv(t0, 1000L) + withinMs,
+                state.getCurrentWatermarkMs() + 1))
         }
         out.result().iterator
       }
@@ -135,10 +153,12 @@ object Cep {
   /** Absence detection state = latest unanswered `first` timestamp. */
   private[streaming] final class AbsenceDetector(first: String, second: String,
       withinMs: Long) extends Serializable {
+    private val withinUs = withinMs * 1000L
+
     def process(key: String, rows: Iterator[CepEvent],
         state: GroupState[Long]): Iterator[AbsenceAlert] = {
-      def alert(aTs: Long) =
-        AbsenceAlert(key, new Timestamp(aTs), new Timestamp(aTs + withinMs))
+      def alert(aUs: Long) =
+        AbsenceAlert(key, usTs(aUs), usTs(aUs + withinUs))
       if (state.hasTimedOut) {
         // watermark passed firstTs + withinMs with no answering `second`
         val a = state.get
@@ -147,11 +167,11 @@ object Cep {
       } else {
         var pending = state.getOption.getOrElse(Long.MinValue)
         val out = Seq.newBuilder[AbsenceAlert]
-        rows.toSeq.sortBy(_.ts.getTime).foreach { ev =>
-          val ts = ev.ts.getTime
+        rows.toSeq.sortBy(ev => toUs(ev.ts)).foreach { ev =>
+          val ts = toUs(ev.ts)
           // any event past the deadline proves the absence in-stream,
           // before the watermark timer would fire
-          if (pending != Long.MinValue && ts > pending + withinMs) {
+          if (pending != Long.MinValue && ts > pending + withinUs) {
             out += alert(pending); pending = Long.MinValue
           }
           if (ev.etype == first) pending = ts // latest-wins, see scaladoc
@@ -163,7 +183,8 @@ object Cep {
           state.update(pending)
           if (state.getCurrentWatermarkMs() >= 0)
             state.setTimeoutTimestamp(
-              math.max(pending + withinMs, state.getCurrentWatermarkMs() + 1))
+              math.max(Math.floorDiv(pending, 1000L) + withinMs,
+                state.getCurrentWatermarkMs() + 1))
         }
         out.result().iterator
       }
