@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout through verbatim: sbt's default logged
+// output prefixes every line with "[info] ", which broke the driver's
+// parse of Bench's JSON metric line (BENCH_r03.json: line present in the
+// tail, "parsed": null).
+// (set unscoped so run, runMain, and forked tests all delegate to it)
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Suites share one SparkSession (SparkTestBase getOrCreate) and several
 // specs mutate session confs (broadcast threshold, state-store provider)
 // that other suites' plan assertions read — run suites sequentially so a
