@@ -528,7 +528,50 @@ object Dedup {
                 (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
             ORDER BY doc_id"""))
 
+  /** FUZZY (edit-distance) DEDUP via FastSS deletion signatures (Bocek et
+    * al. 2007): two strings are within edit distance 1 iff they share a
+    * signature in {s} ∪ {s minus one character} — substitution at i shares
+    * the delete-at-i signature, insertion/deletion shares the shorter
+    * string itself. So candidate generation is an exact-recall EQUI-join
+    * on the signature (len+1 signatures per string), and the candidates
+    * are then verified with the real levenshtein — never an all-pairs
+    * comparison. Run over the distinct part-name vocabulary, the typo/
+    * variant-merging step of entity-style curation.
+    *
+    * 100 TB shape: the vocabulary is the distinct of a column (one
+    * digest-narrow shuffle), signatures explode map-side, and the
+    * self-join is an equi-join whose bucket sizes are bounded by how many
+    * strings share a deletion — no quadratic blowup. The levenshtein
+    * verify runs only on candidate pairs. */
+  val fuzzyNames = GraftQuery(
+    "dedup_fuzzy_names",
+    (s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name").as("name")).distinct()
+      val sigs = names.select(col("name"), explode(expr(
+        """array_union(array(name),
+           transform(sequence(1, length(name)),
+             i -> concat(substring(name, 1, i - 1),
+                         substring(name, i + 1, length(name) - i))))"""))
+        .as("sig"))
+      val a = sigs.select(col("name").as("name_a"), col("sig"))
+      val b = sigs.select(col("name").as("name_b"), col("sig"))
+      a.join(b, "sig")
+        .filter(col("name_a") < col("name_b"))
+        .select(col("name_a"), col("name_b")).distinct()
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"))
+        .orderBy(col("name_a"), col("name_b"))
+    },
+    // oracle: the brute-force all-pairs definition over the same vocabulary
+    Some("""WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+            SELECT a.name AS name_a, b.name AS name_b,
+              CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+            FROM n a JOIN n b ON a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 1
+            ORDER BY name_a, name_b"""))
+
   val all: Seq[GraftQuery] =
     Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
-      containment, minhashFast, chunk, priorityKeep, ingestDelta)
+      containment, minhashFast, chunk, priorityKeep, ingestDelta, fuzzyNames)
 }

@@ -393,7 +393,63 @@ object Similarity {
              FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
              ORDER BY m.vec_id"""))
 
+  /** PRODUCT QUANTIZATION code assignment (Jégou et al. 2011 shape): split
+    * each 64-d vector into 4 subspaces of 16 dims and, per subspace, assign
+    * the id of the nearest codeword by squared L2. The codebook is the
+    * embeddings of vec_id 0..7 (deterministic, like the k-means seeds) —
+    * in production it comes out of [[kmeansUpdate]] run per subspace. PQ is
+    * how a billion-vector index stores vectors in m bytes instead of 4*dim:
+    * here m=4 codes replace 256 bytes of float32.
+    *
+    * 100 TB shape: the codebook is always broadcast-small (k*m entries);
+    * distances are computed map-side against each corpus partition; the
+    * per-(vector, subspace) argmin is a partial-aggregated groupBy, so the
+    * k candidate rows collapse map-side and the exchange carries one row
+    * per (vector, subspace) — never the vectors, never k-inflated rows.
+    * Distances are rounded half-up at 6 dp (floor(x*1e6+0.5), the
+    * engine-agnostic spelling) and tie-broken by code id so both engines
+    * pick the same codeword. */
+  val pqAssign = GraftQuery(
+    "emb_pq_assign",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cb = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("code"), col("embedding").as("cvec"))
+      def d(sub: Int): Column = {
+        val lo = sub * 16
+        expr(s"""floor(aggregate(transform(sequence($lo, ${lo + 15}),
+            i -> (cast(embedding[i] as double) - cast(cvec[i] as double)) *
+                 (cast(embedding[i] as double) - cast(cvec[i] as double))),
+            cast(0.0 as double), (acc, v) -> acc + v) * 1e6 + 0.5) / 1e6""")
+      }
+      e.crossJoin(broadcast(cb))
+        .select(col("vec_id"), col("code"),
+          posexplode(array(d(0), d(1), d(2), d(3))).as(Seq("subspace", "dist")))
+        .groupBy(col("vec_id"), col("subspace"))
+        .agg(min(struct(col("dist"), col("code"))).as("best"))
+        .select(col("vec_id"), col("subspace"), col("best.code").as("code"),
+          col("best.dist").as("dist"))
+        .orderBy(col("vec_id"), col("subspace"))
+    },
+    Some("""WITH cb AS (SELECT vec_id AS code, embedding AS cvec
+                        FROM embeddings WHERE vec_id < 8),
+            sc AS (SELECT e.vec_id, c.code, g.s AS subspace,
+                     floor(list_sum(list_transform(generate_series(16 * g.s + 1, 16 * g.s + 16),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) *
+                            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))
+                       * 1e6 + 0.5) / 1e6 AS dist
+                   FROM embeddings e
+                   CROSS JOIN cb c
+                   CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) g)
+            SELECT vec_id, CAST(subspace AS INTEGER) AS subspace, code, dist
+            FROM (SELECT vec_id, subspace, code, dist,
+                    row_number() OVER (PARTITION BY vec_id, subspace
+                                       ORDER BY dist, code) AS rn
+                  FROM sc)
+            WHERE rn = 1 ORDER BY vec_id, subspace"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
-      annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup)
+      annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
+      pqAssign)
 }

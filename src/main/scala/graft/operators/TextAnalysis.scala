@@ -258,7 +258,38 @@ object TextAnalysis {
     },
     None)
 
+  /** BPE MERGE CANDIDATE COUNTS — the inner loop of byte-pair-encoding
+    * tokenizer training: count adjacent symbol pairs across the corpus and
+    * surface the top candidates (training repeatedly merges the argmax).
+    * Symbols here are characters within whitespace words, the state of BPE
+    * iteration 0; the engine mechanics (explode words -> explode adjacent
+    * pairs -> global count -> top-k) are identical at every iteration.
+    *
+    * 100 TB shape: both explodes are map-side (no shuffle until the count);
+    * the pair count partial-aggregates into at most |alphabet|^2 groups per
+    * task, so the exchange carries tiny (pair, count) rows, and the top-20
+    * is a TakeOrderedAndProject, never a global sort. */
+  val bpePairs = GraftQuery(
+    "text_bpe_pairs",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20),
+    Some("""WITH words AS (SELECT unnest(string_split(text, ' ')) AS w
+                           FROM documents),
+            pairs AS (SELECT unnest(list_transform(range(1, length(w)),
+                        i -> w[i:i+1])) AS pair
+                      FROM words WHERE length(w) >= 2)
+            SELECT pair, count(*) AS cnt FROM pairs
+            GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
-      cmsHeavyHitters)
+      cmsHeavyHitters, bpePairs)
 }
