@@ -415,20 +415,32 @@ object Similarity {
       val e = t(s, dir, "embeddings")
       val cb = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("code"), col("embedding").as("cvec"))
-      def d(sub: Int): Column = {
+      // squared L2 on subspace `sub`, half-up-rounded into integer
+      // micro-units (the engine-agnostic 6-dp spelling, kept integral so
+      // the argmin can be packed)
+      def dMicros(sub: Int): Column = {
         val lo = sub * 16
-        expr(s"""floor(aggregate(transform(sequence($lo, ${lo + 15}),
+        expr(s"""cast(floor(aggregate(transform(sequence($lo, ${lo + 15}),
             i -> (cast(embedding[i] as double) - cast(cvec[i] as double)) *
                  (cast(embedding[i] as double) - cast(cvec[i] as double))),
-            cast(0.0 as double), (acc, v) -> acc + v) * 1e6 + 0.5) / 1e6""")
+            cast(0.0 as double), (acc, v) -> acc + v) * 1e6 + 0.5) as bigint)""")
       }
+      // (dist_micros, code) packed into ONE long so the argmin is a
+      // primitive `min` — HashAggregate with map-side partials, not the
+      // SortAggregate that min(struct(...)) falls back to (per-partition
+      // sorts on both sides of the exchange; seen in the formatted plan).
+      // Bound: dist < 2^43 micro-units (embeddings are unit-scale; a 16-dim
+      // squared L2 is < 8.8e12 micros), code < 16.
       e.crossJoin(broadcast(cb))
         .select(col("vec_id"), col("code"),
-          posexplode(array(d(0), d(1), d(2), d(3))).as(Seq("subspace", "dist")))
+          posexplode(array(dMicros(0), dMicros(1), dMicros(2), dMicros(3)))
+            .as(Seq("subspace", "dm")))
+        .withColumn("packed", col("dm") * 16L + col("code"))
         .groupBy(col("vec_id"), col("subspace"))
-        .agg(min(struct(col("dist"), col("code"))).as("best"))
-        .select(col("vec_id"), col("subspace"), col("best.code").as("code"),
-          col("best.dist").as("dist"))
+        .agg(min(col("packed")).as("best"))
+        .select(col("vec_id"), col("subspace"),
+          (col("best") % 16).as("code"),
+          expr("(best div 16) / 1e6").as("dist"))
         .orderBy(col("vec_id"), col("subspace"))
     },
     Some("""WITH cb AS (SELECT vec_id AS code, embedding AS cvec
