@@ -287,14 +287,23 @@ object Similarity {
   private def kmeansAssign(s: SparkSession, e: DataFrame): DataFrame = {
     val seeds = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    // (cos_sim, c_id) packed into ONE long so the argmax is a primitive
+    // `max` (same trick as emb_pq_assign / dedup_priority_keep): the 4-dp
+    // score becomes a non-negative integer (cs in [-1,1] -> +1e4 offset,
+    // so 0..2e4), shifted past the 3-bit centroid id; `7 - c_id` makes the
+    // LOWEST id win score ties under max. Keeps the aggregate out of
+    // SortAggregate; first(embedding) rides along (ObjectHashAggregate,
+    // still hash-based, no per-partition sorts).
     e.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("embedding"), col("c_id"),
-        round(cosine(s, "embedding", "c_emb"), 4).as("cs"))
+        floor(cosine(s, "embedding", "c_emb") * lit(1e4) + lit(0.5)).as("cs_scaled"))
+      .withColumn("packed", (col("cs_scaled") + 10000L) * 8L + (lit(7L) - col("c_id")))
       .groupBy(col("vec_id"))
-      .agg(max(struct(col("cs"), (-col("c_id")).as("neg_c"), col("c_id"))).as("best"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("best.c_id").as("cluster"),
-        col("best.cs").as("cos_sim"), col("embedding"))
+      .agg(max(col("packed")).as("best"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"),
+        (lit(7L) - (col("best") % 8)).as("cluster"),
+        expr("((best div 8) - 10000) / 1e4").as("cos_sim"),
+        col("embedding"))
   }
 
   private val sqlAssign =
