@@ -79,10 +79,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Register `graft_cosine` for SQL/expr use in this session (idempotent). */
+  /** Register `graft_cosine` + `graft_l2sq` for SQL/expr use (idempotent). */
   def ensureRegistered(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_l2sq",
+      exprs => SubvectorL2Sq(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
     ()
   }
 }

@@ -424,16 +424,14 @@ object Similarity {
       val e = t(s, dir, "embeddings")
       val cb = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("code"), col("embedding").as("cvec"))
-      // squared L2 on subspace `sub`, half-up-rounded into integer
-      // micro-units (the engine-agnostic 6-dp spelling, kept integral so
-      // the argmin can be packed)
-      def dMicros(sub: Int): Column = {
-        val lo = sub * 16
-        expr(s"""cast(floor(aggregate(transform(sequence($lo, ${lo + 15}),
-            i -> (cast(embedding[i] as double) - cast(cvec[i] as double)) *
-                 (cast(embedding[i] as double) - cast(cvec[i] as double))),
-            cast(0.0 as double), (acc, v) -> acc + v) * 1e6 + 0.5) as bigint)""")
-      }
+      // squared L2 on subspace `sub` via the native graft_l2sq expression
+      // (codegen'd tight loop, bit-identical to the declarative
+      // aggregate(transform(...)) fold — pinned by VectorFunctionsSpec),
+      // half-up-rounded into integer micro-units so the argmin can be
+      // packed into one long
+      graft.functions.VectorFunctions.ensureRegistered(s)
+      def dMicros(sub: Int): Column =
+        expr(s"cast(floor(graft_l2sq(embedding, cvec, ${sub * 16}, 16) * 1e6 + 0.5) as bigint)")
       // (dist_micros, code) packed into ONE long so the argmin is a
       // primitive `min` — HashAggregate with map-side partials, not the
       // SortAggregate that min(struct(...)) falls back to (per-partition

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SubvectorL2Sq}
 
 /** Library entry point for Spark's extension mechanism — the Spark-native
   * analog of the reference's jar-level integration (a user adds the engine
@@ -26,10 +26,14 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   /** The injected inventory, exposed so specs can drive the exact builders
     * Spark will call (SparkSessionExtensions' own accessors are private[sql]). */
-  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq((
-    FunctionIdentifier("graft_cosine"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-    (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[SubvectorL2Sq].getName, "graft_l2sq"),
+      (exprs: Seq[Expression]) =>
+        SubvectorL2Sq(exprs(0), exprs(1), exprs(2), exprs(3))))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)

@@ -39,6 +39,39 @@ class VectorFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_l2sq == declarative subrange fold, bit for bit, on the corpus") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    def fold(lo: Int, len: Int) = expr(
+      s"""aggregate(transform(sequence($lo, ${lo + len - 1}),
+          i -> (cast(ea[i] as double) - cast(eb[i] as double)) *
+               (cast(ea[i] as double) - cast(eb[i] as double))),
+          cast(0.0 as double), (acc, v) -> acc + v)""")
+    val pairs = a.crossJoin(b).filter(col("va") < col("vb")).limit(5000)
+      .select(
+        expr("graft_l2sq(ea, eb, 16, 16)").as("native"),
+        fold(16, 16).as("fold"))
+    assert(pairs.filter(col("native") =!= col("fold")).count() === 0L)
+  }
+
+  test("graft_l2sq interpreted path agrees with a hand computation") {
+    import spark.implicits._
+    VectorFunctions.ensureRegistered(spark)
+    val df = Seq((Array(1f, 2f, 3f, 4f), Array(1f, 0f, 0f, 1f))).toDF("a", "b")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      // full range: 0 + 4 + 9 + 9 = 22; subrange [1,3): 4 + 9 = 13
+      assert(df.select(expr("graft_l2sq(a, b, 0, 4)")).as[Double].head() === 22.0)
+      assert(df.select(expr("graft_l2sq(a, b, 1, 2)")).as[Double].head() === 13.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("nulls and mismatched lengths behave") {
     import spark.implicits._
     VectorFunctions.ensureRegistered(spark)
