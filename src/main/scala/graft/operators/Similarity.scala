@@ -418,38 +418,51 @@ object Similarity {
     * Distances are rounded half-up at 6 dp (floor(x*1e6+0.5), the
     * engine-agnostic spelling) and tie-broken by code id so both engines
     * pick the same codeword. */
+  /** PQ codebook: the embeddings of vec_id 0..7 (deterministic, like the
+    * k-means seeds) — in production it comes out of [[kmeansUpdate]] run
+    * per subspace. */
+  private def pqCodebook(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("code"), col("embedding").as("cvec"))
+
+  /** Squared L2 between `a` and `b` restricted to subspace `sub`, via the
+    * native graft_l2sq expression (codegen'd tight loop, bit-identical to
+    * the declarative aggregate(transform(...)) fold — pinned by
+    * VectorFunctionsSpec), half-up-rounded into integer micro-units so
+    * argmins can be packed and sums are exact. */
+  private def l2Micros(a: String, b: String, sub: Int): Column =
+    expr(s"cast(floor(graft_l2sq($a, $b, ${sub * 16}, 16) * 1e6 + 0.5) as bigint)")
+
+  /** Per-(vector, subspace) nearest-codeword assignment shared by
+    * [[pqAssign]] and [[annPqTopK]]: (dist_micros, code) packed into ONE
+    * long so the argmin is a primitive `min` — HashAggregate with map-side
+    * partials, not the SortAggregate that min(struct(...)) falls back to
+    * (per-partition sorts on both sides of the exchange; seen in the
+    * formatted plan). Bound: dist < 2^43 micro-units (embeddings are
+    * unit-scale; a 16-dim squared L2 is < 8.8e12 micros), code < 16. */
+  private def pqCodes(s: SparkSession, e: DataFrame): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    e.crossJoin(broadcast(pqCodebook(e)))
+      .select(col("vec_id"), col("code"),
+        posexplode(array(
+          l2Micros("embedding", "cvec", 0), l2Micros("embedding", "cvec", 1),
+          l2Micros("embedding", "cvec", 2), l2Micros("embedding", "cvec", 3)))
+          .as(Seq("subspace", "dm")))
+      .withColumn("packed", col("dm") * 16L + col("code"))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(min(col("packed")).as("best"))
+      .select(col("vec_id"), col("subspace"),
+        (col("best") % 16).as("code"),
+        (expr("best div 16")).as("dm"))
+  }
+
   val pqAssign = GraftQuery(
     "emb_pq_assign",
-    (s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val cb = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("code"), col("embedding").as("cvec"))
-      // squared L2 on subspace `sub` via the native graft_l2sq expression
-      // (codegen'd tight loop, bit-identical to the declarative
-      // aggregate(transform(...)) fold — pinned by VectorFunctionsSpec),
-      // half-up-rounded into integer micro-units so the argmin can be
-      // packed into one long
-      graft.functions.VectorFunctions.ensureRegistered(s)
-      def dMicros(sub: Int): Column =
-        expr(s"cast(floor(graft_l2sq(embedding, cvec, ${sub * 16}, 16) * 1e6 + 0.5) as bigint)")
-      // (dist_micros, code) packed into ONE long so the argmin is a
-      // primitive `min` — HashAggregate with map-side partials, not the
-      // SortAggregate that min(struct(...)) falls back to (per-partition
-      // sorts on both sides of the exchange; seen in the formatted plan).
-      // Bound: dist < 2^43 micro-units (embeddings are unit-scale; a 16-dim
-      // squared L2 is < 8.8e12 micros), code < 16.
-      e.crossJoin(broadcast(cb))
-        .select(col("vec_id"), col("code"),
-          posexplode(array(dMicros(0), dMicros(1), dMicros(2), dMicros(3)))
-            .as(Seq("subspace", "dm")))
-        .withColumn("packed", col("dm") * 16L + col("code"))
-        .groupBy(col("vec_id"), col("subspace"))
-        .agg(min(col("packed")).as("best"))
-        .select(col("vec_id"), col("subspace"),
-          (col("best") % 16).as("code"),
-          expr("(best div 16) / 1e6").as("dist"))
-        .orderBy(col("vec_id"), col("subspace"))
-    },
+    (s, dir) =>
+      pqCodes(s, t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("subspace"), col("code"),
+          expr("dm / 1e6").as("dist"))
+        .orderBy(col("vec_id"), col("subspace")),
     Some("""WITH cb AS (SELECT vec_id AS code, embedding AS cvec
                         FROM embeddings WHERE vec_id < 8),
             sc AS (SELECT e.vec_id, c.code, g.s AS subspace,
@@ -467,8 +480,75 @@ object Similarity {
                   FROM sc)
             WHERE rn = 1 ORDER BY vec_id, subspace"""))
 
+  /** PQ ASYMMETRIC-DISTANCE top-k search (the ADC of Jégou et al. 2011):
+    * queries are scored against the COMPRESSED corpus — each query
+    * precomputes a (subspace, code) -> distance lookup table against the
+    * codebook, and a stored vector's approximate distance is the SUM of 4
+    * table lookups on its codes, never a touch of the original floats.
+    * This is why PQ search scans billions of vectors: per-vector cost is
+    * m table lookups + adds on m bytes of codes.
+    *
+    * 100 TB shape: the lookup table is (n_queries x k x m) rows —
+    * broadcast; the join to the code table is map-side; the per-(query,
+    * vector) sum partial-aggregates before the only shuffle; top-k is a
+    * rank-limited window (WindowGroupLimit), not a global sort. Distances
+    * are exact integer micro-unit sums, so both engines rank identically
+    * (ties broken by vec_id). */
+  val annPqTopK = GraftQuery(
+    "ann_pq_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val codes = pqCodes(s, e)
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // ADC lookup table: 4 queries x 8 codes x 4 subspaces = 128 rows
+      val dtab = q.crossJoin(broadcast(pqCodebook(e)))
+        .select(col("q_id"), col("code"),
+          posexplode(array(
+            l2Micros("q_emb", "cvec", 0), l2Micros("q_emb", "cvec", 1),
+            l2Micros("q_emb", "cvec", 2), l2Micros("q_emb", "cvec", 3)))
+            .as(Seq("subspace", "qdm")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_micros"), col("vec_id"))
+      codes.join(broadcast(dtab), Seq("subspace", "code"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qdm")).as("adc_micros"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("adc_micros"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH cb AS (SELECT vec_id AS code, embedding AS cvec
+                        FROM embeddings WHERE vec_id < 8),
+            sc AS (SELECT e.vec_id, c.code, g.s AS subspace,
+                     CAST(floor(list_sum(list_transform(generate_series(16 * g.s + 1, 16 * g.s + 16),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) *
+                            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))
+                       * 1e6 + 0.5) AS BIGINT) AS dm
+                   FROM embeddings e
+                   CROSS JOIN cb c
+                   CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) g),
+            codes AS (SELECT vec_id, subspace, code
+                      FROM (SELECT vec_id, subspace, code,
+                              row_number() OVER (PARTITION BY vec_id, subspace
+                                                 ORDER BY dm, code) AS rn
+                            FROM sc) WHERE rn = 1),
+            dtab AS (SELECT vec_id AS q_id, code, subspace, dm AS qdm
+                     FROM sc WHERE vec_id < 4),
+            adc AS (SELECT d.q_id, c.vec_id, CAST(sum(d.qdm) AS BIGINT) AS adc_micros
+                    FROM codes c JOIN dtab d
+                      ON c.subspace = d.subspace AND c.code = d.code
+                    GROUP BY d.q_id, c.vec_id)
+            SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, adc_micros
+            FROM (SELECT q_id, vec_id, adc_micros,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_micros, vec_id) AS rank
+                  FROM adc WHERE vec_id <> q_id)
+            WHERE rank <= 5 ORDER BY q_id, rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
-      pqAssign)
+      pqAssign, annPqTopK)
 }

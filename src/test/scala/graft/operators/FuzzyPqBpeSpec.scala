@@ -65,6 +65,38 @@ class FuzzyPqBpeSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("ann_pq_topk: 5 ranked neighbors per query; ADC distance equals the sum of code-table lookups") {
+    import spark.implicits._
+    val out = SparkEntry.queries("ann_pq_topk")(spark, sf)
+      .select("q_id", "rank", "vec_id", "adc_micros")
+      .as[(Long, Int, Long, Long)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L))
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1, 2, 3, 4, 5))
+      val ordered = rows.sortBy(_._2).map(_._4)
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a <= b },
+        "ADC distance must be non-decreasing in rank")
+      assert(rows.forall(r => r._3 != r._1), "a query is not its own neighbor")
+    }
+    // ADC distance recomputed on the driver from codes + lookup table
+    val emb = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toMap
+    val cb = (0L to 7L).map(c => c -> emb(c)).toMap
+    def dMicros(x: Seq[Float], y: Seq[Float], s: Int): Long = {
+      val raw = (s * 16 until s * 16 + 16)
+        .map(i => (x(i).toDouble - y(i).toDouble) * (x(i).toDouble - y(i).toDouble)).sum
+      math.floor(raw * 1e6 + 0.5).toLong
+    }
+    def codeOf(v: Long, s: Int): Long =
+      (0L to 7L).minBy(c => (dMicros(emb(v), cb(c), s), c))
+    out.take(8).foreach { case (q, _, v, adc) =>
+      val expect = (0 until 4).map(s => dMicros(emb(q), cb(codeOf(v, s)), s)).sum
+      assert(expect == adc, s"q=$q v=$v: engine=$adc local=$expect")
+    }
+  }
+
   test("text_bpe_pairs: global counts equal the sum of per-document pair counts") {
     import spark.implicits._
     val out = SparkEntry.queries("text_bpe_pairs")(spark, sf)
