@@ -427,8 +427,63 @@ object EventOps {
               AND ts_us - last_click_us <= 300000000
             ORDER BY user_id, second_ts"""))
 
+  /** FORWARD FILL (last-observation-carried-forward): gap-fill a sparse
+    * measure per entity in event-time order — `error` events play the
+    * nulls (the sensor that failed to report), and every row carries the
+    * most recent non-null reading. The standard time-series repair step
+    * before windowed aggregation. One shuffle (by user), one ordered pass
+    * via a running `last(ignoreNulls)` frame — no self-join, no
+    * per-gap subqueries. */
+  val forwardFill = GraftQuery(
+    "ev_forward_fill",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("v",
+          when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("event_id"), col("user_id"), col("v"), col("filled"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, v,
+              last_value(v IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+            FROM (SELECT event_id, user_id, ts,
+                    CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+                  FROM events)
+            ORDER BY event_id"""))
+
+  /** EVENT-TYPE TRANSITION MATRIX: count (state -> next state) hops per
+    * user in event-time order — the Markov-chain view behind funnel and
+    * next-action analyses. One shuffle (by user) for the lead() pass, then
+    * a partial-aggregated count into at most |types|^2 groups. */
+  val transitionMatrix = GraftQuery(
+    "ev_transition_matrix",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("next_type"))
+    },
+    Some("""SELECT event_type, next_type, count(*) AS n
+            FROM (SELECT user_id, event_type,
+                    lead(event_type, 1) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+                  FROM events)
+            WHERE next_type IS NOT NULL
+            GROUP BY event_type, next_type
+            ORDER BY event_type, next_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
-    intervalJoinAuto, cepPairs)
+    intervalJoinAuto, cepPairs, forwardFill, transitionMatrix)
 }

@@ -545,7 +545,8 @@ object Similarity {
                     row_number() OVER (PARTITION BY q_id
                                        ORDER BY adc_micros, vec_id) AS rank
                   FROM adc WHERE vec_id <> q_id)
-            WHERE rank <= 5 ORDER BY q_id, rank"""))
+            WHERE rank <= 5 ORDER BY q_id, rank"""),
+    headline = true)
 
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
