@@ -571,7 +571,72 @@ object Dedup {
             WHERE levenshtein(a.name, b.name) <= 1
             ORDER BY name_a, name_b"""))
 
+  /** DUPLICATED-CHUNK REMOVAL WITH RECONSTRUCTION (the C4/Dolma rewrite
+    * step): where [[chunk]] only *reports* boilerplate density, this query
+    * REMOVES every repeated 10-token chunk except its global first
+    * occurrence (min (doc_id, idx), the deterministic canonical copy) and
+    * re-assembles each document's cleaned text in original chunk order.
+    *
+    * 100 TB shape: the decision pass shuffles ONLY (doc_id, idx, digest) —
+    * 32-char digests, never chunk text (the [[chunk]] discipline). The
+    * keep/drop verdicts collapse to a per-doc drop-index array (usually
+    * tiny), which joins back to `documents` on doc_id and the rebuild is a
+    * map-side lambda over the original text. That final join is the one
+    * place text moves for co-partitioning — and moves zero times when the
+    * corpus is bucketed by doc_id (BucketedJoinSpec's layout), the layout a
+    * production corpus store would use. A first-occurrence argmin is
+    * (doc_id, idx) PACKED INTO ONE LONG (doc_id * 2^16 + idx) so the
+    * aggregate stays a primitive min in HashAggregate (docs < 2^40 ids,
+    * < 2^16 chunks each — corpus invariants). */
+  val rewrite = GraftQuery(
+    "dedup_rewrite",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val chunks = docs
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, cast(floor((size(w)-1)/10) as int)),
+               c -> md5(concat_ws(' ', slice(w, c*10+1, 10))))"""))
+          .as(Seq("idx", "h")))
+        .withColumn("packed", col("doc_id") * 65536L + col("idx"))
+      val firsts = chunks.groupBy(col("h"))
+        .agg(min(col("packed")).as("first_packed"), count(lit(1)).as("n"))
+      val drops = chunks.join(firsts, "h")
+        .filter(col("n") > 1 && col("packed") =!= col("first_packed"))
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("idx")).as("drop_idx"))
+      docs.join(drops, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (expr("cast(floor((size(w)-1)/10) as int)") + 1
+            - coalesce(size(col("drop_idx")), lit(0)).cast("long")).as("n_kept"),
+          coalesce(size(col("drop_idx")), lit(0)).cast("long").as("n_dropped"),
+          expr("""array_join(
+              transform(
+                filter(sequence(0, cast(floor((size(w)-1)/10) as int)),
+                       c -> drop_idx is null or not array_contains(drop_idx, c)),
+                c -> concat_ws(' ', slice(w, c*10+1, 10))), ' ')""")
+            .as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            ch AS (SELECT doc_id, c AS idx,
+                     array_to_string(w[(c*10+1):(c*10+10)], ' ') AS chunk
+                   FROM tok CROSS JOIN LATERAL
+                     (SELECT unnest(generate_series(0, CAST(floor((len(w)-1)/10) AS INTEGER))) AS c) g),
+            dec AS (SELECT doc_id, idx, chunk,
+                      count(*) OVER (PARTITION BY md5(chunk)) AS n,
+                      row_number() OVER (PARTITION BY md5(chunk)
+                                         ORDER BY doc_id, idx) AS rn
+                    FROM ch)
+            SELECT doc_id,
+              CAST(sum(CASE WHEN n = 1 OR rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN n = 1 OR rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+              coalesce(string_agg(CASE WHEN n = 1 OR rn = 1 THEN chunk END, ' '
+                                  ORDER BY idx), '') AS clean_text
+            FROM dec GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
-      containment, minhashFast, chunk, priorityKeep, ingestDelta, fuzzyNames)
+      containment, minhashFast, chunk, priorityKeep, ingestDelta, fuzzyNames,
+      rewrite)
 }

@@ -482,8 +482,67 @@ object EventOps {
             GROUP BY event_type, next_type
             ORDER BY event_type, next_type"""))
 
+  /** NEAREST-IN-TIME JOIN (bidirectional as-of with tolerance): pair every
+    * click with the CLOSEST error event of the same user within 6 h —
+    * before OR after, earlier wins a tie — where [[asofJoin]] only looks
+    * backward. The implementation is the merge-then-window formulation:
+    * both event kinds share one per-user ordered pass; a backward
+    * `last(ignoreNulls)` carries the latest earlier error, a forward
+    * `first(ignoreNulls)` the earliest later one, and a branch picks the
+    * closer candidate. No self-join, no per-row probe: one shuffle on
+    * user_id and two frames over the same sort, identical cost profile to
+    * [[asofJoin]] at any scale. */
+  val asofNearest = GraftQuery(
+    "ev_asof_nearest",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"))
+      val base = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val wPrev = base.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = base.rowsBetween(1, Window.unboundedFollowing)
+      val errUs = when(col("event_type") === "error", col("ts_us"))
+      ev.withColumn("prev_us", last(errUs, ignoreNulls = true).over(wPrev))
+        .withColumn("next_us", first(errUs, ignoreNulls = true).over(wNext))
+        .filter(col("event_type") === "click")
+        .withColumn("near_us",
+          when(col("prev_us").isNotNull &&
+            (col("next_us").isNull ||
+              col("ts_us") - col("prev_us") <= col("next_us") - col("ts_us")),
+            col("prev_us")).otherwise(col("next_us")))
+        .filter(col("near_us").isNotNull &&
+          abs(col("near_us") - col("ts_us")) <= 21600000000L)
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"),
+          expr("timestamp_micros(near_us)").as("err_ts"),
+          (col("near_us") - col("ts_us")).as("delta_us"))
+        .orderBy(col("event_id"))
+    },
+    Some("""WITH ce AS (SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS ts_us
+                        FROM events WHERE event_type IN ('click', 'error')),
+            marked AS (SELECT event_id, user_id, event_type, ts, ts_us,
+                         last_value(CASE WHEN event_type = 'error' THEN ts_us END IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_us,
+                         first_value(CASE WHEN event_type = 'error' THEN ts_us END IGNORE NULLS) OVER (
+                           PARTITION BY user_id ORDER BY ts_us, event_id
+                           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_us
+                       FROM ce),
+            chosen AS (SELECT event_id, user_id, ts, ts_us,
+                         CASE WHEN prev_us IS NOT NULL AND (next_us IS NULL
+                                OR ts_us - prev_us <= next_us - ts_us)
+                              THEN prev_us ELSE next_us END AS near_us
+                       FROM marked WHERE event_type = 'click')
+            SELECT event_id, user_id, ts AS click_ts,
+              make_timestamp(near_us) AS err_ts, near_us - ts_us AS delta_us
+            FROM chosen
+            WHERE near_us IS NOT NULL AND abs(near_us - ts_us) <= 21600000000
+            ORDER BY event_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
-    intervalJoinAuto, cepPairs, forwardFill, transitionMatrix)
+    intervalJoinAuto, cepPairs, forwardFill, transitionMatrix, asofNearest)
 }

@@ -133,5 +133,77 @@ object Multimodal {
                         FROM documents))
             ORDER BY doc_id"""))
 
-  val all: Seq[GraftQuery] = Seq(meta, decodeFeatures, frameSample, resizePlan)
+  /** CLIP-style TRAINING-PAIR CONSTRUCTION: join each caption (documents)
+    * to its media embedding (embeddings, the image-tower output a real
+    * pipeline precomputes) and assign contrastive batches by content hash —
+    * deterministic across engines/shards/re-runs, balanced in expectation,
+    * and batch membership never depends on row order. One equi-join on the
+    * shared id (co-partitioned; embeddings never broadcast at corpus
+    * scale), everything else scan-side expressions. */
+  val captionPairs = GraftQuery(
+    "mm_caption_pairs",
+    (s, dir) => {
+      graft.functions.VectorFunctions.ensureRegistered(s)
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+        .join(t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"))
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("text")), 1, 8), 16, 10)
+            .cast("long") % 16).as("batch_id"),
+          size(split(col("text"), " ")).as("caption_tokens"),
+          round(sqrt(expr("graft_l2sq(embedding, array_repeat(cast(0.0 as float), 64), 0, 64)")), 4)
+            .as("emb_norm"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, lang,
+              CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 16 AS batch_id,
+              CAST(len(string_split(text, ' ')) AS INTEGER) AS caption_tokens,
+              round(sqrt(list_sum(list_transform(generate_series(1, 64),
+                i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))), 4)
+                AS emb_norm
+            FROM documents JOIN embeddings ON doc_id = vec_id
+            ORDER BY doc_id"""))
+
+  /** AUDIO WINDOWING plan: treat the payload as 16-bit mono PCM and cut it
+    * into fixed windows with 50% overlap — the standard ASR/audio-model
+    * featurization grid (window 64 samples, hop 32, scaled to the toy
+    * payloads; a real 16 kHz corpus uses 16000/8000 with identical
+    * arithmetic). Emits per-window byte (offset, length); the per-row
+    * `sequence` explode keeps it scan-side (no shuffle until the output
+    * sort). Short payloads (< one window) produce a single truncated
+    * window, so no row is ever silently dropped. */
+  val audioWindows = GraftQuery(
+    "mm_audio_windows",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("n_bytes"))
+        .select(col("doc_id"), col("n_bytes"),
+          (col("n_bytes") / 2).cast("int").as("n_samples"))
+        .select(col("doc_id"), col("n_bytes"),
+          greatest(lit(1),
+            (floor((col("n_samples") - 64) / 32.0) + 1).cast("int"))
+            .as("n_windows"))
+        .select(col("doc_id"), col("n_bytes"), col("n_windows"),
+          posexplode(expr("sequence(0, n_windows - 1)")).as(Seq("win", "wi")))
+        .select(col("doc_id"), col("win"),
+          (col("wi") * 64L).as("byte_off"),
+          least(lit(128L), col("n_bytes") - col("wi") * 64L).as("byte_len"))
+        .orderBy(col("doc_id"), col("win")),
+    Some("""SELECT doc_id, CAST(g.wi AS INTEGER) AS win,
+              CAST(g.wi * 64 AS BIGINT) AS byte_off,
+              CAST(least(128, n_bytes - g.wi * 64) AS BIGINT) AS byte_len
+            FROM (SELECT doc_id, n_bytes,
+                    greatest(1, CAST(floor((n_samples - 64) / 32.0) AS INTEGER) + 1)
+                      AS n_windows
+                  FROM (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                          CAST(floor(octet_length(encode(text)) / 2) AS INTEGER) AS n_samples
+                        FROM documents))
+            CROSS JOIN LATERAL
+              (SELECT unnest(generate_series(0, n_windows - 1)) AS wi) g
+            ORDER BY doc_id, win"""))
+
+  val all: Seq[GraftQuery] = Seq(meta, decodeFeatures, frameSample, resizePlan,
+    captionPairs, audioWindows)
 }

@@ -913,6 +913,74 @@ object Relational {
             ) t
             ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""))
 
+  /** MARKET SHARE (TPC-H Q8 shape): NATION_5's share of STANDARD-part
+    * revenue sold to ASIA customers, per order year — the ratio-of-
+    * conditional-aggregates pattern over an 8-table join (lineitem, orders,
+    * customer, part, supplier, nation x2 roles, region).
+    *
+    * Join discipline at scale: part/supplier/nation/region prune and
+    * broadcast (the filters land BEFORE the broadcast, so only matching
+    * partkeys ship); lineitem->orders->customer chain shuffles on the join
+    * keys with AQE free to re-plan. Revenue is exact integer cents (the
+    * [[q43JoinSix]] invariant) so the share numerator/denominator are
+    * bit-identical across engines; only the final ratio rounds. */
+  val q44MarketShare = GraftQuery(
+    "q44_market_share",
+    (s, dir) => {
+      val asiaNationKeys = broadcast(
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey")))
+      val asiaCust = t(s, dir, "customer")
+        .join(asiaNationKeys, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).as("o_year"))
+      val stdParts = broadcast(
+        t(s, dir, "part").filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey")))
+      val supNation = broadcast(
+        t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")))
+      t(s, dir, "lineitem")
+        .join(stdParts, col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .withColumn("vol_cents",
+          expr("cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("s_nationkey") === 5, col("vol_cents")).otherwise(0L))
+            .as("nation_cents"),
+          sum(col("vol_cents")).as("total_cents"))
+        .withColumn("mkt_share",
+          expr("floor(nation_cents / total_cents * 1e6 + 0.5) / 1e6"))
+        .orderBy(col("o_year"))
+    },
+    Some("""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+              CAST(sum(CASE WHEN s_nationkey = 5
+                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS nation_cents,
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+              floor(CAST(sum(CASE WHEN s_nationkey = 5
+                  THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS DOUBLE)
+                / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                * 1e6 + 0.5) / 1e6 AS mkt_share
+            FROM lineitem, orders, customer, part, supplier, nation, region
+            WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+              AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+              AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA' AND p_type = 'STANDARD'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1998-01-01'
+            GROUP BY o_year ORDER BY o_year"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -921,5 +989,5 @@ object Relational {
     q23Percentile, q24Pivot, q25Explode, q26Having, q29ArrayFuncs, q30MapFuncs,
     q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets,
     q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
-    q41Median, q42LateralTopN, q43JoinSix)
+    q41Median, q42LateralTopN, q43JoinSix, q44MarketShare)
 }

@@ -261,6 +261,64 @@ object Sampling {
               min(y) AS min_y, max(y) AS max_y
             FROM zz GROUP BY 1 ORDER BY 1"""))
 
+  /** DETERMINISTIC SOURCE INTERLEAVE: the training-mix ordering step —
+    * round-robin the corpus across sources (round 1 takes each source's
+    * first doc, round 2 the second, ...; within a round, source name
+    * order), with each source's sequence fixed by content hash so every
+    * engine/shard/re-run emits the identical schedule. Exhausted sources
+    * simply drop out of later rounds.
+    *
+    * Scale shape — NO global sort and NO single-task window:
+    *   1. the per-source ordinal `rn` is the [[packSequences]] two-phase
+    *      trick keyed by the md5 prefix (a monotonic hash-range bucket, a
+    *      partition-local row_number, plus broadcast exclusive bases from
+    *      the tiny (source x bucket) count matrix);
+    *   2. the GLOBAL interleave position is then a closed-form, map-side
+    *      expression against the per-source totals (a handful of longs,
+    *      inlined as literals): pos = sum_s' min(cnt_s', rn-1)  +  |{s' <
+    *      s : cnt_s' >= rn}| — rows never shuffle to be numbered. */
+  val interleaveSources = GraftQuery(
+    "pipeline_interleave_sources",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("hk"))
+        .cache()
+      // monotonic hash-range bucket: first md5 byte / 8 -> 32 ordered buckets
+      val withPid = docs.withColumn("pid",
+        (conv(substring(col("hk"), 1, 2), 16, 10).cast("int") / 8).cast("int"))
+      val bases = withPid.groupBy(col("source"), col("pid")).count()
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .sortBy(x => (x._1, x._2))
+      val exclusive = bases.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+        var acc = 0L
+        rows.sortBy(_._2).toSeq.map { case (_, pid, n) =>
+          val b = (src, pid, acc); acc += n; b }
+      }
+      val baseDf = s.createDataFrame(exclusive).toDF("source", "pid", "base")
+      val wLocal = Window.partitionBy(col("source"), col("pid"))
+        .orderBy(col("hk"), col("doc_id"))
+      val ranked = withPid.join(broadcast(baseDf), Seq("source", "pid"))
+        .withColumn("rn", (col("base") + row_number().over(wLocal)).cast("long"))
+      val counts = bases.groupBy(_._1).map { case (src, rs) =>
+        src -> rs.map(_._3).sum }.toSeq.sortBy(_._1)
+      val pos = counts.map { case (src, cnt) =>
+        least(lit(cnt), col("rn") - 1L) +
+          when(lit(src) < col("source") && lit(cnt) >= col("rn"), 1L)
+            .otherwise(0L)
+      }.reduce(_ + _)
+      ranked.select(pos.cast("long").as("pos"),
+          col("doc_id"), col("source"), col("rn"))
+        .orderBy(col("pos"))
+    },
+    Some("""WITH r AS (SELECT doc_id, source,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY md5(text), doc_id) AS rn
+                       FROM documents)
+            SELECT CAST(row_number() OVER (ORDER BY rn, source) - 1 AS BIGINT) AS pos,
+                   doc_id, source, CAST(rn AS BIGINT) AS rn
+            FROM r ORDER BY pos"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
-    stratifiedSample, shardAssign, truncate, zorderProfile)
+    stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources)
 }

@@ -548,8 +548,95 @@ object Similarity {
             WHERE rank <= 5 ORDER BY q_id, rank"""),
     headline = true)
 
+  /** TWO-STAGE PQ RETRIEVAL (shortlist + exact re-rank): the production ANN
+    * serving shape — the ADC pass of [[annPqTopK]] scans the compressed
+    * corpus for a top-20 shortlist per query, then ONLY the shortlisted
+    * vectors are re-scored with exact cosine and re-ranked to top-5. The
+    * compressed scan bounds recall loss; the exact pass restores ranking
+    * fidelity while touching (n_queries x 20) full vectors instead of the
+    * corpus.
+    *
+    * 100 TB shape: stage 1 is [[annPqTopK]]'s (codes-only scan, broadcast
+    * lookup tables, partial-agg sums, WindowGroupLimit top-k). Stage 2
+    * broadcasts the tiny (q_id, vec_id) shortlist back against the corpus —
+    * one more map-side scan that deserializes floats for only the matched
+    * rows — so the full-precision vectors never shuffle either. */
+  val annPqRerank = GraftQuery(
+    "ann_pq_rerank",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val codes = pqCodes(s, e)
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val dtab = q.crossJoin(broadcast(pqCodebook(e)))
+        .select(col("q_id"), col("code"),
+          posexplode(array(
+            l2Micros("q_emb", "cvec", 0), l2Micros("q_emb", "cvec", 1),
+            l2Micros("q_emb", "cvec", 2), l2Micros("q_emb", "cvec", 3)))
+            .as(Seq("subspace", "qdm")))
+      val wAdc = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_micros"), col("vec_id"))
+      val shortlist = codes.join(broadcast(dtab), Seq("subspace", "code"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qdm")).as("adc_micros"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("adc_rank", row_number().over(wAdc))
+        .filter(col("adc_rank") <= 20)
+        .select(col("q_id"), col("vec_id"))
+      val wCos = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      e.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(q), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(s, "embedding", "q_emb"), 4).as("cos_sim"))
+        .withColumn("rank", row_number().over(wCos))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""WITH cb AS (SELECT vec_id AS code, embedding AS cvec
+                        FROM embeddings WHERE vec_id < 8),
+            sc AS (SELECT e.vec_id, c.code, g.s AS subspace,
+                     CAST(floor(list_sum(list_transform(generate_series(16 * g.s + 1, 16 * g.s + 16),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) *
+                            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))
+                       * 1e6 + 0.5) AS BIGINT) AS dm
+                   FROM embeddings e
+                   CROSS JOIN cb c
+                   CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) g),
+            codes AS (SELECT vec_id, subspace, code
+                      FROM (SELECT vec_id, subspace, code,
+                              row_number() OVER (PARTITION BY vec_id, subspace
+                                                 ORDER BY dm, code) AS rn
+                            FROM sc) WHERE rn = 1),
+            dtab AS (SELECT vec_id AS q_id, code, subspace, dm AS qdm
+                     FROM sc WHERE vec_id < 4),
+            adc AS (SELECT d.q_id, c.vec_id, CAST(sum(d.qdm) AS BIGINT) AS adc_micros
+                    FROM codes c JOIN dtab d
+                      ON c.subspace = d.subspace AND c.code = d.code
+                    GROUP BY d.q_id, c.vec_id),
+            shortlist AS (SELECT q_id, vec_id
+                          FROM (SELECT q_id, vec_id,
+                                  row_number() OVER (PARTITION BY q_id
+                                                     ORDER BY adc_micros, vec_id) AS adc_rank
+                                FROM adc WHERE vec_id <> q_id)
+                          WHERE adc_rank <= 20),
+            qv AS (SELECT vec_id AS q_id, embedding AS q_emb
+                   FROM embeddings WHERE vec_id < 4),
+            rer AS (SELECT sl.q_id, sl.vec_id,
+                      round(${sqlCos("e.embedding", "qv.q_emb")}, 4) AS cos_sim
+                    FROM shortlist sl
+                    JOIN embeddings e ON e.vec_id = sl.vec_id
+                    JOIN qv ON qv.q_id = sl.q_id)
+            SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, cos_sim
+            FROM (SELECT q_id, vec_id, cos_sim,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, vec_id) AS rank
+                  FROM rer)
+            WHERE rank <= 5 ORDER BY q_id, rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
-      pqAssign, annPqTopK)
+      pqAssign, annPqTopK, annPqRerank)
 }

@@ -249,4 +249,57 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(!s.substring(0, exchangeIdx).contains("text#"),
       "text column should be projected away before the shuffle")
   }
+
+  test("q44_market_share: at simulated scale neither fact nor customer is broadcast") {
+    // same 1000x simulation as the q3 test: shrink the threshold below the
+    // big tables; only the genuinely tiny pruned dims may stay broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+    try {
+      val p = plan("q44_market_share", benchSf)
+      val bs = broadcastSubtrees(p)
+      assert(bs.exists(b => b.toString.contains("part.parquet")),
+        s"pruned part dimension should broadcast, plan:\n$p")
+      assert(bs.forall(b => !b.toString.contains("lineitem.parquet")),
+        s"fact table on the build side at simulated scale, plan:\n$p")
+      assert(bs.forall(b => !b.toString.contains("customer.parquet")),
+        s"customer must shuffle, not broadcast, at simulated scale, plan:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  private def emptyPartitionWindows(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+
+  test("new ordered ops: every window is keyed — no single-task global window") {
+    // a Window with an empty partitionSpec funnels the whole input through
+    // one task; each of these ops must declare only keyed frames (their
+    // deterministic output ORDER BY is a range exchange, which is fine)
+    for (name <- Seq("ev_forward_fill", "ev_transition_matrix",
+        "ev_asof_nearest", "pipeline_interleave_sources")) {
+      val df = SparkEntry.queries(name)(spark, sf)
+      assert(emptyPartitionWindows(df).isEmpty,
+        s"$name declares an unpartitioned window")
+      df.collect()
+      val singles = shuffleExchanges(df.queryExecution.executedPlan)
+        .filter(_.outputPartitioning ==
+          org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+      assert(singles.isEmpty,
+        s"$name has a single-partition exchange:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
+  test("dedup_rewrite: decision-pass shuffles carry digests; text moves at most once") {
+    // the chunk-digest groupBy and the drop-list aggregation must exchange
+    // only (doc_id, idx, digest)-shaped rows; the tokenized text may cross
+    // the wire exactly once — the co-partitioning join that rebuilds the
+    // document (zero times on a doc_id-bucketed corpus)
+    val df = SparkEntry.queries("dedup_rewrite")(spark, sf)
+    df.collect()
+    val withText = shuffleExchanges(df.queryExecution.executedPlan)
+      .filter(_.output.exists(a => a.name == "w" || a.name == "text"))
+    assert(withText.size <= 1,
+      s"tokenized text crosses ${withText.size} exchanges:\n${df.queryExecution.executedPlan}")
+  }
 }
