@@ -336,7 +336,55 @@ object Curation {
             FROM d JOIN c USING (lang) CROSS JOIN m
             GROUP BY d.lang, c.n_docs ORDER BY d.lang"""))
 
+  /** DATA-PROFILING PASS (pipeline observability): per-column null counts,
+    * exact distinct cardinality, and min/max, emitted one row per column —
+    * the corpus health report every ingest run publishes. One aggregate
+    * over the table computes every column's stats (multiple count-distincts
+    * lower to a single Expand + HashAggregate — one scan, no joins), then a
+    * scan-side stack reshapes to rows. At 100 TB swap the exact distincts
+    * for approx_count_distinct and nothing else changes. */
+  val profile = GraftQuery(
+    "pipeline_profile",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("nn_lang"),
+          countDistinct(col("lang")).as("nd_lang"),
+          min(col("lang")).as("min_lang"), max(col("lang")).as("max_lang"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("nn_source"),
+          countDistinct(col("source")).as("nd_source"),
+          min(col("source")).as("min_source"), max(col("source")).as("max_source"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("nn_chars"),
+          countDistinct(col("n_chars")).as("nd_chars"),
+          min(col("n_chars")).cast("string").as("min_chars"),
+          max(col("n_chars")).cast("string").as("max_chars"))
+        .select(expr(
+          """stack(3,
+               'lang',    n_rows, nn_lang,   nd_lang,   min_lang,   max_lang,
+               'source',  n_rows, nn_source, nd_source, min_source, max_source,
+               'n_chars', n_rows, nn_chars,  nd_chars,  min_chars,  max_chars)
+             AS (col_name, n_rows, n_nulls, n_distinct, min_val, max_val)"""))
+        .orderBy(col("col_name")),
+    Some("""SELECT 'lang' AS col_name, count(*) AS n_rows,
+              CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+              count(DISTINCT lang) AS n_distinct,
+              min(lang) AS min_val, max(lang) AS max_val
+            FROM documents
+            UNION ALL
+            SELECT 'source', count(*),
+              CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              count(DISTINCT source), min(source), max(source)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', count(*),
+              CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+              count(DISTINCT n_chars),
+              CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+            FROM documents
+            ORDER BY col_name"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
-      mixtureQuota, temperatureSample)
+      mixtureQuota, temperatureSample, profile)
 }

@@ -93,5 +93,52 @@ object PageRank {
              ${(1 to Iters).map(iterSql).mkString(",\n")}
              SELECT node, round(rank, 8) AS pr FROM r$Iters ORDER BY node"""))
 
-  val all: Seq[GraftQuery] = Seq(pagerank)
+  /** BFS HOP DISTANCE from one source node over the same symmetrized
+    * supplier<->part graph — the frontier-expansion iterative pattern
+    * (shortest unweighted path), the second classic graph protocol after
+    * PageRank. Each tick is (frontier JOIN edges) minus visited — an
+    * equi-join plus an anti-join, both key-partitioned; the frontier and
+    * visited sets hold (node) / (node, hops) only, never edges. Depth is
+    * bounded (4), so the loop is four fixed plans; `localCheckpoint`
+    * truncates lineage the same way the PageRank loop does. Oracle: a
+    * depth-bounded recursive CTE with UNION dedup. */
+  val bfs = GraftQuery(
+    "graph_bfs",
+    (s, dir) => {
+      import s.implicits._
+      val li = Tables.t(s, dir, "lineitem")
+      val fwd = li.select((col("l_suppkey") + SuppOffset).as("src"), col("l_partkey").as("dst"))
+      val rev = li.select(col("l_partkey").as("src"), (col("l_suppkey") + SuppOffset).as("dst"))
+      val edges = fwd.union(rev).distinct().cache()
+      val source = 1L
+      var visited = Seq((source, 0)).toDF("node", "hops").localCheckpoint(true)
+      var frontier = visited.select(col("node"))
+      var d = 0
+      while (d < 4) {
+        d += 1
+        val next = frontier.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node")).distinct()
+          .join(visited.select(col("node")).as("v"), Seq("node"), "left_anti")
+          .localCheckpoint(true)
+        visited = visited.union(next.withColumn("hops", lit(d)))
+          .localCheckpoint(true)
+        frontier = next.select(col("node"))
+      }
+      edges.unpersist()
+      visited.select(col("node"), col("hops")).orderBy(col("node"))
+    },
+    Some(s"""WITH RECURSIVE edges AS (
+               SELECT DISTINCT l_suppkey + $SuppOffset AS src, l_partkey AS dst FROM lineitem
+               UNION
+               SELECT DISTINCT l_partkey AS src, l_suppkey + $SuppOffset AS dst FROM lineitem),
+             walk(node, d) AS (
+               SELECT CAST(1 AS BIGINT) AS node, 0 AS d
+               UNION
+               SELECT e.dst AS node, w.d + 1 AS d
+               FROM walk w JOIN edges e ON e.src = w.node
+               WHERE w.d < 4)
+             SELECT node, CAST(min(d) AS INTEGER) AS hops
+             FROM walk GROUP BY node ORDER BY node"""))
+
+  val all: Seq[GraftQuery] = Seq(pagerank, bfs)
 }

@@ -979,7 +979,40 @@ object Relational {
               AND r_name = 'ASIA' AND p_type = 'STANDARD'
               AND o_orderdate >= DATE '1996-01-01'
               AND o_orderdate < DATE '1998-01-01'
-            GROUP BY o_year ORDER BY o_year"""))
+            GROUP BY o_year ORDER BY o_year"""),
+    headline = true)
+
+  /** UNPIVOT / melt (the inverse of [[q24Pivot]]): widen-to-long reshape of
+    * per-row measures into (metric, value) pairs — `Dataset.unpivot`, which
+    * compiles to a scan-side Expand (each input row emits k metric rows
+    * before any exchange; no join, no shuffle except the output sort). */
+  val q45Unpivot = GraftQuery(
+    "q45_unpivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") <= 100)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity").as("quantity"),
+            col("l_extendedprice").as("extendedprice"),
+            col("l_discount").as("discount"),
+            col("l_tax").as("tax")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric")),
+    Some("""SELECT l_orderkey, l_linenumber, metric, value
+            FROM (
+              SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+              FROM lineitem WHERE l_orderkey <= 100
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+              FROM lineitem WHERE l_orderkey <= 100
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'discount', l_discount
+              FROM lineitem WHERE l_orderkey <= 100
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'tax', l_tax
+              FROM lineitem WHERE l_orderkey <= 100)
+            ORDER BY l_orderkey, l_linenumber, metric"""))
 
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
@@ -989,5 +1022,5 @@ object Relational {
     q23Percentile, q24Pivot, q25Explode, q26Having, q29ArrayFuncs, q30MapFuncs,
     q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets,
     q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
-    q41Median, q42LateralTopN, q43JoinSix, q44MarketShare)
+    q41Median, q42LateralTopN, q43JoinSix, q44MarketShare, q45Unpivot)
 }
