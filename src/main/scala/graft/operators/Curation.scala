@@ -384,7 +384,63 @@ object Curation {
             FROM documents
             ORDER BY col_name"""))
 
+  /** END-TO-END CURATION FUNNEL: the composed corpus build — raw ingest →
+    * quality gate ([[qualityFilter]]'s exact thresholds) → exact dedup
+    * (first doc_id per content digest wins) — reported as surviving doc
+    * counts per source at each stage, the attrition report every corpus
+    * run publishes. Demonstrates that the stages COMPOSE as one lazy plan:
+    * Catalyst shares the scan, the quality gate is scan-side, and the only
+    * data that shuffles for dedup is (digest, doc_id, source) — text
+    * never leaves the map side. */
+  val endToEnd = GraftQuery(
+    "pipeline_end_to_end",
+    (s, dir) => {
+      val stopSet = Stops.map(m => s"'$m'").mkString(", ")
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          split(col("text"), " ").as("w"))
+      val quality = base.filter(
+        size(col("w")) >= 10 && size(col("w")) <= 2000 &&
+          expr("floor(cast(size(array_distinct(w)) as double) / size(w) * 1e6 + 0.5) / 1e6") >= 0.2 &&
+          expr(s"floor(cast(size(filter(w, x -> x IN ($stopSet))) as double) / size(w) * 1e6 + 0.5) / 1e6") >= 0.01)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"))
+      val deduped = quality
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      base.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("stage", lit("1_raw"))
+        .unionByName(quality.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs")).withColumn("stage", lit("2_quality")))
+        .unionByName(deduped.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs")).withColumn("stage", lit("3_dedup")))
+        .select(col("stage"), col("source"), col("n_docs"))
+        .orderBy(col("stage"), col("source"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, source, text, string_split(text, ' ') AS w
+                           FROM documents),
+             quality AS (
+               SELECT doc_id, source, text FROM base
+               WHERE len(w) >= 10 AND len(w) <= 2000
+                 AND floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 1e6 + 0.5) / 1e6 >= 0.2
+                 AND floor(CAST(len(list_filter(w, x -> x IN (${Stops.map(m => s"'$m'").mkString(", ")})))
+                       AS DOUBLE) / len(w) * 1e6 + 0.5) / 1e6 >= 0.01),
+             deduped AS (
+               SELECT doc_id, source FROM (
+                 SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                 FROM quality) WHERE rn = 1)
+             SELECT stage, source, n_docs FROM (
+               SELECT '1_raw' AS stage, source, count(*) AS n_docs
+               FROM base GROUP BY source
+               UNION ALL
+               SELECT '2_quality', source, count(*) FROM quality GROUP BY source
+               UNION ALL
+               SELECT '3_dedup', source, count(*) FROM deduped GROUP BY source)
+             ORDER BY stage, source"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
-      mixtureQuota, temperatureSample, profile)
+      mixtureQuota, temperatureSample, profile, endToEnd)
 }

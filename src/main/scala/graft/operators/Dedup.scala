@@ -635,8 +635,50 @@ object Dedup {
                                   ORDER BY idx), '') AS clean_text
             FROM dec GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** SNAPSHOT MERGE (MERGE/upsert semantics): reconcile an existing corpus
+    * snapshot with an incoming batch keyed by doc_id — incoming wins on
+    * overlap ('updated'), snapshot-only rows survive ('kept'), new keys
+    * append ('inserted'). The companion of [[ingestDelta]]: delta answers
+    * "what is new", merge MATERIALIZES the next snapshot. (doc_id % 7 == 0
+    * plays the snapshot, doc_id % 3 == 0 the incoming batch — overlap at
+    * % 21.)
+    *
+    * 100 TB shape: one full-outer equi-join on the snapshot key — the rows
+    * that move are (key, digest) projections, the verdict is a map-side
+    * CASE; on a doc_id-bucketed store both sides are co-located and the
+    * merge is shuffle-free (the Delta/Iceberg MERGE plan). */
+  val snapshotMerge = GraftQuery(
+    "dedup_snapshot_merge",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val snap = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("h").as("h_old"))
+      val inc = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("h").as("h_new"))
+      snap.join(inc, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h_old").isNotNull && col("h_new").isNotNull, "updated")
+            .when(col("h_new").isNotNull, "inserted")
+            .otherwise("kept").as("origin"),
+          coalesce(col("h_new"), col("h_old")).as("h"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT coalesce(s.doc_id, i.doc_id) AS doc_id,
+              CASE WHEN s.h_old IS NOT NULL AND i.h_new IS NOT NULL THEN 'updated'
+                   WHEN i.h_new IS NOT NULL THEN 'inserted'
+                   ELSE 'kept' END AS origin,
+              coalesce(i.h_new, s.h_old) AS h
+            FROM (SELECT doc_id, md5(text) AS h_old FROM documents
+                  WHERE doc_id % 7 = 0) s
+            FULL OUTER JOIN
+                 (SELECT doc_id, md5(text) AS h_new FROM documents
+                  WHERE doc_id % 3 = 0) i
+              ON s.doc_id = i.doc_id
+            ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
       containment, minhashFast, chunk, priorityKeep, ingestDelta, fuzzyNames,
-      rewrite)
+      rewrite, snapshotMerge)
 }
