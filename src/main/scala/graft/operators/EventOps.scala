@@ -541,8 +541,71 @@ object EventOps {
             WHERE near_us IS NOT NULL AND abs(near_us - ts_us) <= 21600000000
             ORDER BY event_id"""))
 
+  /** RESAMPLE TO A REGULAR GRID: convert each user's irregular event stream
+    * into a 6-hour-aligned series carrying the last observation at each
+    * grid instant (LOCF at grid points) — the time-series normalization
+    * step before any fixed-step model. Grid instants are epoch-aligned
+    * multiples of the step between the user's first and last event, so the
+    * grid is a pure function of the data (no session clock).
+    *
+    * One aggregate for the per-user bounds, a scan-side `sequence` explode
+    * for the grid rows, then ONE keyed window pass over the union of grid
+    * and event rows (grid rows sort after same-instant events, so a
+    * reading AT the instant is picked up). No self-join, no per-grid-point
+    * probe; everything shuffles once on user_id. */
+  val resampleGrid = GraftQuery(
+    "ev_resample_grid",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val step = 21600000000L // 6 h in microseconds
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value").as("v"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+        .withColumn("start", expr(s"((mn + ${step - 1}) div $step) * $step"))
+        .filter(col("start") <= col("mx"))
+        .select(col("user_id"),
+          explode(expr(s"sequence(start, mx, $step)")).as("ts_us"))
+        .select(col("user_id"), col("ts_us"),
+          lit(0L).as("event_id"), lit(null).cast("double").as("v"),
+          lit(1).as("is_grid"))
+      val union = ev.withColumn("is_grid", lit(0))
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("v"), col("is_grid"))
+        .unionByName(grid)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("is_grid"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      union.withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .filter(col("is_grid") === 1)
+        .select(col("user_id"),
+          expr("timestamp_micros(ts_us)").as("grid_ts"), col("v_filled"))
+        .orderBy(col("user_id"), col("grid_ts"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value AS v
+                        FROM events),
+            b AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
+                  FROM ev GROUP BY user_id),
+            grid AS (SELECT user_id,
+                       unnest(generate_series(((mn + 21599999999) // 21600000000) * 21600000000,
+                                              mx, 21600000000)) AS ts_us
+                     FROM b
+                     WHERE ((mn + 21599999999) // 21600000000) * 21600000000 <= mx),
+            u AS (SELECT user_id, ts_us, CAST(0 AS BIGINT) AS event_id,
+                    CAST(NULL AS DOUBLE) AS v, 1 AS is_grid FROM grid
+                  UNION ALL
+                  SELECT user_id, ts_us, event_id, v, 0 FROM ev),
+            f AS (SELECT user_id, ts_us, is_grid,
+                    last_value(v IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY ts_us, is_grid, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+                  FROM u)
+            SELECT user_id, make_timestamp(ts_us) AS grid_ts, v_filled
+            FROM f WHERE is_grid = 1 ORDER BY user_id, grid_ts"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
-    intervalJoinAuto, cepPairs, forwardFill, transitionMatrix, asofNearest)
+    intervalJoinAuto, cepPairs, forwardFill, transitionMatrix, asofNearest,
+    resampleGrid)
 }

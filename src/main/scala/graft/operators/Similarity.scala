@@ -635,8 +635,47 @@ object Similarity {
                   FROM rer)
             WHERE rank <= 5 ORDER BY q_id, rank"""))
 
+  /** k-NN GRAPH construction (k=3) — EVERY vector's top-k neighbors within
+    * its coarse cell (`label` as the IVF/k-means assignment), the backbone
+    * structure of SemDeDup-style clustering, HNSW seeding, and
+    * graph-propagated labels. Unlike [[annIvf]] (a handful of query
+    * vectors), this is the full self-join: cost is sum over cells of
+    * |cell|^2 — the standard kNN-graph bound, kept tractable by the cell
+    * partition (and salted/split further when a cell is hot; the all-pairs
+    * never crosses cells). Top-k is a rank-limited window per vec_a
+    * (WindowGroupLimit prunes map-side), ties broken by vec_b. */
+  val annKnnGraph = GraftQuery(
+    "ann_knn_graph",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val w = Window.partitionBy(col("vec_a"))
+        .orderBy(col("cos_sim").desc, col("vec_b"))
+      a.join(b, Seq("label"))
+        .filter(col("vec_a") =!= col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          round(cosine(s, "ea", "eb"), 4).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("vec_a"), col("rank"), col("vec_b"), col("cos_sim"))
+        .orderBy(col("vec_a"), col("rank"))
+    },
+    Some(s"""WITH scored AS (
+               SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(${sqlCos("a.embedding", "b.embedding")}, 4) AS cos_sim
+               FROM embeddings a JOIN embeddings b ON a.label = b.label
+               WHERE a.vec_id <> b.vec_id),
+             ranked AS (
+               SELECT vec_a, vec_b, cos_sim,
+                 row_number() OVER (PARTITION BY vec_a
+                                    ORDER BY cos_sim DESC, vec_b) AS rank
+               FROM scored)
+             SELECT vec_a, CAST(rank AS INTEGER) AS rank, vec_b, cos_sim
+             FROM ranked WHERE rank <= 3 ORDER BY vec_a, rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
-      pqAssign, annPqTopK, annPqRerank)
+      pqAssign, annPqTopK, annPqRerank, annKnnGraph)
 }
