@@ -319,6 +319,24 @@ object Sampling {
                    doc_id, source, CAST(rn AS BIGINT) AS rn
             FROM r ORDER BY pos"""))
 
+  /** EXACT-k DETERMINISTIC SAMPLE: the k documents with the smallest
+    * content hash — a uniform random sample of exactly k rows that every
+    * engine/shard/re-run reproduces bit-identically (where [[hashSample]]
+    * keeps a deterministic ~p fraction, this keeps an exact count — the
+    * "give me 10k eval docs" ask). Compiles to TakeOrderedAndProject:
+    * each map partition keeps its local k, the driver merges P*k candidate
+    * rows — no global sort, no second pass, no count-then-filter. */
+  val sampleK = GraftQuery(
+    "pipeline_sample_k",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("hk"))
+        .orderBy(col("hk"), col("doc_id"))
+        .limit(100),
+    Some("""SELECT doc_id, md5(text) AS hk FROM documents
+            ORDER BY hk, doc_id LIMIT 100"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
-    stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources)
+    stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources,
+    sampleK)
 }

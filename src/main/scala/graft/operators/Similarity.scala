@@ -674,8 +674,47 @@ object Similarity {
              SELECT vec_a, CAST(rank AS INTEGER) AS rank, vec_b, cos_sim
              FROM ranked WHERE rank <= 3 ORDER BY vec_a, rank"""))
 
+  /** DISTRIBUTED MAT-VEC (one power-iteration step toward the top principal
+    * component): y_i = x_i . v0 map-side per row (v0 = the deterministic
+    * 1..64 ramp), then s = sum_i y_i * x_i as 64 independent codegen'd
+    * `sum` aggregates — the [[kmeansUpdate]] shape: map-side partials, ONE
+    * shuffle of 64 doubles, vectors never leave the scan. The normalized
+    * direction v1 = s/|s| is computed from the ROUNDED sums so both
+    * engines agree exactly (6 dp, far above the ~1e-12 accumulation-order
+    * noise). Iterating this step (re-broadcasting v1) is distributed PCA /
+    * the eigenvector half of spectral methods. */
+  val powerIteration = GraftQuery(
+    "emb_power_iteration",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val y = expr(
+        """aggregate(transform(sequence(0, 63),
+             i -> cast(embedding[i] as double) * (i + 1)),
+           cast(0.0 as double), (acc, v) -> acc + v)""")
+      val sums: Seq[Column] = (0 until Dim).map(i =>
+        round(sum(col("y") * col("embedding").getItem(i).cast("double")), 6).as(s"s$i"))
+      val agg = e.withColumn("y", y).agg(sums.head, sums.tail: _*)
+      val nrm = sqrt((0 until Dim).map(i => col(s"s$i") * col(s"s$i")).reduce(_ + _))
+      agg.select(posexplode(array((0 until Dim).map(i =>
+          struct(col(s"s$i").as("s"), round(col(s"s$i") / nrm, 6).as("v1"))): _*))
+          .as(Seq("d", "sv")))
+        .select((col("d") + 1).as("dim"), col("sv.s").as("s"), col("sv.v1").as("v1"))
+        .orderBy(col("dim"))
+    },
+    Some("""WITH y AS (SELECT vec_id, embedding,
+                 list_sum(list_transform(generate_series(1, 64),
+                   i -> CAST(embedding[i] AS DOUBLE) * i)) AS yv
+               FROM embeddings),
+            sm AS (SELECT i AS dim, round(sum(yv * CAST(embedding[i] AS DOUBLE)), 6) AS s
+                   FROM y CROSS JOIN LATERAL
+                     (SELECT unnest(generate_series(1, 64)) AS i) g
+                   GROUP BY i),
+            n AS (SELECT sqrt(sum(s * s)) AS nrm FROM sm)
+            SELECT CAST(dim AS INTEGER) AS dim, s, round(s / nrm, 6) AS v1
+            FROM sm CROSS JOIN n ORDER BY dim"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
-      pqAssign, annPqTopK, annPqRerank, annKnnGraph)
+      pqAssign, annPqTopK, annPqRerank, annKnnGraph, powerIteration)
 }

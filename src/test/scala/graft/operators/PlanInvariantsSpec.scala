@@ -290,6 +290,11 @@ class PlanInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("pipeline_sample_k: exact-k sample is TakeOrderedAndProject, not a global sort") {
+    val s = plan("pipeline_sample_k").toString
+    assert(s.contains("TakeOrderedAndProject"), s"plan:\n$s")
+  }
+
   test("dedup_rewrite: decision-pass shuffles carry digests; text moves at most once") {
     // the chunk-digest groupBy and the drop-list aggregation must exchange
     // only (doc_id, idx, digest)-shaped rows; the tokenized text may cross

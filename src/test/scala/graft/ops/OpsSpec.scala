@@ -60,6 +60,10 @@ class OpsSpec extends SparkTestBase {
     val q = in.toDS().writeStream.format("noop").queryName("ops_latency").start()
     try {
       for (b <- 1 to 5) { in.addData(b); q.processAllAvailable() }
+      // progress events arrive on the async listener bus; wait bounded
+      val deadline = System.currentTimeMillis() + 15000
+      def ready() = reg.latency(q.id).exists(_.count >= 5)
+      while (!ready() && System.currentTimeMillis() < deadline) Thread.sleep(100)
       val h = reg.latency(q.id)
       assert(h.isDefined, "histogram after progress events")
       val hist = h.get
@@ -90,6 +94,10 @@ class OpsSpec extends SparkTestBase {
     try {
       in.addData(1 to 20: _*)
       q.processAllAvailable()
+      // the REST nouns read listener state, which fills on the async bus
+      val deadline = System.currentTimeMillis() + 15000
+      while (reg.latency(q.id).isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
 
       val (mc, master) = get("/api/v1.0/master")
       assert(mc === 200 && master.contains("\"activeQueries\":") &&
