@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Full distributed Lloyd training loop — the composition of the oracled
+  * single steps `emb_kmeans_assign` (broadcast centroids, packed-long
+  * argmax) and `emb_kmeans_update` (k x dim partial sums): iterate
+  * assign/update until centroid movement falls below `tol` or `maxIters`.
+  *
+  * Spherical k-means on cosine: centroids are member means; cosine is
+  * scale-invariant, so the un-normalized mean assigns identically to the
+  * normalized one and the summed best-cosine objective is non-decreasing
+  * per iteration (pinned by KMeansTrainSpec).
+  *
+  * Scale shape per iteration: centroids (k x 64 doubles) broadcast as a
+  * tiny DataFrame; assignment is one map-side cross-score + packed-long
+  * argmax (HashAggregate, map-side partials); the update shuffles ONLY
+  * k x 64 partial sums; the driver sees k x 64 doubles per tick — never
+  * rows. Same driver-side convergence-scalar pattern as
+  * [[PageRank.runUntilConverged]].
+  */
+object KMeans {
+  private val Dim = 64
+
+  /** @return (centroids after training, iterations run, objective history —
+    *         summed best cosine per iteration). */
+  def train(s: SparkSession, e: DataFrame, k: Int,
+      maxIters: Int = 10, tol: Double = 1e-4): (Array[Array[Double]], Int, Seq[Double]) = {
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    val corpus = e.select(col("vec_id"), col("embedding")).cache()
+    // deterministic seeds: the first k vectors by vec_id
+    var centroids: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    var it = 0
+    var moved = Double.MaxValue
+    val objective = Seq.newBuilder[Double]
+    while (it < maxIters && moved > tol) {
+      // graft_cosine is float32-typed like the corpus; the centroid copy
+      // the executors score against is float too (doubles stay driver-side
+      // for the movement check)
+      val cdf = s.createDataFrame(
+        s.sparkContext.parallelize(centroids.zipWithIndex.toSeq.map {
+          case (c, i) => Row(i.toLong, c.map(_.toFloat).toSeq) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("c_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("c_emb",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)))))
+      // packed-long argmax (the emb_kmeans_assign trick, k <= 256 here)
+      val assigned = corpus.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), col("embedding"), col("c_id"),
+          floor(expr("graft_cosine(embedding, c_emb)") * lit(1e6) + lit(0.5))
+            .as("cs_scaled"))
+        .withColumn("packed",
+          (col("cs_scaled") + 1000000L) * 256L + (lit(255L) - col("c_id")))
+        .groupBy(col("vec_id"))
+        .agg(max(col("packed")).as("best"), first(col("embedding")).as("embedding"))
+        .select(col("vec_id"), col("embedding"),
+          (lit(255L) - (col("best") % 256)).as("cluster"),
+          expr("((best div 256) - 1000000) / 1e6").as("cos_sim"))
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("cos_sim")).as("obj")) ++
+        (0 until Dim).map(i =>
+          sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
+      val stats = assigned.groupBy(col("cluster"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      objective += stats.map(_.getDouble(2)).sum
+      val next = centroids.clone()
+      stats.foreach { r =>
+        val c = r.getLong(0).toInt
+        val n = r.getLong(1).toDouble
+        next(c) = (0 until Dim).map(i => r.getDouble(3 + i) / n).toArray
+      }
+      moved = centroids.zip(next).map { case (a, b) =>
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
+      centroids = next
+      it += 1
+    }
+    corpus.unpersist()
+    (centroids, it, objective.result())
+  }
+}
