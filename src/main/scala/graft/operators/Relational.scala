@@ -866,18 +866,26 @@ object Relational {
   /** Grouped median (exact): Spark `median` == DuckDB `median` for doubles
     * (even-count groups average the two middle values — deterministic, no
     * percentile interpolation ambiguity). */
+  /** Medians are taken over exact integer cents: an even-sized group's
+    * median interpolates two middle values, and rounding that midpoint in
+    * DOUBLE (e.g. round(52724.245, 2)) falls differently per engine —
+    * integer-cent medians are k or k+0.5, both exactly representable, so
+    * no rounding is needed at all (bitten at sf0.001 where a group count
+    * came out even). */
   val q41Median = GraftQuery(
     "q41_median",
     (s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(round(expr("median(l_extendedprice)"), 2).as("median_price"),
-          round(expr("median(l_quantity)"), 2).as("median_qty"),
+        .agg(expr("median(cast(floor(l_extendedprice * 100 + 0.5) as bigint))")
+            .as("median_price_cents"),
+          expr("median(cast(floor(l_quantity + 0.5) as bigint))").as("median_qty"),
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag")),
     Some("""SELECT l_returnflag,
-              round(median(l_extendedprice), 2) AS median_price,
-              round(CAST(median(l_quantity) AS DOUBLE), 2) AS median_qty,
+              CAST(median(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                AS median_price_cents,
+              CAST(median(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS median_qty,
               count(*) AS n
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
