@@ -28,32 +28,51 @@ object Relational {
 
   /** TPC-H Q1-style pricing summary: multi-expression grouped aggregation
     * (partial+final agg picked by Catalyst automatically, SURVEY §2.5). */
+  /** All money/percent columns are 2-decimal values, so every sum runs over
+    * EXACT integers (cents / percent units) and only the final display
+    * division touches doubles — a fixed sequence of correctly-rounded IEEE
+    * ops on identical inputs, so both engines agree bit-for-bit regardless
+    * of partition/summation order (double sums over ~1e10-magnitude money
+    * carry ~1e-5 accumulation noise, which can straddle a .005 rounding
+    * boundary — the q41-median failure class). Largest packed per-row term
+    * is cents*(100-d)*(100+t) < 2^41; long sums stay exact past sf100. */
   val q1Agg = GraftQuery(
     "q1_agg",
     (s, dir) =>
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .withColumn("qtyi", expr("cast(floor(l_quantity + 0.5) as bigint)"))
+        .withColumn("cents", expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+        .withColumn("d", expr("cast(floor(l_discount * 100 + 0.5) as bigint)"))
+        .withColumn("tx", expr("cast(floor(l_tax * 100 + 0.5) as bigint)"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          sum(col("qtyi")).cast("double").as("sum_qty"),
+          (sum(col("cents")).cast("double") / 100).as("sum_base_price"),
+          (sum(col("cents") * (lit(100L) - col("d"))).cast("double") / 10000)
+            .as("sum_disc_price"),
+          (sum(col("cents") * (lit(100L) - col("d")) * (lit(100L) + col("tx")))
+            .cast("double") / 1000000).as("sum_charge"),
+          round(sum(col("qtyi")).cast("double") / count(lit(1)), 4).as("avg_qty"),
+          round(sum(col("cents")).cast("double") / count(lit(1)) / 100, 4).as("avg_price"),
+          round(sum(col("d")).cast("double") / count(lit(1)) / 100, 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
-            round(sum(l_quantity),2) AS sum_qty,
-            round(sum(l_extendedprice),2) AS sum_base_price,
-            round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-            round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-            round(avg(l_quantity),4) AS avg_qty,
-            round(avg(l_extendedprice),4) AS avg_price,
-            round(avg(l_discount),4) AS avg_disc,
+            CAST(sum(qtyi) AS DOUBLE) AS sum_qty,
+            CAST(sum(cents) AS DOUBLE) / 100 AS sum_base_price,
+            CAST(sum(cents * (100 - d)) AS DOUBLE) / 10000 AS sum_disc_price,
+            CAST(sum(cents * (100 - d) * (100 + tx)) AS DOUBLE) / 1000000 AS sum_charge,
+            round(CAST(sum(qtyi) AS DOUBLE) / count(*), 4) AS avg_qty,
+            round(CAST(sum(cents) AS DOUBLE) / count(*) / 100, 4) AS avg_price,
+            round(CAST(sum(d) AS DOUBLE) / count(*) / 100, 4) AS avg_disc,
             count(*) AS count_order
-            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            FROM (SELECT l_returnflag, l_linestatus,
+                    CAST(floor(l_quantity + 0.5) AS BIGINT) AS qtyi,
+                    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+                    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS d,
+                    CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tx
+                  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02')
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""".stripMargin),
     headline = true)
@@ -70,12 +89,15 @@ object Relational {
       li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          // exact integer-cents sum (the q1/q43 discipline): order-free
+          (sum(expr("cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)"))
+            .cast("double") / 100).as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("p_brand"))
     },
     Some("""SELECT p_brand,
-            round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+            CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS DOUBLE)
+              / 100 AS revenue,
             count(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_size < 20 GROUP BY p_brand ORDER BY p_brand"""),
@@ -97,12 +119,17 @@ object Relational {
         .select(col("o_orderkey"), col("o_orderdate"))
       li.join(co, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        // exact cents: the top-10 RANKING must not depend on double
+        // accumulation order (two orders within sum-noise of each other
+        // could swap under the rounded-double formulation)
+        .agg((sum(expr("cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)"))
+          .cast("double") / 100).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
     Some("""SELECT o_orderkey, o_orderdate,
-            round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+            CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5) AS BIGINT)) AS DOUBLE)
+              / 100 AS revenue
             FROM customer JOIN orders ON c_custkey = o_custkey
             JOIN lineitem ON o_orderkey = l_orderkey
             WHERE c_mktsegment = 'BUILDING'
@@ -292,12 +319,15 @@ object Relational {
         .rollup(col("r_name"), col("n_name"))
         .agg(
           count(lit(1)).as("n_cust"),
-          round(sum(col("c_acctbal")), 2).as("sum_bal"),
+          // exact cents (q1 discipline; acctbal can be negative — floor of
+          // x+0.5 is round-half-up for either sign, same formula both sides)
+          (sum(expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)"))
+            .cast("double") / 100).as("sum_bal"),
           (grouping(col("r_name")) * 2 + grouping(col("n_name"))).cast("int").as("g"))
         .orderBy(col("g"), col("r_name"), col("n_name"))
     },
     Some("""SELECT r_name, n_name, count(*) AS n_cust,
-            round(sum(c_acctbal),2) AS sum_bal,
+            CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_bal,
             CAST(grouping(r_name)*2 + grouping(n_name) AS INTEGER) AS g
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -312,11 +342,12 @@ object Relational {
         .cube(col("o_orderstatus"), col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("sum_price"),
+          (sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+            .cast("double") / 100).as("sum_price"),
           (grouping(col("o_orderstatus")) * 2 + grouping(col("o_orderpriority"))).cast("int").as("g"))
         .orderBy(col("g"), col("o_orderstatus"), col("o_orderpriority")),
     Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-            round(sum(o_totalprice),2) AS sum_price,
+            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100 AS sum_price,
             CAST(grouping(o_orderstatus)*2 + grouping(o_orderpriority) AS INTEGER) AS g
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -418,13 +449,19 @@ object Relational {
       t(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(
-          round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("sum_f"),
-          round(sum(when(col("o_orderstatus") === "O", col("o_totalprice"))), 2).as("sum_o"),
+          (sum(when(col("o_orderstatus") === "F",
+            expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")))
+            .cast("double") / 100).as("sum_f"),
+          (sum(when(col("o_orderstatus") === "O",
+            expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")))
+            .cast("double") / 100).as("sum_o"),
           count(when(col("o_orderstatus") === "P", lit(1))).as("n_p"))
         .orderBy(col("o_orderpriority")),
     Some("""SELECT o_orderpriority,
-            round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'),2) AS sum_f,
-            round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'),2) AS sum_o,
+            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100 AS sum_f,
+            CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100 AS sum_o,
             count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
