@@ -289,7 +289,39 @@ object TextAnalysis {
             SELECT pair, count(*) AS cnt FROM pairs
             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""))
 
+  /** OVERLAPPING STRIDE CHUNKING (RAG/embedding ingestion): split each
+    * document into 50-token windows advancing by 25 (50% overlap, so no
+    * boundary sentence is ever cut from both sides), emitting the chunk
+    * text, its token span, and a chunk digest — the unit an embedding
+    * model or retriever indexes. Chunk starts are every stride multiple
+    * < n_tokens, so every token lands in >= 1 chunk and short documents
+    * yield exactly one. Pure scan-side transform+explode (the dedup_chunk
+    * discipline): nothing shuffles but the output sort. */
+  val chunkStride = GraftQuery(
+    "text_chunk_stride",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).as("n_tokens"),
+          posexplode(expr(
+            """transform(sequence(0, cast(floor((size(w)-1)/25) as int)),
+                 c -> concat_ws(' ', slice(w, c*25+1, 50)))"""))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * 25).as("tok_start"),
+          least(lit(50), col("n_tokens") - col("chunk_idx") * 25).as("tok_len"),
+          md5(col("chunk")).as("chunk_digest"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+            SELECT doc_id, CAST(g.c AS INTEGER) AS chunk_idx,
+              CAST(g.c * 25 AS INTEGER) AS tok_start,
+              CAST(least(50, len(w) - g.c * 25) AS INTEGER) AS tok_len,
+              md5(array_to_string(w[(g.c*25+1):(g.c*25+50)], ' ')) AS chunk_digest
+            FROM tok CROSS JOIN LATERAL
+              (SELECT unnest(generate_series(0, CAST(floor((len(w)-1)/25) AS INTEGER))) AS c) g
+            ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
-      cmsHeavyHitters, bpePairs)
+      cmsHeavyHitters, bpePairs, chunkStride)
 }
