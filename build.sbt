@@ -39,3 +39,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The ~50 suites share one forked JVM; cached plans + streaming state
+// accumulate across them (SparkTestBase.afterAll cleans up, this is the
+// safety margin against a full-GC spiral on unlucky suite orderings).
+Test / javaOptions += "-Xmx12g"
