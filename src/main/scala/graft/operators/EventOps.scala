@@ -77,8 +77,8 @@ object EventOps {
               FROM events),
             numbered AS (
               SELECT user_id, ts, value,
-                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
               FROM marked)
             SELECT user_id, min(ts) AS session_start,
               count(*) AS n_events, round(sum(value),4) AS sum_value
@@ -230,8 +230,8 @@ object EventOps {
               FROM m),
             n AS (
               SELECT user_id, ts,
-                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
-                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
               FROM b)
             SELECT user_id, min(ts) AS session_start, count(*) AS n_events
             FROM n GROUP BY user_id, sid
@@ -348,7 +348,7 @@ object EventOps {
         .orderBy(col("hr"))
     },
     Some("""SELECT date_trunc('hour', p.ts) AS hr, count(*) AS n_pairs,
-              sum(abs(epoch_us(p.ts) - epoch_us(c.ts))) AS sum_gap_us
+              CAST(sum(abs(epoch_us(p.ts) - epoch_us(c.ts))) AS BIGINT) AS sum_gap_us
             FROM events p JOIN events c
               ON p.event_type = 'purchase' AND c.event_type = 'click'
              AND c.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
@@ -377,7 +377,7 @@ object EventOps {
         .orderBy(col("hr"))
     },
     Some("""SELECT date_trunc('hour', p.ts) AS hr, count(*) AS n_pairs,
-              sum(abs(epoch_us(p.ts) - epoch_us(c.ts))) AS sum_gap_us
+              CAST(sum(abs(epoch_us(p.ts) - epoch_us(c.ts))) AS BIGINT) AS sum_gap_us
             FROM events p JOIN events c
               ON p.event_type = 'purchase' AND c.event_type = 'click'
              AND c.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE

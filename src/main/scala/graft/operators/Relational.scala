@@ -846,8 +846,8 @@ object Relational {
         .orderBy(col("revenue_cents").desc, col("n_name"))
     },
     Some("""SELECT n_name,
-              sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
-                AS revenue_cents,
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
               count(*) AS n_items
             FROM customer, orders, lineitem, supplier, nation, region
             WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
