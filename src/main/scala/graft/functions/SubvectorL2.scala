@@ -37,9 +37,14 @@ case class SubvectorL2Sq(first: Expression, second: Expression,
   override def nullSafeEval(a: Any, b: Any, off: Any, len: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lo = off.asInstanceOf[Int]
-    val hi = math.min(lo + len.asInstanceOf[Int],
-      math.min(x.numElements(), y.numElements()))
+    // Clamp both ends: a negative offset would otherwise index ArrayData
+    // below zero, which on UnsafeArrayData is an unchecked out-of-bounds
+    // read (silent garbage), and the function is reachable from arbitrary
+    // user SQL once registered.
+    val o = off.asInstanceOf[Int]
+    val lo = math.max(0, o)
+    val hi = math.min(o.toLong + len.asInstanceOf[Int],
+      math.min(x.numElements(), y.numElements()).toLong).toInt
     var acc = 0.0
     var i = lo
     while (i < hi) {
@@ -53,13 +58,16 @@ case class SubvectorL2Sq(first: Expression, second: Expression,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b, off, len) => {
       val hi = ctx.freshName("hi")
+      val lo = ctx.freshName("lo")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-        int $hi = Math.min($off + $len, Math.min($a.numElements(), $b.numElements()));
+        int $lo = Math.max(0, $off);
+        int $hi = (int) Math.min((long) $off + (long) $len,
+          (long) Math.min($a.numElements(), $b.numElements()));
         double $acc = 0.0;
-        for (int $i = $off; $i < $hi; $i++) {
+        for (int $i = $lo; $i < $hi; $i++) {
           double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
           $acc += $d * $d;
         }

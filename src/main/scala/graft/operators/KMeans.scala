@@ -27,6 +27,10 @@ object KMeans {
     *         summed best cosine per iteration). */
   def train(s: SparkSession, e: DataFrame, k: Int,
       maxIters: Int = 10, tol: Double = 1e-4): (Array[Array[Double]], Int, Seq[Double]) = {
+    // the packed-long argmax below reserves 8 bits for the centroid id
+    // (radix 256); a larger k would make (255 - c_id) negative and bleed
+    // into the score field, silently corrupting assignments
+    require(k >= 1 && k <= 256, s"k must be in [1, 256] (packed argmax radix), got $k")
     graft.functions.VectorFunctions.ensureRegistered(s)
     val corpus = e.select(col("vec_id"), col("embedding")).cache()
     // deterministic seeds: the first k vectors by vec_id

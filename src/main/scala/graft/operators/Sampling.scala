@@ -290,6 +290,11 @@ object Sampling {
       val bases = withPid.groupBy(col("source"), col("pid")).count()
         .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
         .sortBy(x => (x._1, x._2))
+      // the count-matrix job above was the only consumer that scans twice;
+      // the returned plan recomputes the cheap projection, so release the
+      // cached relation instead of pinning it in the shared session for
+      // every registry/bench invocation (KMeans.train's unpersist pattern)
+      docs.unpersist()
       val exclusive = bases.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
         var acc = 0L
         rows.sortBy(_._2).toSeq.map { case (_, pid, n) =>

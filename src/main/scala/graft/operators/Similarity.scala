@@ -309,7 +309,7 @@ object Similarity {
   private val sqlAssign =
     s"""seeds AS (SELECT vec_id AS c_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8),
        kscored AS (SELECT e.vec_id, s.c_id,
-                     round(${sqlCos("e.embedding", "s.c_emb")}, 4) AS cs
+                     floor(${sqlCos("e.embedding", "s.c_emb")} * 1e4 + 0.5) / 1e4 AS cs
                    FROM embeddings e CROSS JOIN seeds s),
        assign AS (SELECT vec_id, c_id AS cluster, cs AS cos_sim
                   FROM (SELECT vec_id, c_id, cs,

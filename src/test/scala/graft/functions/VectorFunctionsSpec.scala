@@ -72,6 +72,24 @@ class VectorFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_l2sq clamps a negative offset in both execution paths") {
+    import spark.implicits._
+    VectorFunctions.ensureRegistered(spark)
+    val df = Seq((Array(1f, 2f), Array(0f, 0f))).toDF("a", "b")
+    // off=-3, len=5 -> window [0, 2): 1 + 4; a negative start must never
+    // reach ArrayData.getFloat (unchecked OOB read on UnsafeArrayData)
+    assert(df.select(expr("graft_l2sq(a, b, -3, 5)")).as[Double].head() === 5.0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(df.select(expr("graft_l2sq(a, b, -3, 5)")).as[Double].head() === 5.0)
+      assert(df.select(expr("graft_l2sq(a, b, -3, 2)")).as[Double].head() === 0.0)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("nulls and mismatched lengths behave") {
     import spark.implicits._
     VectorFunctions.ensureRegistered(spark)
