@@ -383,6 +383,33 @@ object EventOps {
              AND c.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
             GROUP BY 1 ORDER BY 1"""))
 
+  /** The SAME proximity join in its third natural spelling — `BETWEEN` on
+    * raw timestamps with interval literals, no manual unix_micros, no
+    * abs() — the way an analyst coming from SQL writes it. Catalyst
+    * expands the BETWEEN into comparisons against `p_ts ± interval`;
+    * [[graft.plans.ProximityJoin]]'s shift-bound form matches those and
+    * bins on the microsecond value. Oracle-identical to the other two
+    * spellings; ProximityJoinSpec pins the plan shape. */
+  val intervalJoinBetween = GraftQuery(
+    "ev_interval_join_between",
+    (s, dir) => {
+      graft.plans.ProximityJoin.install(s)
+      val ev = t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase").select(col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click").select(col("ts").as("c_ts"))
+      p.join(c, expr("c_ts BETWEEN p_ts - INTERVAL 5 MINUTE AND p_ts + INTERVAL 5 MINUTE"))
+        .groupBy(date_trunc("hour", col("p_ts")).as("hr"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(unix_micros(col("p_ts")) - unix_micros(col("c_ts")))).as("sum_gap_us"))
+        .orderBy(col("hr"))
+    },
+    Some("""SELECT date_trunc('hour', p.ts) AS hr, count(*) AS n_pairs,
+              CAST(sum(abs(epoch_us(p.ts) - epoch_us(c.ts))) AS BIGINT) AS sum_gap_us
+            FROM events p JOIN events c
+              ON p.event_type = 'purchase' AND c.event_type = 'click'
+             AND c.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
+            GROUP BY 1 ORDER BY 1"""))
+
   /** Batch analog of the streaming CEP pair detector (graft.streaming.Cep
     * .detect): for every `purchase`, the latest strictly-earlier `click` by
     * the same user within 5 minutes. Mirrors the detector's latest-first-
@@ -606,6 +633,6 @@ object EventOps {
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
-    intervalJoinAuto, cepPairs, forwardFill, transitionMatrix, asofNearest,
-    resampleGrid)
+    intervalJoinAuto, intervalJoinBetween, cepPairs, forwardFill,
+    transitionMatrix, asofNearest, resampleGrid)
 }

@@ -5,12 +5,15 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{CalendarIntervalType, DayTimeIntervalType, IntegerType, LongType, TimestampType}
+import org.apache.spark.unsafe.types.CalendarInterval
 
 /** Optimizer rule: rewrite a proximity theta-join — an inner join whose ONLY
   * cross-side predicate bounds the difference of the two sides, written
-  * either `abs(a - b) <= r` or as the asymmetric band pair
-  * `a - b <= r1 AND b - a <= r2` (i.e. a BETWEEN b - r2 AND b + r1) —
+  * either `abs(a - b) <= r`, as the asymmetric band pair
+  * `a - b <= r1 AND b - a <= r2`, or as the BETWEEN spelling users write
+  * on timestamps (`b BETWEEN a - INTERVAL r AND a + INTERVAL r`, which
+  * Catalyst expands to comparisons against `a + interval`) —
   * into a binned equi-join.
   *
   * Without it, Spark plans such a join as a BroadcastNestedLoopJoin (or a
@@ -89,17 +92,26 @@ object ProximityJoin extends Rule[LogicalPlan] with PredicateHelper {
         crossSide(a, b, j).map { case (l, rr) => (l, rr, r, r) }
       }
 
-  /** The asymmetric band spelling: a pair of conjuncts `x - y <= r1` and
-    * `y - x <= r2` over the same (x, y) — i.e. x BETWEEN y - r2 AND y + r1
-    * written out. Normalized to (l, r, up, down) with l from the left plan
-    * side. */
+  /** The asymmetric band spelling: a pair of conjuncts each bounding one
+    * direction of the difference of the same (x, y) — written as
+    * subtractions (`x - y <= r1 AND y - x <= r2`) or as comparisons
+    * against a shifted value (`x <= y + r AND x >= y - r`, the form
+    * BETWEEN expands to, on integers or on timestamps with interval
+    * literals). Normalized to (l, r, up, down) with l from the left plan
+    * side, meaning l - r <= up AND r - l <= down. */
   private def bandForm(conjuncts: Seq[Expression], j: Join):
       Option[(Expression, Expression, Long, Long)] = {
-    val bounds = conjuncts.collect { case DiffBound(x, y, r) => (x, y, r) }
+    val bounds = conjuncts.collect {
+      case DiffBound(x, y, r) => (x, y, r)
+      case ShiftBound(x, y, r) => (x, y, r)
+    }
     val pairs = for {
       (x1, y1, r1) <- bounds
       (x2, y2, r2) <- bounds
       if x1.semanticEquals(y2) && y1.semanticEquals(x2)
+      // both half-bands must be non-negative: a shifted band (e.g.
+      // x in [y+1min, y+5min]) would need offset binning — out of scope
+      if r1 >= 0 && r2 >= 0 && math.max(r1, r2) > 0
     } yield (x1, y1, r1, r2) // x1 - y1 <= r1, y1 - x1 <= r2
     pairs.flatMap { case (x, y, up, down) =>
       crossSide(x, y, j).map { case (l, r) =>
@@ -160,11 +172,75 @@ object ProximityJoin extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** `y + v` in axis units: integer add/subtract of a literal, or a
+    * timestamp shifted by a fixed interval literal (what `ts - INTERVAL r`
+    * optimizes to — TimestampAddInterval with a negated literal). */
+  private object ShiftedValue {
+    def unapply(e: Expression): Option[(Expression, Long)] = e match {
+      case Add(y, ShiftLit(v), _) if integral(y) => Some((y, v))
+      case Add(ShiftLit(v), y, _) if integral(y) => Some((y, v))
+      case Subtract(y, ShiftLit(v), _) if integral(y) => Some((y, -v))
+      case TimestampAddInterval(y, IntervalMicros(v), _)
+        if y.dataType == TimestampType => Some((y, v))
+      case _ => None
+    }
+  }
+
+  private object ShiftLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, IntegerType) => Some(v.toLong)
+      case _ => None
+    }
+  }
+
+  /** A fixed-duration interval literal, in microseconds. Month-bearing
+    * calendar intervals are NOT fixed shifts — rejected. Day-time interval
+    * days are fixed 24 h in Spark, so they qualify. */
+  private object IntervalMicros {
+    private val MicrosPerDay = 86400000000L
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, _: DayTimeIntervalType) => Some(v)
+      case Literal(ci: CalendarInterval, CalendarIntervalType) if ci.months == 0 =>
+        Some(ci.days * MicrosPerDay + ci.microseconds)
+      case _ => None
+    }
+  }
+
+  /** One half-band written as a comparison against a shifted value:
+    * normalized to (x, y, b) meaning x - y <= b (b may be negative).
+    * Strict comparisons normalize to the same non-strict bound — the bins
+    * are a superset and the original predicate rides along as the exact
+    * residual. */
+  private object ShiftBound {
+    def unapply(e: Expression): Option[(Expression, Expression, Long)] = e match {
+      case LessThanOrEqual(x, ShiftedValue(y, v)) if sameAxis(x, y) => Some((x, y, v))
+      case LessThan(x, ShiftedValue(y, v)) if sameAxis(x, y) => Some((x, y, v))
+      case GreaterThanOrEqual(x, ShiftedValue(y, v)) if sameAxis(x, y) => Some((y, x, -v))
+      case GreaterThan(x, ShiftedValue(y, v)) if sameAxis(x, y) => Some((y, x, -v))
+      case LessThanOrEqual(ShiftedValue(y, v), x) if sameAxis(x, y) => Some((y, x, -v))
+      case LessThan(ShiftedValue(y, v), x) if sameAxis(x, y) => Some((y, x, -v))
+      case GreaterThanOrEqual(ShiftedValue(y, v), x) if sameAxis(x, y) => Some((x, y, v))
+      case GreaterThan(ShiftedValue(y, v), x) if sameAxis(x, y) => Some((x, y, v))
+      case _ => None
+    }
+  }
+
+  private def sameAxis(x: Expression, y: Expression): Boolean =
+    (integral(x) && integral(y)) ||
+      (x.dataType == TimestampType && y.dataType == TimestampType)
+
   private def integral(e: Expression): Boolean =
     e.dataType == LongType || e.dataType == IntegerType
 
-  private def asLong(e: Expression): Expression =
-    if (e.dataType == LongType) e else Cast(e, LongType)
+  /** The binnable long value of an axis expression; timestamps bin on
+    * their microsecond value (a reinterpret, not a conversion — matching
+    * the microsecond radii IntervalMicros extracts). */
+  private def asLong(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case TimestampType => UnixMicros(e)
+    case _ => Cast(e, LongType)
+  }
 
   /** Bin-bucket the join: the left row's value l satisfies
     * l in [r - down, r + up], so with bin width w = max(up, down) the left

@@ -113,6 +113,77 @@ class ProximityJoinSpec extends SparkTestBase {
     }
   }
 
+  test("integer BETWEEN spelling (b BETWEEN a-r AND a+r) rewrites and matches brute force") {
+    val cond = expr("b BETWEEN a - 25 AND a + 25")
+    val expected = withoutRule {
+      naive(left, right).select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(expected.nonEmpty)
+    withRule {
+      val df = left.join(right, cond)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"BETWEEN spelling not rewritten:\n$plan")
+      assert(plan.contains("graft_prox_bin"))
+      val got = df.select("a", "b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === expected)
+    }
+  }
+
+  test("timestamp BETWEEN interval spelling rewrites to the binned join, results intact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = 1700000000000000L // micros
+    val l = Seq.fill(150)(base + rnd.nextLong() % 3600000000L)
+      .map(us => Tuple1(us)).toDF("p_us")
+      .select(expr("timestamp_micros(p_us)").as("p_ts"))
+    val r = Seq.fill(150)(base + rnd.nextLong() % 3600000000L)
+      .map(us => Tuple1(us)).toDF("c_us")
+      .select(expr("timestamp_micros(c_us)").as("c_ts"))
+    val cond = expr("c_ts BETWEEN p_ts - INTERVAL 5 MINUTE AND p_ts + INTERVAL 5 MINUTE")
+    val expected = withoutRule {
+      val df = l.join(r, cond)
+      assert(df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "control must be the un-rewritten nested loop")
+      df.select(expr("unix_micros(p_ts)"), expr("unix_micros(c_ts)")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+    }
+    assert(expected.nonEmpty)
+    withRule {
+      val df = l.join(r, cond)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+        s"timestamp BETWEEN not rewritten:\n$plan")
+      assert(plan.contains("graft_prox_bin"))
+      val got = df.select(expr("unix_micros(p_ts)"), expr("unix_micros(c_ts)")).collect()
+        .map(x => (x.getLong(0), x.getLong(1))).sorted.toSeq
+      assert(got === expected)
+      assert(got.forall { case (p, c) => math.abs(p - c) <= 300000000L })
+    }
+  }
+
+  test("asymmetric timestamp band with month-free intervals rewrites; month intervals do not") {
+    import spark.implicits._
+    val base = 1700000000000000L
+    val l = (0L to 50L).map(i => Tuple1(base + i * 60000000L)).toDF("p_us")
+      .select(expr("timestamp_micros(p_us)").as("p_ts"))
+    val r = (0L to 50L).map(i => Tuple1(base + i * 45000000L)).toDF("c_us")
+      .select(expr("timestamp_micros(c_us)").as("c_ts"))
+    withRule {
+      val fixed = l.join(r,
+        expr("c_ts BETWEEN p_ts - INTERVAL 2 MINUTE AND p_ts + INTERVAL '1:30' MINUTE TO SECOND"))
+      assert(fixed.queryExecution.executedPlan.toString.contains("graft_prox_bin"),
+        "fixed-duration asymmetric band must bin")
+      // month-bearing intervals are not fixed shifts -> must NOT rewrite
+      val monthy = l.join(r,
+        expr("c_ts BETWEEN p_ts - INTERVAL 1 MONTH AND p_ts + INTERVAL 1 MONTH"))
+      assert(!monthy.queryExecution.executedPlan.toString.contains("graft_prox_bin"),
+        "month interval must not be binned")
+    }
+  }
+
   test("a one-sided difference bound is not rewritten (no finite band)") {
     withRule {
       val df = left.join(right, col("a") - col("b") <= 10L)
