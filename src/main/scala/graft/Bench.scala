@@ -20,6 +20,14 @@ object Bench {
     val streamRps =
       if (sys.env.get("SPARK_GRAFT_SOL").contains("off")) 0.0
       else solThroughput(spark)
+    // Streaming latency leg of the baseline (the reference publishes 8 ms
+    // avg task-to-task latency): per-micro-batch triggerExecution
+    // percentiles at a small, unsaturated trigger — measured AFTER the
+    // throughput probe's heap churn is collected, BEFORE the batch suite.
+    System.gc()
+    val latency =
+      if (sys.env.get("SPARK_GRAFT_SOL").contains("off")) None
+      else latencyProbe(spark)
     // drop the probe's garbage before timing the relational suite, then
     // warm the JVM/codegen once on the smallest SF so per-query times
     // measure the engine, not first-call classloading.
@@ -47,8 +55,10 @@ object Bench {
     }.mkString("{", ",", "}")
     val errors = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
+    val lat = latency.fold("")(h =>
+      f""","latency_ms_p50":${h.p50Ms},"latency_ms_p95":${h.p95Ms},"latency_ms_p99":${h.p99Ms},"latency_ms_mean":${h.meanMs}%.1f""")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f$lat,"sf":"$sfDir"}"""
     // Evidence must be unlosable (round-2 lesson: the TaskKilled WARN flood
     // after solThroughput's q.stop() pushed the metric line out of the
     // harness's captured log tail). So: persist to a file FIRST, then stop
@@ -58,6 +68,32 @@ object Bench {
     spark.stop()
     println(json)
     if (results.exists(!_._3)) sys.exit(1)
+  }
+
+  /** Batch-latency percentiles at a small trigger: a 10k rows/s stream is
+    * far below saturation, so each micro-batch's triggerExecution time IS
+    * the engine's per-batch latency floor (planning + execution + commit),
+    * the micro-batch analog of the reference's task-to-task latency
+    * figure. Uses the same AppRegistry histogram the ops surface serves. */
+  private def latencyProbe(spark: SparkSession): Option[graft.ops.AppRegistry.LatencyHistogram] = {
+    try {
+      val q = graft.streaming.GraftSource
+        .rate(spark, rowsPerSecond = 10000, payloadBytes = 100, numPartitions = 4)
+        .writeStream.format("noop").start()
+      // let codegen/classloading ramp pass BEFORE attaching the histogram,
+      // so the percentiles measure steady state, not JVM warmup
+      Thread.sleep(4000)
+      val reg = new graft.ops.AppRegistry(spark)
+      try {
+        val deadline = System.currentTimeMillis() + 20000
+        while (System.currentTimeMillis() < deadline &&
+               reg.latency(q.id).forall(_.count < 60)) Thread.sleep(250)
+        val h = reg.latency(q.id)
+        q.stop()
+        System.err.println(s"[bench] latency probe: $h")
+        h
+      } finally reg.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] latency probe: $e"); None }
   }
 
   private def solThroughput(spark: SparkSession): Double = {

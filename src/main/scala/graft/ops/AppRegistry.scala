@@ -28,7 +28,12 @@ final class AppRegistry(spark: SparkSession) {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
       val p = e.progress
-      val durMs = p.durationMs.values.stream.mapToLong(_.longValue).sum
+      // triggerExecution spans the whole micro-batch (the other durationMs
+      // phases are its sub-spans — summing them double-counts); fall back
+      // to the sum only if a source ever omits it
+      val durMs =
+        if (p.durationMs.containsKey("triggerExecution")) p.durationMs.get("triggerExecution").longValue
+        else p.durationMs.values.stream.mapToLong(_.longValue).sum
       lastSeen.put(p.id, (System.nanoTime(),
         Metrics(p.batchId, nz(p.inputRowsPerSecond), nz(p.processedRowsPerSecond),
           durMs, p.numInputRows, p.timestamp,

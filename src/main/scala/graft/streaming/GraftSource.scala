@@ -31,10 +31,15 @@ object GraftSource {
 
   /** SOL-producer parity (reference: examples/streaming/sol/.../SOLStreamProducer.scala:41-55):
     * an unbounded rate stream of fixed-size payloads with event time. */
-  def rate(spark: SparkSession, rowsPerSecond: Long, payloadBytes: Int = 100): DataFrame =
-    solPayload(spark.readStream.format("rate")
-      .option("rowsPerSecond", rowsPerSecond)
-      .load(), payloadBytes)
+  def rate(spark: SparkSession, rowsPerSecond: Long, payloadBytes: Int = 100,
+      numPartitions: Int = 0): DataFrame = {
+    val r = spark.readStream.format("rate").option("rowsPerSecond", rowsPerSecond)
+    // default (0): the source's own default, the cluster's parallelism —
+    // right for throughput; latency probes pass a small explicit value so
+    // a tiny batch isn't spread across 32 task launches
+    val r2 = if (numPartitions > 0) r.option("numPartitions", numPartitions) else r
+    solPayload(r2.load(), payloadBytes)
+  }
 
   /** Same SOL payload over the `rate-micro-batch` source: exactly
     * `rowsPerBatch` rows per micro-batch regardless of processing speed.
