@@ -103,9 +103,9 @@ object Windows {
     *
     * The collect() is deliberate: batches here are window AGGREGATES
     * (windows x keys-updated-this-batch) feeding a DRIVER-LOCAL store —
-    * the local-mode/test variant. At cluster scale keep the identical
-    * contract but external: upsert via foreachPartition into a keyed store
-    * and rank with a store-side query; nothing upstream changes. */
+    * the local-mode/test variant. [[topKPerWindowExternal]] is the
+    * cluster-scale twin: same contract, upserts via foreachPartition into
+    * a keyed store, rank by store-side query; nothing upstream changes. */
   def topKPerWindowUpsert(k: Int, store: WindowTopKStore,
       sink: (String, Seq[(String, Double)]) => Unit): (DataFrame, Long) => Unit =
     { (batch: DataFrame, _: Long) =>
@@ -113,5 +113,66 @@ object Windows {
       rows.foreach(r => store.upsert(r.getString(0), r.getString(1), r.getDouble(2)))
       rows.map(_.getString(0)).distinct.sorted
         .foreach(w => sink(w, store.topK(w, k)))
+    }
+
+  /** Executor-side client contract for the external top-k store: an
+    * idempotent keyed upsert (so replays overwrite, the exactly-once
+    * discipline of GraftSink) plus a store-side rank query. Production
+    * backends are any keyed store with ordered scans per window (RocksDB,
+    * Redis ZSETs, a (window, key) primary-keyed table); the factory is the
+    * standard serializable connection-provider shape (same pattern as
+    * KVSink's injected client). */
+  trait TopKClient extends java.io.Closeable {
+    def upsert(window: String, key: String, measure: Double): Unit
+    /** measure desc, key asc tie-break — same ordering as topKPerWindow. */
+    def topK(window: String, k: Int): Seq[(String, Double)]
+    override def close(): Unit = ()
+  }
+
+  /** Process-local [[TopKClient]] backend for local mode and tests: named
+    * stores in a JVM-wide registry, so the factory closure serializes as a
+    * plain string and every local executor thread hits the same state —
+    * exactly how an external store behaves across real executors. */
+  object InMemoryTopKStore {
+    private val stores = new scala.collection.concurrent.TrieMap[
+      String, scala.collection.concurrent.TrieMap[(String, String), Double]]()
+
+    def client(name: String): TopKClient = new TopKClient {
+      private val s = stores.getOrElseUpdate(name,
+        scala.collection.concurrent.TrieMap.empty)
+      override def upsert(window: String, key: String, measure: Double): Unit = {
+        s.put((window, key), measure); ()
+      }
+      override def topK(window: String, k: Int): Seq[(String, Double)] =
+        s.iterator.collect { case ((w, key), m) if w == window => (key, m) }
+          .toSeq.sortBy { case (key, m) => (-m, key) }.take(k)
+    }
+
+    def drop(name: String): Unit = { stores.remove(name); () }
+  }
+
+  /** Cluster-scale update-mode streaming top-k — the external-store
+    * variant [[topKPerWindowUpsert]] documents: each micro-batch's
+    * (window STRING, key STRING, measure DOUBLE) aggregate rows upsert
+    * into the keyed store FROM THE EXECUTORS via foreachPartition — the
+    * driver never materializes the batch — then only the TOUCHED window
+    * ids (the distinct-window set: #windows rows, not #keys) come back to
+    * rank each touched window with a store-side query. At 100x keys the
+    * driver's traffic grows with the number of open windows only. */
+  def topKPerWindowExternal(k: Int, clientFactory: () => TopKClient,
+      sink: (String, Seq[(String, Double)]) => Unit): (DataFrame, Long) => Unit =
+    { (batch: DataFrame, _: Long) =>
+      batch.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val c = clientFactory()
+          try it.foreach(r => c.upsert(r.getString(0), r.getString(1), r.getDouble(2)))
+          finally c.close()
+        }
+      }
+      val touched = batch.select("window").distinct().collect()
+        .map(_.getString(0)).sorted
+      val c = clientFactory()
+      try touched.foreach(w => sink(w, c.topK(w, k)))
+      finally c.close()
     }
 }

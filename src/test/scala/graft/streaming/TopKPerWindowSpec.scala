@@ -82,4 +82,61 @@ class TopKPerWindowSpec extends SparkTestBase {
         "top-k reflects all keys ever seen in the window")
     } finally q.stop()
   }
+
+  test("external-store path: upserts run on executors, driver fetches only touched windows") {
+    import spark.implicits._
+    Windows.InMemoryTopKStore.drop("spec-ext")
+    ExternalTopKProbe.upsertThreads.clear()
+    val emitted = new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Double)]]()
+    val in = GraftSource.memory[(String, Timestamp)](spark)
+    val windowed = Windows
+      .tumbling(in.toDS().toDF("word", "ts"), "ts", "1 minute")
+      .count(col("word"))
+      .select(col("window.start").cast("string").as("window"),
+        col("word").as("key"), col("count").cast("double").as("measure"))
+    val sink = Windows.topKPerWindowExternal(2, ExternalTopKProbe.factory,
+      (w, top) => { emitted.put(w, top); () })
+    val q = windowed.writeStream.outputMode("update").foreachBatch(sink).start()
+    try {
+      in.addData(
+        ("a", ts("2024-01-01 10:00:01")), ("a", ts("2024-01-01 10:00:02")),
+        ("a", ts("2024-01-01 10:00:03")), ("b", ts("2024-01-01 10:00:04")),
+        ("b", ts("2024-01-01 10:00:05")), ("c", ts("2024-01-01 10:00:06")))
+      q.processAllAvailable()
+      assert(emitted.get("2024-01-01 10:00:00") === Seq(("a", 3.0), ("b", 2.0)))
+
+      // the update batch carries only c — full-state ranking must win,
+      // exactly like the driver-local store variant
+      in.addData(
+        ("c", ts("2024-01-01 10:00:07")), ("c", ts("2024-01-01 10:00:08")),
+        ("c", ts("2024-01-01 10:00:09")))
+      q.processAllAvailable()
+      assert(emitted.get("2024-01-01 10:00:00") === Seq(("c", 4.0), ("a", 3.0)))
+
+      // no full-batch collect: every upsert ran inside a foreachPartition
+      // task on an executor thread, never on the driver/foreachBatch thread
+      val threads = ExternalTopKProbe.upsertThreads.toArray(Array.empty[String]).toSet
+      assert(threads.nonEmpty)
+      assert(threads.forall(_.contains("Executor task launch worker")),
+        s"upserts must run executor-side, saw threads: $threads")
+    } finally q.stop()
+  }
+}
+
+/** Serializable client factory for the external-path spec: resolves the
+  * process-local named store and records which thread performs each upsert
+  * (the no-driver-collect evidence). */
+object ExternalTopKProbe {
+  val upsertThreads = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  val factory: () => Windows.TopKClient = () => {
+    val inner = Windows.InMemoryTopKStore.client("spec-ext")
+    new Windows.TopKClient {
+      override def upsert(window: String, key: String, measure: Double): Unit = {
+        upsertThreads.add(Thread.currentThread().getName)
+        inner.upsert(window, key, measure)
+      }
+      override def topK(window: String, k: Int): Seq[(String, Double)] =
+        inner.topK(window, k)
+    }
+  }
 }
