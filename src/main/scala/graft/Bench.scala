@@ -80,19 +80,23 @@ object Bench {
       val q = graft.streaming.GraftSource
         .rate(spark, rowsPerSecond = 10000, payloadBytes = 100, numPartitions = 4)
         .writeStream.format("noop").start()
-      // let codegen/classloading ramp pass BEFORE attaching the histogram,
-      // so the percentiles measure steady state, not JVM warmup
-      Thread.sleep(4000)
-      val reg = new graft.ops.AppRegistry(spark)
+      // try/finally from the instant the stream exists: an exception between
+      // start() and stop() would otherwise leave the probe stream running
+      // under the batch suite, polluting its timings.
       try {
-        val deadline = System.currentTimeMillis() + 20000
-        while (System.currentTimeMillis() < deadline &&
-               reg.latency(q.id).forall(_.count < 60)) Thread.sleep(250)
-        val h = reg.latency(q.id)
-        q.stop()
-        System.err.println(s"[bench] latency probe: $h")
-        h
-      } finally reg.close()
+        // let codegen/classloading ramp pass BEFORE attaching the histogram,
+        // so the percentiles measure steady state, not JVM warmup
+        Thread.sleep(4000)
+        val reg = new graft.ops.AppRegistry(spark)
+        try {
+          val deadline = System.currentTimeMillis() + 20000
+          while (System.currentTimeMillis() < deadline &&
+                 reg.latency(q.id).forall(_.count < 60)) Thread.sleep(250)
+          val h = reg.latency(q.id)
+          System.err.println(s"[bench] latency probe: $h")
+          h
+        } finally reg.close()
+      } finally if (q.isActive) q.stop()
     } catch { case e: Throwable => System.err.println(s"[bench] latency probe: $e"); None }
   }
 

@@ -79,13 +79,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
 }
 
 object VectorFunctions {
-  /** Register `graft_cosine` + `graft_l2sq` for SQL/expr use (idempotent). */
+  /** Register `graft_cosine` + `graft_l2sq` for SQL/expr use (idempotent).
+    * Skips names already present: createOrReplaceTempFunction logs a
+    * "replaced a temporary function" WARN on every re-registration, which
+    * spammed each bench/test session 6+ times. */
   def ensureRegistered(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_l2sq",
-      exprs => SubvectorL2Sq(exprs(0), exprs(1), exprs(2), exprs(3)), "built-in")
-    ()
+    val reg = spark.sessionState.functionRegistry
+    def registerIfAbsent(name: String, builder: Seq[Expression] => Expression): Unit = {
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    registerIfAbsent("graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)))
+    registerIfAbsent("graft_l2sq",
+      exprs => SubvectorL2Sq(exprs(0), exprs(1), exprs(2), exprs(3)))
   }
 }

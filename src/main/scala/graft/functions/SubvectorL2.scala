@@ -41,10 +41,13 @@ case class SubvectorL2Sq(first: Expression, second: Expression,
     // below zero, which on UnsafeArrayData is an unchecked out-of-bounds
     // read (silent garbage), and the function is reachable from arbitrary
     // user SQL once registered.
+    // hi clamps in LONG space on both ends before narrowing: o+len can
+    // underflow below Int.MinValue (off=Int.MinValue, len<0), where a bare
+    // .toInt would wrap to a large positive and re-open the OOB read.
     val o = off.asInstanceOf[Int]
     val lo = math.max(0, o)
-    val hi = math.min(o.toLong + len.asInstanceOf[Int],
-      math.min(x.numElements(), y.numElements()).toLong).toInt
+    val hi = math.max(0L, math.min(o.toLong + len.asInstanceOf[Int],
+      math.min(x.numElements(), y.numElements()).toLong)).toInt
     var acc = 0.0
     var i = lo
     while (i < hi) {
@@ -64,8 +67,8 @@ case class SubvectorL2Sq(first: Expression, second: Expression,
       val d = ctx.freshName("d")
       s"""
         int $lo = Math.max(0, $off);
-        int $hi = (int) Math.min((long) $off + (long) $len,
-          (long) Math.min($a.numElements(), $b.numElements()));
+        int $hi = (int) Math.max(0L, Math.min((long) $off + (long) $len,
+          (long) Math.min($a.numElements(), $b.numElements())));
         double $acc = 0.0;
         for (int $i = $lo; $i < $hi; $i++) {
           double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);

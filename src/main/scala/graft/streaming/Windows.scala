@@ -162,17 +162,23 @@ object Windows {
   def topKPerWindowExternal(k: Int, clientFactory: () => TopKClient,
       sink: (String, Seq[(String, Double)]) => Unit): (DataFrame, Long) => Unit =
     { (batch: DataFrame, _: Long) =>
-      batch.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        if (it.hasNext) {
-          val c = clientFactory()
-          try it.foreach(r => c.upsert(r.getString(0), r.getString(1), r.getDouble(2)))
-          finally c.close()
+      // Two actions run over this batch (upsert pass + touched-window
+      // distinct); persist so the second doesn't recompute the upstream
+      // stateful aggregation — the pattern the foreachBatch docs recommend.
+      batch.persist()
+      try {
+        batch.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          if (it.hasNext) {
+            val c = clientFactory()
+            try it.foreach(r => c.upsert(r.getString(0), r.getString(1), r.getDouble(2)))
+            finally c.close()
+          }
         }
-      }
-      val touched = batch.select("window").distinct().collect()
-        .map(_.getString(0)).sorted
-      val c = clientFactory()
-      try touched.foreach(w => sink(w, c.topK(w, k)))
-      finally c.close()
+        val touched = batch.select("window").distinct().collect()
+          .map(_.getString(0)).sorted
+        val c = clientFactory()
+        try touched.foreach(w => sink(w, c.topK(w, k)))
+        finally c.close()
+      } finally { batch.unpersist(); () }
     }
 }

@@ -90,6 +90,24 @@ class VectorFunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_l2sq upper bound cannot wrap when off+len underflows a long-to-int cast") {
+    import spark.implicits._
+    VectorFunctions.ensureRegistered(spark)
+    val df = Seq((Array(1f, 2f), Array(0f, 0f))).toDF("a", "b")
+    // off=Int.MinValue, len=-100: o+len ~ -2^31-100; an unguarded
+    // (int) cast of that long wraps POSITIVE (~2147483548), turning the
+    // empty window into a billion-element OOB scan. Must be 0 rows summed.
+    val q = s"graft_l2sq(a, b, ${Int.MinValue}, -100)"
+    assert(df.select(expr(q)).as[Double].head() === 0.0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(df.select(expr(q)).as[Double].head() === 0.0)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("nulls and mismatched lengths behave") {
     import spark.implicits._
     VectorFunctions.ensureRegistered(spark)
