@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Record-transit latency under Spark's continuous trigger.
+  *
+  * The reference publishes 8 ms average task-to-task latency for a map-only
+  * pipeline (reference: docs/contents/introduction/performance-report.md:12-14)
+  * — a per-RECORD transit time, which micro-batch execution structurally
+  * cannot reach (each record waits for its batch; BENCH latency_ms_p50 ≈
+  * the per-batch floor, ~155 ms). Spark's continuous processing mode exists
+  * for exactly this shape: map-only pipelines with per-record, epoch-based
+  * delivery. This probe measures the same quantity the reference reports:
+  * time from source emission (the rate source stamps `timestamp` at paced
+  * generation) to the row passing through the pipeline's projection.
+  *
+  * Measurement mechanics: a side-effecting expression records
+  * `now - event_timestamp` per row into a process-local collector. Valid in
+  * `local[*]` where executor threads share the driver JVM — which is the
+  * only place Bench runs. On a real cluster this would be an executor-side
+  * histogram shipped via the metrics system instead; the pipeline under
+  * test is identical either way.
+  */
+object ContinuousLatency {
+
+  // Local-mode collector: executor tasks and the driver share this JVM.
+  // ConcurrentLinkedQueue: lock-free offers from 2-4 reader threads at
+  // ~1k rows/s total is nowhere near contention.
+  private val samples = new ConcurrentLinkedQueue[java.lang.Long]
+
+  /** Clear collected samples (call after warmup so percentiles measure
+    * steady state, not codegen/classloading ramp). */
+  def reset(): Unit = samples.clear()
+
+  def snapshot(): Vector[Long] = {
+    val out = Vector.newBuilder[Long]
+    samples.forEach(l => out += l.longValue())
+    out.result()
+  }
+
+  /** Start the probe: rate source → record-latency projection → noop sink,
+    * under `Trigger.Continuous`. Caller is responsible for stop(). */
+  def start(spark: SparkSession, rowsPerSecond: Long = 1000, numPartitions: Int = 2,
+      checkpointIntervalMs: Long = 1000): StreamingQuery = {
+    val record = udf { (tsMillis: Long) =>
+      val lat = System.currentTimeMillis() - tsMillis
+      samples.add(java.lang.Long.valueOf(lat))
+      lat
+    }.asNondeterministic()
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .option("numPartitions", numPartitions)
+      .load()
+      // unix_millis is a plain projection (continuous mode supports only
+      // map-like operations — exactly this pipeline's shape)
+      .select(record(unix_millis(col("timestamp"))).as("latency_ms"))
+      .writeStream.format("noop")
+      .trigger(Trigger.Continuous(s"$checkpointIntervalMs milliseconds"))
+      .start()
+  }
+
+  /** Run the full measurement: start, warm up, reset, measure, stop.
+    * Returns None if continuous mode fails to run the probe. */
+  def measure(spark: SparkSession, rowsPerSecond: Long = 1000,
+      warmupMs: Long = 5000, measureMs: Long = 10000): Option[graft.ops.AppRegistry.LatencyHistogram] = {
+    val q = start(spark, rowsPerSecond)
+    try {
+      Thread.sleep(warmupMs)
+      // surface a start-up crash (unsupported plan, sink rejection) now
+      // rather than returning an empty histogram
+      if (!q.isActive) { q.awaitTermination(1); return None }
+      reset()
+      Thread.sleep(measureMs)
+      val snap = snapshot()
+      if (snap.isEmpty) None
+      else {
+        val s = snap.sorted
+        def pct(p: Double): Long = s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
+        Some(graft.ops.AppRegistry.LatencyHistogram(
+          s.size, s.sum.toDouble / s.size, pct(0.50), pct(0.95), pct(0.99), s.last))
+      }
+    } finally if (q.isActive) q.stop()
+  }
+}
