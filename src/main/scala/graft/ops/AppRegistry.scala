@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
 import scala.collection.concurrent.TrieMap
 
@@ -60,10 +60,73 @@ final class AppRegistry(spark: SparkSession) {
 
   def active: Seq[StreamingQuery] = spark.streams.active.toSeq
 
-  /** REST `applist` parity. */
-  def applist: String =
-    active.map(q => s"""{"id":"${q.id}","name":${jstr(q.name)},"isActive":${q.isActive}}""")
-      .mkString("[", ",", "]")
+  // --- submitted batch apps (REST submitapp parity) ---------------------
+  // The reference's MasterService accepts a jar upload and launches it
+  // (reference: services/jvm/src/main/scala/io/gearpump/services/MasterService.scala:109-156);
+  // here queries are code, so the submit token is a REGISTRY NAME and
+  // "launching" runs that query on a daemon thread under its own job
+  // group, which is what makes kill-by-id work (cancelJobGroup).
+  private val submittedApps = TrieMap.empty[java.util.UUID, AppRegistry.SubmittedApp]
+
+  def submitted: Seq[AppRegistry.SubmittedApp] = submittedApps.values.toSeq
+
+  /** Launch a named batch query asynchronously; returns its app id.
+    * The result is forced through the noop sink (full plan execution,
+    * nothing driver-collected — same discipline as the bench). */
+  def submit(name: String, run: (SparkSession, String) => DataFrame, sfDir: String): java.util.UUID = {
+    val id = java.util.UUID.randomUUID()
+    val app = new AppRegistry.SubmittedApp(id, name, sfDir)
+    submittedApps.put(id, app)
+    val t = new Thread(() => {
+      try {
+        // job group is thread-local: this dedicated thread scopes every job
+        // the query spawns under the app id, so kill = cancelJobGroup(id)
+        spark.sparkContext.setJobGroup(id.toString, s"graft submitapp $name", interruptOnCancel = true)
+        try run(spark, sfDir).write.format("noop").mode("overwrite").save()
+        finally spark.sparkContext.clearJobGroup()
+        app.finish(if (app.killRequested) "killed" else "finished", null)
+      } catch {
+        case e: Throwable =>
+          app.finish(if (app.killRequested) "killed" else "failed", e.toString)
+      }
+    }, s"graft-submit-$id")
+    app.runner = t
+    t.setDaemon(true)
+    t.start()
+    id
+  }
+
+  /** Kill a submitted app (reference kill-app parity for batch submissions). */
+  def killSubmitted(id: java.util.UUID): Boolean =
+    submittedApps.get(id).exists { app =>
+      if (app.status != "running") false
+      else {
+        app.killRequested = true
+        spark.sparkContext.cancelJobGroup(id.toString)
+        // also interrupt the runner: covers the window before the first job
+        // is submitted (cancelJobGroup only reaches already-running jobs)
+        Option(app.runner).foreach(_.interrupt())
+        true
+      }
+    }
+
+  /** REST `applist` parity: active streaming queries + submitted batch apps. */
+  def applist: String = {
+    val streams = active.map(q =>
+      s"""{"id":"${q.id}","name":${jstr(q.name)},"isActive":${q.isActive},"kind":"stream"}""")
+    val batches = submitted.map(a =>
+      s"""{"id":"${a.id}","name":${jstr(a.name)},"isActive":${a.status == "running"},""" +
+        s""""kind":"batch","status":"${a.status}"}""")
+    (streams ++ batches).mkString("[", ",", "]")
+  }
+
+  /** Detail JSON for a submitted batch app (appmaster/<id> parity). */
+  def submittedDetail(id: java.util.UUID): Option[String] =
+    submittedApps.get(id).map { a =>
+      s"""{"id":"${a.id}","name":${jstr(a.name)},"kind":"batch","status":"${a.status}",""" +
+        s""""sfDir":${jstr(a.sfDir)},"startedAtMs":${a.startedAtMs},""" +
+        s""""finishedAtMs":${a.finishedAtMs},"error":${jstr(a.error)}}"""
+    }
 
   /** REST `appmaster/<id>` parity: status + last progress + latency. */
   def appDetail(id: java.util.UUID): Option[String] =
@@ -80,16 +143,28 @@ final class AppRegistry(spark: SparkSession) {
 
   /** Percentiles over the retained batch-duration window (nearest-rank). */
   def latency(id: java.util.UUID): Option[LatencyHistogram] =
-    durations.get(id).flatMap { ring =>
-      val snap = ring.synchronized { ring.toVector }
-      if (snap.isEmpty) None
-      else {
-        val s = snap.sorted
-        def pct(p: Double): Long = s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
-        Some(LatencyHistogram(s.size, s.sum.toDouble / s.size,
-          pct(0.50), pct(0.95), pct(0.99), s.last))
-      }
-    }
+    durations.get(id).flatMap(ring =>
+      AppRegistry.histogramOf(ring.synchronized { ring.toVector }))
+
+  /** Cross-query latency histogram: percentiles over the UNION of every
+    * retained duration ring — the multi-app rollup the reference's
+    * ProcessorAggregator computes across all tasks of all processors
+    * (reference: core/src/main/scala/io/gearpump/metrics/ProcessorAggregator.scala:43-160). */
+  def aggregateLatency: Option[LatencyHistogram] =
+    AppRegistry.histogramOf(
+      durations.values.flatMap(r => r.synchronized { r.toVector }).toVector)
+
+  /** REST `master/metrics` parity: engine-wide rollup — rate sums across
+    * active queries plus the merged latency histogram. */
+  def rollupJson: String = {
+    val ms = lastSeen.values.map(_._2).toSeq
+    val inRps = ms.map(_.inputRowsPerSecond).sum
+    val procRps = ms.map(_.processedRowsPerSecond).sum
+    val rows = ms.map(_.numInputRows).sum
+    s"""{"queries":${active.size},"submittedApps":${submitted.size},""" +
+      f""""inputRowsPerSecond":$inRps%.3f,"processedRowsPerSecond":$procRps%.3f,""" +
+      s""""numInputRows":$rows,"latency":${aggregateLatency.fold("null")(fmtHist)}}"""
+  }
 
   /** REST `.../stallingtasks` parity: active queries with no progress event
     * within the threshold (default mirrors the reference's 60 s). */
@@ -143,6 +218,33 @@ object AppRegistry {
     * core/src/main/scala/io/gearpump/metrics/ProcessorAggregator.scala:43-160). */
   final case class LatencyHistogram(
       count: Int, meanMs: Double, p50Ms: Long, p95Ms: Long, p99Ms: Long, maxMs: Long)
+
+  /** A batch query launched via REST submitapp — tracked for applist /
+    * detail / kill exactly like a streaming query, minus progress events
+    * (batch jobs report through the job group, not the listener bus). */
+  final class SubmittedApp private[ops] (
+      val id: java.util.UUID, val name: String, val sfDir: String) {
+    val startedAtMs: Long = System.currentTimeMillis()
+    @volatile var status: String = "running" // running | finished | failed | killed
+    @volatile var finishedAtMs: Long = 0L
+    @volatile var error: String = null
+    @volatile private[ops] var killRequested: Boolean = false
+    @volatile private[ops] var runner: Thread = null
+    private[ops] def finish(s: String, err: String): Unit = {
+      status = s; error = err; finishedAtMs = System.currentTimeMillis()
+    }
+  }
+
+  /** Nearest-rank percentiles over a sample vector (shared by the per-query
+    * histogram, the multi-app rollup, and the continuous-latency probe). */
+  def histogramOf(samples: Vector[Long]): Option[LatencyHistogram] =
+    if (samples.isEmpty) None
+    else {
+      val s = samples.sorted
+      def pct(p: Double): Long = s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
+      Some(LatencyHistogram(s.size, s.sum.toDouble / s.size,
+        pct(0.50), pct(0.95), pct(0.99), s.last))
+    }
 
   /** Row.json renders non-finite doubles (e.g. avg() over zero rows) as bare
     * NaN/Infinity, which would make the whole /metrics payload invalid JSON

@@ -14,17 +14,23 @@ import org.apache.spark.sql.SparkSession
   *
   * Endpoints (paths mirror the reference's nouns):
   *  - GET    /api/v1.0/master                         — engine summary
-  *  - GET    /api/v1.0/master/applist                 — active queries
+  *  - GET    /api/v1.0/master/applist                 — active queries + submitted apps
   *  - GET    /api/v1.0/master/config                  — runtime conf
+  *  - GET    /api/v1.0/master/metrics                 — multi-app rollup
+  *  - POST   /api/v1.0/master/submitapp?name=&sf=     — launch a registered query
   *  - GET    /api/v1.0/appmaster/<id>                 — query detail (+latency)
   *  - GET    /api/v1.0/appmaster/<id>/metrics         — last progress
   *  - GET    /api/v1.0/appmaster/<id>/stallingtasks   — ?threshold=ms
-  *  - DELETE /api/v1.0/appmaster/<id>                 — stop the query (kill)
+  *  - DELETE /api/v1.0/appmaster/<id>                 — stop/kill the query or app
   *
-  * `POST submitapp` / `restart` have no Spark-library analog (queries are
-  * code, not uploadable jars) — by design, not omission.
+  * `submitapp` parity (reference: MasterService.scala:109 accepts a jar
+  * upload): queries here are code, not jars, so the submit token is a
+  * REGISTRY NAME from `catalog` — POST launches that query against the
+  * `sf` data dir on a daemon thread under its own job group (killable).
   */
-final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0) {
+final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
+    catalog: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      graft.SparkEntry.queries) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val startedAtMs = System.currentTimeMillis()
@@ -47,8 +53,20 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0)
         case ("GET", "master" :: Nil) => respond(x, 200, masterSummary)
         case ("GET", "master" :: "applist" :: Nil) => respond(x, 200, registry.applist)
         case ("GET", "master" :: "config" :: Nil) => respond(x, 200, configJson)
+        case ("GET", "master" :: "metrics" :: Nil) => respond(x, 200, registry.rollupJson)
+        case ("POST", "master" :: "submitapp" :: Nil) =>
+          (query(x, "name"), query(x, "sf")) match {
+            case (Some(name), Some(sf)) => catalog.get(name) match {
+              case Some(run) =>
+                val id = registry.submit(name, run, sf)
+                respond(x, 200, s"""{"status":"success","appId":"$id"}""")
+              case None =>
+                respond(x, 404, s"""{"error":"unknown registry query","name":${AppRegistry.jstrStatic(name)}}""")
+            }
+            case _ => respond(x, 400, """{"error":"required params: name=<registry query>, sf=<data dir>"}""")
+          }
         case ("GET", "appmaster" :: id :: Nil) =>
-          withId(x, id)(uuid => registry.appDetail(uuid) match {
+          withId(x, id)(uuid => registry.appDetail(uuid).orElse(registry.submittedDetail(uuid)) match {
             case Some(json) => respond(x, 200, json)
             case None => respond(x, 404, s"""{"error":"no active query $id"}""")
           })
@@ -69,7 +87,9 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0)
         case ("DELETE", "appmaster" :: id :: Nil) =>
           withId(x, id)(uuid => registry.active.find(_.id == uuid) match {
             case Some(q) => q.stop(); respond(x, 200, """{"status":"success"}""")
-            case None => respond(x, 404, s"""{"error":"no active query $id"}""")
+            case None =>
+              if (registry.killSubmitted(uuid)) respond(x, 200, """{"status":"success"}""")
+              else respond(x, 404, s"""{"error":"no active query $id"}""")
           })
         case _ => respond(x, 404, s"""{"error":"unknown endpoint ${x.getRequestURI.getPath}"}""")
       }

@@ -75,14 +75,7 @@ object ContinuousLatency {
       if (!q.isActive) { q.awaitTermination(1); return None }
       reset()
       Thread.sleep(measureMs)
-      val snap = snapshot()
-      if (snap.isEmpty) None
-      else {
-        val s = snap.sorted
-        def pct(p: Double): Long = s(math.min(s.size - 1, math.ceil(p * s.size).toInt - 1).max(0))
-        Some(graft.ops.AppRegistry.LatencyHistogram(
-          s.size, s.sum.toDouble / s.size, pct(0.50), pct(0.95), pct(0.99), s.last))
-      }
+      graft.ops.AppRegistry.histogramOf(snapshot())
     } finally if (q.isActive) q.stop()
   }
 }

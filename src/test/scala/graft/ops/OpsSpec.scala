@@ -3,7 +3,7 @@ package graft.ops
 import java.nio.file.Files
 import graft.SparkTestBase
 import graft.streaming.GraftSource
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 object RedeployCollector {
   val seen = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
@@ -165,6 +165,91 @@ class OpsSpec extends SparkTestBase {
     // old plan saw 1,2,3; new plan sees only the unprocessed 4,5,6 (x10) —
     // no loss, no reprocessing of the old offsets
     assert(RedeployCollector.seen.asScala.toSeq.sorted === Seq(1L, 2L, 3L, 40L, 50L, 60L))
+  }
+
+  test("submitapp over HTTP: submit -> applist -> detail -> kill (reference MasterService parity)") {
+    val reg = new AppRegistry(spark)
+    // tiny catalog: a fast query and a slow one (per-row sleep) so the kill
+    // lands while jobs are genuinely running
+    val slowify = org.apache.spark.sql.functions.udf { (v: Long) => Thread.sleep(50); v }
+    val catalog: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "fast_count" -> ((s, dir) => graft.Tables.t(s, dir, "nation").groupBy().count()),
+      "slow_scan" -> ((s, _) => s.range(2000).repartition(4)
+        .select(slowify(org.apache.spark.sql.functions.col("id")).as("id"))))
+    val srv = new OpsServer(spark, reg, catalog = catalog).start()
+
+    def http(method: String, path: String): (Int, String) = {
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod(method)
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      is.close()
+      (code, body)
+    }
+    def appId(body: String): String =
+      "\"appId\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(body).get.group(1)
+    try {
+      // happy path: submit a fast query, it appears in applist and finishes
+      val (c1, b1) = http("POST", "/api/v1.0/master/submitapp?name=fast_count&sf=/root/testdata/sf0.001")
+      assert(c1 === 200 && b1.contains("\"appId\""), b1)
+      val id1 = appId(b1)
+      assert(http("GET", "/api/v1.0/master/applist")._2.contains(id1))
+      val deadline = System.currentTimeMillis() + 30000
+      def status(id: String): String = {
+        val (_, d) = http("GET", s"/api/v1.0/appmaster/$id")
+        "\"status\":\"(\\w+)\"".r.findFirstMatchIn(d).map(_.group(1)).getOrElse("?")
+      }
+      while (status(id1) == "running" && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(status(id1) === "finished", http("GET", s"/api/v1.0/appmaster/$id1")._2)
+
+      // kill path: submit the slow query, kill it mid-run via DELETE
+      val (c2, b2) = http("POST", "/api/v1.0/master/submitapp?name=slow_scan&sf=unused")
+      assert(c2 === 200)
+      val id2 = appId(b2)
+      Thread.sleep(1000) // let its first job start
+      assert(status(id2) === "running", "slow app should still be running")
+      assert(http("DELETE", s"/api/v1.0/appmaster/$id2")._1 === 200)
+      while (status(id2) == "running" && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(status(id2) === "killed", http("GET", s"/api/v1.0/appmaster/$id2")._2)
+
+      // error paths: unknown name, missing params
+      assert(http("POST", "/api/v1.0/master/submitapp?name=nope&sf=x")._1 === 404)
+      assert(http("POST", "/api/v1.0/master/submitapp")._1 === 400)
+    } finally { srv.stop(); reg.close() }
+  }
+
+  test("master/metrics rollup equals the per-app sum (ProcessorAggregator parity)") {
+    import spark.implicits._
+    val reg = new AppRegistry(spark)
+    val srv = new OpsServer(spark, reg, catalog = Map.empty).start()
+    val in1 = GraftSource.memory[Int](spark)
+    val in2 = GraftSource.memory[Int](spark)
+    val q1 = in1.toDS().writeStream.format("noop").queryName("roll_a").start()
+    val q2 = in2.toDS().writeStream.format("noop").queryName("roll_b").start()
+    try {
+      in1.addData(1 to 30: _*); q1.processAllAvailable()
+      in2.addData(1 to 70: _*); q2.processAllAvailable()
+      // listener bus is async; wait for both queries' progress to land
+      val deadline = System.currentTimeMillis() + 15000
+      while (reg.metrics.size < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(reg.metrics.size === 2)
+
+      val perAppRows = reg.metrics.values.map(_.numInputRows).sum
+      val perAppRates = reg.metrics.values.map(_.processedRowsPerSecond).sum
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}/api/v1.0/master/metrics")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      conn.getInputStream.close()
+      assert(body.contains(s""""numInputRows":$perAppRows"""), body)
+      assert(body.contains(f""""processedRowsPerSecond":$perAppRates%.3f"""), body)
+      // merged histogram spans both queries' duration rings
+      val aggCount = reg.aggregateLatency.get.count
+      assert(aggCount === reg.latency(q1.id).get.count + reg.latency(q2.id).get.count)
+      assert(body.contains(s""""latency":{"count":$aggCount"""), body)
+    } finally { q1.stop(); q2.stop(); srv.stop(); reg.close() }
   }
 
   test("observed-metrics JSON stays valid when observe() yields non-finite doubles") {
