@@ -44,6 +44,74 @@ class PipelineSpec extends SparkTestBase {
     assert(a.merge(b).toDF.as[Int].collect().sorted === Array(1, 2, 3))
   }
 
+  test("StageGraph: cycle, duplicate edge, and orphan stage fail at build time with names") {
+    val g = StageGraph.empty
+      .addSource("src")
+      .addStage(Stage("a", identity))
+      .addStage(Stage("b", identity))
+      .addEdge("src", "a").addEdge("a", "b")
+    assert(!g.hasCycle)
+    g.validate()
+
+    val cyclic = g.addEdge("b", "a")
+    assert(cyclic.hasCycle)
+    val cycleErr = intercept[IllegalArgumentException](cyclic.validate())
+    assert(cycleErr.getMessage.contains("cycle") && cycleErr.getMessage.contains("a"))
+
+    val duped = g.addEdge("a", "b")
+    assert(duped.hasDuplicatedEdge)
+    assert(intercept[IllegalArgumentException](duped.validate())
+      .getMessage.contains("a->b"))
+
+    val orphan = StageGraph.empty.addSource("src").addStage(Stage("lost", identity))
+    assert(intercept[IllegalArgumentException](orphan.validate())
+      .getMessage.contains("lost"))
+
+    // typo'd edge endpoints fail at wiring time, not at build
+    assert(intercept[IllegalArgumentException](g.addEdge("a", "nope"))
+      .getMessage.contains("nope"))
+  }
+
+  test("StageGraph: topological order is stable; subGraph/replaceVertex mirror the reference") {
+    val g = StageGraph.empty
+      .addSource("s1").addSource("s2")
+      .addStage(Stage("mid", identity)).addStage(Stage("out", identity))
+      .addEdge("s1", "mid").addEdge("s2", "mid").addEdge("mid", "out")
+    assert(g.topologicalSort === Right(Vector("s1", "s2", "mid", "out")))
+    assert(g.sinks === Vector("out"))
+
+    // subGraph("mid") = mid + direct neighbours + touching edges only
+    val sub = g.subGraph("mid")
+    assert(sub.vertices.sorted === Vector("mid", "out", "s1", "s2"))
+    assert(sub.edges.size === 3)
+
+    // replaceVertex rewires both edge directions to the new stage
+    val swapped = g.replaceVertex("mid", Stage("mid2", _.limit(1)))
+    assert(swapped.vertices.contains("mid2") && !swapped.vertices.contains("mid"))
+    assert(swapped.edges.count(e => e._1 == "mid2" || e._3 == "mid2") === 3)
+    swapped.validate()
+  }
+
+  test("StageGraph build materializes a fan-out/fan-in DAG identically to direct DataFrame code") {
+    import spark.implicits._
+    val nums = (1 to 20).toDF("v")
+    val g = StageGraph.empty
+      .addSource("nums")
+      .addStage(Stage("evens", _.filter(col("v") % 2 === 0)))
+      .addStage(Stage("big", _.filter(col("v") > 15)))
+      .addStage(Stage("sum", _.agg(sum("v").as("total"))))
+      .addEdge("nums", "evens")
+      .addEdge("nums", "big", HashEdge(4, Seq("v")))
+      .addEdge("evens", "sum").addEdge("big", "sum")
+    val out = g.build(Map("nums" -> nums))("sum").as[Long].head()
+    // union keeps duplicates (complexdag interleave parity): evens + >15
+    val expect = (1 to 20).filter(_ % 2 == 0).sum + (1 to 20).filter(_ > 15).sum
+    assert(out === expect.toLong)
+    // missing source input is a named build-time error
+    assert(intercept[IllegalArgumentException](g.build(Map.empty))
+      .getMessage.contains("nums"))
+  }
+
   test("complexdag: fan-out + per-branch path recording + fan-in") {
     // reference complexdag: each Node appends its name to a Vector[String]
     // payload; Sink receives the interleaved union of all paths
