@@ -75,7 +75,7 @@ final class AppRegistry(spark: SparkSession) {
     * nothing driver-collected — same discipline as the bench). */
   def submit(name: String, run: (SparkSession, String) => DataFrame, sfDir: String): java.util.UUID = {
     val id = java.util.UUID.randomUUID()
-    val app = new AppRegistry.SubmittedApp(id, name, sfDir)
+    val app = new AppRegistry.SubmittedApp(id, name, sfDir, run)
     submittedApps.put(id, app)
     val t = new Thread(() => {
       try {
@@ -108,6 +108,20 @@ final class AppRegistry(spark: SparkSession) {
         Option(app.runner).foreach(_.interrupt())
         true
       }
+    }
+
+  /** Restart a submitted app (reference: AppMasterService.scala:100 `restart`):
+    * kill it if still running, then re-launch the same query against the
+    * same data dir as a NEW app id (the old app's terminal record stays). */
+  def restartSubmitted(id: java.util.UUID): Option[java.util.UUID] =
+    submittedApps.get(id).map { app =>
+      if (app.status == "running") {
+        killSubmitted(id)
+        // bounded wait for the runner to unwind so the relaunch doesn't
+        // race the old jobs for the same bench-sized local cluster
+        Option(app.runner).foreach(_.join(10000))
+      }
+      submit(app.name, app.run, app.sfDir)
     }
 
   /** REST `applist` parity: active streaming queries + submitted batch apps. */
@@ -223,7 +237,8 @@ object AppRegistry {
     * detail / kill exactly like a streaming query, minus progress events
     * (batch jobs report through the job group, not the listener bus). */
   final class SubmittedApp private[ops] (
-      val id: java.util.UUID, val name: String, val sfDir: String) {
+      val id: java.util.UUID, val name: String, val sfDir: String,
+      private[ops] val run: (SparkSession, String) => DataFrame) {
     val startedAtMs: Long = System.currentTimeMillis()
     @volatile var status: String = "running" // running | finished | failed | killed
     @volatile var finishedAtMs: Long = 0L

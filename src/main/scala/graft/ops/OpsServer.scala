@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *  - GET    /api/v1.0/master/metrics                 — multi-app rollup
   *  - POST   /api/v1.0/master/submitapp?name=&sf=     — launch a registered query
   *  - GET    /api/v1.0/appmaster/<id>                 — query detail (+latency)
+  *  - POST   /api/v1.0/appmaster/<id>/restart         — relaunch a submitted app
   *  - GET    /api/v1.0/appmaster/<id>/metrics         — last progress
   *  - GET    /api/v1.0/appmaster/<id>/stallingtasks   — ?threshold=ms
   *  - DELETE /api/v1.0/appmaster/<id>                 — stop/kill the query or app
@@ -78,6 +79,14 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
               s"""{"lastProgress":${m.fold("null")(registry.fmt)},""" +
                 s""""latency":${h.fold("null")(registry.fmtHist)}}""")
           }
+        case ("POST", "appmaster" :: id :: "restart" :: Nil) =>
+          // reference: AppMasterService.scala:100 — restart an application.
+          // Streaming queries restart via Redeploy.replace (a plan is code);
+          // submitted batch apps relaunch here as a new app id.
+          withId(x, id)(uuid => registry.restartSubmitted(uuid) match {
+            case Some(newId) => respond(x, 200, s"""{"status":"success","appId":"$newId"}""")
+            case None => respond(x, 404, s"""{"error":"no submitted app $id"}""")
+          })
         case ("GET", "appmaster" :: id :: "stallingtasks" :: Nil) =>
           withId(x, id) { uuid =>
             val threshold = query(x, "threshold").map(_.toLong).getOrElse(60000L)

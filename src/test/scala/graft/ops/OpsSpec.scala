@@ -214,6 +214,17 @@ class OpsSpec extends SparkTestBase {
       while (status(id2) == "running" && System.currentTimeMillis() < deadline) Thread.sleep(100)
       assert(status(id2) === "killed", http("GET", s"/api/v1.0/appmaster/$id2")._2)
 
+      // restart (reference AppMasterService restart parity): same query,
+      // same data dir, NEW app id; the old terminal record stays visible
+      val (rc, rb) = http("POST", s"/api/v1.0/appmaster/$id1/restart")
+      assert(rc === 200, rb)
+      val id3 = appId(rb)
+      assert(id3 !== id1)
+      while (status(id3) == "running" && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(status(id3) === "finished")
+      assert(status(id1) === "finished", "original record preserved")
+      assert(http("POST", s"/api/v1.0/appmaster/${java.util.UUID.randomUUID()}/restart")._1 === 404)
+
       // error paths: unknown name, missing params
       assert(http("POST", "/api/v1.0/master/submitapp?name=nope&sf=x")._1 === 404)
       assert(http("POST", "/api/v1.0/master/submitapp")._1 === 400)
