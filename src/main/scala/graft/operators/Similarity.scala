@@ -635,6 +635,76 @@ object Similarity {
                   FROM rer)
             WHERE rank <= 5 ORDER BY q_id, rank"""))
 
+  /** IVF-PQ top-k: coarse cell pruning COMPOSED WITH compressed-domain ADC
+    * scoring — the full billion-vector serving shape (Jégou et al. 2011's
+    * IVFADC): the inverted file (`label` as the coarse-quantizer cell)
+    * bounds the candidate set to ~1/cells of the corpus, and each candidate
+    * costs only m code-table lookups, never a float touch. Relative to
+    * [[annIvf]] (cells, exact floats) and [[annPqTopK]] (full corpus,
+    * codes): this probes only the query's cell AND scans only codes.
+    *
+    * 100 TB shape: the ADC lookup table carries the query's cell id, so
+    * cell pruning rides the SAME broadcast-hash-join key as the code
+    * lookup — one map-side probe does both; the only shuffle is the
+    * partial-agg'd (q_id, vec_id) distance sum, already pruned to one
+    * cell's worth of candidates. Integer micro-unit distances rank
+    * identically across engines (ties by vec_id). */
+  val annIvfPq = GraftQuery(
+    "ann_ivfpq_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val codes = pqCodes(s, e)
+      val cells = e.select(col("vec_id"), col("label"))
+      val q = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("label"))
+      val dtab = q.crossJoin(broadcast(pqCodebook(e)))
+        .select(col("q_id"), col("label"), col("code"),
+          posexplode(array(
+            l2Micros("q_emb", "cvec", 0), l2Micros("q_emb", "cvec", 1),
+            l2Micros("q_emb", "cvec", 2), l2Micros("q_emb", "cvec", 3)))
+            .as(Seq("subspace", "qdm")))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("adc_micros"), col("vec_id"))
+      codes.join(cells, Seq("vec_id"))
+        .join(broadcast(dtab), Seq("subspace", "code", "label"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("qdm")).as("adc_micros"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("rank"), col("vec_id"), col("adc_micros"))
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some("""WITH cb AS (SELECT vec_id AS code, embedding AS cvec
+                        FROM embeddings WHERE vec_id < 8),
+            sc AS (SELECT e.vec_id, e.label, c.code, g.s AS subspace,
+                     CAST(floor(list_sum(list_transform(generate_series(16 * g.s + 1, 16 * g.s + 16),
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) *
+                            (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE))))
+                       * 1e6 + 0.5) AS BIGINT) AS dm
+                   FROM embeddings e
+                   CROSS JOIN cb c
+                   CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS s) g),
+            codes AS (SELECT vec_id, label, subspace, code
+                      FROM (SELECT vec_id, label, subspace, code,
+                              row_number() OVER (PARTITION BY vec_id, subspace
+                                                 ORDER BY dm, code) AS rn
+                            FROM sc) WHERE rn = 1),
+            dtab AS (SELECT vec_id AS q_id, label, code, subspace, dm AS qdm
+                     FROM sc WHERE vec_id < 4),
+            adc AS (SELECT d.q_id, c.vec_id, CAST(sum(d.qdm) AS BIGINT) AS adc_micros
+                    FROM codes c JOIN dtab d
+                      ON c.subspace = d.subspace AND c.code = d.code
+                     AND c.label = d.label
+                    GROUP BY d.q_id, c.vec_id)
+            SELECT q_id, CAST(rank AS INTEGER) AS rank, vec_id, adc_micros
+            FROM (SELECT q_id, vec_id, adc_micros,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_micros, vec_id) AS rank
+                  FROM adc WHERE vec_id <> q_id)
+            WHERE rank <= 5 ORDER BY q_id, rank"""))
+
   /** k-NN GRAPH construction (k=3) — EVERY vector's top-k neighbors within
     * its coarse cell (`label` as the IVF/k-means assignment), the backbone
     * structure of SemDeDup-style clustering, HNSW seeding, and
@@ -716,5 +786,5 @@ object Similarity {
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
-      pqAssign, annPqTopK, annPqRerank, annKnnGraph, powerIteration)
+      pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration)
 }
