@@ -41,7 +41,9 @@ final class AppRegistry(spark: SparkSession) {
             p.durationMs.asScala.map { case (k, v) => k -> v.longValue }.toMap },
           { import scala.jdk.CollectionConverters._
             p.observedMetrics.asScala.map { case (k, row) =>
-              k -> sanitizeJson(row.json) }.toMap })))
+              k -> sanitizeJson(row.json) }.toMap },
+          p.stateOperators.toSeq.map(so => Metrics.StateOp(so.operatorName,
+            so.numRowsTotal, so.numRowsUpdated, so.memoryUsedBytes)))))
       val ring = durations.getOrElseUpdate(p.id, scala.collection.mutable.ArrayDeque.empty)
       ring.synchronized {
         ring.append(durMs)
@@ -175,9 +177,13 @@ final class AppRegistry(spark: SparkSession) {
     val inRps = ms.map(_.inputRowsPerSecond).sum
     val procRps = ms.map(_.processedRowsPerSecond).sum
     val rows = ms.map(_.numInputRows).sum
+    val stateRows = ms.flatMap(_.stateOps).map(_.rowsTotal).sum
+    val stateMem = ms.flatMap(_.stateOps).map(_.memoryUsedBytes).sum
     s"""{"queries":${active.size},"submittedApps":${submitted.size},""" +
       f""""inputRowsPerSecond":$inRps%.3f,"processedRowsPerSecond":$procRps%.3f,""" +
-      s""""numInputRows":$rows,"latency":${aggregateLatency.fold("null")(fmtHist)}}"""
+      s""""numInputRows":$rows,"stateRowsTotal":$stateRows,""" +
+      s""""stateMemoryUsedBytes":$stateMem,""" +
+      s""""latency":${aggregateLatency.fold("null")(fmtHist)}}"""
   }
 
   /** REST `.../stallingtasks` parity: active queries with no progress event
@@ -206,7 +212,11 @@ final class AppRegistry(spark: SparkSession) {
       s""""durationMs":${m.phases.toSeq.sortBy(_._1)
         .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")},""" +
       s""""observedMetrics":${m.observed.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")}}"""
+        .map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")},""" +
+      s""""stateOperators":${m.stateOps.map(so =>
+        s"""{"name":${jstr(so.name)},"numRowsTotal":${so.rowsTotal},""" +
+          s""""numRowsUpdated":${so.rowsUpdated},"memoryUsedBytes":${so.memoryUsedBytes}}""")
+        .mkString("[", ",", "]")}}"""
   private def jstr(s: String): String = AppRegistry.jstrStatic(s)
 }
 
@@ -223,7 +233,16 @@ object AppRegistry {
       batchId: Long, inputRowsPerSecond: Double, processedRowsPerSecond: Double,
       batchDurationMs: Long, numInputRows: Long, timestamp: String,
       phases: Map[String, Long] = Map.empty,
-      observed: Map[String, String] = Map.empty)
+      observed: Map[String, String] = Map.empty,
+      stateOps: Seq[Metrics.StateOp] = Seq.empty)
+
+  object Metrics {
+    /** Per-stateful-operator progress (rows held / updated, store memory) —
+      * the capacity signal a dashboard needs before a stateful query OOMs
+      * its state store at scale. */
+    final case class StateOp(name: String, rowsTotal: Long, rowsUpdated: Long,
+        memoryUsedBytes: Long)
+  }
 
   /** Batch-latency distribution over the retained window — the per-query
     * analog of the reference's per-task processTime/receiveLatency

@@ -263,6 +263,28 @@ class OpsSpec extends SparkTestBase {
     } finally { q1.stop(); q2.stop(); srv.stop(); reg.close() }
   }
 
+  test("stateful queries surface state-operator rows/memory in metrics and the rollup") {
+    import spark.implicits._
+    val reg = new AppRegistry(spark)
+    val in = GraftSource.memory[Int](spark)
+    val q = in.toDS().toDF("v").groupBy("v").count()
+      .writeStream.outputMode("update").format("noop").queryName("ops_state").start()
+    try {
+      in.addData(1, 1, 2, 3)
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 15000
+      def stateOps() = reg.metrics.get(q.id.toString).map(_.stateOps).getOrElse(Seq.empty)
+      while (stateOps().isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val so = stateOps()
+      assert(so.nonEmpty, "stateful aggregation should report a state operator")
+      assert(so.head.rowsTotal === 3L, so) // keys 1, 2, 3 held in state
+      assert(so.head.memoryUsedBytes > 0L)
+      val m = reg.metrics(q.id.toString)
+      assert(reg.fmt(m).contains("\"stateOperators\":[{\"name\""), reg.fmt(m))
+      assert(reg.rollupJson.contains("\"stateRowsTotal\":3"), reg.rollupJson)
+    } finally { q.stop(); reg.close() }
+  }
+
   test("observed-metrics JSON stays valid when observe() yields non-finite doubles") {
     // avg() over zero rows renders as bare NaN via Row.json — the sanitizer
     // must null it without touching legitimate "NaN" string values
