@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{ContinuousPartitionReader, ContinuousPartitionReaderFactory, ContinuousStream, MicroBatchStream, Offset, PartitionOffset}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -40,6 +40,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   .option("maxRecordsPerTrigger", "1000")   // 0 = unbounded batches
   *   .load()                                   // => (event_time, value)
   * }}}
+  *
+  * Both trigger families run the same plugin: the default micro-batch
+  * trigger plans offset ranges per batch; `Trigger.Continuous` keeps
+  * long-running per-partition tasks that emit each record as it appears
+  * (per-record latency — the reference's DataSourceTask forwarding shape;
+  * requires `available` to be executor-callable, `continuousPollMs`
+  * tunes the idle poll).
   */
 class ReplayablePullSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -56,18 +63,24 @@ private[sources] class ReplayablePullTable(props: Map[String, String])
   override def name(): String = s"graft-replayable-pull(${props.getOrElse("class", "?")})"
   override def schema(): StructType = PullSourceProvider.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.CONTINUOUS_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
+        private def className = props.getOrElse("class",
+          throw new IllegalArgumentException("graft replayable pull source requires option 'class'"))
         override def readSchema(): StructType = PullSourceProvider.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new ReplayableMicroBatchStream(
-            className = props.getOrElse("class",
-              throw new IllegalArgumentException("graft replayable pull source requires option 'class'")),
+            className = className,
             numPartitions = props.getOrElse("numpartitions", "1").toInt,
             maxRecordsPerTrigger = props.getOrElse("maxrecordspertrigger", "0").toLong)
+        override def toContinuousStream(checkpointLocation: String): ContinuousStream =
+          new ReplayableContinuousStream(
+            className = className,
+            numPartitions = props.getOrElse("numpartitions", "1").toInt,
+            pollIntervalMs = props.getOrElse("continuouspollms", "5").toLong)
       }
     }
 }
@@ -144,6 +157,114 @@ private[sources] class ReplayableMicroBatchStream(
 
 private[sources] final case class ReplayableInputPartition(
     partitionId: Int, start: Long, end: Long, className: String) extends InputPartition
+
+// ---------------------------------------------------------------------------
+// Continuous (per-record) execution — the mode that matches the reference's
+// task-to-task delivery: the reference's DataSourceTask pulls records one at
+// a time and forwards each immediately (reference:
+// streaming/src/main/scala/io/gearpump/streaming/source/DataSourceTask.scala:35-78);
+// a micro-batch trigger quantizes that into per-batch latency. Under
+// Trigger.Continuous the same ReplayablePullDataSource plugin streams
+// per-record: long-running tasks poll `available` ON THE EXECUTOR and emit
+// each record as it appears, with epoch markers injected by the engine.
+//
+// Extra contract for continuous mode (beyond the ReplayablePullDataSource
+// scaladoc): `available(p)` must be callable from the reader task, not just
+// the driver — true for any Kafka-shaped source where availability is a
+// property of the external system, and for the in-process test ledger.
+// Exactly-once is unchanged: epoch offsets land in the WAL via mergeOffsets
+// of the per-partition reader positions, and a recovered epoch replays the
+// same deterministic record ranges.
+// ---------------------------------------------------------------------------
+
+/** One partition's reader position inside an epoch. */
+private[sources] final case class ReplayablePartitionOffset(
+    partition: Int, offset: Long) extends PartitionOffset
+
+private[sources] class ReplayableContinuousStream(
+    className: String, numPartitions: Int, pollIntervalMs: Long)
+  extends ContinuousStream {
+
+  // driver-side instance for the commit-hook acks (retention trim),
+  // mirroring ReplayableMicroBatchStream's planner role
+  private lazy val planner: ReplayablePullDataSource =
+    Class.forName(className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[ReplayablePullDataSource]
+
+  override def initialOffset(): Offset = RecordOffsets(Vector.fill(numPartitions)(0L))
+
+  override def deserializeOffset(json: String): Offset = RecordOffsets.parse(json)
+
+  /** Epoch boundary: the engine collects each partition reader's position
+    * and this fold makes the WAL entry — the same RecordOffsets shape the
+    * micro-batch path persists, so the two modes' checkpoints line up. */
+  override def mergeOffsets(offsets: Array[PartitionOffset]): Offset = {
+    val byPartition = offsets.collect {
+      case o: ReplayablePartitionOffset => o.partition -> o.offset
+    }.toMap
+    RecordOffsets(Vector.tabulate(numPartitions)(p => byPartition.getOrElse(p, 0L)))
+  }
+
+  override def planInputPartitions(start: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[RecordOffsets].upTo
+    (0 until numPartitions).map(p =>
+      ReplayableContinuousInputPartition(p, s.applyOrElse(p, (_: Int) => 0L),
+        className, pollIntervalMs): InputPartition).toArray
+  }
+
+  override def createContinuousReaderFactory(): ContinuousPartitionReaderFactory =
+    new ContinuousPartitionReaderFactory {
+      override def createReader(partition: InputPartition): ContinuousPartitionReader[InternalRow] =
+        new ReplayableContinuousReader(
+          partition.asInstanceOf[ReplayableContinuousInputPartition])
+    }
+
+  override def commit(end: Offset): Unit = {
+    val e = end.asInstanceOf[RecordOffsets].upTo
+    (0 until numPartitions).foreach(p => planner.ack(p, e.applyOrElse(p, (_: Int) => 0L)))
+  }
+
+  override def stop(): Unit = planner.close()
+}
+
+private[sources] final case class ReplayableContinuousInputPartition(
+    partitionId: Int, start: Long, className: String, pollIntervalMs: Long)
+  extends InputPartition
+
+/** Long-running executor-side reader: emits record `offset` as soon as
+  * `available` passes it. `next()` blocking until data exists is the
+  * continuous-reader contract (the engine wraps this in a queued reader
+  * thread that injects epoch markers between records); the poll sleep is
+  * interrupted by task kill at stop. */
+private[sources] class ReplayableContinuousReader(p: ReplayableContinuousInputPartition)
+  extends ContinuousPartitionReader[InternalRow] {
+
+  private val source: ReplayablePullDataSource =
+    Class.forName(p.className).getDeclaredConstructor()
+      .newInstance().asInstanceOf[ReplayablePullDataSource]
+  source.open(p.partitionId)
+
+  private var offset = p.start
+  private var current: PullMessage = _
+
+  override def next(): Boolean = {
+    while (offset >= source.available(p.partitionId)) Thread.sleep(p.pollIntervalMs)
+    current = source.read(p.partitionId, offset)
+    offset += 1
+    true
+  }
+
+  override def get(): InternalRow =
+    new GenericInternalRow(Array[Any](
+      current.timestampMs * 1000L, // micros
+      if (current.value == null) null else UTF8String.fromString(current.value)))
+
+  /** Position AFTER the last emitted record — what mergeOffsets folds into
+    * the epoch's RecordOffsets (exclusive upper bound, micro-batch parity). */
+  override def getOffset: PartitionOffset = ReplayablePartitionOffset(p.partitionId, offset)
+
+  override def close(): Unit = source.close()
+}
 
 /** Executor-side reader: exactly the records [start, end) — deterministic on
   * replay, which is the whole point. */
