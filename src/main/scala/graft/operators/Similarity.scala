@@ -198,16 +198,33 @@ object Similarity {
              WHERE round(${sqlCos("a.embedding", "b.embedding")}, 4) >= 0.35
              ORDER BY vec_a, vec_b"""))
 
+  /** DuckDB spelling of [[lshSigBit]] — same md5-derived ±1 hyperplane
+    * components, same 0-based hash inputs, 1-based list indexing. The >= 0
+    * sign test is on an O(1)-magnitude 64-term double sum, so the ~1e-15
+    * accumulation-order difference between engines cannot flip it (weaker
+    * knife-edge than the round(cos, 4) boundaries the other oracles already
+    * carry). */
+  private def sqlLshBit(p: Int): String =
+    s"""CAST(CASE WHEN list_sum(list_transform(generate_series(0, ${Dim - 1}),
+        i -> CAST(embedding[i + 1] AS DOUBLE) *
+             (CAST(floor((instr('0123456789abcdef',
+                substr(md5('hp:$p:' || CAST(i AS VARCHAR)), 1, 1)) - 1) / 8) AS INTEGER) * 2 - 1)))
+        >= 0 THEN 1 ELSE 0 END AS VARCHAR)"""
+
   /** Random-hyperplane LSH bucketing (scale path for near-dup at 1B+ rows):
     * 16-bit signature from deterministic md5-derived hyperplanes; bucket
-    * sizes are the output (rows-only check — the plan is the point). */
+    * sizes are the output, oracled bit-for-bit against the same hyperplanes
+    * evaluated in DuckDB. */
   val lshBuckets = GraftQuery(
     "ann_lsh_buckets",
     (s, dir) =>
       lshBucketed(t(s, dir, "embeddings"))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_vecs"))
         .orderBy(col("bucket")),
-    None)
+    Some(s"""SELECT bucket, count(*) AS n_vecs
+             FROM (SELECT ${(0 until 16).map(sqlLshBit).mkString(" || ")} AS bucket
+                   FROM embeddings)
+             GROUP BY bucket ORDER BY bucket"""))
 
   /** Radius (range) similarity search: every corpus vector within a cosine
     * threshold of each query — retrieval's "give me all candidates above

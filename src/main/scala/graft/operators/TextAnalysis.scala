@@ -157,7 +157,21 @@ object TextAnalysis {
              j -> array_min(slice(hs, j + 1, 8))))""")).as("fp"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_fingerprints"))
         .orderBy(col("doc_id")),
-    None)
+    // md5 hex is lowercase ASCII on both engines, so array_min/list_min
+    // agree lexicographically; the window math mirrors the Spark side
+    // 1-based (slice(hs, j+1, 8) over j in 0..size-8  ==  list_slice(hs, j,
+    // j+7) over j in 1..len-7, both clamped to one full-list window when
+    // the doc has fewer than 8 shingles).
+    Some("""SELECT doc_id,
+              CAST(len(list_distinct(list_transform(
+                generate_series(1, greatest(len(hs) - 7, 1)),
+                j -> list_min(list_slice(hs, j, j + 7))))) AS BIGINT) AS n_fingerprints
+            FROM (SELECT doc_id,
+                    list_transform(generate_series(1, len(w) - 2),
+                      i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2]))) AS hs
+                  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+                  WHERE len(w) >= 3)
+            ORDER BY doc_id"""))
 
   /** Canonical text normalization — the first stage of every training-data
     * pipeline: lowercase, strip non-alphanumerics, collapse runs of spaces,
