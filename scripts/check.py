@@ -71,8 +71,15 @@ for name, sql in sorted(oracle.items()):
     else:
         print(f"ok   {name} ({len(gr)} rows)")
 
-q_no_oracle = [d.split("/")[-1] for d in glob.glob(f"{OUT}/*") if "/oracle_sql" not in d
+import os
+q_no_oracle = [d.split("/")[-1] for d in glob.glob(f"{OUT}/*") if os.path.isdir(d)
                and d.split("/")[-1] not in oracle]
+err_path = f"{OUT}/errors.json"
+if os.path.exists(err_path):
+    errs = json.load(open(err_path))
+    for name, msg in sorted(errs.items()):
+        if name not in fails: fails.append(name)
+        print(f"FAIL {name}: query threw: {msg[:200]}")
 for name in sorted(q_no_oracle):
     n = con.sql(f"SELECT count(*) FROM '{OUT}/{name}/*.parquet'").fetchone()[0]
     print(f"rows-only {name}: {n} rows" + ("  (EMPTY!)" if n == 0 else ""))

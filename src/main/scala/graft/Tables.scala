@@ -14,19 +14,31 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The driver's `events` table stores `ts` as parquet TIMESTAMP(NANOS),
-    * which Spark 4 refuses to read natively; read it as a nanosecond long
-    * and floor-truncate to microseconds — the same truncation DuckDB applies
-    * when loading nanos into its microsecond TIMESTAMP, so oracle compares
-    * stay exact. */
+  /** The driver's `events` table has shipped `ts` in two physical shapes
+    * across regenerations: parquet TIMESTAMP(NANOS) (which Spark 4 refuses
+    * to read natively — surfaced as a nanosecond long under
+    * `nanosAsLong`) and TIMESTAMP_MICROS with isAdjustedToUTC=0 (which
+    * Spark 4 reads as TIMESTAMP_NTZ). Normalize both to a session-TZ
+    * TIMESTAMP so every downstream `unix_micros`/window consumer sees one
+    * type. Sessions run with timeZone=UTC, so the NTZ→TIMESTAMP cast is
+    * instant-preserving and the nanos path floor-truncates to micros — the
+    * same value DuckDB materializes, so oracle compares stay exact. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name != "ts") d
+      else f.dataType match {
+        case LongType         => d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => d.withColumn("ts", col("ts").cast(TimestampType))
+        case _                => d
+      }
+    }
+  }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) { (d, f) =>
-      if (f.dataType == org.apache.spark.sql.types.LongType && f.name == "ts")
-        d.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else d
-    }
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Register all tables as temp views so `spark.sql` works too. */

@@ -19,13 +19,23 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must NOT vanish from the driver's JSON (round 8
+    // proved the silent path hides real breakage): write a 1-row parquet
+    // whose schema can never match an oracle, so the driver records a red
+    // rows/schema/hash row, and collect the messages into errors.json.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+        System.err.println(s"[verify] $name FAILED: $msg")
+        failed(name) = msg
+        import spark.implicits._
+        Seq(msg).toDF("_graft_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +53,17 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // written only on failure: a stray non-directory in outDir confuses
+    // rows-only enumeration (driver-side and check.py both glob outDir/*)
+    if (failed.nonEmpty) {
+      val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
+    // deliberately rc=0 even on per-query failure: the red-row parquet +
+    // errors.json are the signal; a nonzero rc could make a harness discard
+    // the 100+ healthy results along with the broken one.
   }
 }

@@ -186,6 +186,27 @@ final class AppRegistry(spark: SparkSession) {
       s""""latency":${aggregateLatency.fold("null")(fmtHist)}}"""
   }
 
+  /** REST `appmaster/<id>/errors` parity (reference:
+    * services/jvm/src/main/scala/io/gearpump/services/AppMasterService.scala:93
+    * serves the app's lastErrors): a streaming query reports its terminal
+    * `exception()`; a submitted batch app reports its captured failure.
+    * None = the id is unknown to either registry. */
+  def errorsJson(id: java.util.UUID): Option[String] = {
+    val stream = active.find(_.id == id).map { q =>
+      q.exception match {
+        case Some(e) =>
+          s"""{"id":"$id","kind":"stream","errors":[{"message":${jstr(e.message)},""" +
+            s""""startOffset":${jstr(e.startOffset)},"endOffset":${jstr(e.endOffset)}}]}"""
+        case None => s"""{"id":"$id","kind":"stream","errors":[]}"""
+      }
+    }
+    stream.orElse(submittedApps.get(id).map { a =>
+      val errs = Option(a.error).map(e =>
+        s"""{"message":${jstr(e)},"atMs":${a.finishedAtMs}}""").toSeq
+      s"""{"id":"$id","kind":"batch","status":"${a.status}","errors":${errs.mkString("[", ",", "]")}}"""
+    })
+  }
+
   /** REST `.../stallingtasks` parity: active queries with no progress event
     * within the threshold (default mirrors the reference's 60 s). */
   def stalling(thresholdMs: Long = 60000): Seq[StreamingQuery] = {

@@ -17,10 +17,12 @@ import org.apache.spark.sql.SparkSession
   *  - GET    /api/v1.0/master/applist                 — active queries + submitted apps
   *  - GET    /api/v1.0/master/config                  — runtime conf
   *  - GET    /api/v1.0/master/metrics                 — multi-app rollup
+  *  - GET    /api/v1.0/master/workerlist              — executor fleet view
   *  - POST   /api/v1.0/master/submitapp?name=&sf=     — launch a registered query
   *  - GET    /api/v1.0/appmaster/<id>                 — query detail (+latency)
   *  - POST   /api/v1.0/appmaster/<id>/restart         — relaunch a submitted app
   *  - GET    /api/v1.0/appmaster/<id>/metrics         — last progress
+  *  - GET    /api/v1.0/appmaster/<id>/errors          — terminal error capture
   *  - GET    /api/v1.0/appmaster/<id>/stallingtasks   — ?threshold=ms
   *  - DELETE /api/v1.0/appmaster/<id>                 — stop/kill the query or app
   *
@@ -37,6 +39,9 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
   private val startedAtMs = System.currentTimeMillis()
 
   server.createContext("/api/v1.0/", (x: HttpExchange) => handle(x))
+  // the reference ships a full dashboard SPA (services/dashboard/); the
+  // library-scale analog is one static page polling the JSON endpoints
+  server.createContext("/dashboard", (x: HttpExchange) => serveDashboard(x))
   server.setExecutor(null) // serve on the dispatch thread; ops traffic is light
 
   def start(): OpsServer = { server.start(); this }
@@ -55,6 +60,7 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
         case ("GET", "master" :: "applist" :: Nil) => respond(x, 200, registry.applist)
         case ("GET", "master" :: "config" :: Nil) => respond(x, 200, configJson)
         case ("GET", "master" :: "metrics" :: Nil) => respond(x, 200, registry.rollupJson)
+        case ("GET", "master" :: "workerlist" :: Nil) => respond(x, 200, workerlist)
         case ("POST", "master" :: "submitapp" :: Nil) =>
           (query(x, "name"), query(x, "sf")) match {
             case (Some(name), Some(sf)) => catalog.get(name) match {
@@ -87,6 +93,11 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
             case Some(newId) => respond(x, 200, s"""{"status":"success","appId":"$newId"}""")
             case None => respond(x, 404, s"""{"error":"no submitted app $id"}""")
           })
+        case ("GET", "appmaster" :: id :: "errors" :: Nil) =>
+          withId(x, id)(uuid => registry.errorsJson(uuid) match {
+            case Some(json) => respond(x, 200, json)
+            case None => respond(x, 404, s"""{"error":"no query or app $id"}""")
+          })
         case ("GET", "appmaster" :: id :: "stallingtasks" :: Nil) =>
           withId(x, id) { uuid =>
             val threshold = query(x, "threshold").map(_.toLong).getOrElse(60000L)
@@ -105,6 +116,23 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
     } catch {
       case e: Exception => respond(x, 500, s"""{"error":${AppRegistry.jstrStatic(e.toString)}}""")
     }
+  }
+
+  /** REST `master/workerlist` parity (reference: MasterService.scala:72
+    * serves each worker's resource slots): on Spark the worker analog is
+    * the executor set — id/host/port, running tasks, and storage-memory
+    * headroom from the public status tracker. local[n] reports the single
+    * driver-executor; on a 1000-executor cluster this is the fleet view. */
+  private def workerlist: String = {
+    val sc = spark.sparkContext
+    val execs = sc.statusTracker.getExecutorInfos.map { e =>
+      s"""{"host":${AppRegistry.jstrStatic(e.host)},"port":${e.port},""" +
+        s""""numRunningTasks":${e.numRunningTasks},""" +
+        s""""usedOnHeapStorageMemory":${e.usedOnHeapStorageMemory},""" +
+        s""""totalOnHeapStorageMemory":${e.totalOnHeapStorageMemory}}"""
+    }
+    s"""{"defaultParallelism":${sc.defaultParallelism},""" +
+      s""""workers":${execs.mkString("[", ",", "]")}}"""
   }
 
   private def masterSummary: String = {
@@ -128,6 +156,18 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
     Option(x.getRequestURI.getQuery).flatMap(_.split("&").collectFirst {
       case kv if kv.startsWith(key + "=") => kv.substring(key.length + 1)
     })
+
+  private def serveDashboard(x: HttpExchange): Unit = {
+    val in = getClass.getResourceAsStream("/graft/dashboard.html")
+    if (in == null) respond(x, 404, """{"error":"dashboard resource missing"}""")
+    else {
+      val bytes = try in.readAllBytes() finally in.close()
+      x.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+      x.sendResponseHeaders(200, bytes.length.toLong)
+      val os = x.getResponseBody
+      try os.write(bytes) finally os.close()
+    }
+  }
 
   private def respond(x: HttpExchange, code: Int, json: String): Unit = {
     val bytes = json.getBytes(StandardCharsets.UTF_8)

@@ -42,10 +42,24 @@ object ContinuousLatency {
     out.result()
   }
 
+  /** Stopping a continuous query aborts its in-flight epoch by design, and
+    * the epoch writers log `ERROR ContinuousWriteRDD: Writer for partition N
+    * is aborting` on that expected path — scary-looking but benign noise in
+    * every bench tail. Quiet exactly those two classes (shutdown-only
+    * loggers); everything else keeps its level. */
+  private def quietShutdownNoise(): Unit = try {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    Seq("org.apache.spark.sql.execution.streaming.continuous.ContinuousWriteRDD",
+        "org.apache.spark.sql.execution.streaming.continuous.ContinuousQueuedDataReader")
+      .foreach(Configurator.setLevel(_, Level.FATAL))
+  } catch { case _: NoClassDefFoundError => () } // non-log4j2 backend: keep the noise
+
   /** Start the probe: rate source → record-latency projection → noop sink,
     * under `Trigger.Continuous`. Caller is responsible for stop(). */
   def start(spark: SparkSession, rowsPerSecond: Long = 1000, numPartitions: Int = 2,
       checkpointIntervalMs: Long = 1000): StreamingQuery = {
+    quietShutdownNoise()
     val record = udf { (tsMillis: Long) =>
       val lat = System.currentTimeMillis() - tsMillis
       samples.add(java.lang.Long.valueOf(lat))

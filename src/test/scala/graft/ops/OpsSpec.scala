@@ -294,4 +294,63 @@ class OpsSpec extends SparkTestBase {
     // and the result parses as JSON (json4s strict parse)
     org.json4s.jackson.JsonMethods.parse(clean)
   }
+
+  test("workerlist + per-app errors endpoints (MasterService/AppMasterService parity)") {
+    import spark.implicits._
+    val reg = new AppRegistry(spark)
+    val catalog: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "boom" -> ((s, _) => s.read.parquet("/nonexistent/graft_errors_spec")))
+    val srv = new OpsServer(spark, reg, catalog = catalog).start()
+
+    def http(method: String, path: String): (Int, String) = {
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod(method)
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      is.close()
+      (code, body)
+    }
+    try {
+      // workerlist: local[n] reports the single driver-executor with its
+      // storage-memory capacity; the shape is the fleet view on a cluster
+      val (wc, wb) = http("GET", "/api/v1.0/master/workerlist")
+      assert(wc === 200, wb)
+      assert(wb.contains("\"defaultParallelism\":"), wb)
+      assert(wb.contains("\"host\":"), wb)
+      assert("\"totalOnHeapStorageMemory\":([0-9]+)".r.findFirstMatchIn(wb)
+        .exists(_.group(1).toLong > 0L), wb)
+      org.json4s.jackson.JsonMethods.parse(wb)
+
+      // errors on a healthy active stream: empty list, kind=stream
+      val in = GraftSource.memory[Int](spark)
+      val q = in.toDS().writeStream.format("noop").queryName("errs_ok").start()
+      try {
+        in.addData(1, 2, 3); q.processAllAvailable()
+        val (ec, eb) = http("GET", s"/api/v1.0/appmaster/${q.id}/errors")
+        assert(ec === 200 && eb.contains("\"kind\":\"stream\"") && eb.contains("\"errors\":[]"), eb)
+      } finally q.stop()
+
+      // errors on a failed submitted app: the captured exception is served
+      val (sc, sb) = http("POST", "/api/v1.0/master/submitapp?name=boom&sf=unused")
+      assert(sc === 200, sb)
+      val id = "\"appId\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(sb).get.group(1)
+      val deadline = System.currentTimeMillis() + 30000
+      def body(): String = http("GET", s"/api/v1.0/appmaster/$id/errors")._2
+      while (!body().contains("\"status\":\"failed\"") && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val eb2 = body()
+      assert(eb2.contains("\"kind\":\"batch\"") && eb2.contains("PATH_NOT_FOUND"), eb2)
+      org.json4s.jackson.JsonMethods.parse(eb2)
+
+      // unknown id → 404
+      assert(http("GET", s"/api/v1.0/appmaster/${java.util.UUID.randomUUID()}/errors")._1 === 404)
+
+      // the dashboard page serves and targets these same endpoints
+      val (dc, db) = http("GET", "/dashboard")
+      assert(dc === 200 && db.contains("<title>graft ops</title>")
+        && db.contains("master/workerlist"), db.take(200))
+    } finally { srv.stop(); reg.close() }
+  }
 }

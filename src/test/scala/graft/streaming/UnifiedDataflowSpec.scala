@@ -20,12 +20,12 @@ class UnifiedDataflowSpec extends SparkTestBase {
       .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
 
   test("one transform, batch and 4-micro-batch streaming, identical results") {
-    // events.parquet stores ts as TIMESTAMP(NANOS); same raw-read recipe as
+    // events.parquet has shipped ts as both TIMESTAMP(NANOS) and
+    // NTZ-micros across driver regenerations; same normalization as
     // graft.Tables.t, applied identically on both paths
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    val prep: DataFrame => DataFrame =
-      _.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val prep: DataFrame => DataFrame = graft.Tables.normalizeTs
 
     val batchResult = hourlyByType(prep(raw)).collect().map(_.toString).sorted.toSeq
     assert(batchResult.nonEmpty)
