@@ -10,6 +10,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val loadStart = osLoadAvg()
     val spark = Engine.session("graft-bench", s"local[$cpus]")
     val headline = SparkEntry.registry.filter(_.headline)
     // SOL streaming first, on a pristine JVM: the relational queries below
@@ -67,8 +68,18 @@ object Bench {
       f""","latency_ms_p50":${h.p50Ms},"latency_ms_p95":${h.p95Ms},"latency_ms_p99":${h.p99Ms},"latency_ms_mean":${h.meanMs}%.1f""") +
       latencyCont.fold("")(h =>
         f""","latency_continuous_ms_p50":${h.p50Ms},"latency_continuous_ms_p95":${h.p95Ms},"latency_continuous_ms_p99":${h.p99Ms},"latency_continuous_ms_mean":${h.meanMs}%.1f""")
+    // Self-reported contention telemetry: round 8's driver-captured bench
+    // regressed ~2x purely from concurrent load on the box (a clean rerun
+    // of identical code was the best round on record), and the artifact
+    // had no way to show it. Report the 1-min load average at start/end
+    // (from the JVM's own OS bean) so a contaminated sample is detectable
+    // from the JSON itself: on a quiet 32-thread box load_avg should be
+    // ~the bench's own parallelism; >>cpus means a shared box.
+    val loadEnd = osLoadAvg()
+    val load =
+      f""","load_avg_start":$loadStart%.1f,"load_avg_end":$loadEnd%.1f,"cpus":$cpus"""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f$lat,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f$lat$load,"sf":"$sfDir"}"""
     // Evidence must be unlosable (round-2 lesson: the TaskKilled WARN flood
     // after solThroughput's q.stop() pushed the metric line out of the
     // harness's captured log tail). So: persist to a file FIRST, then stop
@@ -79,6 +90,10 @@ object Bench {
     println(json)
     if (results.exists(!_._3)) sys.exit(1)
   }
+
+  /** 1-minute system load average (-1.0 if the platform can't report it). */
+  private def osLoadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
   /** Batch-latency percentiles at a small trigger: a 10k rows/s stream is
     * far below saturation, so each micro-batch's triggerExecution time IS

@@ -71,7 +71,28 @@ object Multimodal {
         it.map { case (id, bytes) => fakeDecode(id, bytes) }
       }.toDF().orderBy(col("doc_id"))
     },
-    None)
+    // The fake decode is a pure function of the payload bytes, so it IS
+    // DuckDB-expressible: byte sum recovered from the hex dump (nibble
+    // value x 16 for high nibbles), robust to non-ASCII payloads. Spark's
+    // math.round and DuckDB's round() both round half up for positives, so
+    // mean_byte agrees bit-for-bit at .5 boundaries.
+    Some("""WITH b AS (
+              SELECT doc_id, octet_length(encode(text)) AS blen,
+                     hex(encode(text)) AS hx FROM documents
+            ), s AS (
+              SELECT doc_id, blen,
+                list_sum(list_transform(string_split(hx, ''),
+                  (c, i) -> (strpos('0123456789ABCDEF', c) - 1)
+                            * (CASE WHEN i % 2 = 1 THEN 16 ELSE 1 END))) AS bsum
+              FROM b
+            )
+            SELECT doc_id,
+              CAST(64 + blen % 193 AS INTEGER) AS width,
+              CAST(64 + bsum % 151 AS INTEGER) AS height,
+              CAST(3 AS INTEGER) AS channels,
+              CAST(1 + blen % 7 AS INTEGER) AS n_frames,
+              round(bsum / blen * 1e4) / 1e4 AS mean_byte
+            FROM s ORDER BY doc_id"""))
 
   /** Frame sampling plumbing for video-like payloads: derive a frame count
     * from the container metadata (here: a deterministic function of payload
