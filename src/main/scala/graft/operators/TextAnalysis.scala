@@ -335,7 +335,96 @@ object TextAnalysis {
               (SELECT unnest(generate_series(0, CAST(floor((len(w)-1)/25) AS INTEGER))) AS c) g
             ORDER BY doc_id, chunk_idx"""))
 
+  /** BPE MERGE TRAINING — the iterative loop `text_bpe_pairs` does one
+    * round of: learn the first 10 byte-pair-encoding merges over the
+    * corpus, exactly as a tokenizer trainer would (greedy: most frequent
+    * adjacent symbol pair wins each round, count-desc then lexicographic
+    * tie-break; merges apply left-to-right non-overlapping).
+    *
+    * 100 TB shape (the same trick every real BPE trainer uses): the corpus
+    * is scanned ONCE into a (word, freq) dictionary — one map-side-combined
+    * shuffle — and all iterations run over that distinct-word table, which
+    * is vocabulary-sized, orders of magnitude smaller than the corpus.
+    * Per round: the pair count partial-aggregates map-side and the winner
+    * is a 1-row TakeOrderedAndProject; the merge applies map-side as a
+    * SQL `aggregate` fold with the pair inlined as literals (codegen, no
+    * UDF). Driver state: 10 merge rows. `localCheckpoint` truncates the
+    * growing lineage each round (the PageRank discipline). */
+  val bpeTrain = GraftQuery(
+    "text_bpe_train",
+    (s, dir) => {
+      import s.implicits._
+      def sqlLit(x: String) = "'" + x.replace("'", "''") + "'"
+      val vocab = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("toks"))
+      var state = vocab.localCheckpoint(true)
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var exhausted = false
+      for (r <- 1 to 10 if !exhausted) {
+        val top = state
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+            .as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, a, b, cnt))
+          val next = state.withColumn("toks", expr(
+            s"""aggregate(toks, cast(array() as array<string>), (acc, x) ->
+                  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(a)} AND x = ${sqlLit(b)}
+                       THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlLit(a + b)}))
+                       ELSE concat(acc, array(x)) END)"""))
+            .localCheckpoint(true)
+          state.unpersist()
+          state = next
+        }
+      }
+      state.unpersist()
+      merges.result().toDF("rank", "lhs", "rhs", "pair_count")
+        .orderBy(col("rank"))
+    },
+    // The 10 rounds unroll as chained CTEs (the PageRank oracle
+    // discipline). DuckDB state per word is the token sequence as a
+    // double-space-delimited string with sentinel spaces, so the merge
+    // applies as left-to-right non-overlapping `replace` of
+    // ' a  b ' -> ' ab ' — exactly BPE's greedy application — and
+    // multi-char tokens can never match across a boundary.
+    Some {
+      val rounds = (1 to 10).map { r =>
+        val p = r - 1
+        s"""tok_$r AS (SELECT freq, string_split(trim(s), '  ') AS tk FROM state_$p),
+            pc_$r AS (SELECT tk[i] AS a, tk[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM tok_$r CROSS JOIN LATERAL
+                (SELECT unnest(generate_series(1, len(tk)-1)) AS i) g
+              GROUP BY 1, 2),
+            top_$r AS (SELECT a, b, cnt FROM pc_$r ORDER BY cnt DESC, a, b LIMIT 1),
+            state_$r AS (SELECT freq, replace(s, ' '||a||'  '||b||' ', ' '||a||b||' ') AS s
+              FROM state_$p CROSS JOIN top_$r)"""
+      }.mkString(",\n")
+      val out = (1 to 10).map(r =>
+        s"SELECT $r AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM top_$r")
+        .mkString(" UNION ALL ")
+      s"""WITH state_0 AS (
+            SELECT CAST(count(*) AS BIGINT) AS freq,
+                   '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
+            FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+                  FROM documents)
+            WHERE length(w) >= 2 GROUP BY w
+          ),
+          $rounds
+          SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs, pair_count
+          FROM ($out) ORDER BY rank"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
-      cmsHeavyHitters, bpePairs, chunkStride)
+      cmsHeavyHitters, bpePairs, chunkStride, bpeTrain)
 }
