@@ -350,46 +350,55 @@ object TextAnalysis {
     * SQL `aggregate` fold with the pair inlined as literals (codegen, no
     * UDF). Driver state: 10 merge rows. `localCheckpoint` truncates the
     * growing lineage each round (the PageRank discipline). */
+  /** Shared BPE training loop: returns the 10 learned merges plus the final
+    * vocabulary state `(w, freq, toks)` — the per-word tokenization under
+    * the trained merges (vocabulary-sized; localCheckpoint'ed, so the
+    * encode op can broadcast it without re-deriving lineage). */
+  private def bpeTrainState(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    def sqlLit(x: String) = "'" + x.replace("'", "''") + "'"
+    val vocab = t(s, dir, "documents")
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("w"), col("freq"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("toks"))
+    var state = vocab.localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to 10 if !exhausted) {
+      val top = state
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        val next = state.withColumn("toks", expr(
+          s"""aggregate(toks, cast(array() as array<string>), (acc, x) ->
+                CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(a)} AND x = ${sqlLit(b)}
+                     THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlLit(a + b)}))
+                     ELSE concat(acc, array(x)) END)"""))
+          .localCheckpoint(true)
+        state.unpersist()
+        state = next
+      }
+    }
+    (merges.result(), state)
+  }
+
   val bpeTrain = GraftQuery(
     "text_bpe_train",
     (s, dir) => {
       import s.implicits._
-      def sqlLit(x: String) = "'" + x.replace("'", "''") + "'"
-      val vocab = t(s, dir, "documents")
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .groupBy("w").agg(count(lit(1)).as("freq"))
-        .select(col("freq"),
-          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))").as("toks"))
-      var state = vocab.localCheckpoint(true)
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
-      var exhausted = false
-      for (r <- 1 to 10 if !exhausted) {
-        val top = state
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
-            .as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()
-        if (top.isEmpty) exhausted = true
-        else {
-          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((r, a, b, cnt))
-          val next = state.withColumn("toks", expr(
-            s"""aggregate(toks, cast(array() as array<string>), (acc, x) ->
-                  CASE WHEN size(acc) > 0 AND element_at(acc, -1) = ${sqlLit(a)} AND x = ${sqlLit(b)}
-                       THEN concat(slice(acc, 1, size(acc) - 1), array(${sqlLit(a + b)}))
-                       ELSE concat(acc, array(x)) END)"""))
-            .localCheckpoint(true)
-          state.unpersist()
-          state = next
-        }
-      }
+      val (merges, state) = bpeTrainState(s, dir)
       state.unpersist()
-      merges.result().toDF("rank", "lhs", "rhs", "pair_count")
-        .orderBy(col("rank"))
+      merges.toDF("rank", "lhs", "rhs", "pair_count").orderBy(col("rank"))
     },
     // The 10 rounds unroll as chained CTEs (the PageRank oracle
     // discipline). DuckDB state per word is the token sequence as a
@@ -424,7 +433,62 @@ object TextAnalysis {
           FROM ($out) ORDER BY rank"""
     })
 
+  /** BPE ENCODING — the inference side of `text_bpe_train`: tokenize every
+    * document under the 10 learned merges and report its token count (the
+    * number every budget/packing/billing decision in a training pipeline
+    * is made in — `text_token_count`'s whitespace/regex counts are only a
+    * proxy for this). Scale shape: the trained per-word tokenization dict
+    * is VOCABULARY-sized, so encoding is a broadcast-hash join applied
+    * scan-side — the corpus streams through once, nothing corpus-sized
+    * shuffles; per-doc sums partial-aggregate map-side. */
+  val bpeEncode = GraftQuery(
+    "text_bpe_encode",
+    (s, dir) => {
+      val (_, state) = bpeTrainState(s, dir)
+      val dict = state.select(col("w"), size(col("toks")).as("ntok"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .join(broadcast(dict), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum(col("ntok")).cast("long").as("n_bpe_tokens"))
+        .orderBy("doc_id")
+    },
+    // same 10-round unrolled chain, with the word key carried through the
+    // states so the final state doubles as the tokenization dictionary
+    Some {
+      val rounds = (1 to 10).map { r =>
+        val p = r - 1
+        s"""tok_$r AS (SELECT freq, string_split(trim(s), '  ') AS tk FROM state_$p),
+            pc_$r AS (SELECT tk[i] AS a, tk[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+              FROM tok_$r CROSS JOIN LATERAL
+                (SELECT unnest(generate_series(1, len(tk)-1)) AS i) g
+              GROUP BY 1, 2),
+            top_$r AS (SELECT a, b, cnt FROM pc_$r ORDER BY cnt DESC, a, b LIMIT 1),
+            state_$r AS (SELECT w, freq, replace(s, ' '||a||'  '||b||' ', ' '||a||b||' ') AS s
+              FROM state_$p CROSS JOIN top_$r)"""
+      }.mkString(",\n")
+      s"""WITH state_0 AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                   '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
+            FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+                  FROM documents)
+            WHERE length(w) >= 2 GROUP BY w
+          ),
+          $rounds,
+          docw AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+            FROM documents
+          ),
+          dict AS (SELECT w, len(string_split(trim(s), '  ')) AS ntok FROM state_10)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens
+          FROM docw JOIN dict USING (w)
+          WHERE length(w) >= 2
+          GROUP BY doc_id ORDER BY doc_id"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
-      cmsHeavyHitters, bpePairs, chunkStride, bpeTrain)
+      cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode)
 }
