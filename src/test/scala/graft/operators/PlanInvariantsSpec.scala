@@ -307,4 +307,28 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(withText.size <= 1,
       s"tokenized text crosses ${withText.size} exchanges:\n${df.queryExecution.executedPlan}")
   }
+
+  test("text_bpe_encode: the trained dict broadcasts; the corpus scans parquet exactly once") {
+    // the encode pass must be a broadcast-hash join against the
+    // vocabulary-sized dict (a sort-merge join would shuffle the exploded
+    // corpus), and the training state must come from its localCheckpoint,
+    // not a re-scan — one parquet scan total in the executed plan
+    val df = SparkEntry.queries("text_bpe_encode")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val s = p.toString
+    assert(s.contains("BroadcastHashJoin"), s"dict join must broadcast:\n$s")
+    assert(!s.contains("SortMergeJoin"), s"encode must not sort-merge:\n$s")
+    // count scan NODES in the final tree (the plan string also prints the
+    // AQE initial plan, which would double-count)
+    var scans = 0
+    def walk(x: SparkPlan): Unit = x match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => scans += 1
+      case other => other.children.foreach(walk)
+    }
+    walk(p)
+    assert(scans == 1, s"corpus must scan once (training state is checkpointed), saw $scans:\n$s")
+  }
 }
