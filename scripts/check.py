@@ -78,11 +78,16 @@ err_path = f"{OUT}/errors.json"
 if os.path.exists(err_path):
     errs = json.load(open(err_path))
     for name, msg in sorted(errs.items()):
+        if ONLY and name not in ONLY: continue
         if name not in fails: fails.append(name)
         print(f"FAIL {name}: query threw: {msg[:200]}")
 for name in sorted(q_no_oracle):
     n = con.sql(f"SELECT count(*) FROM '{OUT}/{name}/*.parquet'").fetchone()[0]
     print(f"rows-only {name}: {n} rows" + ("  (EMPTY!)" if n == 0 else ""))
 
-print(f"\n{len(oracle) - len(fails)}/{len(oracle)} oracle queries match")
+# fails may include rows-only names (from errors.json); count oracle
+# misses separately so the summary line stays honest
+oracle_fails = [f for f in fails if f in oracle]
+n_oracle = len([n for n in oracle if not ONLY or n in ONLY])
+print(f"\n{n_oracle - len(oracle_fails)}/{n_oracle} oracle queries match")
 sys.exit(1 if fails else 0)

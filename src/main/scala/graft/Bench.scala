@@ -76,8 +76,12 @@ object Bench {
     // from the JSON itself: on a quiet 32-thread box load_avg should be
     // ~the bench's own parallelism; >>cpus means a shared box.
     val loadEnd = osLoadAvg()
+    // cpus as a JSON number: the env value may be "*" (local[*]) — resolve
+    // that to the actual core count rather than emitting invalid JSON
+    val cpusNum = scala.util.Try(cpus.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
     val load =
-      f""","load_avg_start":$loadStart%.1f,"load_avg_end":$loadEnd%.1f,"cpus":$cpus"""
+      f""","load_avg_start":$loadStart%.1f,"load_avg_end":$loadEnd%.1f,"cpus":$cpusNum"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f$lat$load,"sf":"$sfDir"}"""
     // Evidence must be unlosable (round-2 lesson: the TaskKilled WARN flood

@@ -33,9 +33,15 @@ object Verify {
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name FAILED: $msg")
         failed(name) = msg
-        import spark.implicits._
-        Seq(msg).toDF("_graft_error").coalesce(1)
-          .write.mode("overwrite").parquet(s"$outDir/$name")
+        // the marker write can itself fail (disk full, dead context after
+        // an OOM) — that must not abort the remaining queries
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("_graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name marker write failed too: $e2")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -53,11 +59,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // written only on failure: a stray non-directory in outDir confuses
-    // rows-only enumeration (driver-side and check.py both glob outDir/*)
+    // written only on failure (a stray non-directory in outDir confuses
+    // rows-only enumeration); on a clean run DELETE any stale copy from a
+    // previous failing run into the same outDir, or it reports red forever
     if (failed.nonEmpty) {
       val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    } else if (only.isEmpty) { // a subset run can't vouch for unrun queries
+      Files.deleteIfExists(Paths.get(s"$outDir/errors.json")); ()
     }
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.keys.mkString(", ")}")

