@@ -19,6 +19,7 @@ import org.apache.spark.sql.SparkSession
   *  - GET    /api/v1.0/master/metrics                 — multi-app rollup
   *  - GET    /api/v1.0/master/workerlist              — executor fleet view
   *  - POST   /api/v1.0/master/submitapp?name=&sf=     — launch a registered query
+  *  - POST   /api/v1.0/master/submitdag                — launch a declarative JSON plan
   *  - GET    /api/v1.0/appmaster/<id>                 — query detail (+latency)
   *  - POST   /api/v1.0/appmaster/<id>/restart         — relaunch a submitted app
   *  - GET    /api/v1.0/appmaster/<id>/metrics         — last progress
@@ -61,6 +62,12 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
         case ("GET", "master" :: "config" :: Nil) => respond(x, 200, configJson)
         case ("GET", "master" :: "metrics" :: Nil) => respond(x, 200, registry.rollupJson)
         case ("GET", "master" :: "workerlist" :: Nil) => respond(x, 200, workerlist)
+        case ("POST", "master" :: "submitdag" :: Nil) =>
+          val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          submitDag(body) match {
+            case Right(id) => respond(x, 200, s"""{"status":"success","appId":"$id"}""")
+            case Left(err) => respond(x, 400, s"""{"error":${AppRegistry.jstrStatic(err)}}""")
+          }
         case ("POST", "master" :: "submitapp" :: Nil) =>
           (query(x, "name"), query(x, "sf")) match {
             case (Some(name), Some(sf)) => catalog.get(name) match {
@@ -116,6 +123,54 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
     } catch {
       case e: Exception => respond(x, 500, s"""{"error":${AppRegistry.jstrStatic(e.toString)}}""")
     }
+  }
+
+  /** REST `master/submitdag` parity (reference: MasterService.scala:132
+    * accepts a serialized DAG and launches it): here the DAG is a
+    * declarative JSON plan — source table, optional `where` predicate,
+    * then either a `select` projection or a `groupBy`+`aggs` aggregation,
+    * all spelled as Spark SQL expression strings. The built plan launches
+    * through the same killable-job-group submit path as `submitapp`, so
+    * applist/detail/errors/kill all work on it unchanged.
+    *
+    * {"table":"lineitem","sf":"/data/sf0.01","where":"l_quantity > 10",
+    *  "groupBy":["l_returnflag"],"aggs":{"sum_qty":"sum(l_quantity)"}} */
+  private def submitDag(body: String): Either[String, java.util.UUID] = {
+    import org.json4s._
+    try {
+      val j = org.json4s.jackson.JsonMethods.parse(body)
+      def str(k: String): Option[String] =
+        (j \ k) match { case JString(v) => Some(v); case _ => None }
+      def strs(k: String): Seq[String] =
+        (j \ k) match { case JArray(vs) => vs.collect { case JString(v) => v }; case _ => Nil }
+      val aggs: Seq[(String, String)] =
+        (j \ "aggs") match {
+          case JObject(fs) => fs.collect { case (n, JString(v)) => (n, v) }
+          case _ => Nil
+        }
+      val table = str("table").getOrElse(return Left("required field: table"))
+      if (!graft.Tables.names.contains(table)) return Left(s"unknown table $table")
+      val sf = str("sf").getOrElse(return Left("required field: sf"))
+      val where = str("where")
+      val select = strs("select")
+      val groupBy = strs("groupBy")
+      if (groupBy.nonEmpty && aggs.isEmpty) return Left("groupBy requires aggs")
+      import org.apache.spark.sql.functions.expr
+      val run: (SparkSession, String) => org.apache.spark.sql.DataFrame = (s, dir) => {
+        var df = graft.Tables.t(s, dir, table)
+        where.foreach(w => df = df.where(expr(w)))
+        if (groupBy.nonEmpty)
+          df = df.groupBy(groupBy.map(expr): _*)
+            .agg(expr(aggs.head._2).as(aggs.head._1),
+              aggs.tail.map { case (n, e) => expr(e).as(n) }: _*)
+        else if (select.nonEmpty) df = df.select(select.map(expr): _*)
+        df
+      }
+      // validate the plan NOW (analysis only, nothing executed) so a typo
+      // comes back as a 400 with the analyzer message, not a failed app
+      run(spark, sf).queryExecution.analyzed
+      Right(registry.submit(s"dag:$table", run, sf))
+    } catch { case e: Exception => Left(e.toString.take(500)) }
   }
 
   /** REST `master/workerlist` parity (reference: MasterService.scala:72

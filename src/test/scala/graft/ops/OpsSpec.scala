@@ -371,4 +371,54 @@ class OpsSpec extends SparkTestBase {
         && db.contains("master/workerlist"), db.take(200))
     } finally { srv.stop(); reg.close() }
   }
+
+  test("submitdag: declarative JSON plan launches via the submit path (MasterService submitdag parity)") {
+    val reg = new AppRegistry(spark)
+    val srv = new OpsServer(spark, reg, catalog = Map.empty).start()
+
+    def post(path: String, body: String): (Int, String) = {
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST"); conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally os.close()
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val out = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      is.close(); (code, out)
+    }
+    def get(path: String): String = {
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      conn.getInputStream.close(); body
+    }
+    try {
+      val dag = """{"table":"nation","sf":"/root/testdata/sf0.001",
+                   |"where":"n_regionkey >= 0",
+                   |"groupBy":["n_regionkey"],
+                   |"aggs":{"n":"count(1)","names":"count(distinct n_name)"}}""".stripMargin
+      val (c, b) = post("/api/v1.0/master/submitdag", dag)
+      assert(c === 200, b)
+      val id = "\"appId\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(b).get.group(1)
+      val deadline = System.currentTimeMillis() + 30000
+      def status(): String =
+        "\"status\":\"(\\w+)\"".r.findFirstMatchIn(get(s"/api/v1.0/appmaster/$id"))
+          .map(_.group(1)).getOrElse("?")
+      while (status() == "running" && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(status() === "finished", get(s"/api/v1.0/appmaster/$id"))
+      assert(get("/api/v1.0/master/applist").contains("dag:nation"))
+
+      // validation happens at submit time: unknown table, missing aggs,
+      // and an analyzer error all come back as 400, never a failed app
+      assert(post("/api/v1.0/master/submitdag", """{"table":"nope","sf":"x"}""")._1 === 400)
+      assert(post("/api/v1.0/master/submitdag",
+        """{"table":"nation","sf":"x","groupBy":["n_name"]}""")._1 === 400)
+      val (ec, eb) = post("/api/v1.0/master/submitdag",
+        """{"table":"nation","sf":"/root/testdata/sf0.001","where":"no_such_col > 1"}""")
+      assert(ec === 400 && eb.contains("no_such_col"), eb)
+      assert(post("/api/v1.0/master/submitdag", "not json at all")._1 === 400)
+    } finally { srv.stop(); reg.close() }
+  }
 }
