@@ -800,8 +800,56 @@ object Similarity {
             SELECT CAST(dim AS INTEGER) AS dim, s, round(s / nrm, 6) AS v1
             FROM sm CROSS JOIN n ORDER BY dim"""))
 
+  /** JOHNSON-LINDENSTRAUSS SIGN PROJECTION — random-projection
+    * dimensionality reduction 64 -> 16 with a ±1 matrix (Achlioptas 2003:
+    * sign matrices satisfy the JL distance-preservation lemma and need no
+    * floats in the matrix). The matrix is derived deterministically from
+    * md5("rp:i:j") at PLAN TIME and inlined as literals into both the
+    * Spark expression and the oracle SQL, so both engines compute the
+    * identical ordered fold (the Similarity file's parity discipline);
+    * 4 dp rounding fixes the compare.
+    *
+    * 100 TB shape: the matrix is 16x64 literals baked into the plan — zero
+    * data movement, zero lookups; the projection is a map-side scan
+    * transform emitting 16 doubles per row (4x narrower than the input),
+    * the standard cheap first cut before clustering or coarse ANN at
+    * scale. A production variant with learned matrices would broadcast the
+    * matrix and use a native expression; the plan shape is identical. */
+  val randomProjection: GraftQuery = {
+    val k = 16
+    val signs: Array[Array[Double]] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(k, Dim) { (j, i) =>
+        val h = md.digest(s"rp:$i:$j".getBytes("UTF-8"))
+        if (((h(0) >> 4) & 1) == 0) 1.0 else -1.0
+      }
+    }
+    def sparkRow(j: Int): String = {
+      val arr = signs(j).map(v => if (v > 0) "1.0D" else "-1.0D").mkString(",")
+      s"""round(aggregate(transform(sequence(0, ${Dim - 1}),
+          i -> cast(embedding[i] as double) * element_at(array($arr), i + 1)),
+          cast(0.0 as double), (acc, v) -> acc + v), 4)"""
+    }
+    def sqlRow(j: Int): String = {
+      val arr = signs(j).map(v => if (v > 0) "1.0" else "-1.0").mkString(",")
+      s"""round(list_sum(list_transform(generate_series(1, $Dim),
+          i -> CAST(embedding[i] AS DOUBLE) * ([$arr])[i])), 4)"""
+    }
+    GraftQuery(
+      "emb_random_projection",
+      (s, dir) =>
+        t(s, dir, "embeddings")
+          .select(col("vec_id"),
+            expr(s"array(${(0 until k).map(sparkRow).mkString(",")})").as("proj"))
+          .orderBy(col("vec_id")),
+      Some(s"""SELECT vec_id,
+                 [${(0 until k).map(sqlRow).mkString(",")}] AS proj
+               FROM embeddings ORDER BY vec_id"""))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
-      pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration)
+      pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
+      randomProjection)
 }
