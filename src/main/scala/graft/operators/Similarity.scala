@@ -778,14 +778,18 @@ object Similarity {
         """aggregate(transform(sequence(0, 63),
              i -> cast(embedding[i] as double) * (i + 1)),
            cast(0.0 as double), (acc, v) -> acc + v)""")
-      val sums: Seq[Column] = (0 until Dim).map(i =>
-        round(sum(col("y") * col("embedding").getItem(i).cast("double")), 6).as(s"s$i"))
-      val agg = e.withColumn("y", y).agg(sums.head, sums.tail: _*)
-      val nrm = sqrt((0 until Dim).map(i => col(s"s$i") * col(s"s$i")).reduce(_ + _))
-      agg.select(posexplode(array((0 until Dim).map(i =>
-          struct(col(s"s$i").as("s"), round(col(s"s$i") / nrm, 6).as("v1"))): _*))
-          .as(Seq("d", "sv")))
-        .select((col("d") + 1).as("dim"), col("sv.s").as("s"), col("sv.v1").as("v1"))
+      // shape note: 64 parallel sum() buffers in ONE HashAggregate blow the
+      // JVM's 64 KB method limit (whole-stage codegen bails to interpreted
+      // mode); exploding to (dim, y*x) pairs and grouping by dim keeps the
+      // hot loop codegen'd — same partial-agg discipline, the shuffle still
+      // carries exactly 64 groups of one double each
+      val sm = e.withColumn("y", y)
+        .select(col("y"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("d"))
+        .agg(round(sum(col("y") * col("x").cast("double")), 6).as("s"))
+      val n = sm.agg(sqrt(sum(col("s") * col("s"))).as("nrm"))
+      sm.crossJoin(n)
+        .select((col("d") + 1).as("dim"), col("s"), round(col("s") / col("nrm"), 6).as("v1"))
         .orderBy(col("dim"))
     },
     Some("""WITH y AS (SELECT vec_id, embedding,
