@@ -16,6 +16,7 @@ object SparkEntry {
       operators.Curation.all ++
       operators.Multimodal.all ++
       operators.PageRank.all ++
+      operators.GraphOps.all ++
       operators.Partitioning.all ++
       operators.Skew.all ++
       operators.Sampling.all

@@ -440,7 +440,73 @@ object Curation {
                SELECT '3_dedup', source, count(*) FROM deduped GROUP BY source)
              ORDER BY stage, source"""))
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling" — public method): score how
+    * target-like each document is under hashed-bigram bag-of-words models
+    * of a target slice (here lang='en') vs the raw corpus. The per-bucket
+    * log-likelihood ratio table is B=1024 rows — broadcast-joined to the
+    * exploded bigram stream, so the corpus is scanned once for counting
+    * and once for scoring, exactly the lm_bigram_score shuffle shape.
+    *
+    * Float discipline: the log argument is a single division of two exact
+    * integer products (< 2^53 at oracle scale), then ln() is scaled to an
+    * integer (floor(x*1e6+0.5)) per BUCKET before any summation — the
+    * per-doc score is pure integer arithmetic, aggregation-order-proof.
+    * Bucketing is the house md5 idiom (first 4 hex chars mod 1024), so
+    * DuckDB reproduces the feature hashing bit-for-bit. */
+  val dsirWeights = GraftQuery(
+    "curation_dsir_weights",
+    (s, dir) => {
+      val B = 1024
+      val bg = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """transform(sequence(0, size(w)-2),
+             i -> concat_ws(' ', w[i], w[i+1]))""")).as("bg"))
+        .withColumn("bucket",
+          expr(s"cast(conv(substring(md5(bg), 1, 4), 16, 10) as int) % $B"))
+      // per-bucket counts for target (en) and raw (all) in ONE pass
+      val counts = bg.groupBy(col("bucket")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_c"),
+        count(lit(1)).as("a_c"))
+      // corpus totals: a 2-value scalar row, cross-joined onto 1024 rows
+      val totals = counts.agg(sum(col("t_c")).as("t_tot"), sum(col("a_c")).as("a_tot"))
+      val lr = counts.crossJoin(totals).select(col("bucket"), expr(
+        s"""cast(floor(ln(cast((t_c + 1) * (a_tot + $B) as double)
+                        / cast((a_c + 1) * (t_tot + $B) as double)) * 1e6 + 0.5)
+                as bigint)""").as("lr_scaled"))
+      bg.join(broadcast(lr), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("lr_scaled")).as("score_scaled"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH base AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+            bigr AS (
+              SELECT doc_id, lang,
+                (('0x' || substr(md5(bg), 1, 4))::INTEGER) % 1024 AS bucket
+              FROM (SELECT doc_id, lang,
+                      unnest(list_transform(generate_series(1, len(w) - 1),
+                        i -> w[i] || ' ' || w[i+1])) AS bg
+                    FROM base WHERE len(w) >= 2)),
+            counts AS (
+              SELECT bucket,
+                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_c,
+                count(*) AS a_c
+              FROM bigr GROUP BY bucket),
+            totals AS (SELECT sum(t_c) AS t_tot, sum(a_c) AS a_tot FROM counts),
+            lr AS (
+              SELECT bucket,
+                CAST(floor(ln(CAST((t_c + 1) * (a_tot + 1024) AS DOUBLE)
+                              / CAST((a_c + 1) * (t_tot + 1024) AS DOUBLE)) * 1e6 + 0.5)
+                     AS BIGINT) AS lr_scaled
+              FROM counts CROSS JOIN totals)
+            SELECT doc_id, count(*) AS n_bigrams,
+              CAST(sum(lr_scaled) AS BIGINT) AS score_scaled
+            FROM bigr JOIN lr USING (bucket)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
-      mixtureQuota, temperatureSample, profile, endToEnd)
+      mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights)
 }

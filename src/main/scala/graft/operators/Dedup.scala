@@ -173,38 +173,15 @@ object Dedup {
     * Iteration count is bounded by component diameter; near-dup components
     * are tiny (pairs share >=50% shingles), so 2-3 ticks at any corpus size.
     * Oracle: recursive-CTE reachability with min-label aggregation. */
-  /** Connected components by min-label propagation over an undirected pair
-    * set (columns doc_a, doc_b) — iterated to a fixpoint with a driver-side
-    * convergence count; returns (doc_id, cluster_id = min doc_id reachable).
-    * Iteration count is bounded by component diameter. Shared by the
-    * dedup_clusters query and the property spec that checks it against a
-    * union-find reference on arbitrary graphs. */
-  private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn.select(col("doc_a"), col("doc_b")).cache()
-    val und = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var changed = 1L
-    while (changed > 0) {
-      val nbrMin = und.join(labels, col("src") === col("node"))
-        .select(col("dst").as("nb"), col("label"))
-        .groupBy(col("nb")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.join(nbrMin, col("node") === col("nb"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist() // next is materialized by the count above
-      labels = next
-    }
-    // und/pairs fed the loop; the final labels (already materialized by
-    // the last count) no longer need them
-    und.unpersist(); pairs.unpersist()
-    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
-  }
+  /** Connected components over an undirected pair set (columns doc_a,
+    * doc_b); returns (doc_id, cluster_id = min doc_id reachable). The
+    * actual loop is the engine-wide pointer-jumping implementation in
+    * [[GraphOps.components]] (O(log diameter) ticks); this wrapper keeps
+    * the dedup-domain column names. Checked against a union-find reference
+    * on arbitrary graphs by ConnectedComponentsPropertySpec. */
+  private[graft] def connectedComponents(pairsIn: DataFrame): DataFrame =
+    GraphOps.components(pairsIn.select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
 
   val clusters = GraftQuery(
     "dedup_clusters",

@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bulk graph analytics beyond the PageRank/BFS tick protocols — the two
+  * remaining classic iterative/relational graph shapes a dataflow engine is
+  * expected to serve (the reference frames iterative computation as the
+  * controller/worker protocol in
+  * examples/pagerank/src/main/scala/io/gearpump/examples/pagerank/PageRankController.scala:38-70;
+  * these use the same driver-side-iteration Spark mapping per SURVEY §2.1 #22).
+  *
+  * [[components]] is the engine's ONE connected-components implementation —
+  * dedup_clusters' near-dup clustering delegates here too (Dedup.scala), so
+  * the pointer-jumping upgrade below accelerates both.
+  */
+object GraphOps {
+  private val SuppOffset = 100000L
+
+  /** Generic undirected CONNECTED COMPONENTS: min-label propagation with
+    * POINTER JUMPING (each tick also applies label := label(label)), so
+    * convergence is O(log diameter) ticks instead of O(diameter) — the
+    * property that keeps CC viable on a 100 TB edge set where a long chain
+    * would otherwise demand thousands of shuffles. Per tick only (node,
+    * label) pairs move; edges join labels but never edges. Each tick is cut
+    * from the last by an eager localCheckpoint (lineage AND logical plan,
+    * the PageRank discipline); convergence is one driver-side scalar.
+    *
+    * Input: a two-column DataFrame of undirected pairs (any column names).
+    * Output: (node, label) where label = min node id reachable. */
+  private[graft] def components(pairsIn: DataFrame): DataFrame =
+    componentsWithTicks(pairsIn)._1
+
+  /** [[components]] plus the tick count it converged in — exposed so the
+    * spec can pin the pointer-jumping O(log diameter) bound (a chain of
+    * n nodes must converge in ~log2(n) ticks, not n). */
+  private[graft] def componentsWithTicks(pairsIn: DataFrame): (DataFrame, Int) = {
+    val p = pairsIn.toDF("a", "b")
+    val edges = p.select(col("a").as("src"), col("b").as("dst"))
+      .union(p.select(col("b").as("src"), col("a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < 50) {
+      it += 1
+      // hook: pull the min label across each edge
+      val nbrMin = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("nb"), col("label"))
+        .groupBy(col("nb")).agg(min(col("label")).as("nbr_min"))
+      val hooked = labels.join(nbrMin, col("node") === col("nb"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .cache() // read twice by the shortcut self-join below
+      // shortcut (pointer jumping): follow one level of label indirection —
+      // this is what turns O(diameter) ticks into O(log diameter)
+      val short = hooked.as("x")
+        .join(hooked.select(col("node").as("ln"), col("label").as("lab2")).as("y"),
+          col("x.label") === col("y.ln"), "left")
+        .select(col("x.node").as("node"),
+          least(col("x.label"), coalesce(col("lab2"), col("x.label"))).as("label"))
+        .localCheckpoint(true)
+      changed = short.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      hooked.unpersist()
+      labels = short
+    }
+    edges.unpersist()
+    (labels, it)
+  }
+
+  /** Sparse symmetrized supplier<->part subgraph (every 50th order) —
+    * sparse enough that the DuckDB transitive-closure oracle is cheap while
+    * still leaving multiple non-trivial components. */
+  private def ccPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 50 === 0)
+      .select((col("l_suppkey") + SuppOffset).as("a"), col("l_partkey").as("b"))
+
+  val connectedComponents = GraftQuery(
+    "graph_connected_components",
+    (s, dir) =>
+      components(ccPairs(s, dir))
+        .select(col("node"), col("label").as("component")).orderBy(col("node")),
+    Some(s"""WITH RECURSIVE edges AS (
+               SELECT DISTINCT l_suppkey + $SuppOffset AS src, l_partkey AS dst
+               FROM lineitem WHERE l_orderkey % 50 = 0
+               UNION
+               SELECT DISTINCT l_partkey AS src, l_suppkey + $SuppOffset AS dst
+               FROM lineitem WHERE l_orderkey % 50 = 0),
+             reach(node, r) AS (
+               SELECT src, src FROM edges
+               UNION
+               SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r)
+             SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node"""))
+
+  /** TRIANGLE COUNTING over the part co-purchase graph (parts appearing in
+    * the same order), reporting the 20 most clustered parts. The edge list
+    * is oriented u < v so each triangle is counted exactly once; triangles
+    * close via the canonical wedge join e1(u,v) |><| e2(v,w) |><| e3(u,w),
+    * and the deduplicated edge list is cached because it is read three
+    * times. On a real cluster the orientation would be by degree
+    * (low-degree endpoint first) to bound hub-node wedge fan-out;
+    * id-orientation keeps the oracle bit-identical with the same plan shape. */
+  val triangleCount = GraftQuery(
+    "graph_triangles",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct().cache()
+      val tri = e.as("e1")
+        .join(e.as("e2"), col("e2.u") === col("e1.v"))
+        .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("node")).limit(20)
+    },
+    Some("""WITH e AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            tri AS (
+              SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM e e1 JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+            SELECT node, count(*) AS n_triangles FROM (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+            GROUP BY node ORDER BY n_triangles DESC, node LIMIT 20"""))
+
+  val all: Seq[GraftQuery] = Seq(connectedComponents, triangleCount)
+}
