@@ -134,6 +134,40 @@ final class AppRegistry(spark: SparkSession) {
       submit(app.name, app.run, app.sfDir)
     }
 
+  /** Dynamic-DAG over REST (reference: AppMasterService.scala `dynamicdag`
+    * replaces a processor in a live DAG): for a submitted batch app the
+    * honest analog is REPLACE THE PLAN — kill the running app and launch a
+    * different registry query against the SAME data dir, returning the new
+    * app id (the old app's terminal record stays, like the reference's
+    * versioned DAG history). Streaming queries use [[Redeploy.replace]],
+    * which additionally carries checkpoint state — a plan is code, so it
+    * can't arrive over HTTP. */
+  def replaceSubmitted(id: java.util.UUID, newName: String,
+      newRun: (SparkSession, String) => DataFrame): Option[java.util.UUID] =
+    submittedApps.get(id).map { app =>
+      if (app.status == "running") {
+        killSubmitted(id)
+        Option(app.runner).foreach(_.join(10000))
+      }
+      submit(newName, newRun, app.sfDir)
+    }
+
+  /** Per-app config view (reference: AppMasterService.scala serves
+    * `appmaster/<id>/config`): identity + the engine conf that shapes the
+    * app's execution. Works for both live streams and submitted apps. */
+  def appConfigJson(id: java.util.UUID): Option[String] = {
+    def conf(k: String) = jstr(spark.conf.getOption(k).getOrElse(""))
+    val engine =
+      s""""engine":{"spark.sql.shuffle.partitions":${conf("spark.sql.shuffle.partitions")},""" +
+        s""""spark.sql.session.timeZone":${conf("spark.sql.session.timeZone")},""" +
+        s""""master":${jstr(spark.sparkContext.master)}}"""
+    active.find(_.id == id).map(q =>
+      s"""{"id":"${q.id}","name":${jstr(q.name)},"kind":"stream","runId":"${q.runId}",$engine}""")
+      .orElse(submittedApps.get(id).map(a =>
+        s"""{"id":"${a.id}","name":${jstr(a.name)},"kind":"batch",""" +
+          s""""sfDir":${jstr(a.sfDir)},"status":"${a.status}",$engine}"""))
+  }
+
   /** REST `applist` parity: active streaming queries + submitted batch apps. */
   def applist: String = {
     val streams = active.map(q =>

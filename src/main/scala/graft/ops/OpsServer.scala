@@ -21,7 +21,9 @@ import org.apache.spark.sql.SparkSession
   *  - POST   /api/v1.0/master/submitapp?name=&sf=     — launch a registered query
   *  - POST   /api/v1.0/master/submitdag                — launch a declarative JSON plan
   *  - GET    /api/v1.0/appmaster/<id>                 — query detail (+latency)
+  *  - GET    /api/v1.0/appmaster/<id>/config          — per-app config view
   *  - POST   /api/v1.0/appmaster/<id>/restart         — relaunch a submitted app
+  *  - POST   /api/v1.0/appmaster/<id>/dynamicdag?name= — replace a submitted app's plan
   *  - GET    /api/v1.0/appmaster/<id>/metrics         — last progress
   *  - GET    /api/v1.0/appmaster/<id>/errors          — terminal error capture
   *  - GET    /api/v1.0/appmaster/<id>/stallingtasks   — ?threshold=ms
@@ -100,6 +102,29 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
             case Some(newId) => respond(x, 200, s"""{"status":"success","appId":"$newId"}""")
             case None => respond(x, 404, s"""{"error":"no submitted app $id"}""")
           })
+        case ("GET", "appmaster" :: id :: "config" :: Nil) =>
+          withId(x, id)(uuid => registry.appConfigJson(uuid) match {
+            case Some(json) => respond(x, 200, json)
+            case None => respond(x, 404, s"""{"error":"no query or app $id"}""")
+          })
+        case ("POST", "appmaster" :: id :: "dynamicdag" :: Nil) =>
+          // reference: AppMasterService `dynamicdag` replaces a processor in
+          // the live DAG; here the plan itself is replaced by registry name
+          // against the app's existing data dir (see AppRegistry.replaceSubmitted)
+          withId(x, id) { uuid =>
+            query(x, "name") match {
+              case Some(name) => catalog.get(name) match {
+                case Some(run) => registry.replaceSubmitted(uuid, name, run) match {
+                  case Some(newId) =>
+                    respond(x, 200, s"""{"status":"success","appId":"$newId"}""")
+                  case None => respond(x, 404, s"""{"error":"no submitted app $id"}""")
+                }
+                case None =>
+                  respond(x, 404, s"""{"error":"unknown registry query","name":${AppRegistry.jstrStatic(name)}}""")
+              }
+              case None => respond(x, 400, """{"error":"required param: name=<registry query>"}""")
+            }
+          }
         case ("GET", "appmaster" :: id :: "errors" :: Nil) =>
           withId(x, id)(uuid => registry.errorsJson(uuid) match {
             case Some(json) => respond(x, 200, json)

@@ -231,6 +231,60 @@ class OpsSpec extends SparkTestBase {
     } finally { srv.stop(); reg.close() }
   }
 
+  test("per-app config + dynamicdag plan replacement (AppMasterService parity)") {
+    val reg = new AppRegistry(spark)
+    val catalog: Map[String, (SparkSession, String) => DataFrame] = Map(
+      "count_nation" -> ((s, dir) => graft.Tables.t(s, dir, "nation").groupBy().count()),
+      "count_region" -> ((s, dir) => graft.Tables.t(s, dir, "region").groupBy().count()))
+    val srv = new OpsServer(spark, reg, catalog = catalog).start()
+    def http(method: String, path: String): (Int, String) = {
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod(method)
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      is.close()
+      (code, body)
+    }
+    def appId(body: String): String =
+      "\"appId\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(body).get.group(1)
+    def status(id: String): String = {
+      val (_, d) = http("GET", s"/api/v1.0/appmaster/$id")
+      "\"status\":\"(\\w+)\"".r.findFirstMatchIn(d).map(_.group(1)).getOrElse("?")
+    }
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val (c1, b1) = http("POST", s"/api/v1.0/master/submitapp?name=count_nation&sf=$sf")
+      assert(c1 === 200, b1)
+      val id1 = appId(b1)
+      // config view: identity + data dir + the engine conf that shaped it
+      val (cc, cb) = http("GET", s"/api/v1.0/appmaster/$id1/config")
+      assert(cc === 200, cb)
+      assert(cb.contains("\"count_nation\"") && cb.contains(sf)
+        && cb.contains("spark.sql.shuffle.partitions"), cb)
+      val deadline = System.currentTimeMillis() + 30000
+      while (status(id1) == "running" && System.currentTimeMillis() < deadline) Thread.sleep(100)
+
+      // dynamicdag: replace the plan by registry name — same data dir, new
+      // app id, old record preserved (the reference's versioned-DAG analog)
+      val (dc, db) = http("POST", s"/api/v1.0/appmaster/$id1/dynamicdag?name=count_region")
+      assert(dc === 200, db)
+      val id2 = appId(db)
+      assert(id2 !== id1)
+      while (status(id2) == "running" && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(status(id2) === "finished", http("GET", s"/api/v1.0/appmaster/$id2")._2)
+      val (c2, b2) = http("GET", s"/api/v1.0/appmaster/$id2/config")
+      assert(c2 === 200 && b2.contains("\"count_region\"") && b2.contains(sf), b2)
+      assert(status(id1) === "finished", "original record preserved")
+
+      // error paths: unknown id, unknown plan name, missing param
+      assert(http("GET", s"/api/v1.0/appmaster/${java.util.UUID.randomUUID()}/config")._1 === 404)
+      assert(http("POST", s"/api/v1.0/appmaster/$id1/dynamicdag?name=nope")._1 === 404)
+      assert(http("POST", s"/api/v1.0/appmaster/$id1/dynamicdag")._1 === 400)
+    } finally { srv.stop(); reg.close() }
+  }
+
   test("master/metrics rollup equals the per-app sum (ProcessorAggregator parity)") {
     import spark.implicits._
     val reg = new AppRegistry(spark)
