@@ -630,9 +630,63 @@ object EventOps {
             SELECT user_id, make_timestamp(ts_us) AS grid_ts, v_filled
             FROM f WHERE is_grid = 1 ORDER BY user_id, grid_ts"""))
 
+  /** PER-KEY RATE LIMITING: keep at most 2 events per user per day (ts
+    * order, event_id tie-break) — the quota/throttle gate every ingest
+    * pipeline runs. Batch shape: one ranked window per (user, day)
+    * partition, no self-join. The streaming counterpart
+    * (graft.streaming.RateLimit) carries ONE (day, count) pair per key as
+    * managed state; StreamingRateLimitSpec pins stream==batch under
+    * randomized order-preserving chopping. */
+  val rateLimit = GraftQuery(
+    "ev_rate_limit",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day_start", date_trunc("day", col("ts")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("day_start"))
+            .orderBy(col("ts"), col("event_id"))))
+        .filter(col("rn") <= 2)
+        .select(col("event_id"), col("user_id"), col("day_start"))
+        .orderBy(col("event_id")),
+    Some("""WITH r AS (
+              SELECT event_id, user_id,
+                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+                row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                   ORDER BY ts, event_id) AS rn
+              FROM events)
+            SELECT event_id, user_id, day_start FROM r
+            WHERE rn <= 2 ORDER BY event_id"""))
+
+  /** SEQUENCE MINING: the 15 most common 3-step event-type paths across
+    * users — the unsupervised counterpart of the fixed-pattern funnel.
+    * One ordered window pass builds per-user 3-grams via lead();
+    * aggregation is by the (tiny) path-string key. */
+  val topPaths = GraftQuery(
+    "ev_top_paths",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("e1"))
+        .withColumn("e2", lead(col("e1"), 1).over(w))
+        .withColumn("e3", lead(col("e1"), 2).over(w))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("e1"), col("e2"), col("e3")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(15)
+    },
+    Some("""WITH p AS (
+              SELECT event_type AS e1,
+                lead(event_type, 1) OVER w AS e2,
+                lead(event_type, 2) OVER w AS e3
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+            FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+            GROUP BY 1 ORDER BY n DESC, path LIMIT 15"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
     intervalJoinAuto, intervalJoinBetween, cepPairs, forwardFill,
-    transitionMatrix, asofNearest, resampleGrid)
+    transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths)
 }

@@ -851,9 +851,56 @@ object Similarity {
                FROM embeddings ORDER BY vec_id"""))
   }
 
+  /** RETRIEVAL QUALITY EVALUATION: recall@10 of the IVF index against the
+    * exact brute-force top-10, per query — the metric every ANN deployment
+    * tracks to tune its probe count. Composes the two existing plans
+    * (ann_cosine_topk = ground truth, ann_ivf_topk = candidate) and reduces
+    * their overlap with a semi-join + count: the only rows in motion are
+    * the two top-k lists (k x queries), never corpus vectors. n_hit is an
+    * exact integer; recall = n_hit/10 is one division (bit-identical). */
+  val annRecallEval = GraftQuery(
+    "ann_recall_eval",
+    (s, dir) => {
+      val exact = annBruteTopK.run(s, dir).select(col("q_id"), col("vec_id"))
+      val ivf = annIvf.run(s, dir).select(col("q_id"), col("vec_id"))
+      val hits = exact.join(ivf, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(10.0)).as("recall_at_10"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb, label
+                        FROM embeddings WHERE vec_id < 8),
+             exact AS (
+               SELECT q_id, vec_id FROM (
+                 SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY round(${sqlCos("e.embedding", "q.q_emb")}, 4) DESC, e.vec_id) AS rank
+                 FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+               WHERE rank <= 10),
+             ivf AS (
+               SELECT q_id, vec_id FROM (
+                 SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY round(${sqlCos("e.embedding", "q.q_emb")}, 4) DESC, e.vec_id) AS rank
+                 FROM embeddings e JOIN q ON e.label = q.label WHERE e.vec_id <> q.q_id)
+               WHERE rank <= 10),
+             hits AS (
+               SELECT e.q_id, count(*) AS n_hit
+               FROM exact e JOIN ivf i ON i.q_id = e.q_id AND i.vec_id = e.vec_id
+               GROUP BY e.q_id)
+             SELECT e.q_id, count(*) AS n_exact,
+               coalesce(any_value(h.n_hit), 0) AS n_hit,
+               CAST(coalesce(any_value(h.n_hit), 0) AS DOUBLE) / 10.0 AS recall_at_10
+             FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
+             GROUP BY e.q_id ORDER BY e.q_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
-      randomProjection)
+      randomProjection, annRecallEval)
 }
