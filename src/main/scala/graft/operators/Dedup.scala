@@ -332,6 +332,46 @@ object Dedup {
             WHERE inter * 5 >= (ca.n + cb.n - inter) * 4
             ORDER BY doc_a, doc_b"""))
 
+  /** DEDUP QUALITY EVALUATION: precision/recall of the MinHash-LSH stage
+    * (verified pairs at estimated J>=0.5) against exact shingle-Jaccard
+    * ground truth at the J>=0.8 dedup threshold — the measurement every
+    * near-dup deployment runs before trusting its sketch parameters.
+    * Composes the two existing plans; only the two PAIR LISTS move through
+    * the final semi-join and counts, never documents. precision/recall are
+    * single long/long divisions (bit-identical across engines). */
+  val candidateEval = GraftQuery(
+    "dedup_candidate_eval",
+    (s, dir) => {
+      val pred = minhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val truth = ngramJaccard.run(s, dir).select(col("doc_a"), col("doc_b"))
+      val hit = truth.join(pred, Seq("doc_a", "doc_b"), "left_semi")
+      pred.agg(count(lit(1)).as("n_pred"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_pred"), col("n_truth"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_pred")).as("precision"),
+          (col("n_hit").cast("double") / col("n_truth")).as("recall"))
+    },
+    Some(s"""WITH RECURSIVE $MinhashPairsCte,
+             pred AS (SELECT doc_a, doc_b FROM eq WHERE n_eq >= 8),
+             cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             jpairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+                        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                        GROUP BY a.doc_id, b.doc_id),
+             truth AS (SELECT doc_a, doc_b
+                       FROM jpairs JOIN cnt ca ON ca.doc_id = doc_a
+                       JOIN cnt cb ON cb.doc_id = doc_b
+                       WHERE inter * 5 >= (ca.n + cb.n - inter) * 4),
+             hit AS (SELECT t.doc_a, t.doc_b FROM truth t
+                     JOIN pred p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b)
+             SELECT (SELECT count(*) FROM pred) AS n_pred,
+               (SELECT count(*) FROM truth) AS n_truth,
+               (SELECT count(*) FROM hit) AS n_hit,
+               CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / (SELECT count(*) FROM pred) AS precision,
+               CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / (SELECT count(*) FROM truth) AS recall"""))
+
   /** Asymmetric n-gram CONTAINMENT C(A,B) = |S(A) n S(B)| / |S(A)| >= 0.9 —
     * catches "doc A is mostly inside doc B" (boilerplate wrappers, quote
     * farms, partial scrapes) that symmetric Jaccard misses when the host
@@ -719,5 +759,5 @@ object Dedup {
   val all: Seq[GraftQuery] =
     Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
       containment, minhashFast, chunk, priorityKeep, ingestDelta, fuzzyNames,
-      rewrite, snapshotMerge, snm)
+      rewrite, snapshotMerge, snm, candidateEval)
 }

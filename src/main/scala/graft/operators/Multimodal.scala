@@ -225,6 +225,44 @@ object Multimodal {
               (SELECT unnest(generate_series(0, n_windows - 1)) AS wi) g
             ORDER BY doc_id, win"""))
 
+  /** WEBDATASET-STYLE SHARD LAYOUT: split the byte stream of concatenated
+    * samples into fixed-budget shards (budget 4096 payload bytes) and emit
+    * the per-shard MANIFEST (sample count, bytes, doc range) a tar-shard
+    * writer needs. A sample's shard is decided by its START offset in the
+    * virtual concatenated stream — the deterministic, closed-form variant
+    * of greedy packing (sequential greedy would need a serial scan). The
+    * running byte offset is [[Sampling.prefixSum]] (two-phase,
+    * partition-parallel); the manifest aggregate is by the (tiny) shard
+    * key. */
+  val shardManifest = GraftQuery(
+    "mm_shard_manifest",
+    (s, dir) => {
+      val sized = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
+      Sampling.prefixSum(s, sized, "doc_id", "n_bytes", "start_byte")
+        .withColumn("shard_id", (col("start_byte") / 4096).cast("long"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_samples"),
+          sum(col("n_bytes")).as("shard_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard_id"))
+    },
+    Some("""WITH sized AS (
+              SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+              FROM documents),
+            placed AS (
+              SELECT doc_id, n_bytes,
+                CAST(floor(CAST(coalesce(sum(n_bytes) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  / 4096) AS BIGINT) AS shard_id
+              FROM sized)
+            SELECT shard_id, count(*) AS n_samples,
+              CAST(sum(n_bytes) AS BIGINT) AS shard_bytes,
+              min(doc_id) AS first_doc, max(doc_id) AS last_doc
+            FROM placed GROUP BY shard_id ORDER BY shard_id"""))
+
   val all: Seq[GraftQuery] = Seq(meta, decodeFeatures, frameSample, resizePlan,
-    captionPairs, audioWindows)
+    captionPairs, audioWindows, shardManifest)
 }

@@ -59,59 +59,63 @@ object Sampling {
              FROM (SELECT doc_id, $BucketSql AS b FROM documents)
              GROUP BY split ORDER BY split"""))
 
-  /** Sequence packing: assign documents to fixed-token-budget training
-    * sequences (budget 512 whitespace tokens) by the running token count in
-    * deterministic doc_id order — each doc's sequence is decided by its
-    * start offset, the standard greedy-by-position packing.
-    *
-    * The global prefix sum is TWO-PHASE so it stays partition-parallel at
-    * corpus scale (a bare `Window.orderBy` would funnel every row through a
-    * single task):
-    *   1. rows get a RANGE bucket `pid` from the doc_id value domain (a pure
-    *      function of doc_id — deterministic, no sampling, no
-    *      spark_partition_id), and per-bucket token totals are aggregated;
+  /** TWO-PHASE distributed exclusive prefix sum of `valCol` in `keyCol`
+    * order — partition-parallel at corpus scale (a bare `Window.orderBy`
+    * would funnel every row through a single task):
+    *   1. rows get a RANGE bucket `pid` from the key's value domain (a pure
+    *      function of the key — deterministic, no sampling, no
+    *      spark_partition_id), and per-bucket totals are aggregated;
     *   2. the P bucket totals (P = shuffle parallelism, NOT data-sized) come
     *      to the driver, an exclusive cumulative base per bucket is computed
     *      and broadcast-joined back;
-    *   3. the running sum is a partition-LOCAL window over (pid, doc_id) —
-    *      start_tok = bucket base + local prefix.
-    * One full-data shuffle of the (doc_id, n_tokens) projection; the token
-    * counts are cached so text is split once, not once per phase. */
+    *   3. the running sum is a partition-LOCAL window over (pid, key) —
+    *      out = bucket base + local prefix.
+    * One full-data shuffle of the projected input. Shared by
+    * pipeline_pack_sequences and mm_shard_manifest. */
+  private[operators] def prefixSum(s: SparkSession, in: DataFrame,
+      keyCol: String, valCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = in.cache() // value column computed once, not once per phase
+    val parallelism = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val range = df.agg(min(col(keyCol)), max(col(keyCol))).head()
+    if (range.isNullAt(0)) // empty input: empty result, right schema
+      df.withColumn(outCol, lit(0L))
+    else {
+      val (lo, hi) = (range.getLong(0), range.getLong(1))
+      val width = math.max(1L, (hi - lo) / parallelism + 1)
+      val withPid = df.withColumn("pid", ((col(keyCol) - lo) / width).cast("int"))
+      val totals = withPid.groupBy(col("pid"))
+        .agg(sum(col(valCol)).as("tot"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      val bases = totals.map { case (pid, tot) =>
+        val b = (pid, acc); acc += tot; b } // exclusive prefix per bucket
+      val baseDf = s.createDataFrame(bases.toSeq).toDF("pid", "base")
+      val w = Window.partitionBy(col("pid")).orderBy(col(keyCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withPid.join(broadcast(baseDf), "pid")
+        .withColumn(outCol,
+          (col("base") + coalesce(sum(col(valCol)).over(w), lit(0))).cast("long"))
+        .drop("pid", "base")
+    }
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget training
+    * sequences (budget 512 whitespace tokens) by the running token count in
+    * deterministic doc_id order — each doc's sequence is decided by its
+    * start offset, the standard greedy-by-position packing. The global
+    * running count is [[prefixSum]]. */
   val packSequences = GraftQuery(
     "pipeline_pack_sequences",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val docs = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"),
           size(split(col("text"), " ")).as("n_tokens"))
-        .cache()
-      val parallelism = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val range = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
-      if (range.isNullAt(0)) { // empty corpus: empty result, right schema
-        docs.select(col("doc_id"), col("n_tokens"),
-          lit(0L).as("seq_id"), lit(0L).as("seq_offset"))
-      } else {
-        val (lo, hi) = (range.getLong(0), range.getLong(1))
-        val width = math.max(1L, (hi - lo) / parallelism + 1)
-        val withPid = docs.withColumn("pid",
-          ((col("doc_id") - lo) / width).cast("int"))
-        val totals = withPid.groupBy(col("pid"))
-          .agg(sum(col("n_tokens")).as("tot"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-        var acc = 0L
-        val bases = totals.map { case (pid, tot) =>
-          val b = (pid, acc); acc += tot; b } // exclusive prefix per bucket
-        val baseDf = s.createDataFrame(bases.toSeq).toDF("pid", "base")
-        val w = Window.partitionBy(col("pid")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        withPid.join(broadcast(baseDf), "pid")
-          .withColumn("start_tok",
-            (col("base") + coalesce(sum(col("n_tokens")).over(w), lit(0))).cast("long"))
-          .select(col("doc_id"), col("n_tokens"),
-            (col("start_tok") / 512).cast("long").as("seq_id"),
-            (col("start_tok") % 512).as("seq_offset"))
-          .orderBy(col("doc_id"))
-      }
+      prefixSum(s, docs, "doc_id", "n_tokens", "start_tok")
+        .select(col("doc_id"), col("n_tokens"),
+          (col("start_tok") / 512).cast("long").as("seq_id"),
+          (col("start_tok") % 512).as("seq_offset"))
+        .orderBy(col("doc_id"))
     },
     Some("""SELECT doc_id, n_tokens,
               CAST(floor(start_tok / 512) AS BIGINT) AS seq_id,
