@@ -277,7 +277,8 @@ class PlanInvariantsSpec extends SparkTestBase {
     // one task; each of these ops must declare only keyed frames (their
     // deterministic output ORDER BY is a range exchange, which is fine)
     for (name <- Seq("ev_forward_fill", "ev_transition_matrix",
-        "ev_asof_nearest", "pipeline_interleave_sources")) {
+        "ev_asof_nearest", "pipeline_interleave_sources",
+        "ev_rate_limit", "ev_top_paths")) {
       val df = SparkEntry.queries(name)(spark, sf)
       assert(emptyPartitionWindows(df).isEmpty,
         s"$name declares an unpartitioned window")
@@ -288,6 +289,26 @@ class PlanInvariantsSpec extends SparkTestBase {
       assert(singles.isEmpty,
         s"$name has a single-partition exchange:\n${df.queryExecution.executedPlan}")
     }
+  }
+
+  test("mm_shard_manifest: byte prefix sum is partition-parallel — no single-partition exchange") {
+    val df = SparkEntry.queries("mm_shard_manifest")(spark, sf)
+    df.collect() // force AQE final plan
+    val singles = shuffleExchanges(df.queryExecution.executedPlan)
+      .filter(_.outputPartitioning ==
+        org.apache.spark.sql.catalyst.plans.physical.SinglePartition)
+    assert(singles.isEmpty,
+      s"single-partition exchange in shard-manifest plan:\n${df.queryExecution.executedPlan}")
+  }
+
+  test("curation_dsir_weights: the 1024-row ratio table joins broadcast, corpus never shuffles on bucket") {
+    val df = SparkEntry.queries("curation_dsir_weights")(spark, benchSf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(s.contains("BroadcastHashJoin"),
+      s"expected the lr table broadcast into the scoring join, plan:\n$s")
+    assert(!s.contains("SortMergeJoin"),
+      s"the exploded corpus must not sort-merge on the bucket key, plan:\n$s")
   }
 
   test("pipeline_sample_k: exact-k sample is TakeOrderedAndProject, not a global sort") {
