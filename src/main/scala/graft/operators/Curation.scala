@@ -491,10 +491,11 @@ object Curation {
                     FROM base WHERE len(w) >= 2)),
             counts AS (
               SELECT bucket,
-                sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_c,
+                CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_c,
                 count(*) AS a_c
               FROM bigr GROUP BY bucket),
-            totals AS (SELECT sum(t_c) AS t_tot, sum(a_c) AS a_tot FROM counts),
+            totals AS (SELECT CAST(sum(t_c) AS BIGINT) AS t_tot,
+                              CAST(sum(a_c) AS BIGINT) AS a_tot FROM counts),
             lr AS (
               SELECT bucket,
                 CAST(floor(ln(CAST((t_c + 1) * (a_tot + 1024) AS DOUBLE)

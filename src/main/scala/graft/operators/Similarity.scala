@@ -898,9 +898,94 @@ object Similarity {
              FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
              GROUP BY e.q_id ORDER BY e.q_id"""))
 
+  /** EMBEDDING-SPACE OUTLIER SCORING (OOD data cleaning): distance of each
+    * vector to its label's centroid, z-scored within the label — the
+    * "drop the weird samples" gate embedding pipelines run before
+    * training. Float discipline is the strongest in the file: components
+    * are scaled to EXACT integers (1e6 fixed point), and because
+    * cos(x, s/n) == cos(x, s), the centroid's divisor cancels — the dot
+    * product and both norms are computed over exact integer vectors
+    * (|s|^2 in decimal128: it exceeds int64 at bench scale), so no
+    * aggregation order anywhere can flip a bit. The z-score then reuses
+    * the ev_anomaly_zscore integer-moment shape over the quantized
+    * distances. Centroids are k x dim — broadcast; corpus scanned twice
+    * (centroid build + scoring), never self-joined. */
+  val oodScore = GraftQuery(
+    "emb_ood_score",
+    (s, dir) => {
+      val x6 = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        expr("transform(embedding, v -> cast(floor(cast(v as double) * 1e6 + 0.5) as bigint))")
+          .as("x"))
+      val sums: Seq[Column] = (0 until Dim).map(i => sum(col("x").getItem(i)).as(s"s$i"))
+      val cent = x6.groupBy(col("label"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("label"), array((0 until Dim).map(i => col(s"s$i")): _*).as("sv"))
+      val scored = x6.join(broadcast(cent), "label")
+        .withColumn("dot", expr(
+          "aggregate(zip_with(x, sv, (a, b) -> a * b), cast(0 as bigint), (acc, v) -> acc + v)"))
+        .withColumn("xl2", expr(
+          "aggregate(x, cast(0 as bigint), (acc, v) -> acc + v * v)"))
+        .withColumn("sl2", expr(
+          "aggregate(sv, cast(0 as decimal(38,0)), (acc, v) -> acc + cast(v as decimal(38,0)) * v)"))
+        .withColumn("d6", expr(
+          """cast(1000000 - floor(cast(dot as double)
+             / (sqrt(cast(xl2 as double)) * sqrt(cast(sl2 as double)))
+             * 1e6 + 0.5) as bigint)"""))
+        .select(col("vec_id"), col("label"), col("d6"))
+      val stats = scored.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("d6")).as("s1"),
+          sum(col("d6") * col("d6")).as("s2"))
+        .select(col("label"),
+          expr("cast(s1 as double) / n").as("mean6"),
+          expr("""sqrt(greatest(cast(s2 as double) / n
+                 - pow(cast(s1 as double) / n, 2), cast(0.0 as double)))""").as("std6"))
+      scored.join(broadcast(stats), "label")
+        .filter(col("std6") > 0)
+        .withColumn("z", expr("floor((d6 - mean6) / std6 * 1e4 + 0.5) / 1e4"))
+        .filter(col("z") >= 2.0)
+        .select(col("vec_id"), col("label"), expr("d6 / 1e6").as("dist"), col("z"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH x6 AS (
+              SELECT vec_id, label,
+                list_transform(embedding,
+                  v -> CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS x
+              FROM embeddings),
+            cent AS (
+              SELECT label, list(s ORDER BY dim) AS sv FROM (
+                SELECT label, dim, CAST(sum(x[dim]) AS BIGINT) AS s
+                FROM x6 CROSS JOIN LATERAL
+                  (SELECT unnest(generate_series(1, 64)) AS dim) g
+                GROUP BY label, dim)
+              GROUP BY label),
+            scored AS (
+              SELECT vec_id, x6.label,
+                CAST(1000000 - floor(
+                  CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> x[i] * sv[i])) AS DOUBLE)
+                  / (sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> x[i] * x[i])) AS DOUBLE))
+                     * sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+                         i -> CAST(sv[i] AS HUGEINT) * sv[i])) AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT) AS d6
+              FROM x6 JOIN cent ON cent.label = x6.label),
+            stats AS (
+              SELECT label,
+                CAST(sum(d6) AS DOUBLE) / count(*) AS mean6,
+                sqrt(greatest(CAST(sum(d6 * d6) AS DOUBLE) / count(*)
+                  - pow(CAST(sum(d6) AS DOUBLE) / count(*), 2),
+                  CAST(0.0 AS DOUBLE))) AS std6
+              FROM scored GROUP BY label)
+            SELECT vec_id, label, d6 / 1e6 AS dist,
+              floor((d6 - mean6) / std6 * 1e4 + 0.5) / 1e4 AS z
+            FROM scored JOIN stats USING (label)
+            WHERE std6 > 0
+              AND floor((d6 - mean6) / std6 * 1e4 + 0.5) / 1e4 >= 2.0
+            ORDER BY vec_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
-      randomProjection, annRecallEval)
+      randomProjection, annRecallEval, oodScore)
 }
