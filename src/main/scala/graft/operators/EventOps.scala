@@ -657,6 +657,76 @@ object EventOps {
             SELECT event_id, user_id, day_start FROM r
             WHERE rn <= 2 ORDER BY event_id"""))
 
+  /** ABSENCE DETECTION, batch leg: every `click` never answered by a
+    * `purchase` from the same user within 5 minutes — the batch analog of
+    * the streaming CEP absence alert (graft.streaming.Cep.detectAbsence;
+    * the stream emits per-key alerts as the watermark or a later event
+    * proves the deadline passed, the batch query reports every unanswered
+    * first). One forward-looking RANGE frame per user — no self-join, no
+    * inequality join; the window is microsecond-exact like ev_cep_pairs. */
+  val absence = GraftQuery(
+    "ev_absence",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(1L, 300000000L)
+      ev.withColumn("next_purchase_us",
+          min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+        .filter(col("event_type") === "click" && col("next_purchase_us").isNull)
+        .select(col("user_id"), col("ts").as("first_ts"),
+          expr("timestamp_micros(ts_us + 300000000)").as("deadline_ts"))
+        .orderBy(col("user_id"), col("first_ts"))
+    },
+    Some("""WITH ce AS (
+              SELECT user_id, event_type, ts, epoch_us(ts) AS ts_us
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            marked AS (
+              SELECT user_id, event_type, ts, ts_us,
+                min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER (
+                  PARTITION BY user_id ORDER BY ts_us
+                  RANGE BETWEEN 1 FOLLOWING AND 300000000 FOLLOWING) AS next_purchase_us
+              FROM ce)
+            SELECT user_id, ts AS first_ts,
+              make_timestamp(ts_us + 300000000) AS deadline_ts
+            FROM marked
+            WHERE event_type = 'click' AND next_purchase_us IS NULL
+            ORDER BY user_id, first_ts"""))
+
+  /** INTER-ARRIVAL ANALYSIS: distribution of the time gap between a user's
+    * consecutive events, summarized per event type of the LATER event —
+    * the cadence profile behind session-gap calibration and bot
+    * detection. One lag() pass per user builds exact integer microsecond
+    * gaps; median/percentile run over those integers (the q41/q23
+    * discipline), divided to seconds only at the end. */
+  val interarrivalStats = GraftQuery(
+    "ev_interarrival_stats",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("round(median(gap_us) / 1e6, 4)").as("median_gap_s"),
+          expr("round(percentile(gap_us, 0.9) / 1e6, 4)").as("p90_gap_s"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH g AS (
+              SELECT event_type,
+                epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+              FROM events)
+            SELECT event_type, count(*) AS n_gaps,
+              round(CAST(median(gap_us) AS DOUBLE) / 1e6, 4) AS median_gap_s,
+              round(quantile_cont(gap_us, 0.9) / 1e6, 4) AS p90_gap_s
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type ORDER BY event_type"""))
+
   /** SEQUENCE MINING: the 15 most common 3-step event-type paths across
     * users — the unsupervised counterpart of the fixed-pattern funnel.
     * One ordered window pass builds per-user 3-grams via lead();
@@ -688,5 +758,6 @@ object EventOps {
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
     intervalJoinAuto, intervalJoinBetween, cepPairs, forwardFill,
-    transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths)
+    transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
+    interarrivalStats)
 }

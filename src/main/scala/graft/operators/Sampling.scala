@@ -345,7 +345,39 @@ object Sampling {
     Some("""SELECT doc_id, md5(text) AS hk FROM documents
             ORDER BY hk, doc_id LIMIT 100"""))
 
+  /** PER-EPOCH SHARD SCHEDULE: a deterministic, seed-free shuffle of the
+    * shard list for each training epoch — the data-loader reproducibility
+    * primitive (every worker, on every rerun, visits shards in the same
+    * per-epoch order, and each epoch's order differs). Order = md5 of
+    * (epoch, shard): a pure function of the pair, so the schedule needs no
+    * stored RNG state and any engine can regenerate it. The shard list is
+    * metadata-sized; the ranked window partitions by epoch. */
+  val epochSchedule = GraftQuery(
+    "pipeline_epoch_schedule",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val shards = t(s, dir, "documents").select(col("source")).distinct()
+      val epochs = s.range(0, 4).select(col("id").as("epoch"))
+      shards.crossJoin(epochs)
+        .withColumn("h", md5(concat_ws(":", col("epoch"), col("source"))))
+        .withColumn("position", row_number().over(
+          Window.partitionBy(col("epoch")).orderBy(col("h"))))
+        .select(col("epoch"), col("position"), col("source"))
+        .orderBy(col("epoch"), col("position"))
+    },
+    Some("""WITH shards AS (SELECT DISTINCT source FROM documents),
+            epochs AS (SELECT unnest(generate_series(0, 3)) AS epoch),
+            sched AS (
+              SELECT epoch, source,
+                md5(CAST(epoch AS VARCHAR) || ':' || source) AS h
+              FROM shards CROSS JOIN epochs)
+            SELECT CAST(epoch AS BIGINT) AS epoch,
+              CAST(row_number() OVER (PARTITION BY epoch ORDER BY h) AS INTEGER)
+                AS position,
+              source
+            FROM sched ORDER BY epoch, position"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
     stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources,
-    sampleK)
+    sampleK, epochSchedule)
 }
