@@ -311,6 +311,27 @@ class PlanInvariantsSpec extends SparkTestBase {
       s"the exploded corpus must not sort-merge on the bucket key, plan:\n$s")
   }
 
+  test("graph_triangles: wedge closure is equi-joins only — no cartesian, no nested loop") {
+    val df = SparkEntry.queries("graph_triangles")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    assert(!s.contains("CartesianProduct") && !s.contains("BroadcastNestedLoopJoin"),
+      s"triangle closure must stay an equi-join, plan:\n$s")
+  }
+
+  test("emb_ood_score: centroids and stats broadcast; the corpus is never the build side") {
+    val df = SparkEntry.queries("emb_ood_score")(spark, benchSf)
+    df.collect()
+    val p = df.queryExecution.executedPlan
+    val bs = broadcastSubtrees(p)
+    assert(bs.nonEmpty, s"expected centroid/stats broadcasts, plan:\n$p")
+    // every broadcast subtree must be aggregated (k x dim / k-row), i.e.
+    // contain a HashAggregate — a raw corpus scan on the build side would
+    // ship every vector to every executor
+    bs.foreach(b => assert(b.toString.contains("HashAggregate"),
+      s"non-aggregated broadcast side:\n$b"))
+  }
+
   test("pipeline_sample_k: exact-k sample is TakeOrderedAndProject, not a global sort") {
     val s = plan("pipeline_sample_k").toString
     assert(s.contains("TakeOrderedAndProject"), s"plan:\n$s")
