@@ -1,32 +1,23 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
-  def main(args: Array[String]): Unit = {
-    // args: <sfDir> <outDir> [comma-separated query names — local iteration only]
-    val (sfDir, outDir, only) = args match {
-      case Array(s, o)    => (s, o, Option.empty[Set[String]])
-      case Array(s, o, n) => (s, o, Some(n.split(",").toSet))
-    }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+
+  /** Run each query, dumping its result to `outDir/<name>`. A query that
+    * throws must NOT vanish from the driver's JSON (round 8 proved the
+    * silent path hides real breakage): it gets a 1-row parquet whose schema
+    * can never match an oracle — a guaranteed-red rows/schema/hash row —
+    * and the messages land in `outDir/errors.json`. Returns the failures.
+    * `fullRun=false` (a subset re-check) leaves a stale errors.json alone:
+    * a subset run can't vouch for queries it didn't run. */
+  private[graft] def dump(spark: SparkSession,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      sfDir: String, outDir: String, fullRun: Boolean): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
-    // A query that throws must NOT vanish from the driver's JSON (round 8
-    // proved the silent path hides real breakage): write a 1-row parquet
-    // whose schema can never match an oracle, so the driver records a red
-    // rows/schema/hash row, and collect the messages into errors.json.
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -44,32 +35,53 @@ object Verify {
         }
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // written only on failure (a stray non-directory in outDir confuses
-    // rows-only enumeration); on a clean run DELETE any stale copy from a
-    // previous failing run into the same outDir, or it reports red forever
+    // rows-only enumeration); on a clean FULL run DELETE any stale copy
+    // from a previous failing run, or it reports red forever
     if (failed.nonEmpty) {
       val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
       Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    } else if (only.isEmpty) { // a subset run can't vouch for unrun queries
+    } else if (fullRun) {
       Files.deleteIfExists(Paths.get(s"$outDir/errors.json")); ()
     }
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.keys.mkString(", ")}")
+    failed.toMap
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def main(args: Array[String]): Unit = {
+    // args: <sfDir> <outDir> [comma-separated query names — local iteration only]
+    val (sfDir, outDir, only) = args match {
+      case Array(s, o)    => (s, o, Option.empty[Set[String]])
+      case Array(s, o, n) => (s, o, Some(n.split(",").toSet))
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    dump(spark,
+      SparkEntry.queries.toSeq.filter { case (name, _) => only.forall(_.contains(name)) },
+      sfDir, outDir, fullRun = only.isEmpty)
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
     // deliberately rc=0 even on per-query failure: the red-row parquet +
     // errors.json are the signal; a nonzero rc could make a harness discard

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The round-8 lesson, pinned: a query that throws inside the verify dump
+  * must be LOUD in the artifact — a guaranteed-red marker parquet plus
+  * errors.json — never silently absent from the driver's JSON. */
+class VerifySpec extends SparkTestBase {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft-verify-spec").toString
+
+  private val good: (SparkSession, String) => DataFrame =
+    (s, _) => { import s.implicits._; Seq((1L, "a")).toDF("k", "v") }
+  private val boom: (SparkSession, String) => DataFrame =
+    (s, _) => s.read.parquet("/nonexistent/verify-spec-path")
+
+  test("a deliberately-broken query leaves a red marker parquet and errors.json") {
+    val out = tmp()
+    val failed = Verify.dump(spark,
+      Seq("ok_query" -> good, "broken_query" -> boom), sf, out, fullRun = true)
+    assert(failed.keySet === Set("broken_query"))
+    // healthy query dumped normally
+    assert(spark.read.parquet(s"$out/ok_query").count() === 1)
+    // broken query dumped a marker whose schema can never match an oracle
+    val marker = spark.read.parquet(s"$out/broken_query")
+    assert(marker.columns.toSeq === Seq("_graft_error"))
+    assert(marker.head().getString(0).nonEmpty)
+    // and the failure is machine-readable in errors.json
+    val ej = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/errors.json"))
+    assert(ej.contains("broken_query"), ej)
+  }
+
+  test("a clean full run deletes a stale errors.json; a subset run preserves it") {
+    val out = tmp()
+    Verify.dump(spark, Seq("broken_query" -> boom), sf, out, fullRun = true)
+    val ep = java.nio.file.Paths.get(s"$out/errors.json")
+    assert(java.nio.file.Files.exists(ep))
+    // subset re-check of a different query must NOT clear the record
+    Verify.dump(spark, Seq("ok_query" -> good), sf, out, fullRun = false)
+    assert(java.nio.file.Files.exists(ep), "subset run cleared errors.json")
+    // a clean full run clears it
+    Verify.dump(spark, Seq("ok_query" -> good), sf, out, fullRun = true)
+    assert(!java.nio.file.Files.exists(ep), "clean full run left stale errors.json")
+  }
+}
