@@ -135,5 +135,69 @@ object GraphOps {
               UNION ALL SELECT z FROM tri)
             GROUP BY node ORDER BY n_triangles DESC, node LIMIT 20"""))
 
-  val all: Seq[GraftQuery] = Seq(connectedComponents, triangleCount)
+  /** SEMI-SUPERVISED LABEL PROPAGATION (the classic LPA/label-spreading
+    * protocol): seed nodes carry a clamped known label; each round every
+    * unseeded node adopts the MAJORITY label among its labeled neighbors
+    * (deterministic tie-break: smallest label), for 3 fixed rounds. The
+    * fourth iterative graph protocol after PageRank/BFS/CC — per round the
+    * shuffles are (node, label) votes keyed by node, never edges-join-edges;
+    * rounds are a fixed unrollable count so the oracle is three chained
+    * CTEs. Graph: the part co-purchase graph; seeds: every 20th part keyed
+    * by partkey mod 5. */
+  val labelPropagation = GraftQuery(
+    "graph_label_propagation",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val half = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val edges = half.union(half.select(col("v").as("u"), col("u").as("v"))).cache()
+      val nodes = edges.select(col("u").as("node")).distinct()
+      val seeds = nodes.select(col("node"),
+        when(col("node") % 20 === 0, col("node") % 5).as("seed"))
+      var labels = seeds.withColumn("label", col("seed")).localCheckpoint(true)
+      for (_ <- 1 to 3) {
+        val votes = edges.join(labels, col("u") === col("node"))
+          .filter(col("label").isNotNull)
+          .groupBy(col("v").as("n"), col("label")).agg(count(lit(1)).as("c"))
+        val adopted = votes
+          .withColumn("best", min(struct(negate(col("c")).as("negc"), col("label").as("lab")))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("n"))))
+          .filter(col("c") === -col("best.negc") && col("label") === col("best.lab"))
+          .select(col("n").as("node"), col("label").as("adopted"))
+        labels = seeds.join(adopted, Seq("node"), "left")
+          .select(col("node"), col("seed"),
+            coalesce(col("seed"), col("adopted")).as("label"))
+          .localCheckpoint(true)
+      }
+      labels.filter(col("label").isNotNull)
+        .select(col("node"), col("label")).orderBy(col("node"))
+    },
+    Some {
+      def round(k: Int): String =
+        s"""v$k AS (SELECT e.v AS n, l.label, count(*) AS c
+                    FROM edges e JOIN lab${k - 1} l ON l.node = e.u
+                    WHERE l.label IS NOT NULL GROUP BY e.v, l.label),
+            a$k AS (SELECT n, min(label) AS adopted FROM v$k x
+                    WHERE c = (SELECT max(c) FROM v$k y WHERE y.n = x.n)
+                    GROUP BY n),
+            lab$k AS (SELECT s.node, s.seed, coalesce(s.seed, a$k.adopted) AS label
+                      FROM seeds s LEFT JOIN a$k ON a$k.n = s.node)"""
+      s"""WITH half AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          edges AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+          nodes AS (SELECT DISTINCT u AS node FROM edges),
+          seeds AS (SELECT node,
+              CASE WHEN node % 20 = 0 THEN node % 5 END AS seed FROM nodes),
+          lab0 AS (SELECT node, seed, seed AS label FROM seeds),
+          ${(1 to 3).map(round).mkString(",\n")}
+          SELECT node, label FROM lab3 WHERE label IS NOT NULL ORDER BY node"""
+    })
+
+  val all: Seq[GraftQuery] =
+    Seq(connectedComponents, triangleCount, labelPropagation)
 }
