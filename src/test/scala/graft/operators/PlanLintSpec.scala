@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Global scale-posture lint over EVERY registry query's physical plan:
+  * a shuffle CartesianProduct (both sides data-sized) is a 100 TB
+  * scale-killer and must never appear. BroadcastNestedLoopJoin is allowed
+  * only where it is the documented design (a tiny broadcast side — scalar
+  * totals, a handful of query vectors, a theta-join correctness baseline);
+  * that allowlist is explicit so a new operator can't silently regress
+  * into an O(n*m) plan. */
+class PlanLintSpec extends SparkTestBase {
+
+  /** ops whose plan legitimately contains a BroadcastNestedLoopJoin — in
+    * every case the broadcast side is CONSTANT-BOUNDED (a scalar aggregate,
+    * k centroids, a per-query LUT, ≤8 query vectors, 4 epochs), so the
+    * "loop" is O(corpus x constant): the map-side-broadcast pattern, not a
+    * scale risk. A new op landing here unexpectedly must justify itself. */
+  private val bnljByDesign = Set(
+    // theta/range join demonstrated as BNLJ on purpose (the documented
+    // naive baseline next to the binned rewrite)
+    "q38_range_join",
+    // ≤8 query vectors broadcast against the corpus (map-side scoring)
+    "ann_cosine_topk", "ann_range_search", "ann_recall_eval",
+    // documented all-pairs correctness baseline
+    "dedup_embedding",
+    // crossJoin(broadcast(k centroids / seed set)) — nearest-seed assignment
+    "emb_kmeans_assign", "emb_kmeans_update", "dedup_semantic",
+    // crossJoin(broadcast(codebook / per-query ADC lookup tables))
+    "emb_pq_assign", "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
+    // crossJoin of a 1-row scalar aggregate (corpus totals / norm / v)
+    "emb_power_iteration", "text_tfidf", "curation_temperature_sample",
+    "curation_dsir_weights",
+    // composes dedup_minhash + ngram truth, inherits the scalar crossJoins
+    "dedup_candidate_eval",
+    // 4-epoch constant table crossed with the shard list (both metadata)
+    "pipeline_epoch_schedule"
+  )
+
+  test("no registry query plans a shuffle CartesianProduct; BNLJ only by design") {
+    val offenders = SparkEntry.registry.flatMap { q =>
+      val plan =
+        try q.run(spark, sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"PLANNING FAILED: $e" }
+      val cart = plan.contains("CartesianProduct")
+      val bnlj = plan.contains("BroadcastNestedLoopJoin") && !bnljByDesign(q.name)
+      val failed = plan.startsWith("PLANNING FAILED")
+      if (cart || bnlj || failed)
+        Some(s"${q.name}: cartesian=$cart unexpected-bnlj=$bnlj failed=$failed")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
