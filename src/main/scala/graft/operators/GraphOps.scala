@@ -65,6 +65,7 @@ object GraphOps {
       changed = short.as("n").join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.label") =!= col("o.label")).count()
       hooked.unpersist()
+      labels.unpersist() // short is checkpointed; drop the old tick's blocks
       labels = short
     }
     edges.unpersist()
@@ -167,10 +168,12 @@ object GraphOps {
             .over(org.apache.spark.sql.expressions.Window.partitionBy(col("n"))))
           .filter(col("c") === -col("best.negc") && col("label") === col("best.lab"))
           .select(col("n").as("node"), col("label").as("adopted"))
-        labels = seeds.join(adopted, Seq("node"), "left")
+        val next = seeds.join(adopted, Seq("node"), "left")
           .select(col("node"), col("seed"),
             coalesce(col("seed"), col("adopted")).as("label"))
-          .localCheckpoint(true)
+          .localCheckpoint(true) // eager: materialized before the old tick drops
+        labels.unpersist()
+        labels = next
       }
       labels.filter(col("label").isNotNull)
         .select(col("node"), col("label")).orderBy(col("node"))

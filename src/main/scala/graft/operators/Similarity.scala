@@ -925,6 +925,9 @@ object Similarity {
           "aggregate(zip_with(x, sv, (a, b) -> a * b), cast(0 as bigint), (acc, v) -> acc + v)"))
         .withColumn("xl2", expr(
           "aggregate(x, cast(0 as bigint), (acc, v) -> acc + v * v)"))
+        // zero-norm guard: a degenerate all-zero vector (or centroid) would
+        // make the cosine 0/0 and engines disagree on NaN casts
+        .filter(col("xl2") > 0)
         .withColumn("sl2", expr(
           "aggregate(sv, cast(0 as decimal(38,0)), (acc, v) -> acc + cast(v as decimal(38,0)) * v)"))
         .withColumn("d6", expr(
@@ -968,7 +971,9 @@ object Similarity {
                      * sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
                          i -> CAST(sv[i] AS HUGEINT) * sv[i])) AS DOUBLE)))
                   * 1e6 + 0.5) AS BIGINT) AS d6
-              FROM x6 JOIN cent ON cent.label = x6.label),
+              FROM x6 JOIN cent ON cent.label = x6.label
+              WHERE list_sum(list_transform(generate_series(1, 64),
+                      i -> x[i] * x[i])) > 0),
             stats AS (
               SELECT label,
                 CAST(sum(d6) AS DOUBLE) / count(*) AS mean6,
