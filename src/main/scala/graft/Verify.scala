@@ -10,11 +10,15 @@ object Verify {
     * silent path hides real breakage): it gets a 1-row parquet whose schema
     * can never match an oracle — a guaranteed-red rows/schema/hash row —
     * and the messages land in `outDir/errors.json`. Returns the failures.
-    * `fullRun=false` (a subset re-check) leaves a stale errors.json alone:
-    * a subset run can't vouch for queries it didn't run. */
+    *
+    * errors.json is MERGED per run, keyed by what actually ran: a query
+    * that ran here drops its stale record (and re-adds itself if it failed
+    * again); records for queries NOT in this run are preserved — so a
+    * subset re-check of a fixed query goes green without a full run, while
+    * never vouching for queries it didn't touch. */
   private[graft] def dump(spark: SparkSession,
       queries: Seq[(String, (SparkSession, String) => DataFrame)],
-      sfDir: String, outDir: String, fullRun: Boolean): Map[String, String] = {
+      sfDir: String, outDir: String): Map[String, String] = {
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
@@ -35,14 +39,28 @@ object Verify {
         }
       }
     }
-    // written only on failure (a stray non-directory in outDir confuses
-    // rows-only enumeration); on a clean FULL run DELETE any stale copy
-    // from a previous failing run, or it reports red forever
-    if (failed.nonEmpty) {
-      val errJson = failed.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-      Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
-    } else if (fullRun) {
-      Files.deleteIfExists(Paths.get(s"$outDir/errors.json")); ()
+    // merge with any prior record: queries that ran here own their entry
+    // (cleared on success, rewritten on failure); untouched queries keep
+    // theirs. The file exists only when something is red (a stray
+    // non-directory in outDir would confuse rows-only enumeration).
+    val ep = Paths.get(s"$outDir/errors.json")
+    val ran = queries.map(_._1).toSet
+    val stale: Map[String, String] =
+      if (!Files.exists(ep)) Map.empty
+      else try {
+        import org.json4s._
+        org.json4s.jackson.JsonMethods.parse(Files.readString(ep)) match {
+          case JObject(fs) => fs.collect { case (k, JString(v)) => (k, v) }.toMap
+          case _ => Map.empty
+        }
+      } catch { case _: Throwable => Map.empty } // unreadable: rebuild fresh
+    val merged = (stale -- ran) ++ failed
+    if (merged.nonEmpty) {
+      val errJson = merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      Files.writeString(ep, errJson)
+    } else {
+      Files.deleteIfExists(ep); ()
     }
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: ${failed.keys.mkString(", ")}")
@@ -78,7 +96,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     dump(spark,
       SparkEntry.queries.toSeq.filter { case (name, _) => only.forall(_.contains(name)) },
-      sfDir, outDir, fullRun = only.isEmpty)
+      sfDir, outDir)
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * the pointer-jumping upgrade below accelerates both.
   */
 object GraphOps {
-  private val SuppOffset = 100000L
+  private val SuppOffset = PageRank.SuppOffset // shared disjoint-domain tag
 
   /** Generic undirected CONNECTED COMPONENTS: min-label propagation with
     * POINTER JUMPING (each tick also applies label := label(label)), so
@@ -175,6 +175,7 @@ object GraphOps {
         labels.unpersist()
         labels = next
       }
+      edges.unpersist() // labels is checkpointed; the edge cache fed the loop
       labels.filter(col("label").isNotNull)
         .select(col("node"), col("label")).orderBy(col("node"))
     },

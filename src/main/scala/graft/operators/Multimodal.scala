@@ -88,10 +88,14 @@ object Multimodal {
             )
             SELECT doc_id,
               CAST(64 + blen % 193 AS INTEGER) AS width,
-              CAST(64 + bsum % 151 AS INTEGER) AS height,
+              -- empty payload: Spark's fold gives sum=0 (and NaN mean rounds
+              -- to 0), while string_split('','') here yields [''] with a
+              -- spurious -16 — guard both so the engines agree on blen=0
+              CAST(64 + (CASE WHEN blen = 0 THEN 0 ELSE bsum END) % 151 AS INTEGER) AS height,
               CAST(3 AS INTEGER) AS channels,
               CAST(1 + blen % 7 AS INTEGER) AS n_frames,
-              round(bsum / blen * 1e4) / 1e4 AS mean_byte
+              CASE WHEN blen = 0 THEN 0.0
+                   ELSE round(bsum / blen * 1e4) / 1e4 END AS mean_byte
             FROM s ORDER BY doc_id"""))
 
   /** Frame sampling plumbing for video-like payloads: derive a frame count

@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
 object PageRank {
   private val Damping = 0.85
   private val Iters = 5
-  private val SuppOffset = 100000L
+  /** Disjoint-domain tag for supplier node ids. TPC-H partkeys reach
+    * 200000*SF (2e7 at SF 100, the ~100 TB point), so a small offset would
+    * silently fuse supplier and part nodes at large SF — and identically in
+    * the oracle, invisible to the compare. 1e12 clears every realistic SF. */
+  private[operators] val SuppOffset = 1000000000000L
 
   def run(s: SparkSession, dir: String): DataFrame =
     iterate(s, dir, maxIters = Iters, tol = 0.0)

@@ -935,6 +935,9 @@ object Similarity {
              / (sqrt(cast(xl2 as double)) * sqrt(cast(sl2 as double)))
              * 1e6 + 0.5) as bigint)"""))
         .select(col("vec_id"), col("label"), col("d6"))
+        // cached: read by the stats build AND the final probe — without it
+        // the corpus scan + fixed-point folds run twice
+        .cache()
       val stats = scored.groupBy(col("label"))
         .agg(count(lit(1)).as("n"), sum(col("d6")).as("s1"),
           sum(col("d6") * col("d6")).as("s2"))

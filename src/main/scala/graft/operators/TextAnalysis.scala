@@ -360,12 +360,25 @@ object TextAnalysis {
   // Consequence: the checkpointed state must NOT be unpersisted by either
   // consumer (its lineage is truncated; dropping the blocks would make the
   // cached entry unrecoverable for the other op).
-  private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String), (Seq[(Int, String, String, Long)], DataFrame)]
+  // weak-keyed on the session OBJECT (identityHashCode is not unique, and
+  // a stopped session's checkpointed blocks must become collectable):
+  // entries die with their session, and two live sessions can never
+  // collide onto each other's checkpointed state
+  private val bpeCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, (Seq[(Int, String, String, Long)], DataFrame)]]()
 
   private def bpeTrainState(s: SparkSession, dir: String)
-      : (Seq[(Int, String, String, Long)], DataFrame) =
-    bpeCache.getOrElseUpdate((System.identityHashCode(s), dir), bpeTrainStateImpl(s, dir))
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
+    val perSession = bpeCache.synchronized {
+      var m = bpeCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        bpeCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, bpeTrainStateImpl(s, dir))
+  }
 
   private def bpeTrainStateImpl(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
@@ -431,8 +444,10 @@ object TextAnalysis {
                 (SELECT unnest(generate_series(1, len(tk)-1)) AS i) g
               GROUP BY 1, 2),
             top_$r AS (SELECT a, b, cnt FROM pc_$r ORDER BY cnt DESC, a, b LIMIT 1),
-            state_$r AS (SELECT freq, replace(s, ' '||a||'  '||b||' ', ' '||a||b||' ') AS s
-              FROM state_$p CROSS JOIN top_$r)"""
+            state_$r AS (SELECT freq,
+                CASE WHEN t.a IS NULL THEN s
+                     ELSE replace(s, ' '||t.a||'  '||t.b||' ', ' '||t.a||t.b||' ') END AS s
+              FROM state_$p LEFT JOIN top_$r t ON TRUE)"""
       }.mkString(",\n")
       val out = (1 to 10).map(r =>
         s"SELECT $r AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM top_$r")
@@ -481,8 +496,10 @@ object TextAnalysis {
                 (SELECT unnest(generate_series(1, len(tk)-1)) AS i) g
               GROUP BY 1, 2),
             top_$r AS (SELECT a, b, cnt FROM pc_$r ORDER BY cnt DESC, a, b LIMIT 1),
-            state_$r AS (SELECT w, freq, replace(s, ' '||a||'  '||b||' ', ' '||a||b||' ') AS s
-              FROM state_$p CROSS JOIN top_$r)"""
+            state_$r AS (SELECT w, freq,
+                CASE WHEN t.a IS NULL THEN s
+                     ELSE replace(s, ' '||t.a||'  '||t.b||' ', ' '||t.a||t.b||' ') END AS s
+              FROM state_$p LEFT JOIN top_$r t ON TRUE)"""
       }.mkString(",\n")
       s"""WITH state_0 AS (
             SELECT w, CAST(count(*) AS BIGINT) AS freq,

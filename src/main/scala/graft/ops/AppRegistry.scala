@@ -57,6 +57,12 @@ final class AppRegistry(spark: SparkSession) {
       // exception must be captured HERE or the errors endpoint can never
       // serve it (the event carries the terminal exception message)
       terminatedStreams.put(e.id, (System.currentTimeMillis(), e.exception))
+      // bound the terminal records (a long-lived ops server churning
+      // streams would otherwise leak one entry per termination): keep the
+      // newest 256 by termination time
+      if (terminatedStreams.size > 256)
+        terminatedStreams.toSeq.sortBy(_._2._1)
+          .dropRight(256).foreach { case (k, _) => terminatedStreams.remove(k) }
       ()
     }
   }

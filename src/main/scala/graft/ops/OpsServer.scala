@@ -184,7 +184,8 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
       val run: (SparkSession, String) => org.apache.spark.sql.DataFrame = (s, dir) => {
         var df = graft.Tables.t(s, dir, table)
         where.foreach(w => df = df.where(expr(w)))
-        if (groupBy.nonEmpty)
+        if (aggs.nonEmpty)
+          // empty groupBy = global aggregation (df.groupBy() with no keys)
           df = df.groupBy(groupBy.map(expr): _*)
             .agg(expr(aggs.head._2).as(aggs.head._1),
               aggs.tail.map { case (n, e) => expr(e).as(n) }: _*)

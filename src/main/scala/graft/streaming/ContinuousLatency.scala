@@ -42,18 +42,29 @@ object ContinuousLatency {
     out.result()
   }
 
+  private val NoisyLoggers = Seq(
+    "org.apache.spark.sql.execution.streaming.continuous.ContinuousWriteRDD",
+    "org.apache.spark.sql.execution.streaming.continuous.ContinuousQueuedDataReader")
+
   /** Stopping a continuous query aborts its in-flight epoch by design, and
     * the epoch writers log `ERROR ContinuousWriteRDD: Writer for partition N
     * is aborting` on that expected path — scary-looking but benign noise in
     * every bench tail. Quiet exactly those two classes (shutdown-only
-    * loggers); everything else keeps its level. */
+    * loggers); everything else keeps its level. Scoped: [[restoreNoise]]
+    * puts the levels back after the probe stops, so a REAL mid-flight
+    * writer/reader failure elsewhere in the JVM's lifetime still logs. */
   private def quietShutdownNoise(): Unit = try {
     import org.apache.logging.log4j.Level
     import org.apache.logging.log4j.core.config.Configurator
-    Seq("org.apache.spark.sql.execution.streaming.continuous.ContinuousWriteRDD",
-        "org.apache.spark.sql.execution.streaming.continuous.ContinuousQueuedDataReader")
-      .foreach(Configurator.setLevel(_, Level.FATAL))
+    NoisyLoggers.foreach(Configurator.setLevel(_, Level.FATAL))
   } catch { case _: NoClassDefFoundError => () } // non-log4j2 backend: keep the noise
+
+  /** Restore the quieted loggers to inherit-from-parent (null level). */
+  private def restoreNoise(): Unit = try {
+    import org.apache.logging.log4j.Level
+    import org.apache.logging.log4j.core.config.Configurator
+    NoisyLoggers.foreach(Configurator.setLevel(_, null: Level))
+  } catch { case _: NoClassDefFoundError => () }
 
   /** Start the probe: rate source → record-latency projection → noop sink,
     * under `Trigger.Continuous`. Caller is responsible for stop(). */
@@ -90,6 +101,9 @@ object ContinuousLatency {
       reset()
       Thread.sleep(measureMs)
       graft.ops.AppRegistry.histogramOf(snapshot())
-    } finally if (q.isActive) q.stop()
+    } finally {
+      if (q.isActive) q.stop()
+      restoreNoise() // suppression is probe-scoped, not JVM-lifetime
+    }
   }
 }

@@ -18,7 +18,7 @@ class VerifySpec extends SparkTestBase {
   test("a deliberately-broken query leaves a red marker parquet and errors.json") {
     val out = tmp()
     val failed = Verify.dump(spark,
-      Seq("ok_query" -> good, "broken_query" -> boom), sf, out, fullRun = true)
+      Seq("ok_query" -> good, "broken_query" -> boom), sf, out)
     assert(failed.keySet === Set("broken_query"))
     // healthy query dumped normally
     assert(spark.read.parquet(s"$out/ok_query").count() === 1)
@@ -31,16 +31,23 @@ class VerifySpec extends SparkTestBase {
     assert(ej.contains("broken_query"), ej)
   }
 
-  test("a clean full run deletes a stale errors.json; a subset run preserves it") {
+  test("errors.json merges by what ran: fixed queries clear, untouched records survive") {
     val out = tmp()
-    Verify.dump(spark, Seq("broken_query" -> boom), sf, out, fullRun = true)
+    Verify.dump(spark, Seq("broken_query" -> boom, "other_broken" -> boom), sf, out)
     val ep = java.nio.file.Paths.get(s"$out/errors.json")
     assert(java.nio.file.Files.exists(ep))
-    // subset re-check of a different query must NOT clear the record
-    Verify.dump(spark, Seq("ok_query" -> good), sf, out, fullRun = false)
-    assert(java.nio.file.Files.exists(ep), "subset run cleared errors.json")
-    // a clean full run clears it
-    Verify.dump(spark, Seq("ok_query" -> good), sf, out, fullRun = true)
-    assert(!java.nio.file.Files.exists(ep), "clean full run left stale errors.json")
+    // subset re-run of ONE now-fixed query clears its record only
+    Verify.dump(spark, Seq("broken_query" -> good), sf, out)
+    val after = java.nio.file.Files.readString(ep)
+    assert(!after.contains("broken_query\"") || after.contains("other_broken"),
+      after)
+    assert(after.contains("other_broken"), s"untouched record dropped: $after")
+    assert(!after.contains("\"broken_query\""), s"fixed query still red: $after")
+    // a subset run of an unrelated query preserves the remaining record
+    Verify.dump(spark, Seq("ok_query" -> good), sf, out)
+    assert(java.nio.file.Files.readString(ep).contains("other_broken"))
+    // fixing the last one deletes the file
+    Verify.dump(spark, Seq("other_broken" -> good), sf, out)
+    assert(!java.nio.file.Files.exists(ep), "clean state left stale errors.json")
   }
 }
