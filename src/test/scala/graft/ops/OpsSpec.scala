@@ -464,6 +464,18 @@ class OpsSpec extends SparkTestBase {
       assert(status() === "finished", get(s"/api/v1.0/appmaster/$id"))
       assert(get("/api/v1.0/master/applist").contains("dag:nation"))
 
+      // global aggregation: aggs with NO groupBy must aggregate the whole
+      // table, not silently scan it raw
+      val (gc, gb) = post("/api/v1.0/master/submitdag",
+        """{"table":"nation","sf":"/root/testdata/sf0.001","aggs":{"n":"count(1)"}}""")
+      assert(gc === 200, gb)
+      val gid = "\"appId\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(gb).get.group(1)
+      def gstatus(): String =
+        "\"status\":\"(\\w+)\"".r.findFirstMatchIn(get(s"/api/v1.0/appmaster/$gid"))
+          .map(_.group(1)).getOrElse("?")
+      while (gstatus() == "running" && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(gstatus() === "finished", get(s"/api/v1.0/appmaster/$gid"))
+
       // validation happens at submit time: unknown table, missing aggs,
       // and an analyzer error all come back as 400, never a failed app
       assert(post("/api/v1.0/master/submitdag", """{"table":"nope","sf":"x"}""")._1 === 400)
