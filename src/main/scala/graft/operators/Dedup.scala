@@ -276,9 +276,27 @@ object Dedup {
     * brute-force at test SF. */
   private[graft] val MaxShingleDf = 50
 
+  /** Per-doc DISTINCT trigram shingle arrays (scan-side) plus the df-pruned
+    * inverted index — the candidate machinery shared by [[ngramJaccard]]
+    * and [[containment]]. df >= 2 because a shingle in one doc can't
+    * generate a pair anyway. */
+  private def shingleCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docsSh = t(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(
+        "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("sh"))
+      .cache()
+    val idx = docsSh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = idx.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= MaxShingleDf)
+      .select(col("s"))
+    (docsSh, idx.join(rare, "s"))
+  }
+
   /** Exact n-gram Jaccard similarity >= 0.8 (threshold as integer
     * cross-multiplication: 5*inter >= 4*union — no float in the cut).
-    * Shape for 100 TB:
+    * Shape for 100 TB ([[shingleCorpus]]):
     *  - per-row DISTINCT shingle arrays (array_distinct, scan-side) replace
     *    the corpus-wide `distinct()` shuffle of round 2;
     *  - the inverted index is df-pruned ([[MaxShingleDf]]) before the
@@ -289,18 +307,7 @@ object Dedup {
   val ngramJaccard = GraftQuery(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val docsSh = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), expr(
-          "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("sh"))
-        .cache()
-      val idx = docsSh.select(col("doc_id"), explode(col("sh")).as("s"))
-      // df >= 2: a shingle in one doc can't generate a pair anyway
-      val rare = idx.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= MaxShingleDf)
-        .select(col("s"))
-      val pruned = idx.join(rare, "s")
+      val (docsSh, pruned) = shingleCorpus(s, dir)
       val cand = pruned.select(col("doc_id").as("doc_a"), col("s"))
         .join(pruned.select(col("doc_id").as("doc_b"), col("s")), "s")
         .filter(col("doc_a") < col("doc_b"))
@@ -384,17 +391,7 @@ object Dedup {
   val containment = GraftQuery(
     "dedup_containment",
     (s, dir) => {
-      val docsSh = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), expr(
-          "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("sh"))
-        .cache()
-      val idx = docsSh.select(col("doc_id"), explode(col("sh")).as("s"))
-      val rare = idx.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= MaxShingleDf)
-        .select(col("s"))
-      val pruned = idx.join(rare, "s")
+      val (docsSh, pruned) = shingleCorpus(s, dir)
       val cand = pruned.select(col("doc_id").as("doc_a"), col("s"))
         .join(pruned.select(col("doc_id").as("doc_b"), col("s")), "s")
         .filter(col("doc_a") =!= col("doc_b")) // ordered: both directions

@@ -72,6 +72,18 @@ object GraphOps {
     (labels, it)
   }
 
+  /** Deduplicated id-oriented (u < v) part co-purchase edges — parts
+    * appearing in the same order; shared by [[triangleCount]] and
+    * [[labelPropagation]]. */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+  }
+
   /** Sparse symmetrized supplier<->part subgraph (every 50th order) —
     * sparse enough that the DuckDB transitive-closure oracle is cheap while
     * still leaving multiple non-trivial components. */
@@ -108,12 +120,7 @@ object GraphOps {
   val triangleCount = GraftQuery(
     "graph_triangles",
     (s, dir) => {
-      val li = Tables.t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct().cache()
+      val e = coPurchaseEdges(s, dir).cache()
       val tri = e.as("e1")
         .join(e.as("e2"), col("e2.u") === col("e1.v"))
         .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
@@ -148,12 +155,7 @@ object GraphOps {
   val labelPropagation = GraftQuery(
     "graph_label_propagation",
     (s, dir) => {
-      val li = Tables.t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
-      val half = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      val half = coPurchaseEdges(s, dir)
       val edges = half.union(half.select(col("v").as("u"), col("u").as("v"))).cache()
       val nodes = edges.select(col("u").as("node")).distinct()
       val seeds = nodes.select(col("node"),
