@@ -4,6 +4,10 @@ import graft.SparkTestBase
 
 import scala.util.Random
 
+object RateLimitCollector {
+  val admitted = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+}
+
 /** Streaming rate limit == batch rate limit: the admitted-event set must
   * equal the batch `ev_rate_limit` formulation (ranked window per
   * (user, day)) on the same events, for ANY order-preserving chop of the
@@ -56,6 +60,42 @@ class StreamingRateLimitSpec extends SparkTestBase {
         assert(got === expected, s"trial $trial diverged from batch rate limit")
       } finally q.stop()
     }
+  }
+
+  test("admission state survives a checkpoint restart — no quota reset, no dup admits") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft-rl-in").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft-rl-ck").toString
+    RateLimitCollector.admitted.clear()
+    val d0 = 1700006400000L / DayMs * DayMs
+    def ev(id: Long, t: Long) = RlEvent(id, 9L, new java.sql.Timestamp(t))
+    def addFile(name: String, evs: Seq[RlEvent]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rl-stage").toString
+      evs.toDS().coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(inDir, s"$name.parquet"))
+      ()
+    }
+    def startQuery() = {
+      val stream = spark.readStream.schema(Seq.empty[RlEvent].toDS().schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir).as[RlEvent]
+      RateLimit.run(stream, MaxPerDay).writeStream
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (ds: org.apache.spark.sql.Dataset[RlOut], _: Long) =>
+          ds.collect().foreach(o => RateLimitCollector.admitted.add(o.event_id)); ()
+        }.start()
+    }
+    // day quota is 2: the first run admits 0,1 and drops 2
+    addFile("b0", Seq(ev(0, d0), ev(1, d0 + 1000), ev(2, d0 + 2000)))
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop() // "crash"
+    // after restart the SAME day must stay exhausted; the next day admits
+    addFile("b1", Seq(ev(3, d0 + 3000), ev(4, d0 + DayMs)))
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    assert(RateLimitCollector.admitted.asScala.toSet === Set(0L, 1L, 4L),
+      s"admitted: ${RateLimitCollector.admitted.asScala.toSeq.sorted}")
   }
 
   test("quota resets on a new event-time day and emits the day bucket") {
