@@ -13,11 +13,18 @@ import org.apache.spark.sql.SparkSession
   * JDK `com.sun.net.httpserver` (the dashboard talks JSON, not HTML).
   *
   * Endpoints (paths mirror the reference's nouns):
+  *  - GET    /api/v1.0/version                        — engine + Spark version
   *  - GET    /api/v1.0/master                         — engine summary
   *  - GET    /api/v1.0/master/applist                 — active queries + submitted apps
   *  - GET    /api/v1.0/master/config                  — runtime conf
   *  - GET    /api/v1.0/master/metrics                 — multi-app rollup
   *  - GET    /api/v1.0/master/workerlist              — executor fleet view
+  *  - GET    /api/v1.0/master/partitioners            — builtin partitioner inventory
+  *  - GET    /api/v1.0/supervisor                     — resource-supervisor identity
+  *  - POST   /api/v1.0/supervisor/status              — can executors be added/removed?
+  *  - POST   /api/v1.0/supervisor/addworker/<n>       — request n more executors
+  *  - POST   /api/v1.0/supervisor/removeworker/<id>   — decommission an executor
+  *  - POST   /api/v1.0/terminate                      — stop apps + ops surface
   *  - POST   /api/v1.0/master/submitapp?name=&sf=     — launch a registered query
   *  - POST   /api/v1.0/master/submitdag                — launch a declarative JSON plan
   *  - GET    /api/v1.0/appmaster/<id>                 — query detail (+latency)
@@ -59,6 +66,53 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
     val method = x.getRequestMethod
     try {
       (method, path.split("/").toList) match {
+        case ("GET", "version" :: Nil) =>
+          // reference: StaticService.scala:38 serves Util.version
+          respond(x, 200,
+            s"""{"version":"graft-${OpsServer.Version}","sparkVersion":"${spark.version}"}""")
+        case ("GET", "master" :: "partitioners" :: Nil) =>
+          // reference: MasterService.scala:168 lists BUILTIN_PARTITIONERS
+          // (streaming/Constants.scala:34-39); each row carries the
+          // Spark-native spelling the engine actually executes (SURVEY §2.3)
+          respond(x, 200, OpsServer.PartitionersJson)
+        case ("GET", "supervisor" :: Nil) =>
+          // reference: SupervisorService.scala:50 serves the supervisor actor
+          // path (null when no resource manager); the Spark-native resource
+          // supervisor is the cluster manager named by the master URL
+          respond(x, 200, s"""{"path":${AppRegistry.jstrStatic(spark.sparkContext.master)}}""")
+        case ("POST", "supervisor" :: "status" :: Nil) =>
+          // reference: SupervisorService.scala:61 — enabled iff a resource
+          // manager can add/remove workers. Spark analog: dynamic executor
+          // requests exist only on cluster scheduler backends, never local
+          respond(x, 200, s"""{"enabled":${!spark.sparkContext.isLocal}}""")
+        case ("POST", "supervisor" :: "addworker" :: n :: Nil) =>
+          // reference: SupervisorService.scala:70 AddWorker(count). Spark:
+          // SparkContext.requestExecutors — false (with a WARN) on backends
+          // that cannot scale, the reference's CommandResult(success=false)
+          n.toIntOption.filter(_ > 0) match {
+            case Some(count) =>
+              val ok = spark.sparkContext.requestExecutors(count)
+              respond(x, 200, s"""{"success":$ok}""")
+            case None => respond(x, 400, """{"error":"addworker requires a positive integer count"}""")
+          }
+        case ("POST", "supervisor" :: "removeworker" :: workerId :: Nil) =>
+          // reference: SupervisorService.scala:82 RemoveWorker(containerId);
+          // Spark: decommission by executor id via killExecutors
+          val ok = spark.sparkContext.killExecutors(Seq(workerId))
+          respond(x, 200, s"""{"success":$ok}""")
+        case ("POST", "terminate" :: Nil) =>
+          // reference: AdminService.scala:39 terminates the actor system.
+          // Library analog: stop every active stream, kill running submitted
+          // apps, then close the ops surface — the SparkSession stays up (it
+          // belongs to the caller, not the ops layer). Respond first; the
+          // server stops on a detached thread so this exchange can flush.
+          respond(x, 200, """{"status":"terminating"}""")
+          registry.active.foreach(q => try q.stop() catch { case _: Exception => })
+          registry.submitted.filter(_.status == "running")
+            .foreach(a => registry.killSubmitted(a.id))
+          val t = new Thread(() => server.stop(1), "graft-ops-terminate")
+          t.setDaemon(true)
+          t.start()
         case ("GET", "master" :: Nil) => respond(x, 200, masterSummary)
         case ("GET", "master" :: "applist" :: Nil) => respond(x, 200, registry.applist)
         case ("GET", "master" :: "config" :: Nil) => respond(x, 200, configJson)
@@ -257,4 +311,26 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
     val os = x.getResponseBody
     try os.write(bytes) finally os.close()
   }
+}
+
+object OpsServer {
+  /** Kept in sync with build.sbt `ThisBuild / version`. */
+  val Version = "0.1.0"
+
+  /** The reference's five builtin edge partitioners
+    * (reference: streaming/src/main/scala/io/gearpump/streaming/Constants.scala:34-39)
+    * plus the range partitioner this engine adds, each with the Spark-native
+    * spelling the engine executes (SURVEY §2.3; graft.operators.Partitioning). */
+  private val Partitioners: Seq[(String, String)] = Seq(
+    "BroadcastPartitioner" -> "broadcast(df) build-side replication",
+    "CoLocationPartitioner" -> "bucketed co-located join (zero-shuffle)",
+    "HashPartitioner" -> "repartition(n, hash cols)",
+    "ShuffleGroupingPartitioner" -> "repartition(n) round-robin",
+    "ShufflePartitioner" -> "repartition(n) round-robin",
+    "RangePartitioner" -> "repartitionByRange(n, cols)")
+
+  private[ops] val PartitionersJson: String =
+    Partitioners.map { case (name, spark) =>
+      s"""{"name":${AppRegistry.jstrStatic(name)},"spark":${AppRegistry.jstrStatic(spark)}}"""
+    }.mkString("""{"partitioners":[""", ",", "]}")
 }

@@ -487,4 +487,71 @@ class OpsSpec extends SparkTestBase {
       assert(post("/api/v1.0/master/submitdag", "not json at all")._1 === 400)
     } finally { srv.stop(); reg.close() }
   }
+
+  test("version/partitioners/supervisor/terminate (Static/Master/Supervisor/Admin service parity)") {
+    import spark.implicits._
+    val reg = new AppRegistry(spark)
+    val srv = new OpsServer(spark, reg, catalog = Map.empty).start()
+    def http(method: String, path: String): (Int, String) = {
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod(method)
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      is.close()
+      (code, body)
+    }
+    try {
+      // version (reference StaticService.scala:38)
+      val (vc, vb) = http("GET", "/api/v1.0/version")
+      assert(vc === 200 && vb.contains("\"version\":\"graft-")
+        && vb.contains(s"\"sparkVersion\":\"${spark.version}\""), vb)
+      org.json4s.jackson.JsonMethods.parse(vb)
+
+      // partitioner inventory (reference MasterService.scala:168) — all five
+      // reference builtins present, each with its Spark-native spelling
+      val (pc, pb) = http("GET", "/api/v1.0/master/partitioners")
+      assert(pc === 200, pb)
+      for (p <- Seq("BroadcastPartitioner", "CoLocationPartitioner", "HashPartitioner",
+          "ShuffleGroupingPartitioner", "ShufflePartitioner"))
+        assert(pb.contains(s"\"name\":\"$p\""), pb)
+      assert(pb.contains("repartition"), pb)
+      org.json4s.jackson.JsonMethods.parse(pb)
+
+      // supervisor identity + status (reference SupervisorService.scala:50-67):
+      // local mode = no resource manager, so scaling is honestly disabled
+      val (ic, ib) = http("GET", "/api/v1.0/supervisor")
+      assert(ic === 200 && ib.contains("local"), ib)
+      val (stc, stb) = http("POST", "/api/v1.0/supervisor/status")
+      assert(stc === 200 && stb === """{"enabled":false}""", stb)
+
+      // addworker/removeworker (reference SupervisorService.scala:70-82):
+      // the local backend cannot scale → CommandResult(success=false),
+      // exactly what requestExecutors/killExecutors report
+      val (ac, ab) = http("POST", "/api/v1.0/supervisor/addworker/2")
+      assert(ac === 200 && ab === """{"success":false}""", ab)
+      assert(http("POST", "/api/v1.0/supervisor/addworker/zero")._1 === 400)
+      assert(http("POST", "/api/v1.0/supervisor/addworker/-1")._1 === 400)
+      val (rc, rb) = http("POST", "/api/v1.0/supervisor/removeworker/0")
+      assert(rc === 200 && rb === """{"success":false}""", rb)
+
+      // terminate (reference AdminService.scala:39): stops active apps and
+      // closes the ops surface; the SparkSession must survive (caller-owned)
+      val in = GraftSource.memory[Int](spark)
+      val q = in.toDS().writeStream.format("noop").queryName("terminate_victim").start()
+      in.addData(1, 2, 3); q.processAllAvailable()
+      val (tc, tb) = http("POST", "/api/v1.0/terminate")
+      assert(tc === 200 && tb.contains("terminating"), tb)
+      val deadline = System.currentTimeMillis() + 15000
+      while (q.isActive && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(!q.isActive, "terminate must stop active streaming queries")
+      def refused(): Boolean =
+        try { http("GET", "/api/v1.0/version"); false }
+        catch { case _: java.net.ConnectException => true }
+      while (!refused() && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(refused(), "ops server must stop accepting connections after terminate")
+      assert(!spark.sparkContext.isStopped, "terminate must not stop the caller's SparkSession")
+    } finally { srv.stop(); reg.close() }
+  }
 }
