@@ -507,7 +507,75 @@ object Curation {
             FROM bigr JOIN lr USING (bucket)
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** TOKEN-BUDGET WATERFILLING: given a global token budget, cap every
+    * source at the integer water level L that maximizes sum(min(n_g, L))
+    * without exceeding the budget — sources below the level keep all their
+    * tokens, sources above are cut to L. This is the "how many tokens from
+    * each source fit the run" allocation step of a pretraining data recipe
+    * (the budgeted counterpart of [[temperatureSample]]'s rate reweighting).
+    * Budget here: half the corpus tokens, a deterministic parameter.
+    *
+    * Closed form, no iteration: with sources sorted ascending by n_g, the
+    * level is cand_i = (budget - cum_{i-1}) div (G-i+1) at the FIRST index
+    * where cand_i < n_i (all-fit when no such index). Pure integer
+    * arithmetic end to end — both engines make bit-identical decisions; the
+    * one division that feeds the picked level is of non-negative integers,
+    * where Spark's truncating `div` and DuckDB's flooring `//` agree.
+    *
+    * Scale shape: the corpus is scanned ONCE for the per-source token sums;
+    * everything after runs on G rows (G = source/domain count — dozens, not
+    * documents), so the single-partition ordered window is driver-tiny by
+    * construction. */
+  val tokenBudget = GraftQuery(
+    "curation_token_budget",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perSrc = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+      val scalars = broadcast(perSrc.agg(
+        expr("sum(n_tokens) div 2").as("budget"), count(lit(1)).as("g")))
+      val w = Window.orderBy(col("n_tokens"), col("source"))
+      val ranked = perSrc.crossJoin(scalars)
+        .withColumn("i", row_number().over(w))
+        .withColumn("cum_prev", coalesce(
+          sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("cand", expr("(budget - cum_prev) div (g - i + 1)"))
+      val level = broadcast(ranked.filter(col("cand") < col("n_tokens"))
+        .agg(min_by(col("cand"), col("i")).as("water_level")))
+      ranked.crossJoin(level)
+        .select(col("source"), col("n_tokens"),
+          least(col("n_tokens"), coalesce(col("water_level"), col("n_tokens")))
+            .as("alloc_tokens"),
+          col("water_level"),
+          expr("""cast(least(n_tokens, coalesce(water_level, n_tokens)) * 1000000
+                       div n_tokens as double) / 1e6""").as("kept_frac"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH c AS (SELECT source,
+                 CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+            s AS (SELECT CAST(sum(n_tokens) // 2 AS BIGINT) AS budget,
+                         count(*) AS g FROM c),
+            r AS (SELECT c.source, c.n_tokens, s.budget, s.g,
+                    row_number() OVER (ORDER BY n_tokens, source) AS i,
+                    CAST(coalesce(sum(n_tokens) OVER (ORDER BY n_tokens, source
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cum_prev
+                  FROM c CROSS JOIN s),
+            lv AS (SELECT arg_min((budget - cum_prev) // (g - i + 1), i) AS water_level
+                   FROM r WHERE (budget - cum_prev) // (g - i + 1) < n_tokens)
+            SELECT r.source, r.n_tokens,
+              CAST(least(r.n_tokens, coalesce(lv.water_level, r.n_tokens)) AS BIGINT)
+                AS alloc_tokens,
+              CAST(lv.water_level AS BIGINT) AS water_level,
+              (least(r.n_tokens, coalesce(lv.water_level, r.n_tokens)) * 1000000
+                 // r.n_tokens) / 1000000.0 AS kept_frac
+            FROM r CROSS JOIN lv ORDER BY r.source"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
-      mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights)
+      mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
+      tokenBudget)
 }
