@@ -204,6 +204,75 @@ object GraphOps {
           SELECT node, label FROM lab3 WHERE label IS NOT NULL ORDER BY node"""
     })
 
+  /** K-CORE DECOMPOSITION (iterative peeling): repeatedly remove every node
+    * whose degree in the induced subgraph is < k, simultaneously per round,
+    * until fixpoint — the maximal subgraph where every node keeps >= k
+    * neighbors. The web-graph quality gate (spam/link-farm pruning) and the
+    * fifth iterative protocol here; unlike CC/LPA/PageRank's monotone label
+    * flow this is ANTI-monotone peeling, so it exercises the
+    * shrink-until-stable loop shape. Per round the shuffles are a node-keyed
+    * degree count and two semi-join-shaped filters of edges against the
+    * (shrinking) alive set — edges never join edges; each tick is cut from
+    * the last by an eager localCheckpoint (the [[components]] discipline)
+    * and convergence is one driver-side scalar.
+    *
+    * Peeling removes all sub-k nodes of a round AT ONCE, so the result is
+    * deterministic and the DuckDB oracle can unroll rounds: fixpoint on this
+    * graph takes <= 5 rounds at sf0.1 (fewer below), and extra unrolled
+    * rounds are no-ops because the peel step is idempotent at fixpoint —
+    * the oracle unrolls 12. */
+  private[graft] def kcore(pairsIn: DataFrame, k: Int): (DataFrame, Int) = {
+    val p = pairsIn.toDF("a", "b")
+    val edges = p.select(col("a").as("u"), col("b").as("v"))
+      .union(p.select(col("b").as("u"), col("a").as("v")))
+      .distinct().cache()
+    def degrees(alive: DataFrame): DataFrame =
+      edges.join(alive.withColumnRenamed("node", "u"), "u")
+        .join(alive.withColumnRenamed("node", "v"), "v")
+        .groupBy(col("u")).agg(count(lit(1)).as("c"))
+    var alive = edges.select(col("u").as("node")).distinct().localCheckpoint(true)
+    var n = alive.count()
+    var changed = true
+    var it = 0
+    while (changed && it < 50) {
+      it += 1
+      val next = degrees(alive).filter(col("c") >= k)
+        .select(col("u").as("node")).localCheckpoint(true)
+      val m = next.count()
+      changed = m != n
+      alive.unpersist()
+      alive = next
+      n = m
+    }
+    val result = degrees(alive)
+      .select(col("u").as("node"), col("c").as("degree"))
+    edges.unpersist()
+    (result, it)
+  }
+
+  val kcoreQuery = GraftQuery(
+    "graph_kcore",
+    (s, dir) => kcore(ccPairs(s, dir), 2)._1.orderBy(col("node")),
+    Some {
+      // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
+      // each round references the previous alive set twice — 12 inlined
+      // rounds would duplicate the base subtree 2^12 times
+      def round(i: Int): String =
+        s"""d$i AS MATERIALIZED (SELECT e.u AS node, count(*) AS c
+                    FROM edges e JOIN a${i - 1} x ON e.u = x.node
+                                 JOIN a${i - 1} y ON e.v = y.node
+                    GROUP BY e.u),
+            a$i AS MATERIALIZED (SELECT node FROM d$i WHERE c >= 2)"""
+      s"""WITH half AS (
+            SELECT DISTINCT l_suppkey + $SuppOffset AS u, l_partkey AS v
+            FROM lineitem WHERE l_orderkey % 50 = 0),
+          edges AS MATERIALIZED (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+          a0 AS (SELECT DISTINCT u AS node FROM edges),
+          ${(1 to 12).map(round).mkString(",\n")}
+          SELECT node, CAST(c AS BIGINT) AS degree FROM d12 WHERE c >= 2
+          ORDER BY node"""
+    })
+
   val all: Seq[GraftQuery] =
-    Seq(connectedComponents, triangleCount, labelPropagation)
+    Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery)
 }

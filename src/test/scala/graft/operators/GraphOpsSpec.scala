@@ -52,4 +52,30 @@ class GraphOpsSpec extends SparkTestBase {
     assert(enMean - restMean > 20000.0, // 1e6-scaled nats
       s"separation ${enMean - restMean} too small for a real signal")
   }
+
+  test("kcore peels chains off a triangle and cascades pendant removal") {
+    import spark.implicits._
+    // triangle 1-2-3 with a pendant chain 3-4-5: peeling at k=2 must remove
+    // 5 first, THEN 4 (its degree only drops below 2 after 5 goes) — the
+    // cascade that distinguishes iterative peeling from a one-shot degree
+    // filter. Survivors: the triangle, every node at degree 2.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val (core, rounds) = GraphOps.kcore(pairs, 2)
+    val got = core.as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"2-core of triangle+chain must be the bare triangle, got $got")
+    assert(rounds >= 3, s"pendant cascade takes 2 peel rounds + the no-change round, got $rounds")
+    // one-shot degree filter would KEEP node 4 (degree 2 in the full graph)
+    // — pin that the cascade actually removed it
+    assert(!got.contains(4L))
+
+    // k above the degeneracy empties the graph
+    val (empty, _) = GraphOps.kcore(pairs, 3)
+    assert(empty.isEmpty)
+
+    // a clique survives any k below its size, degrees intact
+    val clique = (for { i <- 1L to 5L; j <- (i + 1) to 5L } yield (i, j)).toDF("a", "b")
+    val (c4, _) = GraphOps.kcore(clique, 4)
+    assert(c4.as[(Long, Long)].collect().toMap == (1L to 5L).map(_ -> 4L).toMap)
+  }
 }
