@@ -31,6 +31,9 @@ class PlanLintSpec extends SparkTestBase {
     // crossJoin of a 1-row scalar aggregate (corpus totals / norm / v)
     "emb_power_iteration", "text_tfidf", "curation_temperature_sample",
     "curation_dsir_weights",
+    // crossJoins of 1-row scalar aggregates (budget+G, then the water
+    // level) onto G=source-count rows — both sides constant-bounded
+    "curation_token_budget",
     // composes dedup_minhash + ngram truth, inherits the scalar crossJoins
     "dedup_candidate_eval",
     // 4-epoch constant table crossed with the shard list (both metadata)
