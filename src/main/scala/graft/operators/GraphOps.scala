@@ -227,32 +227,55 @@ object GraphOps {
       .union(p.select(col("b").as("u"), col("a").as("v")))
       .distinct().cache()
     def degrees(alive: DataFrame): DataFrame =
-      edges.join(alive.withColumnRenamed("node", "u"), "u")
-        .join(alive.withColumnRenamed("node", "v"), "v")
+      edges.join(alive.select(col("node").as("u")), "u")
+        .join(alive.select(col("node").as("v")), "v")
         .groupBy(col("u")).agg(count(lit(1)).as("c"))
-    var alive = edges.select(col("u").as("node")).distinct().localCheckpoint(true)
+    // alive sets only ever SHRINK (next joins against alive), so equal
+    // counts imply equal sets — the scalar fixpoint test is sound. Each
+    // tick's alive carries the degrees of the round that produced it:
+    // at fixpoint those ARE the final core degrees (the set stopped
+    // changing), so no post-loop recompute is needed, and the eager
+    // checkpoint cuts the returned plan's lineage from the edge cache
+    // before it unpersists.
+    var alive = edges.select(col("u").as("node")).distinct()
+      .withColumn("c", lit(0L)).localCheckpoint(true)
     var n = alive.count()
     var changed = true
     var it = 0
     while (changed && it < 50) {
       it += 1
-      val next = degrees(alive).filter(col("c") >= k)
-        .select(col("u").as("node")).localCheckpoint(true)
+      val next = degrees(alive.select("node")).filter(col("c") >= k)
+        .select(col("u").as("node"), col("c")).localCheckpoint(true)
       val m = next.count()
       changed = m != n
       alive.unpersist()
       alive = next
       n = m
     }
-    val result = degrees(alive)
-      .select(col("u").as("node"), col("c").as("degree"))
+    // a capped non-fixpoint result would be silently NOT a k-core — fail
+    // loudly instead (50 rounds >> any graph this serves; see OracleRounds)
+    require(!changed, s"kcore failed to reach fixpoint within $it rounds")
     edges.unpersist()
-    (result, it)
+    (alive.select(col("node"), col("c").as("degree")), it)
   }
+
+  /** Rounds the DuckDB oracle unrolls; the engine's peel count must stay
+    * strictly under it or the two diverge SILENTLY (a bare hash mismatch).
+    * Checked at run time in the registry query so a driver-data
+    * regeneration that deepens the peel fails with a diagnosis instead. */
+  private val OracleRounds = 12
 
   val kcoreQuery = GraftQuery(
     "graph_kcore",
-    (s, dir) => kcore(ccPairs(s, dir), 2)._1.orderBy(col("node")),
+    (s, dir) => {
+      val (core, ticks) = kcore(ccPairs(s, dir), 2)
+      // ticks includes the final no-change round, so effective peel depth
+      // is ticks-1; the oracle is exact while that stays <= OracleRounds-1
+      require(ticks <= OracleRounds - 1,
+        s"kcore peel depth $ticks exceeds the $OracleRounds-round unrolled oracle — " +
+          "raise OracleRounds and the oracle SQL together")
+      core.orderBy(col("node"))
+    },
     Some {
       // MATERIALIZED is load-bearing: DuckDB inlines CTEs by default, and
       // each round references the previous alive set twice — 12 inlined

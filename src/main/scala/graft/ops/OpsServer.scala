@@ -106,13 +106,21 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
           // apps, then close the ops surface — the SparkSession stays up (it
           // belongs to the caller, not the ops layer). Respond first; the
           // server stops on a detached thread so this exchange can flush.
+          // The response is already committed, so everything after runs in
+          // its own try: an app-stop exception must neither re-respond on
+          // the committed exchange nor skip the server stop.
           respond(x, 200, """{"status":"terminating"}""")
-          registry.active.foreach(q => try q.stop() catch { case _: Exception => })
-          registry.submitted.filter(_.status == "running")
-            .foreach(a => registry.killSubmitted(a.id))
-          val t = new Thread(() => server.stop(1), "graft-ops-terminate")
-          t.setDaemon(true)
-          t.start()
+          try {
+            registry.active.foreach(q => try q.stop() catch { case _: Exception => })
+            registry.submitted.filter(_.status == "running")
+              .foreach(a => registry.killSubmitted(a.id))
+          } catch {
+            case e: Exception => System.err.println(s"[ops] terminate cleanup: $e")
+          } finally {
+            val t = new Thread(() => server.stop(1), "graft-ops-terminate")
+            t.setDaemon(true)
+            t.start()
+          }
         case ("GET", "master" :: Nil) => respond(x, 200, masterSummary)
         case ("GET", "master" :: "applist" :: Nil) => respond(x, 200, registry.applist)
         case ("GET", "master" :: "config" :: Nil) => respond(x, 200, configJson)
@@ -314,8 +322,11 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
 }
 
 object OpsServer {
-  /** Kept in sync with build.sbt `ThisBuild / version`. */
-  val Version = "0.1.0"
+  /** Jar-manifest Implementation-Version when packaged; the build.sbt
+    * `ThisBuild / version` fallback covers classes-dir runs (tests,
+    * scripts/run_verify.sh), where no manifest exists. */
+  val Version: String =
+    Option(classOf[OpsServer].getPackage.getImplementationVersion).getOrElse("0.1.0")
 
   /** The reference's five builtin edge partitioners
     * (reference: streaming/src/main/scala/io/gearpump/streaming/Constants.scala:34-39)

@@ -11,6 +11,25 @@ object RedeployCollector {
 
 class OpsSpec extends SparkTestBase {
 
+  /** One HTTP round-trip against an OpsServer port — the single transport
+    * helper every test delegates to (each binds it to its own server). */
+  private def httpOn(port: Int, method: String, path: String,
+      body: String = null): (Int, String) = {
+    val conn = new java.net.URI(s"http://127.0.0.1:$port$path")
+      .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod(method)
+    if (body != null) {
+      conn.setDoOutput(true)
+      val os = conn.getOutputStream
+      try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally os.close()
+    }
+    val code = conn.getResponseCode
+    val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val out = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    is.close()
+    (code, out)
+  }
+
   test("applist/appDetail/metrics mirror the REST nouns for a live query") {
     import spark.implicits._
     val reg = new AppRegistry(spark)
@@ -82,15 +101,7 @@ class OpsSpec extends SparkTestBase {
     val in = GraftSource.memory[Int](spark)
     val q = in.toDS().writeStream.format("noop").queryName("ops_http").start()
 
-    def get(path: String): (Int, String) = {
-      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
-        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      val code = conn.getResponseCode
-      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      val body = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      is.close()
-      (code, body)
-    }
+    def get(path: String): (Int, String) = httpOn(srv.boundPort, "GET", path)
     try {
       in.addData(1 to 20: _*)
       q.processAllAvailable()
@@ -178,16 +189,7 @@ class OpsSpec extends SparkTestBase {
         .select(slowify(org.apache.spark.sql.functions.col("id")).as("id"))))
     val srv = new OpsServer(spark, reg, catalog = catalog).start()
 
-    def http(method: String, path: String): (Int, String) = {
-      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
-        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setRequestMethod(method)
-      val code = conn.getResponseCode
-      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      val body = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      is.close()
-      (code, body)
-    }
+    def http(method: String, path: String): (Int, String) = httpOn(srv.boundPort, method, path)
     def appId(body: String): String =
       "\"appId\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(body).get.group(1)
     try {
@@ -237,16 +239,7 @@ class OpsSpec extends SparkTestBase {
       "count_nation" -> ((s, dir) => graft.Tables.t(s, dir, "nation").groupBy().count()),
       "count_region" -> ((s, dir) => graft.Tables.t(s, dir, "region").groupBy().count()))
     val srv = new OpsServer(spark, reg, catalog = catalog).start()
-    def http(method: String, path: String): (Int, String) = {
-      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
-        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setRequestMethod(method)
-      val code = conn.getResponseCode
-      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      val body = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      is.close()
-      (code, body)
-    }
+    def http(method: String, path: String): (Int, String) = httpOn(srv.boundPort, method, path)
     def appId(body: String): String =
       "\"appId\":\"([0-9a-f-]+)\"".r.findFirstMatchIn(body).get.group(1)
     def status(id: String): String = {
@@ -356,16 +349,7 @@ class OpsSpec extends SparkTestBase {
       "boom" -> ((s, _) => s.read.parquet("/nonexistent/graft_errors_spec")))
     val srv = new OpsServer(spark, reg, catalog = catalog).start()
 
-    def http(method: String, path: String): (Int, String) = {
-      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
-        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setRequestMethod(method)
-      val code = conn.getResponseCode
-      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      val body = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      is.close()
-      (code, body)
-    }
+    def http(method: String, path: String): (Int, String) = httpOn(srv.boundPort, method, path)
     try {
       // workerlist: local[n] reports the single driver-executor with its
       // storage-memory capacity; the shape is the fleet view on a cluster
@@ -430,24 +414,8 @@ class OpsSpec extends SparkTestBase {
     val reg = new AppRegistry(spark)
     val srv = new OpsServer(spark, reg, catalog = Map.empty).start()
 
-    def post(path: String, body: String): (Int, String) = {
-      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
-        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setRequestMethod("POST"); conn.setDoOutput(true)
-      val os = conn.getOutputStream
-      try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally os.close()
-      val code = conn.getResponseCode
-      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      val out = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      is.close(); (code, out)
-    }
-    def get(path: String): String = {
-      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
-        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      val body = new String(conn.getInputStream.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8)
-      conn.getInputStream.close(); body
-    }
+    def post(path: String, body: String): (Int, String) = httpOn(srv.boundPort, "POST", path, body)
+    def get(path: String): String = httpOn(srv.boundPort, "GET", path)._2
     try {
       val dag = """{"table":"nation","sf":"/root/testdata/sf0.001",
                    |"where":"n_regionkey >= 0",
@@ -492,16 +460,7 @@ class OpsSpec extends SparkTestBase {
     import spark.implicits._
     val reg = new AppRegistry(spark)
     val srv = new OpsServer(spark, reg, catalog = Map.empty).start()
-    def http(method: String, path: String): (Int, String) = {
-      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
-        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setRequestMethod(method)
-      val code = conn.getResponseCode
-      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-      val body = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      is.close()
-      (code, body)
-    }
+    def http(method: String, path: String): (Int, String) = httpOn(srv.boundPort, method, path)
     try {
       // version (reference StaticService.scala:38)
       val (vc, vb) = http("GET", "/api/v1.0/version")
@@ -543,13 +502,17 @@ class OpsSpec extends SparkTestBase {
       in.addData(1, 2, 3); q.processAllAvailable()
       val (tc, tb) = http("POST", "/api/v1.0/terminate")
       assert(tc === 200 && tb.contains("terminating"), tb)
-      val deadline = System.currentTimeMillis() + 15000
-      while (q.isActive && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      // each wait gets its OWN deadline: a slow stream shutdown must not
+      // starve the connection-refused poll (which also absorbs the server
+      // stop's 1 s grace period)
+      val stopDeadline = System.currentTimeMillis() + 15000
+      while (q.isActive && System.currentTimeMillis() < stopDeadline) Thread.sleep(100)
       assert(!q.isActive, "terminate must stop active streaming queries")
       def refused(): Boolean =
         try { http("GET", "/api/v1.0/version"); false }
         catch { case _: java.net.ConnectException => true }
-      while (!refused() && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val refuseDeadline = System.currentTimeMillis() + 15000
+      while (!refused() && System.currentTimeMillis() < refuseDeadline) Thread.sleep(100)
       assert(refused(), "ops server must stop accepting connections after terminate")
       assert(!spark.sparkContext.isStopped, "terminate must not stop the caller's SparkSession")
     } finally { srv.stop(); reg.close() }
