@@ -754,10 +754,104 @@ object EventOps {
             FROM p WHERE e2 IS NOT NULL AND e3 IS NOT NULL
             GROUP BY 1 ORDER BY n DESC, path LIMIT 15"""))
 
+  /** LINEAR-INTERPOLATION RESAMPLE: [[resampleGrid]]'s 6h epoch grid, but
+    * each grid instant gets the TIME-WEIGHTED value between its surrounding
+    * events — v = prev + (next-prev) * (t-t_prev)/(t_next-t_prev) — instead
+    * of LOCF; past the last event the value holds (`mode` column says
+    * which). The other half of the industrial time-series resample pair
+    * (LOCF for state-like signals, linear for continuous measurements).
+    *
+    * Same single-window shape as LOCF: grid and events union once, one
+    * keyed ordered pass carries (prev_ts, prev_v) backward and
+    * (next_ts, next_v) forward — no self-join, no range join. Event rows
+    * sort BEFORE the grid row at the same instant, so an exact-hit grid
+    * point takes the event's value through a 0-numerator interpolation.
+    *
+    * Float discipline: the interpolation is the IDENTICAL IEEE op tree on
+    * both engines — long subtractions, exact long->double casts, one
+    * divide, one multiply, one add — so the result is bit-exact without
+    * rounding (grid spans [ceil(min), max], so prev always exists and
+    * t_next > t >= t_prev keeps the denominator positive). */
+  val resampleInterpolate = GraftQuery(
+    "ev_resample_interpolate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val step = 21600000000L // 6 h in microseconds
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("value").as("v"))
+      val grid = ev.groupBy(col("user_id"))
+        .agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+        .withColumn("start", expr(s"((mn + ${step - 1}) div $step) * $step"))
+        .filter(col("start") <= col("mx"))
+        .select(col("user_id"),
+          explode(expr(s"sequence(start, mx, $step)")).as("ts_us"))
+        .select(col("user_id"), col("ts_us"), lit(0L).as("event_id"),
+          lit(null).cast("long").as("ts_ev"), lit(null).cast("double").as("v"),
+          lit(1).as("is_grid"))
+      val union = ev
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("ts_us").as("ts_ev"), col("v"), lit(0).as("is_grid"))
+        .unionByName(grid)
+      val ord = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("is_grid"), col("event_id"))
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      union
+        .withColumn("prev_ts", last(col("ts_ev"), ignoreNulls = true).over(back))
+        .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(back))
+        .withColumn("next_ts", first(col("ts_ev"), ignoreNulls = true).over(fwd))
+        .withColumn("next_v", first(col("v"), ignoreNulls = true).over(fwd))
+        .filter(col("is_grid") === 1)
+        .select(col("user_id"),
+          expr("timestamp_micros(ts_us)").as("grid_ts"),
+          expr("""case when next_ts is null then prev_v
+                       else prev_v + (next_v - prev_v)
+                            * (cast(ts_us - prev_ts as double)
+                               / cast(next_ts - prev_ts as double)) end""")
+            .as("v_interp"),
+          expr("case when next_ts is null then 'hold' else 'interp' end").as("mode"))
+        .orderBy(col("user_id"), col("grid_ts"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value AS v
+                        FROM events),
+            b AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
+                  FROM ev GROUP BY user_id),
+            grid AS (SELECT user_id,
+                       unnest(generate_series(((mn + 21599999999) // 21600000000) * 21600000000,
+                                              mx, 21600000000)) AS ts_us
+                     FROM b
+                     WHERE ((mn + 21599999999) // 21600000000) * 21600000000 <= mx),
+            u AS (SELECT user_id, ts_us, CAST(0 AS BIGINT) AS event_id,
+                    CAST(NULL AS BIGINT) AS ts_ev, CAST(NULL AS DOUBLE) AS v,
+                    1 AS is_grid FROM grid
+                  UNION ALL
+                  SELECT user_id, ts_us, event_id, ts_us, v, 0 FROM ev),
+            f AS (SELECT user_id, ts_us, is_grid,
+                    last_value(ts_ev IGNORE NULLS) OVER w_back AS prev_ts,
+                    last_value(v IGNORE NULLS) OVER w_back AS prev_v,
+                    first_value(ts_ev IGNORE NULLS) OVER w_fwd AS next_ts,
+                    first_value(v IGNORE NULLS) OVER w_fwd AS next_v
+                  FROM u
+                  WINDOW
+                    w_back AS (PARTITION BY user_id
+                               ORDER BY ts_us, is_grid, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    w_fwd AS (PARTITION BY user_id
+                              ORDER BY ts_us, is_grid, event_id
+                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+            SELECT user_id, make_timestamp(ts_us) AS grid_ts,
+              CASE WHEN next_ts IS NULL THEN prev_v
+                   ELSE prev_v + (next_v - prev_v)
+                        * (CAST(ts_us - prev_ts AS DOUBLE)
+                           / CAST(next_ts - prev_ts AS DOUBLE)) END AS v_interp,
+              CASE WHEN next_ts IS NULL THEN 'hold' ELSE 'interp' END AS mode
+            FROM f WHERE is_grid = 1 ORDER BY user_id, grid_ts"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
     intervalJoinAuto, intervalJoinBetween, cepPairs, forwardFill,
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
-    interarrivalStats)
+    interarrivalStats, resampleInterpolate)
 }
