@@ -991,9 +991,89 @@ object Similarity {
               AND floor((d6 - mean6) / std6 * 1e4 + 0.5) / 1e4 >= 2.0
             ORDER BY vec_id"""))
 
+  /** DIMENSION-TRUNCATION RECALL EVAL (Matryoshka-style planning): for
+    * each dim budget D in {8,16,32,64}, rank the corpus by cosine over the
+    * FIRST D components (both sides truncated — the MRL convention) and
+    * report recall@10 against the full-width exact top-10. This is the
+    * storage/recall planning table for truncatable embeddings: it answers
+    * "how many dims can the index drop before recall degrades", the same
+    * question [[annRecallEval]] answers for cell pruning.
+    *
+    * Shape: ONE corpus x 8-broadcast-query pass, the budget explode
+    * multiplies rows 4x BEFORE scoring so every (query, budget) ranking
+    * shares the scan; only (q_id, budget, vec_id) triples reach the
+    * ranking window and the recall join. Same round-4 + vec_id tie-break
+    * determinism as every ANN ranking here. */
+  val dimTruncationEval = GraftQuery(
+    "ann_dim_truncation_eval",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def dotD(a: String, b: String) = expr(
+        s"""aggregate(zip_with(slice($a, 1, d_budget), slice($b, 1, d_budget),
+            (x, y) -> cast(x as double) * cast(y as double)),
+            cast(0.0 as double), (acc, v) -> acc + v)""")
+      val top = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("d_budget", explode(array(lit(8), lit(16), lit(32), lit(64))))
+        .withColumn("cs", round(
+          dotD("embedding", "q_emb") /
+            (sqrt(dotD("embedding", "embedding")) * sqrt(dotD("q_emb", "q_emb"))), 4))
+        .withColumn("rank", row_number().over(Window
+          .partitionBy(col("q_id"), col("d_budget"))
+          .orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("d_budget"), col("vec_id"))
+      val exact = top.filter(col("d_budget") === 64)
+        .select(col("q_id"), col("vec_id"))
+      val hits = top.join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id"), col("d_budget")).agg(count(lit(1)).as("n_hit"))
+      // a budget can score ZERO exact hits — keep its row via the grid
+      top.select(col("q_id"), col("d_budget")).distinct()
+        .join(hits, Seq("q_id", "d_budget"), "left")
+        .select(col("q_id"), col("d_budget"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(10.0)).as("recall_at_10"))
+        .orderBy(col("q_id"), col("d_budget"))
+    },
+    Some {
+      def dotD(a: String, b: String) =
+        s"""list_sum(list_transform(generate_series(1, d.d_budget),
+            i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"""
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                     FROM embeddings WHERE vec_id < 8),
+           d AS (SELECT unnest([8, 16, 32, 64]) AS d_budget),
+           scored AS (
+             SELECT q.q_id, d.d_budget, e.vec_id,
+               round(${dotD("e.embedding", "q.q_emb")}
+                 / (sqrt(${dotD("e.embedding", "e.embedding")})
+                    * sqrt(${dotD("q.q_emb", "q.q_emb")})), 4) AS cs
+             FROM embeddings e CROSS JOIN q CROSS JOIN d
+             WHERE e.vec_id <> q.q_id),
+           top AS (SELECT q_id, d_budget, vec_id FROM (
+                     SELECT q_id, d_budget, vec_id,
+                       row_number() OVER (PARTITION BY q_id, d_budget
+                         ORDER BY cs DESC, vec_id) AS rank
+                     FROM scored)
+                   WHERE rank <= 10),
+           exact AS (SELECT q_id, vec_id FROM top WHERE d_budget = 64),
+           hits AS (SELECT t.q_id, t.d_budget, count(*) AS n_hit
+                    FROM top t JOIN exact x
+                      ON x.q_id = t.q_id AND x.vec_id = t.vec_id
+                    GROUP BY t.q_id, t.d_budget),
+           grid AS (SELECT DISTINCT q_id, d_budget FROM top)
+           SELECT g.q_id, g.d_budget,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall_at_10
+           FROM grid g LEFT JOIN hits h
+             ON h.q_id = g.q_id AND h.d_budget = g.d_budget
+           ORDER BY g.q_id, g.d_budget"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
-      randomProjection, annRecallEval, oodScore)
+      randomProjection, annRecallEval, oodScore, dimTruncationEval)
 }

@@ -22,6 +22,7 @@ class PlanLintSpec extends SparkTestBase {
     "q38_range_join",
     // ≤8 query vectors broadcast against the corpus (map-side scoring)
     "ann_cosine_topk", "ann_range_search", "ann_recall_eval",
+    "ann_dim_truncation_eval",
     // documented all-pairs correctness baseline
     "dedup_embedding",
     // crossJoin(broadcast(k centroids / seed set)) — nearest-seed assignment
