@@ -181,6 +181,107 @@ object Curation {
             FROM scored GROUP BY doc_id ORDER BY doc_id"""),
     headline = true)
 
+  /** STUPID-BACKOFF LM SCORING (Brants et al. 2007, "Large Language Models
+    * in Machine Translation" — the web-scale scoring scheme): score a
+    * HELD-OUT slice (doc_id % 5 == 0) under a model built on the REST, so
+    * unseen bigrams genuinely occur and the backoff path is exercised —
+    * scoring the training corpus with its own model (the [[lmBigramScore]]
+    * setup) can never back off. The driver corpus's vocabulary is tiny, so
+    * its bigram space is almost fully covered; each eval doc additionally
+    * gets one planted doc-specific token (the piiScrub discipline), which
+    * guarantees the unseen-bigram AND OOV-unigram paths both fire at every
+    * SF instead of being vacuously green. Per eval bigram (w1 w2):
+    * seen in train -> ln(c(w1 w2)/c(w1 ·)); unseen -> ln(0.4 * (c(w2)+1)
+    * / (T+V)) (add-one keeps OOV w2 total). No normalization across
+    * continuations — that deliberate cheapness is the published method.
+    *
+    * Shapes: train corpus is scanned twice at model build (bigram facts,
+    * unigram counts), eval corpus once; scoring is two key-partitioned
+    * LEFT joins (bigram model on bg, unigram model on w2) plus a 2-scalar
+    * broadcast (T, V). Float discipline: each ln argument is a single
+    * division (times the 0.4 constant on the backoff path) and every term
+    * is integer-scaled (floor(x*1e6+0.5)) BEFORE summation — the dsir
+    * discipline, aggregation-order-proof. */
+  val lmBackoffScore = GraftQuery(
+    "lm_backoff_score",
+    (s, dir) => {
+      def toks(train: Boolean) =
+        t(s, dir, "documents")
+          .filter(if (train) col("doc_id") % 5 =!= 0 else col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            split(if (train) col("text")
+                  else concat(col("text"), lit(" zq"), col("doc_id").cast("string")),
+              " ").as("w"))
+      def bigrams(train: Boolean) =
+        toks(train).filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(w)-2),
+               i -> struct(w[i] as w1, w[i+1] as w2))""")).as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"),
+            concat_ws(" ", col("b.w1"), col("b.w2")).as("bg"))
+      // bigram model with its prefix totals (one shuffle of model rows)
+      val model = bigrams(train = true).groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+        .withColumn("c_w1", sum(col("c_bg")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(substring_index(col("bg"), " ", 1))))
+      val uni = toks(train = true)
+        .select(explode(col("w")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c_u"))
+      val scalars = broadcast(uni.agg(
+        sum(col("c_u")).as("tt"), count(lit(1)).as("vv")))
+      bigrams(train = false)
+        .join(model.select(col("bg"), col("c_bg"), col("c_w1")), Seq("bg"), "left")
+        .join(uni.select(col("tok").as("w2"), col("c_u")), Seq("w2"), "left")
+        .crossJoin(scalars)
+        .withColumn("term", expr(
+          """cast(floor(case
+               when c_bg is not null
+                 then ln(cast(c_bg as double) / cast(c_w1 as double))
+               else ln(0.4 * (cast(coalesce(c_u, 0) + 1 as double)
+                              / cast(tt + vv as double)))
+             end * 1e6 + 0.5) as bigint)"""))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_backoff"),
+          sum(col("term")).as("score_scaled"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents WHERE doc_id % 5 <> 0),
+            ev AS (SELECT doc_id,
+                     string_split(text || ' zq' || CAST(doc_id AS VARCHAR), ' ') AS w
+                   FROM documents WHERE doc_id % 5 = 0),
+            trbg AS (SELECT
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i+1])) AS w2
+              FROM tr WHERE len(w) >= 2),
+            model AS (SELECT w1, w2, count(*) AS c_bg FROM trbg GROUP BY w1, w2),
+            pfx AS (SELECT w1, count(*) AS c_w1 FROM trbg GROUP BY w1),
+            uni AS (SELECT tok, count(*) AS c_u
+                    FROM (SELECT unnest(w) AS tok FROM tr) GROUP BY tok),
+            sc AS (SELECT CAST(sum(c_u) AS BIGINT) AS tt,
+                          count(*) AS vv FROM uni),
+            evbg AS (SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i+1])) AS w2
+              FROM ev WHERE len(w) >= 2),
+            terms AS (SELECT e.doc_id, m.c_bg,
+                CAST(floor(CASE
+                    WHEN m.c_bg IS NOT NULL
+                      THEN ln(CAST(m.c_bg AS DOUBLE) / CAST(p.c_w1 AS DOUBLE))
+                    ELSE ln(0.4 * (CAST(coalesce(u.c_u, 0) + 1 AS DOUBLE)
+                                   / CAST(s.tt + s.vv AS DOUBLE)))
+                  END * 1e6 + 0.5) AS BIGINT) AS term
+              FROM evbg e
+              LEFT JOIN model m ON m.w1 = e.w1 AND m.w2 = e.w2
+              LEFT JOIN pfx p ON p.w1 = e.w1
+              LEFT JOIN uni u ON u.tok = e.w2
+              CROSS JOIN sc s)
+            SELECT doc_id, count(*) AS n_bigrams,
+              CAST(sum(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+              CAST(sum(term) AS BIGINT) AS score_scaled
+            FROM terms GROUP BY doc_id ORDER BY doc_id"""))
+
   // multilingual stop-marker list: the union of the langId marker sets
   private val Stops = Seq("the", "a", "of", "der", "die", "das",
     "el", "los", "una", "le", "la", "les")
@@ -577,5 +678,5 @@ object Curation {
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
-      tokenBudget)
+      tokenBudget, lmBackoffScore)
 }
