@@ -377,7 +377,43 @@ object Sampling {
               source
             FROM sched ORDER BY epoch, position"""))
 
+  /** WEIGHTED SAMPLE WITHOUT REPLACEMENT (Efraimidis-Spirtakis A-ES,
+    * public method): each document draws a deterministic uniform u from its
+    * content hash and ranks by the MONOTONE-EQUIVALENT key ln(u)/w (the
+    * published u^(1/w) maximization without pow — one ln, one division, no
+    * cross-engine pow drift); the top-k by key ARE a weighted sample
+    * without replacement with inclusion tilted by w. Weight here: n_chars
+    * (the stand-in for a quality/utility score — "prefer substantial
+    * documents"). The seed-free deterministic cousin of the quality-biased
+    * sampling every curation pipeline runs: every engine, shard and re-run
+    * selects the same set ([[hashSample]]'s discipline, but weighted).
+    *
+    * Scale shape: scoring is a pure map-side expression; selection is
+    * orderBy+limit = TakeOrderedAndProject (local k per partition, no
+    * global sort — the [[sampleK]] plan). The key is integer-scaled
+    * (floor(x*1e9+0.5)) so ranking compares exact integers with a doc_id
+    * tie-break. */
+  val weightedSample = GraftQuery(
+    "curation_weighted_sample",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          expr("""cast(floor(
+               ln((cast(conv(substring(md5(concat('ws:', text)), 1, 6), 16, 10)
+                     as double) + 1.0d) / 16777216.0d)
+               / cast(n_chars as double) * 1e9 + 0.5) as bigint)""").as("k_scaled"))
+        .orderBy(col("k_scaled").desc, col("doc_id"))
+        .limit(20),
+    Some("""SELECT doc_id, n_chars, k_scaled FROM (
+              SELECT doc_id, n_chars,
+                CAST(floor(
+                  ln((CAST(CAST(('0x' || substring(md5('ws:' || text), 1, 6)) AS BIGINT)
+                        AS DOUBLE) + 1.0) / 16777216.0)
+                  / CAST(n_chars AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS k_scaled
+              FROM documents)
+            ORDER BY k_scaled DESC, doc_id LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
     stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources,
-    sampleK, epochSchedule)
+    sampleK, epochSchedule, weightedSample)
 }
