@@ -521,7 +521,74 @@ object TextAnalysis {
           GROUP BY doc_id ORDER BY doc_id"""
     })
 
+  /** ZIPF FIT (corpus-health diagnostic): least-squares slope of
+    * ln(freq) vs ln(rank) over the top-1000 tokens — natural language sits
+    * near slope -1; synthetic/templated/spammy corpora drift hard away, so
+    * the slope (and its r^2) is a one-row drift alarm for an ingest
+    * pipeline. Fit window = top-1000 by frequency (TakeOrderedAndProject —
+    * at web scale the vocab is millions of rows but the fit never needs
+    * more than the head).
+    *
+    * Float discipline: each ln is a single call scaled to an exact integer
+    * (floor(x*1e6+0.5), the dsir idiom); all the regression moments are
+    * then EXACT integer sums in decimal128/HUGEINT (n*Sxy overflows int64
+    * at 1e6 scale), and slope/r^2 each end in one division of exactly-cast
+    * doubles — aggregation order cannot flip a bit. */
+  val zipfFit = GraftQuery(
+    "text_zipf_fit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val freqs = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(1000)
+      freqs
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+        .select(
+          expr("cast(floor(ln(cast(rank as double)) * 1e6 + 0.5) as bigint)").as("x6"),
+          expr("cast(floor(ln(cast(c as double)) * 1e6 + 0.5) as bigint)").as("y6"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(expr("cast(x6 as decimal(38,0))")).as("sx"),
+          sum(expr("cast(y6 as decimal(38,0))")).as("sy"),
+          sum(expr("cast(x6 as decimal(38,0)) * y6")).as("sxy"),
+          sum(expr("cast(x6 as decimal(38,0)) * x6")).as("sxx"),
+          sum(expr("cast(y6 as decimal(38,0)) * y6")).as("syy"))
+        .select(col("n").as("n_fit"),
+          expr("""floor(cast(n * sxy - sx * sy as double)
+                  / cast(n * sxx - sx * sx as double) * 1e6 + 0.5) / 1e6""")
+            .as("slope"),
+          expr("""floor(cast(n * sxy - sx * sy as double)
+                    * cast(n * sxy - sx * sy as double)
+                  / (cast(n * sxx - sx * sx as double)
+                     * cast(n * syy - sy * sy as double)) * 1e6 + 0.5) / 1e6""")
+            .as("r2"))
+    },
+    Some("""WITH f AS (SELECT tok, count(*) AS c
+                       FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                             FROM documents)
+                       GROUP BY tok ORDER BY c DESC, tok LIMIT 1000),
+            r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rank
+                  FROM f),
+            p AS (SELECT
+                    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS x6,
+                    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS y6
+                  FROM r),
+            m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                    sum(x6) AS sx, sum(y6) AS sy, sum(x6 * y6) AS sxy,
+                    sum(x6 * x6) AS sxx, sum(y6 * y6) AS syy
+                  FROM p)
+            SELECT CAST(n AS BIGINT) AS n_fit,
+              floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS slope,
+              floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE)
+                / (CAST(n * sxx - sx * sx AS DOUBLE)
+                   * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS r2
+            FROM m"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
-      cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode)
+      cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit)
 }
