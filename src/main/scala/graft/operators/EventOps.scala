@@ -848,10 +848,52 @@ object EventOps {
               CASE WHEN next_ts IS NULL THEN 'hold' ELSE 'interp' END AS mode
             FROM f WHERE is_grid = 1 ORDER BY user_id, grid_ts"""))
 
+  /** DAILY ACTIVES + GROWTH (the product-analytics counterpart of
+    * [[cohortRetention]]): per event-time day — events, distinct active
+    * users, first-seen ("new") users, and the cumulative user count. Two
+    * keyed aggregations (events by day; users by their min-day) meet in a
+    * left join on day, and the cumulative sum is a window over day rows
+    * (a few thousand rows for years of data — never event-sized). All
+    * counts are exact integers. */
+  val dailyActive = GraftQuery(
+    "ev_daily_active",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val byDay = ev.groupBy(col("day")).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_active"))
+      val newByDay = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new"))
+      byDay.join(newByDay, Seq("day"), "left")
+        .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+        .withColumn("cum_users",
+          sum(col("n_new")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("day"), col("n_events"), col("n_active"),
+          col("n_new"), col("cum_users"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+            byday AS (SELECT day, count(*) AS n_events,
+                        count(DISTINCT user_id) AS n_active
+                      FROM ev GROUP BY day),
+            firstseen AS (SELECT user_id, min(day) AS day FROM ev GROUP BY user_id),
+            newby AS (SELECT day, count(*) AS n_new FROM firstseen GROUP BY day)
+            SELECT b.day, b.n_events, b.n_active,
+              CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+              CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY b.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_users
+            FROM byday b LEFT JOIN newby n ON n.day = b.day
+            ORDER BY b.day"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
     intervalJoinAuto, intervalJoinBetween, cepPairs, forwardFill,
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
-    interarrivalStats, resampleInterpolate)
+    interarrivalStats, resampleInterpolate, dailyActive)
 }
