@@ -576,8 +576,11 @@ object TextAnalysis {
                     CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS HUGEINT) AS y6
                   FROM r),
             m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
-                    sum(x6) AS sx, sum(y6) AS sy, sum(x6 * y6) AS sxy,
-                    sum(x6 * x6) AS sxx, sum(y6 * y6) AS syy
+                    CAST(sum(x6) AS HUGEINT) AS sx,
+                    CAST(sum(y6) AS HUGEINT) AS sy,
+                    CAST(sum(x6 * y6) AS HUGEINT) AS sxy,
+                    CAST(sum(x6 * x6) AS HUGEINT) AS sxx,
+                    CAST(sum(y6 * y6) AS HUGEINT) AS syy
                   FROM p)
             SELECT CAST(n AS BIGINT) AS n_fit,
               floor(CAST(n * sxy - sx * sy AS DOUBLE)
