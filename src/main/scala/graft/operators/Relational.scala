@@ -1059,6 +1059,49 @@ object Relational {
               FROM lineitem WHERE l_orderkey <= 100)
             ORDER BY l_orderkey, l_linenumber, metric"""))
 
+  /** TPC-H Q17 shape: revenue lost to SMALL-QUANTITY orders of selected
+    * brands — the CORRELATED AGGREGATE subquery pattern (`l_quantity <
+    * 0.5 * avg(l_quantity) per part`), the aggregate-in-subquery cousin of
+    * [[q21Subquery]]'s EXISTS decorrelation. Spelled decorrelated: the
+    * brand part list broadcasts, the per-part quantity stats are one
+    * key-partitioned aggregate over the brand-restricted fact rows (Q17's
+    * correlation makes the unrestricted and restricted stats identical per
+    * part), and the threshold is the exact integer cross-multiplication
+    * 2*q*cnt < sum_q — quantities are integral, so no division and no
+    * float ever enters the predicate. Revenue in exact integer cents (the
+    * q1/q43 discipline). */
+  val q46SmallQty = GraftQuery(
+    "q46_small_qty_revenue",
+    (s, dir) => {
+      val parts = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#11", "Brand#12"))
+        .select(col("p_partkey"))
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          col("l_quantity").cast("long").as("q"),
+          expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"))
+      val stats = li.groupBy(col("l_partkey"))
+        .agg(sum(col("q")).as("sum_q"), count(lit(1)).as("cnt"))
+      li.join(stats, Seq("l_partkey"))
+        .filter(lit(2L) * col("q") * col("cnt") < col("sum_q"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("cents")).as("sum_cents"))
+        .select(col("n_lines"), col("sum_cents"),
+          expr("sum_cents div 7").as("avg_yearly_cents"))
+    },
+    Some("""WITH p AS (SELECT p_partkey FROM part
+                       WHERE p_brand IN ('Brand#11', 'Brand#12')),
+            li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+                     CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+                   FROM lineitem JOIN p ON p_partkey = l_partkey),
+            st AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sum_q,
+                     count(*) AS cnt
+                   FROM li GROUP BY l_partkey)
+            SELECT count(*) AS n_lines, CAST(sum(cents) AS BIGINT) AS sum_cents,
+              CAST(sum(cents) // 7 AS BIGINT) AS avg_yearly_cents
+            FROM li JOIN st USING (l_partkey)
+            WHERE 2 * q * cnt < sum_q"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -1067,5 +1110,6 @@ object Relational {
     q23Percentile, q24Pivot, q25Explode, q26Having, q29ArrayFuncs, q30MapFuncs,
     q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets,
     q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
-    q41Median, q42LateralTopN, q43JoinSix, q44MarketShare, q45Unpivot)
+    q41Median, q42LateralTopN, q43JoinSix, q44MarketShare, q45Unpivot,
+    q46SmallQty)
 }
