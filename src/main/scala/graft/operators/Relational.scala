@@ -1102,6 +1102,43 @@ object Relational {
             FROM li JOIN st USING (l_partkey)
             WHERE 2 * q * cnt < sum_q"""))
 
+  /** TPC-H Q18 shape: LARGE-VOLUME ORDERS — the IN-(GROUP BY ... HAVING)
+    * subquery pattern, decorrelated to a plain join against the per-order
+    * quantity aggregate (which also supplies the reported sum, so the
+    * subquery result is computed ONCE, never re-aggregated). Quantity sums
+    * are exact longs, the price in integer cents, and the top-100 by price
+    * is TakeOrderedAndProject — no global sort. The customer join is left
+    * to the planner: at bench scale it broadcasts, at 100 TB customer is
+    * fact-sized and AQE picks the shuffled join. */
+  val q47LargeOrders = GraftQuery(
+    "q47_large_orders",
+    (s, dir) => {
+      val qty = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").as("total_cents"))
+      val cust = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      orders.join(qty, col("o_orderkey") === col("l_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("total_cents"), col("sum_qty"))
+        .orderBy(col("total_cents").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""WITH qty AS (SELECT l_orderkey,
+                     CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+                   FROM lineitem GROUP BY l_orderkey
+                   HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS total_cents,
+              sum_qty
+            FROM orders JOIN qty ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_cents DESC, o_orderkey LIMIT 100"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -1111,5 +1148,5 @@ object Relational {
     q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets,
     q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
     q41Median, q42LateralTopN, q43JoinSix, q44MarketShare, q45Unpivot,
-    q46SmallQty)
+    q46SmallQty, q47LargeOrders)
 }
