@@ -791,7 +791,11 @@ object EventOps {
           lit(1).as("is_grid"))
       val union = ev
         .select(col("user_id"), col("ts_us"), col("event_id"),
-          col("ts_us").as("ts_ev"), col("v"), lit(0).as("is_grid"))
+          // a null-valued observation must not anchor: its ts_ev is null so
+          // prev_ts/prev_v (and next_ts/next_v) always come from the SAME
+          // event — else t_prev and v_prev could pair from different rows
+          when(col("v").isNotNull, col("ts_us")).as("ts_ev"),
+          col("v"), lit(0).as("is_grid"))
         .unionByName(grid)
       val ord = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_us"), col("is_grid"), col("event_id"))
@@ -826,7 +830,8 @@ object EventOps {
                     CAST(NULL AS BIGINT) AS ts_ev, CAST(NULL AS DOUBLE) AS v,
                     1 AS is_grid FROM grid
                   UNION ALL
-                  SELECT user_id, ts_us, event_id, ts_us, v, 0 FROM ev),
+                  SELECT user_id, ts_us, event_id,
+                    CASE WHEN v IS NOT NULL THEN ts_us END, v, 0 FROM ev),
             f AS (SELECT user_id, ts_us, is_grid,
                     last_value(ts_ev IGNORE NULLS) OVER w_back AS prev_ts,
                     last_value(v IGNORE NULLS) OVER w_back AS prev_v,

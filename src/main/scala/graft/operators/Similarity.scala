@@ -999,11 +999,13 @@ object Similarity {
     * "how many dims can the index drop before recall degrades", the same
     * question [[annRecallEval]] answers for cell pruning.
     *
-    * Shape: ONE corpus x 8-broadcast-query pass, the budget explode
-    * multiplies rows 4x BEFORE scoring so every (query, budget) ranking
-    * shares the scan; only (q_id, budget, vec_id) triples reach the
-    * ranking window and the recall join. Same round-4 + vec_id tie-break
-    * determinism as every ANN ranking here. */
+    * Shape: a corpus x 8-broadcast-query scoring pass with the budget
+    * explode BEFORE scoring so every (query, budget) ranking shares the
+    * scan; only (q_id, budget, vec_id) triples reach the ranking window
+    * and the recall join (the ranked subtree executes once per consumer —
+    * twice — and the zero-hit grid is enumerated literally, never from the
+    * ranking). Same round-4 + vec_id tie-break determinism as every ANN
+    * ranking here. */
   val dimTruncationEval = GraftQuery(
     "ann_dim_truncation_eval",
     (s, dir) => {
@@ -1029,8 +1031,12 @@ object Similarity {
         .select(col("q_id"), col("vec_id"))
       val hits = top.join(exact, Seq("q_id", "vec_id"), "left_semi")
         .groupBy(col("q_id"), col("d_budget")).agg(count(lit(1)).as("n_hit"))
-      // a budget can score ZERO exact hits — keep its row via the grid
-      top.select(col("q_id"), col("d_budget")).distinct()
+      // a budget can score ZERO exact hits — keep its row via the grid.
+      // The grid is literally q_ids x budgets (32 rows): enumerating it
+      // from `top` would re-execute the whole scoring subtree a third time
+      val grid = q.select(col("q_id"))
+        .withColumn("d_budget", explode(array(lit(8), lit(16), lit(32), lit(64))))
+      grid
         .join(hits, Seq("q_id", "d_budget"), "left")
         .select(col("q_id"), col("d_budget"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
@@ -1062,7 +1068,7 @@ object Similarity {
                     FROM top t JOIN exact x
                       ON x.q_id = t.q_id AND x.vec_id = t.vec_id
                     GROUP BY t.q_id, t.d_budget),
-           grid AS (SELECT DISTINCT q_id, d_budget FROM top)
+           grid AS (SELECT q.q_id, d.d_budget FROM q CROSS JOIN d)
            SELECT g.q_id, g.d_budget,
              CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
              CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall_at_10

@@ -555,15 +555,21 @@ object TextAnalysis {
           sum(expr("cast(x6 as decimal(38,0)) * y6")).as("sxy"),
           sum(expr("cast(x6 as decimal(38,0)) * x6")).as("sxx"),
           sum(expr("cast(y6 as decimal(38,0)) * y6")).as("syy"))
+        // degenerate fits (constant frequency or a single token) zero a
+        // denominator; 0/0 NaN renders differently across engines (Spark's
+        // floor maps NaN to 0, DuckDB propagates), so guard to null — the
+        // ev_anomaly_zscore std>0 discipline
         .select(col("n").as("n_fit"),
-          expr("""floor(cast(n * sxy - sx * sy as double)
-                  / cast(n * sxx - sx * sx as double) * 1e6 + 0.5) / 1e6""")
-            .as("slope"),
-          expr("""floor(cast(n * sxy - sx * sy as double)
-                    * cast(n * sxy - sx * sy as double)
-                  / (cast(n * sxx - sx * sx as double)
-                     * cast(n * syy - sy * sy as double)) * 1e6 + 0.5) / 1e6""")
-            .as("r2"))
+          expr("""case when n * sxx - sx * sx > 0
+                    then floor(cast(n * sxy - sx * sy as double)
+                         / cast(n * sxx - sx * sx as double) * 1e6 + 0.5) / 1e6
+                  end""").as("slope"),
+          expr("""case when n * sxx - sx * sx > 0 and n * syy - sy * sy > 0
+                    then floor(cast(n * sxy - sx * sy as double)
+                           * cast(n * sxy - sx * sy as double)
+                         / (cast(n * sxx - sx * sx as double)
+                            * cast(n * syy - sy * sy as double)) * 1e6 + 0.5) / 1e6
+                  end""").as("r2"))
     },
     Some("""WITH f AS (SELECT tok, count(*) AS c
                        FROM (SELECT unnest(string_split(text, ' ')) AS tok
@@ -583,12 +589,16 @@ object TextAnalysis {
                     CAST(sum(y6 * y6) AS HUGEINT) AS syy
                   FROM p)
             SELECT CAST(n AS BIGINT) AS n_fit,
-              floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6 AS slope,
-              floor(CAST(n * sxy - sx * sy AS DOUBLE)
-                  * CAST(n * sxy - sx * sy AS DOUBLE)
-                / (CAST(n * sxx - sx * sx AS DOUBLE)
-                   * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS r2
+              CASE WHEN n * sxx - sx * sx > 0
+                THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6
+              END AS slope,
+              CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                       * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6
+              END AS r2
             FROM m"""))
 
   val all: Seq[GraftQuery] =

@@ -47,31 +47,44 @@ final class InterpolateProcessor(stepMs: Long)
       timers: TimerValues): Iterator[InterpOut] = {
     var s = if (state.exists()) state.get() else ItState(None, None, None)
     val out = Seq.newBuilder[InterpOut]
-    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-      e.v.foreach { v =>
-        val t = e.ts.getTime
-        if (s.nextG.isEmpty)
-          s = s.copy(nextG = Some(((t + stepMs - 1) / stepMs) * stepMs))
-        (s.prevT, s.prevV) match {
-          case (Some(t0), Some(v0)) =>
-            // instants strictly between the anchors interpolate — the
-            // ev_resample_interpolate op tree, bit for bit
-            while (s.nextG.exists(_ < t)) {
-              val g = s.nextG.get
-              out += InterpOut(key, g,
-                v0 + (v - v0) * ((g - t0).toDouble / (t - t0).toDouble))
-              s = s.copy(nextG = Some(g + stepMs))
-            }
-          case _ => () // first observation: no earlier anchor, nothing between
-        }
-        if (s.nextG.contains(t)) { // exact hit: the observation's own value
-          out += InterpOut(key, t, v)
-          s = s.copy(nextG = Some(t + stepMs))
-        }
-        // invariant: nextG > t from here, so future pending instants always
-        // sit strictly between this observation and the next one
-        s = s.copy(prevT = Some(t), prevV = Some(v))
+    // valued observations in (ts, event_id) order, then grouped into runs
+    // of equal ts: the batch leg's ordered window sees the FIRST of a run
+    // as the next-anchor for instants before it and the LAST as both the
+    // exact-hit value and the prev-anchor afterwards — mirror that here.
+    // (A run split across micro-batches is outside the ordering contract,
+    // like any other out-of-order delivery.)
+    val obs = rows.toSeq.filter(_.v.isDefined)
+      .sortBy(e => (e.ts.getTime, e.event_id))
+      .map(e => (e.ts.getTime, e.v.get))
+    var i = 0
+    while (i < obs.length) {
+      var j = i + 1
+      while (j < obs.length && obs(j)._1 == obs(i)._1) j += 1
+      val t = obs(i)._1
+      val vFirst = obs(i)._2
+      val vLast = obs(j - 1)._2
+      if (s.nextG.isEmpty)
+        s = s.copy(nextG = Some(((t + stepMs - 1) / stepMs) * stepMs))
+      (s.prevT, s.prevV) match {
+        case (Some(t0), Some(v0)) =>
+          // instants strictly between the anchors interpolate — the
+          // ev_resample_interpolate op tree, bit for bit
+          while (s.nextG.exists(_ < t)) {
+            val g = s.nextG.get
+            out += InterpOut(key, g,
+              v0 + (vFirst - v0) * ((g - t0).toDouble / (t - t0).toDouble))
+            s = s.copy(nextG = Some(g + stepMs))
+          }
+        case _ => () // first observation: no earlier anchor, nothing between
       }
+      if (s.nextG.contains(t)) { // exact hit: the run's last value, raw
+        out += InterpOut(key, t, vLast)
+        s = s.copy(nextG = Some(t + stepMs))
+      }
+      // invariant: nextG > t from here, so future pending instants always
+      // sit strictly between this run and the next one
+      s = s.copy(prevT = Some(t), prevV = Some(vLast))
+      i = j
     }
     state.update(s)
     out.result().iterator

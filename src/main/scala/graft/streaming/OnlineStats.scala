@@ -8,13 +8,15 @@ final case class ZsOut(event_id: Long, user_id: Long, n_seen: Long,
     z: Option[Double], anomalous: Boolean)
 final case class ZsState(n: Long, mean: Double, m2: Double)
 
-/** ONLINE Z-SCORE ANOMALY SCORING — the ingest-time counterpart of the
-  * batch `ev_anomaly_zscore` query, with the semantics a stream actually
+/** ONLINE Z-SCORE ANOMALY SCORING with the semantics a stream actually
   * admits: each observation is scored against the running mean/variance of
-  * everything BEFORE it (Welford's online moments — one (n, mean, M2)
-  * triple per key), then folded in. The batch query scores against global
-  * stats, which needs the whole series; the prefix form is the standard
-  * online variant and converges to it as n grows.
+  * everything BEFORE it on its own key (Welford's online moments — one
+  * (n, mean, M2) triple per key), then folded in. This is deliberately NOT
+  * the batch `ev_anomaly_zscore` reproduced online: that query pools stats
+  * per event_type across the whole series, a population a stream can only
+  * have in hindsight — the per-key prefix form is the standard online
+  * detector (score against what this key has done so far). The flag
+  * boundary (abs(z) >= Threshold, inclusive) matches the batch query's.
   *
   * A score needs n >= MinN prior observations (else z is None and nothing
   * flags) — the cold-start guard every online detector ships. Welford's
@@ -48,7 +50,7 @@ object OnlineStats {
               val mean1 = s.mean + d / n1
               s = ZsState(n1, mean1, s.m2 + d * (v - mean1))
               ZsOut(e.event_id, user, n1, z,
-                z.exists(x => math.abs(x) > Threshold))
+                z.exists(x => math.abs(x) >= Threshold))
             }
           }
           state.update(s)

@@ -18,13 +18,18 @@ class ResampleInterpolateSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("resample_interp").toString
     Seq(
       // user 1: events at 00:00 (v=10) and 12:00 (v=20) — grid 0/6/12h
-      (1L, ts(0), 1L, 10.0),
-      (2L, ts(12), 1L, 20.0),
+      (1L, ts(0), 1L, Some(10.0)),
+      (2L, ts(12), 1L, Some(20.0)),
       // user 2: single event at 03:00 — grid start 06:00 > max, NO rows
-      (3L, ts(3), 2L, 7.0),
+      (3L, ts(3), 2L, Some(7.0)),
       // user 3: 05:00 (v=0) and 07:00 (v=4) — one grid point at 06:00
-      (4L, ts(5), 3L, 0.0),
-      (5L, ts(7), 3L, 4.0))
+      (4L, ts(5), 3L, Some(0.0)),
+      (5L, ts(7), 3L, Some(4.0)),
+      // user 4: a NULL observation at 03:00 must not anchor — 06:00
+      // interpolates 00:00 -> 12:00 straight through it
+      (6L, ts(0), 4L, Some(2.0)),
+      (7L, ts(3), 4L, None),
+      (8L, ts(12), 4L, Some(10.0)))
       .toDF("event_id", "ts", "user_id", "value")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
 
@@ -40,7 +45,11 @@ class ResampleInterpolateSpec extends SparkTestBase {
       // grid at the last event: nothing follows, value holds
       (1L, ts(12), 20.0, "hold"),
       // 05:00->07:00 at 06:00: 0 + (4-0) * 1h/2h
-      (3L, ts(6), 2.0, "interp")),
+      (3L, ts(6), 2.0, "interp"),
+      // user 4: the null at 03:00 is invisible to the anchors
+      (4L, ts(0), 2.0, "interp"),
+      (4L, ts(6), 6.0, "interp"),
+      (4L, ts(12), 10.0, "hold")),
       s"got $got")
     // user 2's grid start (06:00) is past its only event — no rows at all
     assert(!got.exists(_._1 == 2L))

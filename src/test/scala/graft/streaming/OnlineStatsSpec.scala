@@ -34,7 +34,7 @@ class OnlineStatsSpec extends SparkTestBase {
           val d = v - mean
           val mean1 = mean + d / n1
           n = n1; m2 = m2 + d * (v - mean1); mean = mean1
-          ZsOut(e.event_id, u, n1, z, z.exists(x => math.abs(x) > OnlineStats.Threshold))
+          ZsOut(e.event_id, u, n1, z, z.exists(x => math.abs(x) >= OnlineStats.Threshold))
         }
       }
     }

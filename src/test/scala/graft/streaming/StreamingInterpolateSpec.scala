@@ -111,4 +111,36 @@ class StreamingInterpolateSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("equal-timestamp runs resolve like the batch window: first anchors forward, last wins the instant") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, ms: Long, v: Double) =
+      FfEvent(id, user, new java.sql.Timestamp(ms), Some(v))
+    withRocksDB { ck =>
+      val base = 1700000000000L // 10s-aligned
+      val in = GraftSource.memory[FfEvent](spark)
+      val withWm = in.toDS().withWatermark("ts", "0 seconds")
+      val q = Interpolate.run(withWm, StepMs).writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .format("memory").queryName("it_dups").start()
+      try {
+        in.addData(Seq(
+          ev(0, 1, base, 0.0),
+          // duplicate run at +10s (grid-aligned): id order 1 then 2
+          ev(1, 1, base + 10000, 20.0),
+          ev(2, 1, base + 10000, 30.0),
+          ev(3, 1, base + 25000, 80.0)))
+        q.processAllAvailable()
+        val got = spark.table("it_dups").as[InterpOut].collect()
+          .map(o => (o.grid_ms, o.v)).sortBy(_._1)
+        // the instant at +10s takes the run's LAST value (30, like the
+        // batch window's event_id order); +20s interpolates from the run's
+        // last (30 at +10s) toward 80 at +25s: 30 + 50 * (10/15)
+        assert(got === Seq(
+          (base, 0.0),
+          (base + 10000, 30.0),
+          (base + 20000, 30.0 + 50.0 * (10000.0 / 15000.0))))
+      } finally q.stop()
+    }
+  }
 }
