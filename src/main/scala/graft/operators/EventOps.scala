@@ -895,10 +895,65 @@ object EventOps {
             FROM byday b LEFT JOIN newby n ON n.day = b.day
             ORDER BY b.day"""))
 
+  /** CUSUM CHANGE-POINT DETECTION (per key): the split index k maximizing
+    * the cumulative deviation |S_k| = |sum_{i<=k}(v_i - mean)| — the
+    * classic offline CUSUM locator for a level shift in a series. The
+    * mean's division is multiplied out: n*S_k = n*prefix_k - k*total, so
+    * the whole statistic is EXACT integer arithmetic over 1e6-scaled
+    * values (bound: n^2 * max(v6) < 2^63 — per-key series of millions of
+    * unit-scale points; engines can't disagree by a bit). Keys need n >= 8
+    * observations to report (CUSUM on shorter series is noise).
+    *
+    * Shape: one key-partitioned shuffle, two ordered window passes over it
+    * (prefix sums + the argmax rank) — no self-join, no collect; the
+    * series is per KEY, so partitions stay bounded at 100 TB. */
+  val changepoint = GraftQuery(
+    "ev_changepoint",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v6"))
+      val byUser = Window.partitionBy(col("user_id"))
+      val ord = byUser.orderBy(col("ts"), col("event_id"))
+      ev
+        .withColumn("k", row_number().over(ord))
+        .withColumn("prefix", sum(col("v6"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(byUser))
+        .withColumn("tot", sum(col("v6")).over(byUser))
+        .withColumn("stat", abs(col("n") * col("prefix") - col("k") * col("tot")))
+        .withColumn("rn", row_number().over(byUser.orderBy(col("stat").desc, col("k"))))
+        .filter(col("rn") === 1 && col("n") >= 8)
+        .select(col("user_id"), col("n").as("n_events"), col("k").as("cp_index"),
+          col("ts").as("cp_ts"), col("stat").as("cusum_stat"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH ev AS (SELECT user_id, ts, event_id,
+                   CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6 FROM events),
+            w AS (SELECT user_id, ts, v6,
+                    row_number() OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS k,
+                    CAST(sum(v6) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS prefix,
+                    count(*) OVER (PARTITION BY user_id) AS n,
+                    CAST(sum(v6) OVER (PARTITION BY user_id) AS BIGINT) AS tot
+                  FROM ev),
+            sc AS (SELECT user_id, ts, CAST(k AS INTEGER) AS cp_index, n,
+                     abs(n * prefix - k * tot) AS stat,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY abs(n * prefix - k * tot) DESC, k) AS rn
+                   FROM w)
+            SELECT user_id, CAST(n AS BIGINT) AS n_events, cp_index,
+              ts AS cp_ts, CAST(stat AS BIGINT) AS cusum_stat
+            FROM sc WHERE rn = 1 AND n >= 8 ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
     intervalJoinAuto, intervalJoinBetween, cepPairs, forwardFill,
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
-    interarrivalStats, resampleInterpolate, dailyActive)
+    interarrivalStats, resampleInterpolate, dailyActive, changepoint)
 }
