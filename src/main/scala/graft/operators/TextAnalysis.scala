@@ -601,7 +601,50 @@ object TextAnalysis {
               END AS r2
             FROM m"""))
 
+  /** VOCABULARY COVERAGE CURVE (tokenizer/vocab sizing): what fraction of
+    * all corpus token OCCURRENCES the top-k most frequent tokens cover, at
+    * k = 10/20/30 — the "how big must the vocab be" planning table every
+    * tokenizer build starts from. Head selected by TakeOrderedAndProject
+    * (the fit window never exceeds the largest k), the corpus-total
+    * occurrence count is a 1-row broadcast scalar, and coverage is an
+    * integer-scaled division — exact on both engines. */
+  val vocabCoverage = GraftQuery(
+    "text_vocab_coverage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      val head = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(30)
+      val total = broadcast(toks.agg(count(lit(1)).as("total")))
+      val ord = Window.orderBy(col("c").desc, col("tok"))
+      head
+        .withColumn("k", row_number().over(ord))
+        .withColumn("cum_tokens", sum(col("c"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("k").isin(10, 20, 30))
+        .crossJoin(total)
+        .select(col("k"), col("cum_tokens"),
+          expr("cast(cum_tokens * 1000000 div total as double) / 1e6")
+            .as("coverage_frac"))
+        .orderBy(col("k"))
+    },
+    Some("""WITH f AS (SELECT tok, count(*) AS c
+                       FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                             FROM documents)
+                       GROUP BY tok ORDER BY c DESC, tok LIMIT 30),
+            t AS (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                    AS total FROM documents),
+            r AS (SELECT CAST(row_number() OVER w AS INTEGER) AS k,
+                    CAST(sum(c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS BIGINT) AS cum_tokens
+                  FROM f WINDOW w AS (ORDER BY c DESC, tok))
+            SELECT k, cum_tokens,
+              (cum_tokens * 1000000 // total) / 1000000.0 AS coverage_frac
+            FROM r CROSS JOIN t WHERE k IN (10, 20, 30) ORDER BY k"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
-      cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit)
+      cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit,
+      vocabCoverage)
 }

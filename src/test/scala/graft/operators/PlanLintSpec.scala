@@ -31,7 +31,7 @@ class PlanLintSpec extends SparkTestBase {
     "emb_pq_assign", "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
     // crossJoin of a 1-row scalar aggregate (corpus totals / norm / v)
     "emb_power_iteration", "text_tfidf", "curation_temperature_sample",
-    "curation_dsir_weights", "lm_backoff_score",
+    "curation_dsir_weights", "lm_backoff_score", "text_vocab_coverage",
     // crossJoins of 1-row scalar aggregates (budget+G, then the water
     // level) onto G=source-count rows — both sides constant-bounded
     "curation_token_budget",
