@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+
+/** Rows for the online change detector (top-level for encoder codegen). */
+final case class PhOut(event_id: Long, user_id: Long, n_seen: Long,
+    ph: Double, alarm: Boolean)
+final case class PhState(n: Long, mean: Double, m: Double, mMin: Double)
+
+/** PAGE-HINKLEY ONLINE CHANGE DETECTION — the ingest-time counterpart of
+  * the batch `ev_changepoint` CUSUM locator, with the semantics a stream
+  * admits: the batch query sees the whole series and places the single
+  * best split; the online form maintains, per key, the cumulative
+  * deviation m_t = sum(v_i - mean_i - delta) against its running minimum
+  * and raises an alarm when the gap PH_t = m_t - min(m) exceeds lambda —
+  * the classic sequential drift test (Page 1954; the standard stream-mining
+  * formulation). The running mean is Welford's, updated BEFORE the
+  * deviation fold so each observation compares against a mean that
+  * includes it (the textbook recurrence).
+  *
+  * Updates apply in per-key (ts, event_id) order, so emissions are
+  * BIT-EXACT under any order-preserving chop (PageHinkleySpec pins this
+  * against a hand-rolled prefix reference). State per key: one long +
+  * three doubles. Alarms are emitted but state is NOT reset — downstream
+  * decides the reaction policy (reset-on-alarm is a one-line variant). */
+object PageHinkley {
+  val Delta = 0.005
+  val Lambda = 50.0
+
+  def detect(ds: Dataset[FfEvent]): Dataset[PhOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[PhState, PhOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user, it, state) =>
+          var s = state.getOption.getOrElse(PhState(0L, 0.0, 0.0, 0.0))
+          val out = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).flatMap { e =>
+            e.v.map { v =>
+              val n1 = s.n + 1
+              val mean1 = s.mean + (v - s.mean) / n1
+              val m1 = s.m + (v - mean1 - Delta)
+              val mMin1 = math.min(s.mMin, m1)
+              s = PhState(n1, mean1, m1, mMin1)
+              val ph = m1 - mMin1
+              PhOut(e.event_id, user, n1, ph, ph > Lambda)
+            }
+          }
+          state.update(s)
+          out.iterator
+      }
+  }
+}
