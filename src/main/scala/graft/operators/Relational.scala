@@ -1139,6 +1139,43 @@ object Relational {
             JOIN customer ON o_custkey = c_custkey
             ORDER BY total_cents DESC, o_orderkey LIMIT 100"""))
 
+  /** TPC-H Q11 shape: FRACTION-OF-TOTAL HAVING — suppliers whose revenue
+    * share exceeds the uniform share (the "significant stock value" scalar
+    * subquery in HAVING). The global total is a 1-row broadcast scalar and
+    * the threshold is the exact integer cross-multiplication
+    * sum_cents * n_supp > total_cents — no division enters the predicate;
+    * the reported share is an integer-scaled division. Bound:
+    * sum_cents * 1e6 < 2^63 (per-supplier revenue below ~9.2e12 dollars). */
+  val q48ValueShare = GraftQuery(
+    "q48_value_share",
+    (s, dir) => {
+      val bySupp = t(s, dir, "lineitem")
+        .select(col("l_suppkey"),
+          expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"))
+        .groupBy(col("l_suppkey")).agg(sum(col("cents")).as("sum_cents"))
+      val totals = broadcast(bySupp.agg(
+        sum(col("sum_cents")).as("total_cents"), count(lit(1)).as("n_supp")))
+      bySupp.crossJoin(totals)
+        .filter(col("sum_cents") * col("n_supp") > col("total_cents"))
+        .join(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("sum_cents"),
+          expr("cast(sum_cents * 1000000 div total_cents as double) / 1e6")
+            .as("share_frac"))
+        .orderBy(col("sum_cents").desc, col("s_suppkey"))
+    },
+    Some("""WITH bysupp AS (SELECT l_suppkey,
+                   CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                     AS BIGINT) AS sum_cents
+                 FROM lineitem GROUP BY l_suppkey),
+            t AS (SELECT CAST(sum(sum_cents) AS BIGINT) AS total_cents,
+                    count(*) AS n_supp FROM bysupp)
+            SELECT s_suppkey, s_name, sum_cents,
+              (sum_cents * 1000000 // total_cents) / 1000000.0 AS share_frac
+            FROM bysupp JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN t
+            WHERE sum_cents * n_supp > total_cents
+            ORDER BY sum_cents DESC, s_suppkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -1148,5 +1185,5 @@ object Relational {
     q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets,
     q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
     q41Median, q42LateralTopN, q43JoinSix, q44MarketShare, q45Unpivot,
-    q46SmallQty, q47LargeOrders)
+    q46SmallQty, q47LargeOrders, q48ValueShare)
 }

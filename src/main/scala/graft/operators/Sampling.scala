@@ -413,7 +413,42 @@ object Sampling {
               FROM documents)
             ORDER BY k_scaled DESC, doc_id LIMIT 20"""))
 
+  /** EQUI-WIDTH HISTOGRAM over document length — the distribution panel of
+    * the profiling pass ([[graft.operators.Curation.profile]] reports
+    * min/max/distinct; this reports the shape between them). Ten integer
+    * buckets over [min, max] with width = (max-min) div 10 + 1, so
+    * bucketing is pure integer arithmetic: bucket = (n_chars - min) div
+    * width, bounds lo/hi closed-form. The min/max pair is a 1-row
+    * broadcast scalar; bucketing itself is map-side. */
+  val histogram = GraftQuery(
+    "pipeline_histogram",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("n_chars"))
+      val bounds = broadcast(docs.agg(
+        min(col("n_chars")).as("mn"), max(col("n_chars")).as("mx")))
+      docs.crossJoin(bounds)
+        .withColumn("width", expr("(mx - mn) div 10 + 1"))
+        .withColumn("bucket", expr("cast((n_chars - mn) div width as int)"))
+        .groupBy(col("bucket"), col("mn"), col("width"))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(col("bucket"),
+          expr("mn + bucket * width").as("lo"),
+          expr("mn + (bucket + 1) * width - 1").as("hi"),
+          col("n_docs"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH b AS (SELECT CAST(min(n_chars) AS BIGINT) AS mn,
+                   CAST(max(n_chars) AS BIGINT) AS mx FROM documents),
+            w AS (SELECT mn, (mx - mn) // 10 + 1 AS width FROM b),
+            d AS (SELECT CAST((n_chars - w.mn) // w.width AS INTEGER) AS bucket,
+                    w.mn, w.width
+                  FROM documents CROSS JOIN w)
+            SELECT bucket, CAST(mn + bucket * width AS BIGINT) AS lo,
+              CAST(mn + (bucket + 1) * width - 1 AS BIGINT) AS hi,
+              count(*) AS n_docs
+            FROM d GROUP BY bucket, mn, width ORDER BY bucket"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
     stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources,
-    sampleK, epochSchedule, weightedSample)
+    sampleK, epochSchedule, weightedSample, histogram)
 }
