@@ -675,8 +675,29 @@ object Curation {
                  // r.n_tokens) / 1000000.0 AS kept_frac
             FROM r CROSS JOIN lv ORDER BY r.source"""))
 
+  /** K-ANONYMITY AUDIT (privacy side of curation, next to [[piiScrub]]'s
+    * redaction): group documents by their quasi-identifier tuple
+    * (lang, source) and flag every group smaller than k=3 — records in
+    * such groups are re-identifiable by their metadata alone, the check a
+    * release review runs before publishing a corpus with attributes
+    * attached. One key-partitioned aggregation; the flag is a pure integer
+    * comparison. Reported for ALL groups (risky ones flagged) so the
+    * audit doubles as the quasi-identifier cardinality profile. */
+  val kAnonymity = GraftQuery(
+    "curation_k_anonymity",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("at_risk", col("n_docs") < 3)
+        .orderBy(col("lang"), col("source")),
+    Some("""SELECT lang, source, count(*) AS n_docs,
+              count(*) < 3 AS at_risk
+            FROM documents GROUP BY lang, source
+            ORDER BY lang, source"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
-      tokenBudget, lmBackoffScore)
+      tokenBudget, lmBackoffScore, kAnonymity)
 }
