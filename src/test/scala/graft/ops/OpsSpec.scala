@@ -41,6 +41,11 @@ class OpsSpec extends SparkTestBase {
       assert(reg.applist.contains("ops_demo"))
       val detail = reg.appDetail(q.id)
       assert(detail.isDefined && detail.get.contains("\"lastProgress\""))
+      // progress events arrive on the async listener bus — bounded wait,
+      // the same discipline as every other listener-dependent test here
+      val deadline = System.currentTimeMillis() + 15000
+      while (reg.metrics.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
       assert(reg.metrics.nonEmpty)
       assert(reg.stalling(thresholdMs = 60000).isEmpty)
       // a 0ms threshold marks everything that has progressed as stalling
