@@ -1077,9 +1077,130 @@ object Similarity {
            ORDER BY g.q_id, g.d_budget"""
     })
 
+  /** IVF PROBE-COUNT SWEEP: recall@10 when probing the query's top-1/2/4
+    * cells ranked by CENTROID cosine — the nprobe tuning curve every IVF
+    * deployment reads before fixing its recall/cost point ([[annIvf]]
+    * probes exactly one cell, and by label identity rather than centroid
+    * geometry; this measures what widening the probe set buys). Cell
+    * centroids are the [[oodScore]] exact-integer sum-vectors (cos is
+    * scale-invariant so the divisor cancels), the per-query cell ranking
+    * is the usual round-4 + tie-break discipline, and candidates reach the
+    * scoring join only from probed cells — the corpus is never scanned
+    * per probe, the probe explode happens on the (query, cell) ranking. */
+  val probeSweep = GraftQuery(
+    "ann_probe_sweep",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val qx = q.select(col("q_id"),
+        expr("""transform(q_emb, v ->
+             cast(floor(cast(v as double) * 1e6 + 0.5) as bigint))""").as("qx"))
+      val x6 = e.select(col("label"),
+        expr("""transform(embedding, v ->
+             cast(floor(cast(v as double) * 1e6 + 0.5) as bigint))""").as("x"))
+      val sums: Seq[Column] = (0 until Dim).map(i => sum(col("x").getItem(i)).as(s"s$i"))
+      val cent = x6.groupBy(col("label")).agg(sums.head, sums.tail: _*)
+        .select(col("label"), array((0 until Dim).map(i => col(s"s$i")): _*).as("sv"))
+      val cellRank = qx.crossJoin(broadcast(cent))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(qx, sv, (a, b) -> a * b), cast(0 as bigint), (acc, v) -> acc + v)"))
+        .withColumn("q2", expr(
+          "aggregate(qx, cast(0 as bigint), (acc, v) -> acc + v * v)"))
+        .withColumn("s2", expr(
+          "aggregate(sv, cast(0 as decimal(38,0)), (acc, v) -> acc + cast(v as decimal(38,0)) * v)"))
+        .withColumn("cc", round(expr(
+          "cast(dot as double) / (sqrt(cast(q2 as double)) * sqrt(cast(s2 as double)))"), 4))
+        .withColumn("cell_rank", row_number().over(Window
+          .partitionBy(col("q_id")).orderBy(col("cc").desc, col("label"))))
+        .select(col("q_id"), col("label"), col("cell_rank"))
+      val probed = cellRank
+        .withColumn("probe", explode(array(lit(1), lit(2), lit(4))))
+        .filter(col("cell_rank") <= col("probe"))
+        .select(col("q_id"), col("label"), col("probe"))
+      val top = e.join(probed, Seq("label"))
+        .join(broadcast(q), Seq("q_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("probe"), col("vec_id"),
+          round(cosine(s, "embedding", "q_emb"), 4).as("cs"))
+        .withColumn("rank", row_number().over(Window
+          .partitionBy(col("q_id"), col("probe"))
+          .orderBy(col("cs").desc, col("vec_id"))))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("probe"), col("vec_id"))
+      val exact = annBruteTopK.run(s, dir).select(col("q_id"), col("vec_id"))
+      val hits = top.join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id"), col("probe")).agg(count(lit(1)).as("n_hit"))
+      q.select(col("q_id"))
+        .withColumn("probe", explode(array(lit(1), lit(2), lit(4))))
+        .join(hits, Seq("q_id", "probe"), "left")
+        .select(col("q_id"), col("probe"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(10.0)).as("recall_at_10"))
+        .orderBy(col("q_id"), col("probe"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                        FROM embeddings WHERE vec_id < 8),
+           qdim AS (SELECT q_id, d,
+                CAST(floor(CAST(q_emb[d] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS qx
+              FROM q CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) ds),
+           cdim AS (SELECT label, d,
+                CAST(sum(CAST(floor(CAST(embedding[d] AS DOUBLE) * 1e6 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS sv
+              FROM embeddings CROSS JOIN
+                (SELECT unnest(generate_series(1, 64)) AS d) ds
+              GROUP BY label, d),
+           cnorm AS (SELECT label,
+                CAST(sum(CAST(sv AS HUGEINT) * sv) AS HUGEINT) AS s2
+              FROM cdim GROUP BY label),
+           qnorm AS (SELECT q_id, CAST(sum(qx * qx) AS BIGINT) AS q2
+                     FROM qdim GROUP BY q_id),
+           cdot AS (SELECT qd.q_id, cd.label,
+                CAST(sum(qd.qx * cd.sv) AS BIGINT) AS dot
+              FROM qdim qd JOIN cdim cd ON cd.d = qd.d
+              GROUP BY qd.q_id, cd.label),
+           cells AS (SELECT q_id, label,
+                row_number() OVER (PARTITION BY q_id ORDER BY
+                  round(CAST(dot AS DOUBLE)
+                    / (sqrt(CAST(q2 AS DOUBLE)) * sqrt(CAST(s2 AS DOUBLE))), 4)
+                  DESC, label) AS cell_rank
+              FROM cdot JOIN qnorm USING (q_id) JOIN cnorm USING (label)),
+           probed AS (SELECT q_id, label, p.probe
+              FROM cells CROSS JOIN
+                (SELECT unnest([1, 2, 4]) AS probe) p
+              WHERE cell_rank <= probe),
+           top AS (SELECT q_id, probe, vec_id FROM (
+                SELECT pr.q_id, pr.probe, e.vec_id,
+                  row_number() OVER (PARTITION BY pr.q_id, pr.probe
+                    ORDER BY round(${sqlCos("e.embedding", "q.q_emb")}, 4)
+                      DESC, e.vec_id) AS rank
+                FROM probed pr JOIN embeddings e ON e.label = pr.label
+                JOIN q ON q.q_id = pr.q_id
+                WHERE e.vec_id <> pr.q_id)
+              WHERE rank <= 10),
+           exact AS (SELECT q_id, vec_id FROM (
+                SELECT q.q_id, e.vec_id,
+                  row_number() OVER (PARTITION BY q.q_id
+                    ORDER BY round(${sqlCos("e.embedding", "q.q_emb")}, 4)
+                      DESC, e.vec_id) AS rank
+                FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+              WHERE rank <= 10),
+           hits AS (SELECT t.q_id, t.probe, count(*) AS n_hit
+              FROM top t JOIN exact x
+                ON x.q_id = t.q_id AND x.vec_id = t.vec_id
+              GROUP BY t.q_id, t.probe),
+           grid AS (SELECT q.q_id, p.probe FROM q CROSS JOIN
+                (SELECT unnest([1, 2, 4]) AS probe) p)
+           SELECT g.q_id, g.probe,
+             CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+             CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 10.0 AS recall_at_10
+           FROM grid g LEFT JOIN hits h
+             ON h.q_id = g.q_id AND h.probe = g.probe
+           ORDER BY g.q_id, g.probe"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
-      randomProjection, annRecallEval, oodScore, dimTruncationEval)
+      randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep)
 }

@@ -29,6 +29,7 @@ class PlanLintSpec extends SparkTestBase {
     "emb_kmeans_assign", "emb_kmeans_update", "dedup_semantic",
     // crossJoin(broadcast(codebook / per-query ADC lookup tables))
     "emb_pq_assign", "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
+    "ann_probe_sweep",
     // crossJoin of a 1-row scalar aggregate (corpus totals / norm / v)
     "emb_power_iteration", "text_tfidf", "curation_temperature_sample",
     "curation_dsir_weights", "lm_backoff_score", "text_vocab_coverage",
