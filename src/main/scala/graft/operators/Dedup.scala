@@ -753,8 +753,88 @@ object Dedup {
                   >= 6 * (len(ws) + len(bw) - len(list_intersect(ws, bw)))
             ORDER BY doc_a, doc_b"""))
 
+  /** LSH BANDING SWEEP: candidate volume, verified near-dups, and
+    * precision for three band layouts of the SAME 16-component signature —
+    * (8 bands x 2 rows), (4 x 4), (2 x 8). This is the (b, r) tuning table
+    * behind the s-curve 1-(1-J^r)^b: more bands/fewer rows recall more but
+    * flood verification with candidates; the sweep measures that trade on
+    * the actual corpus, the LSH sibling of ann_probe_sweep's nprobe curve
+    * and ann_dim_truncation_eval's dim budget. Signature computed ONCE
+    * (cached — the [[minhashPairs]] discipline, read by all three band
+    * self-joins); only 16-hash signatures and band digests ever shuffle. */
+  val bandingSweep = GraftQuery(
+    "dedup_banding_sweep",
+    (s, dir) => {
+      val sig = perRowSig(t(s, dir, "documents"), md5Hash).cache()
+      val perConfig = Seq((8, 2), (4, 4), (2, 8)).map { case (nb, rpb) =>
+        val bandCols = (0 until nb).map(b =>
+          md5Band((0 until rpb).map(r => col("sig").getItem(rpb * b + r))))
+        val bands = sig.select(col("doc_id"), col("sig"),
+          posexplode(array(bandCols: _*)).as(Seq("b", "bh")))
+        bands.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+            col("b"), col("bh"))
+          .join(bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+            col("b"), col("bh")), Seq("b", "bh"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+              .as("n_eq"))
+          .groupBy(col("doc_a"), col("doc_b")).agg(max(col("n_eq")).as("n_eq"))
+          .agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(when(col("n_eq") >= NumHashes / 2, 1L).otherwise(0L)),
+              lit(0L)).as("n_verified"))
+          .select(lit(nb).as("bands"), lit(rpb).as("rows_per_band"),
+            col("n_candidates"), col("n_verified"),
+            expr("""case when n_candidates > 0
+                      then cast(n_verified * 1000000 div n_candidates as double) / 1e6
+                    end""").as("precision_frac"))
+      }
+      perConfig.reduce(_ unionByName _).orderBy(col("bands").desc)
+    },
+    Some {
+      def cfg(nb: Int, rpb: Int): String = {
+        val bandExpr = (1 to rpb).map(r => s"sig[$rpb*b+$r]").mkString(" || '|' || ")
+        s"""band_$nb AS (SELECT doc_id, b, md5($bandExpr) AS bh
+              FROM sig CROSS JOIN LATERAL
+                (SELECT unnest(generate_series(0, ${nb - 1})) AS b) g),
+            cand_$nb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM band_$nb a JOIN band_$nb b
+                ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+            eq_$nb AS (SELECT c.doc_a, c.doc_b,
+                count(*) FILTER (WHERE x.mh = y.mh) AS n_eq
+              FROM cand_$nb c JOIN mh x ON x.doc_id = c.doc_a
+              JOIN mh y ON y.doc_id = c.doc_b AND y.seed = x.seed
+              GROUP BY c.doc_a, c.doc_b),
+            agg_$nb AS (SELECT $nb AS bands, $rpb AS rows_per_band,
+                count(*) AS n_candidates,
+                CAST(coalesce(sum(CASE WHEN n_eq >= 8 THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_verified
+              FROM eq_$nb)"""
+      }
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+          sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+                 FROM tok CROSS JOIN LATERAL
+                   (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
+                 WHERE len(w) >= 3),
+          mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
+                 FROM sh CROSS JOIN LATERAL
+                   (SELECT unnest(generate_series(0, 15)) AS seed) g
+                 GROUP BY doc_id, seed),
+          sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id),
+          ${cfg(8, 2)},
+          ${cfg(4, 4)},
+          ${cfg(2, 8)}
+          SELECT bands, rows_per_band, n_candidates, n_verified,
+            CASE WHEN n_candidates > 0
+              THEN (n_verified * 1000000 // n_candidates) / 1000000.0 END
+              AS precision_frac
+          FROM (SELECT * FROM agg_8 UNION ALL SELECT * FROM agg_4
+                UNION ALL SELECT * FROM agg_2)
+          ORDER BY bands DESC"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
       containment, minhashFast, chunk, priorityKeep, ingestDelta, fuzzyNames,
-      rewrite, snapshotMerge, snm, candidateEval)
+      rewrite, snapshotMerge, snm, candidateEval, bandingSweep)
 }
