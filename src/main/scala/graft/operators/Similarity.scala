@@ -818,7 +818,12 @@ object Similarity {
     * transform emitting 16 doubles per row (4x narrower than the input),
     * the standard cheap first cut before clustering or coarse ANN at
     * scale. A production variant with learned matrices would broadcast the
-    * matrix and use a native expression; the plan shape is identical. */
+    * matrix and use a native expression; the plan shape is identical.
+    *
+    * The 16 projected components are emitted as SCALAR columns p00..p15
+    * (not one ARRAY column): the driver's pandas comparator cannot sort
+    * array cells, and OracleTypeDisciplineSpec now lints the whole
+    * registry against top-level ARRAY/MAP outputs for the same reason. */
   val randomProjection: GraftQuery = {
     val k = 16
     val signs: Array[Array[Double]] = {
@@ -843,11 +848,11 @@ object Similarity {
       "emb_random_projection",
       (s, dir) =>
         t(s, dir, "embeddings")
-          .select(col("vec_id"),
-            expr(s"array(${(0 until k).map(sparkRow).mkString(",")})").as("proj"))
+          .select(col("vec_id") +:
+            (0 until k).map(j => expr(sparkRow(j)).as(f"p$j%02d")): _*)
           .orderBy(col("vec_id")),
       Some(s"""SELECT vec_id,
-                 [${(0 until k).map(sqlRow).mkString(",")}] AS proj
+                 ${(0 until k).map(j => f"${sqlRow(j)} AS p$j%02d").mkString(",\n                 ")}
                FROM embeddings ORDER BY vec_id"""))
   }
 

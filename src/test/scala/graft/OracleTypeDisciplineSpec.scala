@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Guards the one oracle-authoring rule that has produced driver hash-reds:
@@ -166,6 +167,34 @@ class OracleTypeDisciplineSpec extends AnyFunSuite {
           idx = sql.toLowerCase.indexOf("sum(", idx + 4)
         }
         found.result()
+      }
+    }
+    assert(violations.isEmpty, violations.mkString("\n", "\n", ""))
+  }
+
+  /** r9's only red row: emb_random_projection emitted a top-level ARRAY
+    * column and the driver's pandas comparator crashed sorting numpy
+    * arrays (`TypeError: unhashable type`). Arrays/maps/structs in an
+    * oracled output are therefore banned outright — flatten to scalar
+    * columns (p00..p15) or explode to rows. Schema derivation is lazy
+    * analysis only; nothing executes. */
+  test("no oracled query emits a top-level ARRAY/MAP/STRUCT output column") {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val spark = Engine.session("graft-test", "local[4]", 4)
+    val dir = "/root/testdata/sf0.001"
+    def complexCols(schema: StructType): Seq[String] =
+      schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] => s"${f.name}: array"
+        case f if f.dataType.isInstanceOf[MapType] => s"${f.name}: map"
+        case f if f.dataType.isInstanceOf[StructType] => s"${f.name}: struct"
+      }.toSeq
+    // the lint itself must catch an array output (the r9 failure shape)
+    val bad = Tables.t(spark, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    assert(complexCols(bad.schema).nonEmpty, "lint failed to flag an array column")
+    val violations = SparkEntry.registry.filter(_.oracle.isDefined).flatMap { q =>
+      complexCols(q.run(spark, dir).schema).map { c =>
+        s"${q.name}: output column $c — the driver's pandas comparator cannot sort " +
+          "array/map cells; flatten to scalar columns or explode to rows"
       }
     }
     assert(violations.isEmpty, violations.mkString("\n", "\n", ""))
