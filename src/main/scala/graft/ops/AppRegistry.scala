@@ -23,6 +23,13 @@ final class AppRegistry(spark: SparkSession) {
   // ring buffer of recent batch durations per query (histogram window)
   private val retained = 256
   private val durations = TrieMap.empty[java.util.UUID, scala.collection.mutable.ArrayDeque[Long]]
+  // bounded ring of full progress snapshots per query — the dashboard's
+  // time-series source (reference: core/src/main/scala/io/gearpump/util/
+  // HistoryMetricsService.scala keeps a bounded history per metric for the
+  // dashboard charts; 64 snapshots at the default 100ms-10s triggers spans
+  // the chart window without unbounded growth)
+  private val historyRetained = 64
+  private val history = TrieMap.empty[java.util.UUID, scala.collection.mutable.ArrayDeque[(Long, Metrics)]]
 
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -49,10 +56,15 @@ final class AppRegistry(spark: SparkSession) {
         ring.append(durMs)
         if (ring.size > retained) { ring.removeHead(); () }
       }
+      val hist = history.getOrElseUpdate(p.id, scala.collection.mutable.ArrayDeque.empty)
+      hist.synchronized {
+        hist.append((System.currentTimeMillis(), lastSeen(p.id)._2))
+        if (hist.size > historyRetained) { hist.removeHead(); () }
+      }
       ()
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
-      lastSeen.remove(e.id); durations.remove(e.id)
+      lastSeen.remove(e.id); durations.remove(e.id); history.remove(e.id)
       // a failed query leaves spark.streams.active at termination, so the
       // exception must be captured HERE or the errors endpoint can never
       // serve it (the event carries the terminal exception message)
@@ -204,6 +216,19 @@ final class AppRegistry(spark: SparkSession) {
   /** REST `.../metrics` parity. */
   def metrics: Map[String, Metrics] =
     lastSeen.map { case (id, (_, m)) => id.toString -> m }.toMap
+
+  /** Bounded progress-snapshot history for one query, oldest first —
+    * REST `appmaster/<id>/metrics?history=true` (reference:
+    * core/src/main/scala/io/gearpump/util/HistoryMetricsService.scala
+    * serves the bounded per-metric time series the dashboard charts). */
+  def metricsHistory(id: java.util.UUID): Seq[(Long, Metrics)] =
+    history.get(id).map(h => h.synchronized { h.toVector }).getOrElse(Vector.empty)
+
+  /** JSON time series for `?history=true`: `[{"atMs":t,"progress":{...}}]`. */
+  def historyJson(id: java.util.UUID): String =
+    metricsHistory(id)
+      .map { case (atMs, m) => s"""{"atMs":$atMs,"progress":${fmt(m)}}""" }
+      .mkString("[", ",", "]")
 
   /** Percentiles over the retained batch-duration window (nearest-rank). */
   def latency(id: java.util.UUID): Option[LatencyHistogram] =

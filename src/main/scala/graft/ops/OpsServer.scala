@@ -19,6 +19,9 @@ import org.apache.spark.sql.SparkSession
   *  - GET    /api/v1.0/master/config                  — runtime conf
   *  - GET    /api/v1.0/master/metrics                 — multi-app rollup
   *  - GET    /api/v1.0/master/workerlist              — executor fleet view
+  *  - GET    /api/v1.0/worker/<id>                    — one executor's detail
+  *  - GET    /api/v1.0/worker/<id>/config             — executor-shaping conf
+  *  - GET    /api/v1.0/worker/<id>/metrics            — one executor's gauges
   *  - GET    /api/v1.0/master/partitioners            — builtin partitioner inventory
   *  - GET    /api/v1.0/supervisor                     — resource-supervisor identity
   *  - POST   /api/v1.0/supervisor/status              — can executors be added/removed?
@@ -40,18 +43,32 @@ import org.apache.spark.sql.SparkSession
   * upload): queries here are code, not jars, so the submit token is a
   * REGISTRY NAME from `catalog` — POST launches that query against the
   * `sf` data dir on a daemon thread under its own job group (killable).
+  *
+  * `auth` opts into HTTP Basic on every route (reference:
+  * services/.../security/SecurityService.scala:52 wraps routes in an
+  * authenticator backed by a config file of user/password pairs,
+  * core/.../security/ConfigFileBasedAuthenticator.scala:91). Default
+  * None keeps the open 127.0.0.1 surface unchanged.
   */
 final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
     catalog: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-      graft.SparkEntry.queries) {
+      graft.SparkEntry.queries,
+    auth: Option[(String, String)] = None) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   private val startedAtMs = System.currentTimeMillis()
 
-  server.createContext("/api/v1.0/", (x: HttpExchange) => handle(x))
+  private val apiCtx = server.createContext("/api/v1.0/", (x: HttpExchange) => handle(x))
   // the reference ships a full dashboard SPA (services/dashboard/); the
   // library-scale analog is one static page polling the JSON endpoints
-  server.createContext("/dashboard", (x: HttpExchange) => serveDashboard(x))
+  private val dashCtx = server.createContext("/dashboard", (x: HttpExchange) => serveDashboard(x))
+  auth.foreach { case (user, pass) =>
+    val a = new com.sun.net.httpserver.BasicAuthenticator("graft") {
+      override def checkCredentials(u: String, p: String): Boolean = u == user && p == pass
+    }
+    apiCtx.setAuthenticator(a)
+    dashCtx.setAuthenticator(a)
+  }
   server.setExecutor(null) // serve on the dispatch thread; ops traffic is light
 
   def start(): OpsServer = { server.start(); this }
@@ -126,6 +143,16 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
         case ("GET", "master" :: "config" :: Nil) => respond(x, 200, configJson)
         case ("GET", "master" :: "metrics" :: Nil) => respond(x, 200, registry.rollupJson)
         case ("GET", "master" :: "workerlist" :: Nil) => respond(x, 200, workerlist)
+        case ("GET", "worker" :: id :: rest) if rest.isEmpty || rest == List("config") || rest == List("metrics") =>
+          // reference: services/.../WorkerService.scala:38-62 serves
+          // worker/<id>, worker/<id>/config, worker/<id>/metrics per worker;
+          // the Spark worker analog is one executor from the status tracker
+          workerInfo(id) match {
+            case None => respond(x, 404, s"""{"error":"no worker $id"}""")
+            case Some(json) if rest.isEmpty => respond(x, 200, json)
+            case Some(_) if rest == List("config") => respond(x, 200, workerConfig(id))
+            case Some(json) => respond(x, 200, s"""{"workerId":$id,"metrics":$json}""")
+          }
         case ("POST", "master" :: "submitdag" :: Nil) =>
           val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           submitDag(body) match {
@@ -150,11 +177,17 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
           })
         case ("GET", "appmaster" :: id :: "metrics" :: Nil) =>
           withId(x, id) { uuid =>
-            val m = registry.metrics.get(uuid.toString)
-            val h = registry.latency(uuid)
-            respond(x, 200,
-              s"""{"lastProgress":${m.fold("null")(registry.fmt)},""" +
-                s""""latency":${h.fold("null")(registry.fmtHist)}}""")
+            if (query(x, "history").contains("true"))
+              // reference HistoryMetricsService parity: the bounded
+              // progress-snapshot ring behind the dashboard's charts
+              respond(x, 200, s"""{"id":"$uuid","history":${registry.historyJson(uuid)}}""")
+            else {
+              val m = registry.metrics.get(uuid.toString)
+              val h = registry.latency(uuid)
+              respond(x, 200,
+                s"""{"lastProgress":${m.fold("null")(registry.fmt)},""" +
+                  s""""latency":${h.fold("null")(registry.fmtHist)}}""")
+            }
           }
         case ("POST", "appmaster" :: id :: "restart" :: Nil) =>
           // reference: AppMasterService.scala:100 — restart an application.
@@ -276,6 +309,35 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
     }
     s"""{"defaultParallelism":${sc.defaultParallelism},""" +
       s""""workers":${execs.mkString("[", ",", "]")}}"""
+  }
+
+  /** One executor's gauges, keyed by its stable index in the (host, port)-
+    * sorted executor list — the integer worker id the reference's
+    * WorkerService addresses (WorkerService.scala:38). None = unknown id. */
+  private def workerInfo(id: String): Option[String] = {
+    val execs = spark.sparkContext.statusTracker.getExecutorInfos
+      .sortBy(e => (e.host, e.port))
+    id.toIntOption.filter(i => i >= 0 && i < execs.length).map { i =>
+      val e = execs(i)
+      s"""{"workerId":$i,"host":${AppRegistry.jstrStatic(e.host)},"port":${e.port},""" +
+        s""""numRunningTasks":${e.numRunningTasks},""" +
+        s""""usedOnHeapStorageMemory":${e.usedOnHeapStorageMemory},""" +
+        s""""totalOnHeapStorageMemory":${e.totalOnHeapStorageMemory},""" +
+        s""""usedOffHeapStorageMemory":${e.usedOffHeapStorageMemory},""" +
+        s""""totalOffHeapStorageMemory":${e.totalOffHeapStorageMemory}}"""
+    }
+  }
+
+  /** worker/<id>/config parity (WorkerService.scala:50 serves the worker's
+    * resolved config): the conf keys that shape an executor's JVM. */
+  private def workerConfig(id: String): String = {
+    val keys = Seq("spark.executor.memory", "spark.executor.cores",
+      "spark.executor.instances", "spark.memory.fraction",
+      "spark.sql.shuffle.partitions", "spark.master")
+    val kv = keys.map(k => s"${AppRegistry.jstrStatic(k)}:" +
+      AppRegistry.jstrStatic(spark.conf.getOption(k)
+        .orElse(Option(spark.sparkContext.getConf.get(k, null))).getOrElse("")))
+    s"""{"workerId":$id,"config":${kv.mkString("{", ",", "}")}}"""
   }
 
   private def masterSummary: String = {

@@ -522,4 +522,99 @@ class OpsSpec extends SparkTestBase {
       assert(!spark.sparkContext.isStopped, "terminate must not stop the caller's SparkSession")
     } finally { srv.stop(); reg.close() }
   }
+
+  test("worker/<id> detail, config, and metrics mirror WorkerService") {
+    val reg = new AppRegistry(spark)
+    val srv = new OpsServer(spark, reg, catalog = Map.empty).start()
+    def get(path: String) = httpOn(srv.boundPort, "GET", path)
+    try {
+      // local mode has exactly one executor (the driver) → worker id 0
+      val (wc, w) = get("/api/v1.0/worker/0")
+      assert(wc === 200 && w.contains("\"workerId\":0") && w.contains("\"host\""), w)
+      assert(w.contains("\"numRunningTasks\"") && w.contains("\"totalOnHeapStorageMemory\""), w)
+      val (cc, c) = get("/api/v1.0/worker/0/config")
+      assert(cc === 200 && c.contains("\"spark.master\"") &&
+        c.contains("\"spark.sql.shuffle.partitions\""), c)
+      val (mc, m) = get("/api/v1.0/worker/0/metrics")
+      assert(mc === 200 && m.contains("\"usedOnHeapStorageMemory\""), m)
+      // unknown / malformed worker ids → 404 (reference 404s unknown workers)
+      assert(get("/api/v1.0/worker/9999")._1 === 404)
+      assert(get("/api/v1.0/worker/9999/metrics")._1 === 404)
+      assert(get("/api/v1.0/worker/abc")._1 === 404)
+    } finally { srv.stop(); reg.close() }
+  }
+
+  test("metrics?history=true serves a bounded, time-ordered snapshot ring") {
+    import spark.implicits._
+    val reg = new AppRegistry(spark)
+    val srv = new OpsServer(spark, reg, catalog = Map.empty).start()
+    val in = GraftSource.memory[Int](spark)
+    val q = in.toDS().writeStream.format("noop").queryName("ops_history").start()
+    try {
+      // drive more batches than the 64-entry ring retains to prove the bound
+      for (b <- 1 to 70) { in.addData(b); q.processAllAvailable() }
+      val deadline = System.currentTimeMillis() + 15000
+      while (reg.metricsHistory(q.id).size < 64 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val hist = reg.metricsHistory(q.id)
+      assert(hist.size === 64, s"ring must cap at 64, saw ${hist.size}")
+      // oldest-first: capture times non-decreasing, batch ids strictly rising
+      assert(hist.sliding(2).forall {
+        case Seq((t1, m1), (t2, m2)) => t1 <= t2 && m1.batchId < m2.batchId
+        case _ => true
+      }, "history must be time-ordered with strictly increasing batch ids")
+      // the newest retained snapshot is the current lastProgress batch
+      assert(hist.last._2.batchId === reg.metrics(q.id.toString).batchId)
+      val (hc, body) = httpOn(srv.boundPort, "GET",
+        s"/api/v1.0/appmaster/${q.id}/metrics?history=true")
+      assert(hc === 200 && body.contains("\"history\":[") && body.contains("\"atMs\""), body.take(300))
+      // default (no param) still serves the lastProgress shape
+      val (dc, d) = httpOn(srv.boundPort, "GET", s"/api/v1.0/appmaster/${q.id}/metrics")
+      assert(dc === 200 && d.contains("\"lastProgress\""), d.take(200))
+    } finally { q.stop(); srv.stop(); reg.close() }
+  }
+
+  test("opt-in BasicAuth guards every route; default stays open") {
+    val reg = new AppRegistry(spark)
+    val srv = new OpsServer(spark, reg, catalog = Map.empty,
+      auth = Some(("admin", "secret"))).start()
+    def getAuth(path: String, cred: Option[String]): Int = {
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      cred.foreach { c =>
+        val b64 = java.util.Base64.getEncoder.encodeToString(
+          c.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        conn.setRequestProperty("Authorization", s"Basic $b64")
+      }
+      val code = conn.getResponseCode
+      conn.disconnect()
+      code
+    }
+    try {
+      assert(getAuth("/api/v1.0/version", None) === 401)
+      assert(getAuth("/api/v1.0/version", Some("admin:wrong")) === 401)
+      assert(getAuth("/api/v1.0/master/applist", None) === 401)
+      assert(getAuth("/dashboard", None) === 401)
+      assert(getAuth("/api/v1.0/version", Some("admin:secret")) === 200)
+      assert(getAuth("/api/v1.0/master/applist", Some("admin:secret")) === 200)
+    } finally { srv.stop(); reg.close() }
+    // the default construction stays unauthenticated (library-embedded use)
+    val open = new OpsServer(spark, reg, catalog = Map.empty).start()
+    try assert(httpOn(open.boundPort, "GET", "/api/v1.0/version")._1 === 200)
+    finally open.stop()
+  }
+
+  test("version fallback literal tracks build.sbt (classes-dir runs have no manifest)") {
+    // ADVICE r9: the "0.1.0" fallback in OpsServer.Version duplicates
+    // build.sbt's ThisBuild/version — pin them together so a version bump
+    // cannot silently drift the /version endpoint in test/verify runs
+    val buildSbt = new String(Files.readAllBytes(
+      java.nio.file.Paths.get("build.sbt")), java.nio.charset.StandardCharsets.UTF_8)
+    val declared = """ThisBuild\s*/\s*version\s*:=\s*"([^"]+)"""".r
+      .findFirstMatchIn(buildSbt).map(_.group(1))
+    assert(declared.isDefined, "build.sbt must declare ThisBuild / version")
+    // in tests the classpath is the classes dir → no jar manifest → fallback
+    assert(OpsServer.Version === declared.get,
+      s"OpsServer.Version fallback must equal build.sbt version ${declared.get}")
+  }
 }
