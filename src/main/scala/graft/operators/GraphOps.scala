@@ -296,6 +296,84 @@ object GraphOps {
           ORDER BY node"""
     })
 
+  /** WEIGHTED SINGLE-SOURCE SHORTEST PATH, hop-bounded — the Bellman-Ford
+    * frontier-relaxation protocol (the sixth iterative graph shape after
+    * PageRank/BFS/CC/LPA/k-core; the reference frames iterative computation
+    * as the controller/worker tick protocol,
+    * examples/pagerank/.../PageRankController.scala:38-70). Per round the
+    * only shuffle is the (node, candidate-dist) min-merge keyed by node —
+    * the distance table and the relaxation messages are (node, dist) pairs,
+    * never edges-join-edges; each round is cut from the last by an eager
+    * localCheckpoint (the [[components]] discipline). The round count is a
+    * FIXED hop bound (like graph_bfs's depth 4), so the plan is `maxHops`
+    * unrollable rounds and the DuckDB oracle is the same rounds as
+    * MATERIALIZED CTEs (the graph_kcore precedent) — semantics: min path
+    * weight among paths of <= maxHops edges. Weights are exact BIGINTs, so
+    * no accumulation order anywhere can flip a bit.
+    *
+    * Input: directed weighted edges (src, dst, w); `sources` is a 1-row
+    * (node, dist=0) seed. Output: (node, dist) for nodes reachable within
+    * the hop bound. */
+  private[graft] def sssp(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    var dist = sources.localCheckpoint(true)
+    for (_ <- 1 to maxHops) {
+      val relax = dist.join(edges, col("node") === col("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("cand"))
+      val next = dist.select(col("node"), col("dist").as("cand")).union(relax)
+        .groupBy(col("node")).agg(min(col("cand")).as("dist"))
+        .localCheckpoint(true)
+      dist.unpersist()
+      dist = next
+    }
+    dist
+  }
+
+  private val SsspHops = 6
+
+  val ssspQuery = GraftQuery(
+    "graph_sssp",
+    (s, dir) => {
+      // weighted symmetrized supplier<->part subgraph: weight = min quantity
+      // over the lineitems that realize the edge (deterministic; quantities
+      // are integral 1..50, exact as BIGINT)
+      val li = Tables.t(s, dir, "lineitem").filter(col("l_orderkey") % 50 === 0)
+        .select((col("l_suppkey") + SuppOffset).as("a"), col("l_partkey").as("b"),
+          col("l_quantity").cast("bigint").as("q"))
+      val half = li.groupBy(col("a"), col("b")).agg(min(col("q")).as("w"))
+      val edges = half.select(col("a").as("src"), col("b").as("dst"), col("w"))
+        .union(half.select(col("b").as("src"), col("a").as("dst"), col("w")))
+        .cache()
+      // source = min node id — a 1-row aggregate, no crossJoin, no collect
+      val source = edges.select(col("src").as("node")).agg(min(col("node")).as("node"))
+        .withColumn("dist", lit(0L))
+      val out = sssp(edges, source, SsspHops).orderBy(col("node"))
+      edges.unpersist()
+      out
+    },
+    Some {
+      // MATERIALIZED is load-bearing (the graph_kcore precedent): each round
+      // references the previous distance CTE twice; DuckDB would inline
+      // 2^rounds copies of the base subtree otherwise
+      def round(i: Int): String =
+        s"""d$i AS MATERIALIZED (
+              SELECT node, min(cand) AS dist FROM (
+                SELECT node, dist AS cand FROM d${i - 1}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS cand
+                FROM d${i - 1} d JOIN edges e ON e.src = d.node)
+              GROUP BY node)"""
+      s"""WITH half AS (
+            SELECT l_suppkey + $SuppOffset AS a, l_partkey AS b,
+                   min(CAST(l_quantity AS BIGINT)) AS w
+            FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY a, b),
+          edges AS MATERIALIZED (
+            SELECT a AS src, b AS dst, w FROM half
+            UNION ALL SELECT b AS src, a AS dst, w FROM half),
+          d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM edges),
+          ${(1 to SsspHops).map(round).mkString(",\n")}
+          SELECT node, dist FROM d$SsspHops ORDER BY node"""
+    })
+
   val all: Seq[GraftQuery] =
-    Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery)
+    Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery, ssspQuery)
 }

@@ -78,4 +78,29 @@ class GraphOpsSpec extends SparkTestBase {
     val (c4, _) = GraphOps.kcore(clique, 4)
     assert(c4.as[(Long, Long)].collect().toMap == (1L to 5L).map(_ -> 4L).toMap)
   }
+
+  test("sssp relaxes a weighted chain to exact prefix sums within the hop bound") {
+    import spark.implicits._
+    // chain 0-1-2-...-7 with weight i+1 on edge (i, i+1): dist(k) must be
+    // the exact prefix sum 1+2+...+k; a heavier direct shortcut 0->3 (w=100)
+    // must LOSE to the lighter 3-hop path (6) — min-merge, not first-visit
+    val chain = (0L until 7L).map(i => (i, i + 1, i + 1)) :+ ((0L, 3L, 100L))
+    val half = chain.toDF("a", "b", "w")
+    val edges = half.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(half.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    val source = Seq((0L, 0L)).toDF("node", "dist")
+    val got = GraphOps.sssp(edges, source, maxHops = 7).as[(Long, Long)].collect().toMap
+    val prefix = (0 to 7).map(k => k.toLong -> (1 to k).map(_.toLong).sum).toMap
+    assert(got == prefix, s"chain distances must be prefix sums: $got")
+
+    // hop-bounded semantics: with maxHops=3 only nodes within 3 relaxation
+    // rounds appear, and node 3 arrives via the cheaper 3-hop path (6),
+    // not the direct w=100 edge
+    val bounded = GraphOps.sssp(edges, source, maxHops = 3).as[(Long, Long)].collect().toMap
+    assert(bounded(3L) == 6L, s"min-merge must beat the heavy shortcut: $bounded")
+    assert(!bounded.contains(7L), "node 7 needs 7 hops and must be absent at bound 3")
+    // 3 rounds reach the chain's hop-3 frontier (node 3) plus the nodes the
+    // heavy shortcut opened up (4 in round 2, 5 in round 3)
+    assert(bounded.keySet == (0L to 5L).toSet, s"3-round reachable set: $bounded")
+  }
 }
