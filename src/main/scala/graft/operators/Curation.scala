@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators beyond the reference's surface (SURVEY
@@ -696,8 +696,102 @@ object Curation {
             FROM documents GROUP BY lang, source
             ORDER BY lang, source"""))
 
+  /** TOKENIZE → PACK → SHARD, composed end-to-end: the artifact a
+    * pretraining pipeline actually emits. One lazy plan chains
+    * `text_bpe_encode` (per-doc token counts under the 10 trained merges,
+    * broadcast dictionary applied scan-side), `pipeline_pack_sequences`
+    * (greedy-by-position packing into 512-BPE-token training sequences via
+    * [[Sampling.prefixSum]], the two-phase partition-parallel running sum),
+    * and `mm_shard_manifest` (8 sequences = 4096 tokens per shard). Output
+    * is the stage-attrition funnel (the [[endToEnd]] pattern) IN the same
+    * schema as the full manifest detail: summary rows for raw ingest and
+    * encode (docs with no [a-z]{2,} word drop here — the only attrition
+    * edge), then one row per packed sequence and one per shard.
+    *
+    * 100 TB shape: the corpus streams through once for encoding (dictionary
+    * is vocabulary-sized, broadcast); the only corpus-sized shuffle is the
+    * single (doc_id, n_tokens) exchange inside prefixSum — text never
+    * shuffles; sequence and shard manifests aggregate the already-tiny
+    * per-doc placement table. All counts are exact BIGINTs. */
+  val tokenizePack = GraftQuery(
+    "pipeline_tokenize_pack",
+    (s, dir) => {
+      val (_, state) = TextAnalysis.bpeTrainState(s, dir)
+      val dict = state.select(col("w"), size(col("toks")).as("ntok"))
+      val encoded = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .join(broadcast(dict), "w")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("ntok")).cast("long").as("n_bpe_tokens"))
+      val placed = Sampling.prefixSum(s, encoded, "doc_id", "n_bpe_tokens", "start_tok")
+        .withColumn("seq_id", (col("start_tok") / 512).cast("long"))
+        .withColumn("shard_id", (col("seq_id") / 8).cast("long"))
+      def stageRow(stage: String, df: org.apache.spark.sql.DataFrame, tok: Column) =
+        df.agg(count(lit(1)).cast("long").as("n_docs"),
+            coalesce(sum(tok), lit(0L)).cast("long").as("n_tokens"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .select(lit(stage).as("stage"), lit(-1L).as("unit_id"),
+            col("n_docs"), col("n_tokens"), col("first_doc"), col("last_doc"))
+      // raw = every document (left join keeps token-less docs); its token
+      // unit is pre-BPE qualifying words, so encode-stage inflation shows
+      val raw = stageRow("0_raw",
+        t(s, dir, "documents").select(col("doc_id").cast("long").as("doc_id"))
+          .join(encoded, Seq("doc_id"), "left"), col("n_words"))
+      val enc = stageRow("1_encode", encoded, col("n_bpe_tokens"))
+      def manifest(stage: String, unit: String) = placed
+        .groupBy(col(unit).as("unit_id"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_bpe_tokens")).cast("long").as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .select(lit(stage).as("stage"), col("unit_id"),
+          col("n_docs"), col("n_tokens"), col("first_doc"), col("last_doc"))
+      raw.unionByName(enc)
+        .unionByName(manifest("2_pack", "seq_id"))
+        .unionByName(manifest("3_shard", "shard_id"))
+        .orderBy(col("stage"), col("unit_id"))
+    },
+    Some {
+      s"""WITH ${TextAnalysis.bpeDictOracleCtes},
+          encoded AS MATERIALIZED (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(ntok) AS BIGINT) AS n_tok
+            FROM docw JOIN dict USING (w)
+            WHERE length(w) >= 2 GROUP BY doc_id),
+          placed AS MATERIALIZED (
+            SELECT doc_id, n_tok,
+              CAST(floor(start_tok / 512) AS BIGINT) AS seq_id,
+              CAST(floor(floor(start_tok / 512) / 8) AS BIGINT) AS shard_id
+            FROM (SELECT doc_id, n_tok,
+                    CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                      AS start_tok
+                  FROM encoded))
+          SELECT stage, unit_id, n_docs, n_tokens, first_doc, last_doc FROM (
+            SELECT '0_raw' AS stage, CAST(-1 AS BIGINT) AS unit_id,
+              CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(coalesce(sum(e.n_words), 0) AS BIGINT) AS n_tokens,
+              min(d.doc_id) AS first_doc, max(d.doc_id) AS last_doc
+            FROM documents d LEFT JOIN encoded e ON d.doc_id = e.doc_id
+            UNION ALL
+            SELECT '1_encode', CAST(-1 AS BIGINT), CAST(count(*) AS BIGINT),
+              CAST(sum(n_tok) AS BIGINT), min(doc_id), max(doc_id)
+            FROM encoded
+            UNION ALL
+            SELECT '2_pack', seq_id, CAST(count(*) AS BIGINT),
+              CAST(sum(n_tok) AS BIGINT), min(doc_id), max(doc_id)
+            FROM placed GROUP BY seq_id
+            UNION ALL
+            SELECT '3_shard', shard_id, CAST(count(*) AS BIGINT),
+              CAST(sum(n_tok) AS BIGINT), min(doc_id), max(doc_id)
+            FROM placed GROUP BY shard_id)
+          ORDER BY stage, unit_id"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
-      tokenBudget, lmBackoffScore, kAnonymity)
+      tokenBudget, lmBackoffScore, kAnonymity, tokenizePack)
 }

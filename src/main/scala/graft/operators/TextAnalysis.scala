@@ -367,7 +367,7 @@ object TextAnalysis {
   private val bpeCache = new java.util.WeakHashMap[SparkSession,
     scala.collection.concurrent.TrieMap[String, (Seq[(Int, String, String, Long)], DataFrame)]]()
 
-  private def bpeTrainState(s: SparkSession, dir: String)
+  private[operators] def bpeTrainState(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val perSession = bpeCache.synchronized {
       var m = bpeCache.get(s)
@@ -472,6 +472,40 @@ object TextAnalysis {
     * is VOCABULARY-sized, so encoding is a broadcast-hash join applied
     * scan-side — the corpus streams through once, nothing corpus-sized
     * shuffles; per-doc sums partial-aggregate map-side. */
+  /** The shared DuckDB oracle prelude for every query that consumes the
+    * trained BPE tokenization: the 10 unrolled training rounds (word key
+    * carried through the states), the exploded corpus word stream `docw`,
+    * and the final per-word token-count dictionary `dict`. Usable directly
+    * after `WITH `; callers append their own CTEs with a leading comma. */
+  private[operators] val bpeDictOracleCtes: String = {
+    val rounds = (1 to 10).map { r =>
+      val p = r - 1
+      s"""tok_$r AS (SELECT freq, string_split(trim(s), '  ') AS tk FROM state_$p),
+          pc_$r AS (SELECT tk[i] AS a, tk[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
+            FROM tok_$r CROSS JOIN LATERAL
+              (SELECT unnest(generate_series(1, len(tk)-1)) AS i) g
+            GROUP BY 1, 2),
+          top_$r AS (SELECT a, b, cnt FROM pc_$r ORDER BY cnt DESC, a, b LIMIT 1),
+          state_$r AS (SELECT w, freq,
+              CASE WHEN t.a IS NULL THEN s
+                   ELSE replace(s, ' '||t.a||'  '||t.b||' ', ' '||t.a||t.b||' ') END AS s
+            FROM state_$p LEFT JOIN top_$r t ON TRUE)"""
+    }.mkString(",\n")
+    s"""state_0 AS (
+          SELECT w, CAST(count(*) AS BIGINT) AS freq,
+                 '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
+          FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+                FROM documents)
+          WHERE length(w) >= 2 GROUP BY w
+        ),
+        $rounds,
+        docw AS (
+          SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+          FROM documents
+        ),
+        dict AS (SELECT w, len(string_split(trim(s), '  ')) AS ntok FROM state_10)"""
+  }
+
   val bpeEncode = GraftQuery(
     "text_bpe_encode",
     (s, dir) => {
@@ -488,32 +522,7 @@ object TextAnalysis {
     // same 10-round unrolled chain, with the word key carried through the
     // states so the final state doubles as the tokenization dictionary
     Some {
-      val rounds = (1 to 10).map { r =>
-        val p = r - 1
-        s"""tok_$r AS (SELECT freq, string_split(trim(s), '  ') AS tk FROM state_$p),
-            pc_$r AS (SELECT tk[i] AS a, tk[i+1] AS b, CAST(sum(freq) AS BIGINT) AS cnt
-              FROM tok_$r CROSS JOIN LATERAL
-                (SELECT unnest(generate_series(1, len(tk)-1)) AS i) g
-              GROUP BY 1, 2),
-            top_$r AS (SELECT a, b, cnt FROM pc_$r ORDER BY cnt DESC, a, b LIMIT 1),
-            state_$r AS (SELECT w, freq,
-                CASE WHEN t.a IS NULL THEN s
-                     ELSE replace(s, ' '||t.a||'  '||t.b||' ', ' '||t.a||t.b||' ') END AS s
-              FROM state_$p LEFT JOIN top_$r t ON TRUE)"""
-      }.mkString(",\n")
-      s"""WITH state_0 AS (
-            SELECT w, CAST(count(*) AS BIGINT) AS freq,
-                   '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS s
-            FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
-                  FROM documents)
-            WHERE length(w) >= 2 GROUP BY w
-          ),
-          $rounds,
-          docw AS (
-            SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
-            FROM documents
-          ),
-          dict AS (SELECT w, len(string_split(trim(s), '  ')) AS ntok FROM state_10)
+      s"""WITH $bpeDictOracleCtes
           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
                  CAST(sum(ntok) AS BIGINT) AS n_bpe_tokens
           FROM docw JOIN dict USING (w)
