@@ -119,6 +119,11 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
           respond(x, 200, s"""{"success":$ok}""")
         case ("POST", "terminate" :: Nil) =>
           // reference: AdminService.scala:39 terminates the actor system.
+          // DESTRUCTIVE and, like the reference's AdminService (its own
+          // TODO: authorization), unauthenticated by default — the
+          // 127.0.0.1 bind scopes it to local processes; deployments that
+          // need more pass `auth` (BasicAuth then covers this route too,
+          // OpsSpec pins the 401).
           // Library analog: stop every active stream, kill running submitted
           // apps, then close the ops surface — the SparkSession stays up (it
           // belongs to the caller, not the ops layer). Respond first; the

@@ -23,6 +23,15 @@ final case class ItState(prevT: Option[Long], prevV: Option[Double], nextG: Opti
   * event AT a grid instant contributes its value directly, no arithmetic.
   * Null observations carry no value and neither anchor nor emit.
   *
+  * Parity SCOPE (ADVICE r9): the stream's grid is bounded by VALUED
+  * observations — the batch twin bounds its grid by min/max ts over ALL
+  * events, so when a key's earliest or latest events are null-valued the
+  * batch query emits extra rows the stream never will: null-'interp' grid
+  * rows before the first valued observation, and 'hold' rows out to a
+  * trailing null event. Parity claims (StreamingInterpolateSpec) therefore
+  * apply to grid instants inside [first valued obs, last valued obs]; the
+  * spec pins the divergence case explicitly.
+  *
   * Same per-key ordering contract as [[ForwardFill]]/[[Resample]]; state
   * per key is two longs + one double. */
 object Interpolate {

@@ -143,4 +143,38 @@ class StreamingInterpolateSpec extends SparkTestBase {
       } finally q.stop()
     }
   }
+
+  test("null-bounded keys: the grid spans valued observations only (documented batch divergence)") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, ms: Long, v: Option[Double]) =
+      FfEvent(id, user, new java.sql.Timestamp(ms), v)
+    withRocksDB { ck =>
+      val base = 1700000000000L // 10s-aligned
+      val in = GraftSource.memory[FfEvent](spark)
+      val withWm = in.toDS().withWatermark("ts", "0 seconds")
+      val q = Interpolate.run(withWm, StepMs).writeStream.outputMode("append")
+        .option("checkpointLocation", ck)
+        .format("memory").queryName("it_bounds").start()
+      try {
+        // earliest AND latest events are null-valued: the batch twin
+        // (ev_resample_interpolate) bounds its grid by min/max over ALL
+        // events, so it would emit null-'interp' rows at base..+10s and
+        // 'hold' rows at +40s..+50s — the stream's grid is bounded by the
+        // VALUED observations (+15s..+32s), so neither side ever appears
+        // (Interpolate scaladoc "Parity SCOPE")
+        in.addData(Seq(
+          ev(0, 1, base, None),            // leading null: opens batch grid
+          ev(1, 1, base + 15000, Some(10.0)),
+          ev(2, 1, base + 32000, Some(44.0)),
+          ev(3, 1, base + 50000, None)))   // trailing null: batch hold tail
+        q.processAllAvailable()
+        val got = spark.table("it_bounds").as[InterpOut].collect()
+          .map(o => (o.grid_ms, o.v)).sortBy(_._1)
+        // only the instants inside [first valued, last valued]: +20s, +30s
+        assert(got === Seq(
+          (base + 20000, 10.0 + 34.0 * (5000.0 / 17000.0)),
+          (base + 30000, 10.0 + 34.0 * (15000.0 / 17000.0))))
+      } finally q.stop()
+    }
+  }
 }
