@@ -1176,6 +1176,93 @@ object Relational {
             WHERE sum_cents * n_supp > total_cents
             ORDER BY sum_cents DESC, s_suppkey"""))
 
+  /** DISJUNCTIVE-PREDICATE JOIN (TPC-H Q19 shape): an OR-of-ANDs predicate
+    * spanning both join sides. The scale discipline: Catalyst extracts the
+    * common equi-conjunct (l_partkey = p_partkey) into the hash-join key and
+    * evaluates the disjunction as a codegen'd post-join residual — never a
+    * nested loop; and the single-side implications of the disjunction
+    * (brand ∈ the three literals, quantity ≤ the widest band) are applied
+    * as explicit scan-side pre-filters, Q19's classic rewrite, so both
+    * scans shrink before the join. */
+  val q49Disjunctive = GraftQuery(
+    "q49_disjunctive_join",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity").between(1, 35))
+        .select(col("l_partkey"), col("l_quantity"),
+          expr("cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)")
+            .as("cents"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(11, 20) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(21, 30) &&
+            col("l_quantity").between(20, 35))))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("cents")).as("revenue_cents"), count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+    Some("""SELECT p_brand,
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+              count(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 11 AND 20
+                   AND l_quantity BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 21 AND 30
+                   AND l_quantity BETWEEN 20 AND 35)
+            GROUP BY p_brand ORDER BY p_brand"""))
+
+  /** INACTIVE HIGH-BALANCE CUSTOMERS (TPC-H Q22 shape): a global scalar
+    * subquery (average positive balance) gating a NOT EXISTS anti-join
+    * against recent orders ("no order since 1999" — this corpus gives every
+    * customer SOME order, so Q22's no-orders-ever predicate would be
+    * vacuous). Exactness discipline: the threshold comparison is
+    * cross-multiplied into pure integers (bal_cents * n_pos > pos_cents),
+    * so no engine ever divides; the 1-row scalar rides a broadcast
+    * crossJoin (BNLJ-allowlisted, the q48 precedent) and the anti-join
+    * shuffles only orders' date-filtered custkey column. */
+  val q50Inactive = GraftQuery(
+    "q50_inactive_high_balance",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").as("bal_cents"))
+      val thr = broadcast(cust.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("pos_cents"), count(lit(1)).as("n_pos")))
+      cust.crossJoin(thr)
+        .filter(col("bal_cents") * col("n_pos") > col("pos_cents"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1999-01-01"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          (sum(col("bal_cents")).cast("double") / 100).as("total_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some("""WITH cust AS (
+              SELECT c_custkey, c_mktsegment,
+                CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+              FROM customer),
+            t AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS pos_cents,
+                    count(*) AS n_pos
+                  FROM cust WHERE bal_cents > 0)
+            SELECT c_mktsegment, count(*) AS n_cust,
+              CAST(CAST(sum(bal_cents) AS BIGINT) AS DOUBLE) / 100 AS total_bal
+            FROM cust CROSS JOIN t
+            WHERE bal_cents * n_pos > pos_cents
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= DATE '1999-01-01')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -1185,5 +1272,5 @@ object Relational {
     q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets,
     q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
     q41Median, q42LateralTopN, q43JoinSix, q44MarketShare, q45Unpivot,
-    q46SmallQty, q47LargeOrders, q48ValueShare)
+    q46SmallQty, q47LargeOrders, q48ValueShare, q49Disjunctive, q50Inactive)
 }

@@ -33,7 +33,7 @@ class PlanLintSpec extends SparkTestBase {
     // crossJoin of a 1-row scalar aggregate (corpus totals / norm / v)
     "emb_power_iteration", "text_tfidf", "curation_temperature_sample",
     "curation_dsir_weights", "lm_backoff_score", "text_vocab_coverage",
-    "q48_value_share", "pipeline_histogram",
+    "q48_value_share", "q50_inactive_high_balance", "pipeline_histogram",
     // crossJoins of 1-row scalar aggregates (budget+G, then the water
     // level) onto G=source-count rows — both sides constant-bounded
     "curation_token_budget",
