@@ -12,9 +12,11 @@ import graft.SparkTestBase
 class RandomProjectionSpec extends SparkTestBase {
 
   test("projected squared distances / k track original squared distances") {
+    // output is 16 flat scalar columns p00..p15 (r9: the driver comparator
+    // can't sort array cells) — reassemble the projected vector per row
     val proj = Similarity.randomProjection.run(spark, sf)
       .collect().map(r => r.getLong(0) ->
-        r.getSeq[Double](1).toArray).toMap
+        (1 to 16).map(r.getDouble).toArray).toMap
     val orig = graft.Tables.t(spark, sf, "embeddings")
       .selectExpr("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
