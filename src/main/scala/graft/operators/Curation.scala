@@ -790,8 +790,70 @@ object Curation {
           ORDER BY stage, unit_id"""
     })
 
+  /** QUALITY-GATE ABLATION: per-rule rejection report for the
+    * [[qualityFilter]] thresholds — for each rule, how many documents it
+    * rejects at all (`n_fail`) and how many it ALONE rejects
+    * (`n_fail_only`: fails this rule, passes the other two). This is the
+    * report that tells a curation owner which knob actually moves corpus
+    * yield before they retune a threshold. One corpus scan computes all
+    * three boolean flags; the rest is a single partial-aggregated 1-row
+    * rollup unpivoted by `stack` — nothing but nine longs ever leaves the
+    * map side. Ratio thresholds reuse [[endToEnd]]'s integer-scaled
+    * (floor(x*1e6+0.5)/1e6) comparisons so both engines gate identically. */
+  val qualityAblation = GraftQuery(
+    "curation_quality_ablation",
+    (s, dir) => {
+      val stopSet = Stops.map(m => s"'$m'").mkString(", ")
+      val flags = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .select(
+          (!(size(col("w")) >= 10 && size(col("w")) <= 2000)).as("f_len"),
+          (expr("floor(cast(size(array_distinct(w)) as double) / size(w) * 1e6 + 0.5) / 1e6") < 0.2)
+            .as("f_div"),
+          (expr(s"floor(cast(size(filter(w, x -> x IN ($stopSet))) as double) / size(w) * 1e6 + 0.5) / 1e6") < 0.01)
+            .as("f_stop"))
+      def fails(c: String) = sum(when(col(c), 1L).otherwise(0L))
+      def only(c: String, others: Seq[String]) =
+        sum(when(others.foldLeft(col(c))((acc, o) => acc && !col(o)), 1L).otherwise(0L))
+      flags.agg(
+          count(lit(1)).as("n_docs"),
+          fails("f_len").as("len_fail"),
+          only("f_len", Seq("f_div", "f_stop")).as("len_only"),
+          fails("f_div").as("div_fail"),
+          only("f_div", Seq("f_len", "f_stop")).as("div_only"),
+          fails("f_stop").as("stop_fail"),
+          only("f_stop", Seq("f_len", "f_div")).as("stop_only"))
+        .selectExpr("""stack(3,
+            'length_bounds', n_docs, len_fail, len_only,
+            'lexical_diversity', n_docs, div_fail, div_only,
+            'stopword_ratio', n_docs, stop_fail, stop_only)
+          AS (rule, n_docs, n_fail, n_fail_only)""")
+        .orderBy(col("rule"))
+    },
+    Some(s"""WITH f AS (
+              SELECT NOT (len(w) BETWEEN 10 AND 2000) AS f_len,
+                floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w) * 1e6 + 0.5) / 1e6 < 0.2 AS f_div,
+                floor(CAST(len(list_filter(w, x -> x IN (${Stops.map(m => s"'$m'").mkString(", ")})))
+                  AS DOUBLE) / len(w) * 1e6 + 0.5) / 1e6 < 0.01 AS f_stop
+              FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+            a AS (SELECT count(*) AS n_docs,
+              CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT) AS len_fail,
+              CAST(sum(CASE WHEN f_len AND NOT f_div AND NOT f_stop THEN 1 ELSE 0 END) AS BIGINT) AS len_only,
+              CAST(sum(CASE WHEN f_div THEN 1 ELSE 0 END) AS BIGINT) AS div_fail,
+              CAST(sum(CASE WHEN f_div AND NOT f_len AND NOT f_stop THEN 1 ELSE 0 END) AS BIGINT) AS div_only,
+              CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS stop_fail,
+              CAST(sum(CASE WHEN f_stop AND NOT f_len AND NOT f_div THEN 1 ELSE 0 END) AS BIGINT) AS stop_only
+              FROM f)
+            SELECT rule, n_docs, n_fail, n_fail_only FROM (
+              SELECT 'length_bounds' AS rule, n_docs, len_fail AS n_fail, len_only AS n_fail_only FROM a
+              UNION ALL
+              SELECT 'lexical_diversity', n_docs, div_fail, div_only FROM a
+              UNION ALL
+              SELECT 'stopword_ratio', n_docs, stop_fail, stop_only FROM a)
+            ORDER BY rule"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
-      tokenBudget, lmBackoffScore, kAnonymity, tokenizePack)
+      tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation)
 }

@@ -267,6 +267,51 @@ object Multimodal {
               min(doc_id) AS first_doc, max(doc_id) AS last_doc
             FROM placed GROUP BY shard_id ORDER BY shard_id"""))
 
+  /** ViT PATCH-GRID LAYOUT: the vision-transformer tokenization plan —
+    * 16x16 patches over the [[resizePlan]] output dimensions (ceil
+    * division: partial edge patches are padded, never dropped) plus the
+    * CLS token, i.e. the sequence length each image contributes to a
+    * multimodal packing budget. Pure scan-side integer expressions
+    * composed on the same derived (w, h) as mm_resize_plan — zero data
+    * movement; at 100 TB this runs inside the decode scan.
+    * Ceil(a/b) is spelled (a + b - 1) div b — non-negative operands, so
+    * truncating div and floor agree across engines. */
+  val patchGrid = GraftQuery(
+    "mm_patch_grid",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("n"))
+        .select(col("doc_id"),
+          (col("n") % 193 + 64).as("w"),
+          (col("n") % 151 + 64).as("h"))
+        .withColumn("scale", least(lit(224.0) / col("w"), lit(224.0) / col("h"), lit(1.0)))
+        .select(col("doc_id"),
+          floor(col("w") * col("scale")).cast("int").as("out_w"),
+          floor(col("h") * col("scale")).cast("int").as("out_h"))
+        .select(col("doc_id"), col("out_w"), col("out_h"),
+          expr("(out_w + 15) div 16").cast("int").as("patches_x"),
+          expr("(out_h + 15) div 16").cast("int").as("patches_y"))
+        .withColumn("seq_len",
+          (col("patches_x") * col("patches_y") + 1).cast("int"))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, out_w, out_h,
+              CAST((out_w + 15) // 16 AS INTEGER) AS patches_x,
+              CAST((out_h + 15) // 16 AS INTEGER) AS patches_y,
+              CAST(((out_w + 15) // 16) * ((out_h + 15) // 16) + 1 AS INTEGER)
+                AS seq_len
+            FROM (SELECT doc_id,
+                    CAST(floor(w * scale) AS INTEGER) AS out_w,
+                    CAST(floor(h * scale) AS INTEGER) AS out_h
+                  FROM (SELECT doc_id, w, h,
+                          least(CAST(224.0 AS DOUBLE) / w,
+                                CAST(224.0 AS DOUBLE) / h,
+                                CAST(1.0 AS DOUBLE)) AS scale
+                        FROM (SELECT doc_id,
+                                CAST(octet_length(encode(text)) % 193 + 64 AS INTEGER) AS w,
+                                CAST(octet_length(encode(text)) % 151 + 64 AS INTEGER) AS h
+                              FROM documents)))
+            ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(meta, decodeFeatures, frameSample, resizePlan,
-    captionPairs, audioWindows, shardManifest)
+    captionPairs, audioWindows, shardManifest, patchGrid)
 }

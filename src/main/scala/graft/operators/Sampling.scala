@@ -448,7 +448,58 @@ object Sampling {
               count(*) AS n_docs
             FROM d GROUP BY bucket, mn, width ORDER BY bucket"""))
 
+  /** CURRICULUM PHASE ASSIGNMENT: order the corpus by a deterministic
+    * difficulty score (mean word length in micro-units — pure integer
+    * arithmetic, so every engine ranks identically) and cut the GLOBAL rank
+    * into 4 curriculum phases (easy->hard quartiles), the schedule a
+    * curriculum-learning trainer consumes.
+    *
+    * The 100 TB point is the global rank itself: `row_number() OVER (ORDER
+    * BY score)` funnels the corpus through one task, so the rank is the
+    * shared two-phase [[prefixSum]] over the (score, doc_id) order PACKED
+    * INTO ONE LONG (score_micro * 2^40 + doc_id; score < 2^23 by
+    * construction, ids < 2^40 — corpus invariants) counting 1 per row:
+    * range-bucketed local windows plus P broadcast bucket bases, one
+    * corpus shuffle of two longs. Phase = rank*4 div n — both operands
+    * non-negative, so Spark's truncating div and DuckDB's floor `//`
+    * agree. */
+  val curriculum = GraftQuery(
+    "pipeline_curriculum",
+    (s, dir) => {
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          expr("aggregate(w, 0L, (acc, x) -> acc + length(x))").as("chars"),
+          size(col("w")).cast("long").as("n_words"))
+        .select(col("doc_id"),
+          expr("chars * 1000000 div n_words").as("score_micro"))
+        .withColumn("pack",
+          col("score_micro") * lit(1099511627776L) + col("doc_id"))
+        .withColumn("one", lit(1L))
+      val n = broadcast(scored.agg(count(lit(1)).as("n")))
+      prefixSum(s, scored, "pack", "one", "rank")
+        .crossJoin(n)
+        .select(col("doc_id"), col("score_micro"), col("rank"),
+          expr("rank * 4 div n").as("phase"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH scored AS (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(string_split(text, ' '),
+                       x -> length(x))) AS BIGINT) * 1000000
+                  // CAST(len(string_split(text, ' ')) AS BIGINT) AS score_micro
+              FROM documents),
+            r AS (SELECT doc_id, score_micro,
+                    CAST(row_number() OVER (ORDER BY score_micro, doc_id) - 1
+                      AS BIGINT) AS rank,
+                    CAST(count(*) OVER () AS BIGINT) AS n
+                  FROM scored)
+            SELECT doc_id, score_micro, rank,
+              CAST(rank * 4 // n AS BIGINT) AS phase
+            FROM r ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
     stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources,
-    sampleK, epochSchedule, weightedSample, histogram)
+    sampleK, epochSchedule, weightedSample, histogram, curriculum)
 }
