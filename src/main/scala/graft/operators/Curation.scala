@@ -852,8 +852,44 @@ object Curation {
               SELECT 'stopword_ratio', n_docs, stop_fail, stop_only FROM a)
             ORDER BY rule"""))
 
+  /** DEDUP IMPACT REPORT: how many documents AND tokens exact dedup removes
+    * per source — the "what does dedup actually save us" number every
+    * corpus review asks for before paying for a near-dup pass. Canonical
+    * copy = min doc_id per content digest (the [[endToEnd]] rule); every
+    * later copy is a duplicate and its whitespace-token count is the
+    * saving. 100 TB shape: only (digest, doc_id, source, n_tok) shuffles —
+    * the digest and token count are computed scan-side, text never moves;
+    * the verdict is one ranked window over the digest key and the report
+    * one keyed aggregation. */
+  val dedupImpact = GraftQuery(
+    "curation_dedup_impact",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(when(col("rn") > 1, col("n_tok")).otherwise(0L)).as("dup_tokens"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+              CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+              CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tokens
+            FROM (SELECT source,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+                  FROM documents)
+            GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
-      tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation)
+      tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
+      dedupImpact)
 }

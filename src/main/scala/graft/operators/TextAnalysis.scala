@@ -652,8 +652,46 @@ object TextAnalysis {
               (cum_tokens * 1000000 // total) / 1000000.0 AS coverage_frac
             FROM r CROSS JOIN t WHERE k IN (10, 20, 30) ORDER BY k"""))
 
+  /** TOKENIZER FERTILITY BY LANGUAGE: BPE tokens per word under the trained
+    * merges, grouped by document language — THE metric for how well a
+    * tokenizer fits each language slice (fertility near 1 = efficient;
+    * high fertility = that language pays more sequence length per word,
+    * the standard multilingual-tokenizer health check). Same scale shape
+    * as [[bpeEncode]]: vocabulary-sized dict broadcast, corpus streamed
+    * once, per-lang sums partial-aggregate map-side. Fertility is one
+    * non-negative integer division (micro-units), so truncating div and
+    * floor `//` agree. */
+  val bpeFertility = GraftQuery(
+    "text_bpe_fertility",
+    (s, dir) => {
+      val (_, state) = bpeTrainState(s, dir)
+      val dict = state.select(col("w"), size(col("toks")).as("ntok"))
+      t(s, dir, "documents")
+        .select(col("lang"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .join(broadcast(dict), "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("ntok")).cast("long").as("n_tokens"),
+          expr("cast(sum(ntok) * 1000000 div count(1) as bigint)")
+            .as("fertility_micro"))
+        .orderBy("lang")
+    },
+    Some {
+      s"""WITH $bpeDictOracleCtes,
+          lw AS (SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+                 FROM documents)
+          SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(sum(ntok) AS BIGINT) AS n_tokens,
+                 CAST(CAST(sum(ntok) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+                   AS fertility_micro
+          FROM lw JOIN dict USING (w)
+          WHERE length(w) >= 2
+          GROUP BY lang ORDER BY lang"""
+    })
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
       cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit,
-      vocabCoverage)
+      vocabCoverage, bpeFertility)
 }
