@@ -27,7 +27,7 @@ class ScaleStressSpec extends SparkTestBase {
   private val KeyOff = 10000000L // > any sf0.1 key; keeps replicas disjoint
 
   private val Heavy = Seq("dedup_minhash", "dedup_rewrite", "q43_join_six",
-    "ann_ivfpq_topk")
+    "ann_ivfpq_topk", "pipeline_tokenize_pack")
 
   /** Fact replicas get shifted surrogate keys; joins fan the extra volume
     * onto the SAME dimension rows — the realistic 10x growth shape (more
@@ -71,10 +71,18 @@ class ScaleStressSpec extends SparkTestBase {
     (rt.totalMemory() - rt.freeMemory()) / (1024.0 * 1024 * 1024)
   }
 
+  /** count() alone is NOT a fair completion probe: Catalyst prunes unread
+    * columns and eliminates cardinality-preserving joins under it (seen
+    * live: dedup_rewrite's whole reconstruction pipeline optimized away,
+    * 0.1 s "completion"). Hash every output column into the aggregate so
+    * the full plan actually executes. */
   private def run(name: String, dir: String): (Long, Double, DataFrame) = {
     val df = SparkEntry.queries(name)(spark, dir)
     val t0 = System.nanoTime()
-    val n = df.count()
+    val n = df
+      .select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(h)"))
+      .head().getLong(0)
     (n, (System.nanoTime() - t0) / 1e9, df)
   }
 
