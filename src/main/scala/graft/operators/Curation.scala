@@ -887,9 +887,44 @@ object Curation {
                   FROM documents)
             GROUP BY source ORDER BY source"""))
 
+  /** CROSS-SOURCE CONTENT OVERLAP MATRIX: for every source pair, how many
+    * lead fingerprints (md5 of the first 8 words — the syndicated-content /
+    * mirror heuristic; exact-text overlap is near-zero even in duplicated
+    * corpora because mirrors mangle whitespace and boilerplate, the lead
+    * survives) appear in BOTH sources. The provenance report a corpus
+    * licensing review starts from. 100 TB shape: fingerprints are computed
+    * scan-side and DISTINCT'd per (fingerprint, source) first, so the
+    * self-join matches 16-byte digests only — text never shuffles and the
+    * join's per-key fan-out is bounded by the source count, not the corpus. */
+  val sourceOverlap = GraftQuery(
+    "curation_source_overlap",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(md5(expr("concat_ws(' ', slice(split(text, ' '), 1, 8))")).as("h"),
+          col("source"))
+        .distinct()
+      val a = d.select(col("h"), col("source").as("source_a"))
+      val b = d.select(col("h"), col("source").as("source_b"))
+      a.join(b, "h")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("source_a"), col("source_b"))
+    },
+    Some("""WITH d AS (
+              SELECT DISTINCT
+                md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS h,
+                source
+              FROM documents)
+            SELECT a.source AS source_a, b.source AS source_b,
+              count(*) AS n_shared
+            FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+            GROUP BY source_a, source_b
+            ORDER BY source_a, source_b"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
       tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
-      dedupImpact)
+      dedupImpact, sourceOverlap)
 }

@@ -499,7 +499,73 @@ object Sampling {
               CAST(rank * 4 // n AS BIGINT) AS phase
             FROM r ORDER BY doc_id"""))
 
+  /** LENGTH-BUCKETED DYNAMIC BATCHING: group documents of similar length
+    * into fixed-size batches (32 docs) and account the padding waste each
+    * batch pays (docs pad to the batch max) — the plan a dynamic-batching
+    * data loader executes, and the report that justifies it (vs one global
+    * batch shape). Buckets are 64-token-wide bands capped at 15; within a
+    * bucket, batch membership follows the deterministic (bucket, doc_id)
+    * order.
+    *
+    * Scale shape: the within-bucket ordinal is NOT a per-bucket window (a
+    * popular bucket would funnel through one task) — it is the global
+    * two-phase [[prefixSum]] over (bucket, doc_id) packed into one long,
+    * minus per-bucket base offsets (≤16 rows, broadcast). One corpus
+    * shuffle of two longs; the batch manifest aggregates the placement
+    * table. Waste = n_docs*max_tok - sum_tok, all exact BIGINTs. */
+  val lengthBucketPack = GraftQuery(
+    "pipeline_length_bucket_pack",
+    (s, dir) => {
+      val sized = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("bucket", least(expr("n_tok div 64"), lit(15L)))
+        .withColumn("pack", col("bucket") * lit(1099511627776L) + col("doc_id"))
+        .withColumn("one", lit(1L))
+      val bases = broadcast(sized.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .select(col("bucket").as("b2"), col("bucket_n")))
+      // global ordinal in (bucket, doc_id) order; subtracting the bucket
+      // base (exclusive prefix over the ≤16 bucket counts) gives the
+      // within-bucket ordinal without any bucket-wide window
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("b2"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val based = bases.withColumn("base",
+        coalesce(sum(col("bucket_n")).over(w), lit(0L)))
+        .select(col("b2"), col("base"))
+      prefixSum(s, sized, "pack", "one", "g_ord")
+        .join(broadcast(based), col("bucket") === col("b2"))
+        .withColumn("batch_id", expr("(g_ord - base) div 32"))
+        .groupBy(col("bucket"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("n_tok")).as("max_tok"),
+          sum(col("n_tok")).as("sum_tok"))
+        .withColumn("pad_waste", col("n_docs") * col("max_tok") - col("sum_tok"))
+        .orderBy(col("bucket"), col("batch_id"))
+    },
+    Some("""WITH sized AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                least(CAST(len(string_split(text, ' ')) AS BIGINT) // 64, 15)
+                  AS bucket
+              FROM documents),
+            placed AS (
+              SELECT bucket, n_tok,
+                (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+                  // 32 AS batch_id
+              FROM sized)
+            SELECT bucket, CAST(batch_id AS BIGINT) AS batch_id,
+              count(*) AS n_docs,
+              CAST(max(n_tok) AS BIGINT) AS max_tok,
+              CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+              CAST(count(*) * max(n_tok) - CAST(sum(n_tok) AS BIGINT) AS BIGINT)
+                AS pad_waste
+            FROM placed GROUP BY bucket, batch_id
+            ORDER BY bucket, batch_id"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
     stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources,
-    sampleK, epochSchedule, weightedSample, histogram, curriculum)
+    sampleK, epochSchedule, weightedSample, histogram, curriculum,
+    lengthBucketPack)
 }
