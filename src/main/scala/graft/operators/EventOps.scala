@@ -950,10 +950,40 @@ object EventOps {
               ts AS cp_ts, CAST(stat AS BIGINT) AS cusum_stat
             FROM sc WHERE rn = 1 AND n >= 8 ORDER BY user_id"""))
 
+  /** WEEKLY TRAFFIC HEATMAP: events and distinct users per (day-of-week,
+    * hour-of-day) — the capacity-planning / anomaly-baseline panel every
+    * event platform renders. Day-of-week is computed from raw epoch days
+    * ((days + 4) % 7, Sunday = 0; 1970-01-01 was a Thursday) rather than
+    * any engine's dayofweek() builtin, because those disagree on both the
+    * start day and the base index across engines and locales — epoch
+    * arithmetic is convention-free and exact. Scan-side integer exprs +
+    * one 168-group partial-agg'd shuffle. */
+  val weeklyPattern = GraftQuery(
+    "ev_weekly_pattern",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(unix_micros(col("ts")).as("us"), col("user_id"))
+        .select(expr("cast(((us div 86400000000) + 4) % 7 as int)").as("dow"),
+          expr("cast((us div 3600000000) % 24 as int)").as("hour"),
+          col("user_id"))
+        .groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("dow"), col("hour")),
+    Some("""SELECT dow, hour, count(*) AS n_events,
+              count(DISTINCT user_id) AS n_users
+            FROM (SELECT
+                    CAST(((epoch_us(ts) // 86400000000) + 4) % 7 AS INTEGER) AS dow,
+                    CAST((epoch_us(ts) // 3600000000) % 24 AS INTEGER) AS hour,
+                    user_id
+                  FROM events)
+            GROUP BY dow, hour ORDER BY dow, hour"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
     intervalJoinAuto, intervalJoinBetween, cepPairs, forwardFill,
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
-    interarrivalStats, resampleInterpolate, dailyActive, changepoint)
+    interarrivalStats, resampleInterpolate, dailyActive, changepoint,
+    weeklyPattern)
 }

@@ -1203,9 +1203,44 @@ object Similarity {
              ON h.q_id = g.q_id AND h.probe = g.probe
            ORDER BY g.q_id, g.probe"""))
 
+  /** EMBEDDING NORM PROFILE per label: min/max/mean squared L2 norm — the
+    * norm-collapse / norm-explosion health check run on every embedding
+    * refresh (collapsed norms ruin cosine retrieval; exploding norms flag a
+    * training bug). The squared norm is the house ordered double fold
+    * integer-scaled to micros BEFORE aggregation (the [[oodScore]]
+    * discipline), so min/max/sum are exact integers and the mean one
+    * non-negative integer division — no accumulation order anywhere.
+    * Scan-side fold + one label-keyed partial-agg'd shuffle of four longs. */
+  val normProfile = GraftQuery(
+    "emb_norm_profile",
+    (s, dir) => {
+      val nsq = expr(
+        s"""cast(floor(aggregate(transform(sequence(0, ${Dim - 1}),
+              i -> cast(embedding[i] as double) * cast(embedding[i] as double)),
+            cast(0.0 as double), (acc, v) -> acc + v) * 1e6 + 0.5) as bigint)""")
+      t(s, dir, "embeddings")
+        .select(col("label"), nsq.as("nsq_micro"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          min(col("nsq_micro")).as("min_nsq"),
+          max(col("nsq_micro")).as("max_nsq"),
+          expr("cast(sum(nsq_micro) div count(1) as bigint)").as("avg_nsq"))
+        .orderBy(col("label"))
+    },
+    Some("""SELECT label, count(*) AS n,
+              min(nsq) AS min_nsq, max(nsq) AS max_nsq,
+              CAST(CAST(sum(nsq) AS BIGINT) // count(*) AS BIGINT) AS avg_nsq
+            FROM (SELECT label,
+                    CAST(floor(list_sum(list_transform(generate_series(1, 64),
+                      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+                      * 1e6 + 0.5) AS BIGINT) AS nsq
+                  FROM embeddings)
+            GROUP BY label ORDER BY label"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
-      randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep)
+      randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
+      normProfile)
 }

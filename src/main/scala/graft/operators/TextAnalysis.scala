@@ -690,8 +690,45 @@ object TextAnalysis {
           GROUP BY lang ORDER BY lang"""
     })
 
+  /** LEXICAL COMPLEXITY per source: mean syllables-per-word and share of
+    * polysyllabic (>= 3 syllable) words — the vocabulary-difficulty half of
+    * a readability score (the corpus has no sentence punctuation, so the
+    * words-per-sentence half is undefined here; SMOG and Flesch both reduce
+    * to these terms). Syllables are proxied by vowel-group runs
+    * ([aeiouy]+), the standard closed-form heuristic — computable as
+    * identical regex splits in both engines. All ratios integer-scaled
+    * (micro-units, non-negative div); one corpus scan, one source-keyed
+    * partial-agg'd shuffle of four longs. */
+  val complexity = GraftQuery(
+    "text_complexity",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("w"))
+        .select(col("source"),
+          expr("size(filter(split(w, '[^aeiouy]+'), x -> x != ''))").as("syl"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("syl")).cast("long").as("n_syllables"),
+          expr("cast(sum(syl) * 1000000 div count(1) as bigint)")
+            .as("syl_per_word_micro"),
+          expr("cast(sum(case when syl >= 3 then 1 else 0 end) * 1000000 div count(1) as bigint)")
+            .as("poly_pct_micro"))
+        .orderBy(col("source")),
+    Some("""SELECT source, count(*) AS n_words,
+              CAST(sum(syl) AS BIGINT) AS n_syllables,
+              CAST(CAST(sum(syl) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+                AS syl_per_word_micro,
+              CAST(CAST(sum(CASE WHEN syl >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000000 // count(*) AS BIGINT) AS poly_pct_micro
+            FROM (SELECT source,
+                    CAST(len(list_filter(string_split_regex(w, '[^aeiouy]+'),
+                      x -> x <> '')) AS BIGINT) AS syl
+                  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS w
+                        FROM documents))
+            GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
       cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit,
-      vocabCoverage, bpeFertility)
+      vocabCoverage, bpeFertility, complexity)
 }
