@@ -979,11 +979,57 @@ object EventOps {
                   FROM events)
             GROUP BY dow, hour ORDER BY dow, hour"""))
 
+  /** ROBUST (MAD) OUTLIER PROFILE per event type — the median-based twin of
+    * [[anomalyZscore]]: mean/stddev break down exactly when outliers are
+    * present (they drag the threshold), so production monitors use
+    * median +- k*MAD. Exactness discipline: values scale to integer micros
+    * first; a median of integers is .0/.5-exact in double, and the absolute
+    * deviation is DOUBLED (adev = 2|v - med|) so it is again an exact
+    * integer and the second median stays exact; the outlier test
+    * |v-med| > 3*MAD compares as adev > 3*mad2 — all products of exact
+    * doubles far below 2^53. Two grouped exact-median passes over the
+    * event-type key, the per-type medians broadcast back. */
+  val anomalyMad = GraftQuery(
+    "ev_anomaly_mad",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(expr("median(v)").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", expr("cast(abs(v - med) * 2 as bigint)"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(expr("median(adev)").as("mad2"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          first(col("med")).as("median_micro"),
+          (first(col("mad2")) / 2).as("mad_micro"),
+          sum(when(col("adev") > lit(3) * col("mad2"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH ev AS (SELECT event_type,
+                CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v FROM events),
+            med AS (SELECT event_type, median(v) AS med FROM ev GROUP BY event_type),
+            dev AS (SELECT e.event_type, e.v, m.med,
+                      CAST(abs(e.v - m.med) * 2 AS BIGINT) AS adev
+                    FROM ev e JOIN med m USING (event_type)),
+            mad AS (SELECT event_type, median(adev) AS mad2 FROM dev GROUP BY event_type)
+            SELECT d.event_type, count(*) AS n,
+              CAST(any_value(d.med) AS DOUBLE) AS median_micro,
+              CAST(any_value(m.mad2) AS DOUBLE) / 2 AS mad_micro,
+              CAST(sum(CASE WHEN d.adev > 3 * m.mad2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_outliers
+            FROM dev d JOIN mad m USING (event_type)
+            GROUP BY d.event_type ORDER BY d.event_type"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
     intervalJoinAuto, intervalJoinBetween, cepPairs, forwardFill,
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
-    weeklyPattern)
+    weeklyPattern, anomalyMad)
 }

@@ -374,6 +374,36 @@ object GraphOps {
           SELECT node, dist FROM d$SsspHops ORDER BY node"""
     })
 
+  /** DEGREE DISTRIBUTION: node-degree histogram of the undirected
+    * supplier~part co-purchase graph — the first profile run on any new
+    * edge set (heavy-tail shape decides whether k-core/LPA/CC need skew
+    * handling). Edges DISTINCT'd scan-side; degrees are one node-keyed
+    * count and the histogram one degree-keyed count — two key-sized
+    * shuffles, never edges-join-edges. */
+  val degreeHist = GraftQuery(
+    "graph_degree_hist",
+    (s, dir) => {
+      val half = Tables.t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select((col("l_suppkey") + SuppOffset).as("a"), col("l_partkey").as("b"))
+        .distinct()
+      val deg = half.select(col("a").as("node"))
+        .union(half.select(col("b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      deg.groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("degree"))
+    },
+    Some(s"""WITH half AS (
+              SELECT DISTINCT l_suppkey + $SuppOffset AS a, l_partkey AS b
+              FROM lineitem WHERE l_orderkey % 50 = 0),
+            deg AS (SELECT node, count(*) AS degree FROM (
+                SELECT a AS node FROM half UNION ALL SELECT b AS node FROM half)
+              GROUP BY node)
+            SELECT degree, count(*) AS n_nodes
+            FROM deg GROUP BY degree ORDER BY degree"""))
+
   val all: Seq[GraftQuery] =
-    Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery, ssspQuery)
+    Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
+      ssspQuery, degreeHist)
 }
