@@ -1263,6 +1263,57 @@ object Relational {
                                 AND o_orderdate >= DATE '1999-01-01')
             GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
+  /** SOLE-LATE-SUPPLIER (TPC-H Q21 shape): suppliers who alone held up a
+    * multi-supplier order — the classic EXISTS-other-supplier /
+    * NOT-EXISTS-other-late-supplier double-correlation, decorrelated here
+    * (as Catalyst would) into ONE per-order aggregate (distinct suppliers,
+    * distinct late suppliers) joined back to the late-shipper list: the
+    * two correlated subqueries collapse into two countDistincts over the
+    * same order-keyed shuffle, and lineitem is scanned twice at most
+    * (once joined to orders for lateness, once for the late list —
+    * Catalyst shares the scan). "Late" = shipped > 90 days after the
+    * order date (this schema has no commit/receipt dates). */
+  val q51LateSuppliers = GraftQuery(
+    "q51_late_suppliers",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > expr("o_orderdate + INTERVAL 90 DAYS")).as("late"))
+      val perOrder = li.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+        .select(col("l_orderkey"))
+      val lateSupp = li.filter(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+      lateSupp.join(perOrder, "l_orderkey")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_waiting"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_waiting"))
+        .orderBy(col("n_waiting").desc, col("s_suppkey"))
+    },
+    Some("""WITH li AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+              FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+            per_o AS (
+              SELECT l_orderkey FROM (
+                SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+                  count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+                FROM li GROUP BY l_orderkey)
+              WHERE n_supp >= 2 AND n_late = 1),
+            ls AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE late)
+            SELECT s.s_suppkey, s.s_name, count(*) AS n_waiting
+            FROM ls JOIN per_o USING (l_orderkey)
+            JOIN supplier s ON ls.l_suppkey = s.s_suppkey
+            GROUP BY s.s_suppkey, s.s_name
+            ORDER BY n_waiting DESC, s_suppkey"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -1272,5 +1323,6 @@ object Relational {
     q31Regex, q32Conditional, q33HigherOrder, q34TopKPerGroup, q35GroupingSets,
     q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
     q41Median, q42LateralTopN, q43JoinSix, q44MarketShare, q45Unpivot,
-    q46SmallQty, q47LargeOrders, q48ValueShare, q49Disjunctive, q50Inactive)
+    q46SmallQty, q47LargeOrders, q48ValueShare, q49Disjunctive, q50Inactive,
+    q51LateSuppliers)
 }

@@ -564,8 +564,33 @@ object Sampling {
             FROM placed GROUP BY bucket, batch_id
             ORDER BY bucket, batch_id"""))
 
+  /** CORPUS PARITY CERTIFICATE: a one-row order-independent checksum of
+    * (doc_id, content) — the receipt two pipelines (or two engines, or the
+    * same pipeline re-run after a migration) compare to prove they hold the
+    * SAME corpus without moving it. XOR of per-row 48-bit md5-derived
+    * fingerprints: commutative (no ordering requirement — any partitioning
+    * and any merge order gives the same value, unlike a sum it can never
+    * overflow at any corpus size) and sensitive to any single-row change.
+    * This is the engine's own cross-engine oracle discipline productized.
+    * Pure scan-side hashing + one 3-long partial-agg — no shuffle of data. */
+  val checksum = GraftQuery(
+    "pipeline_checksum",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("text"))), 1, 12), 16, 10).cast("long").as("rh"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(rh)").as("content_xor"),
+          expr("bit_xor(doc_id)").as("id_xor")),
+    Some("""SELECT count(*) AS n_docs,
+              bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12))
+                AS BIGINT)) AS content_xor,
+              bit_xor(doc_id) AS id_xor
+            FROM documents"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
     stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources,
     sampleK, epochSchedule, weightedSample, histogram, curriculum,
-    lengthBucketPack)
+    lengthBucketPack, checksum)
 }
