@@ -1237,10 +1237,66 @@ object Similarity {
                   FROM embeddings)
             GROUP BY label ORDER BY label"""))
 
+  /** INTER-CLASS CENTROID MARGIN: pairwise cosine similarity between label
+    * centroids — the separation panel an embedding refresh is judged by
+    * (classes whose centroids drift together explain retrieval confusion
+    * before any per-query debugging). Exactness: per-dim components scale
+    * to integer micros BEFORE summation, the centroid division is shifted
+    * non-negative (+2e6 per component, embeddings are unit-scale) so
+    * truncating div == floor div across engines, and the pairwise dot/norm
+    * sums are exact BIGINTs (64 dims x ~1e6-scale ints < 2^53); only the
+    * final cosine is a double (one fused op tree, floor-scaled to 6 dp).
+    * Everything after the one (label, dim)-keyed partial-agg shuffle runs
+    * on label-count-bounded rows. */
+  val labelMargin = GraftQuery(
+    "emb_label_margin",
+    (s, dir) => {
+      val cent = t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("d"))
+        .agg(sum(expr("cast(floor(cast(x as double) * 1e6 + 0.5) as bigint)")).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("d"),
+          (expr("(sx + n * 2000000) div n") - 2000000L).as("c"))
+      val norms = cent.groupBy(col("label"))
+        .agg(sum(col("c") * col("c")).as("nsq"))
+      val a = cent.select(col("label").as("label_a"), col("d"), col("c").as("ca"))
+      val b = cent.select(col("label").as("label_b"), col("d"), col("c").as("cb"))
+      a.join(b, "d").filter(col("label_a") < col("label_b"))
+        .groupBy(col("label_a"), col("label_b"))
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+        .join(broadcast(norms.select(col("label").as("label_a"), col("nsq").as("nsq_a"))), "label_a")
+        .join(broadcast(norms.select(col("label").as("label_b"), col("nsq").as("nsq_b"))), "label_b")
+        .select(col("label_a"), col("label_b"), col("dot"),
+          expr("floor(dot / (sqrt(cast(nsq_a as double)) * sqrt(cast(nsq_b as double))) * 1e6 + 0.5) / 1e6")
+            .as("cos_sim"))
+        .orderBy(col("label_a"), col("label_b"))
+    },
+    Some("""WITH ex AS (
+              SELECT label, g.d AS d,
+                CAST(floor(CAST(embedding[g.d] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xm
+              FROM embeddings CROSS JOIN
+                (SELECT unnest(generate_series(1, 64)) AS d) g),
+            c AS (SELECT label, d,
+                    CAST((CAST(sum(xm) AS BIGINT) + count(*) * 2000000) // count(*)
+                      AS BIGINT) - 2000000 AS c
+                  FROM ex GROUP BY label, d),
+            n AS (SELECT label, CAST(sum(c * c) AS BIGINT) AS nsq FROM c GROUP BY label),
+            p AS (SELECT a.label AS label_a, b.label AS label_b,
+                    CAST(sum(a.c * b.c) AS BIGINT) AS dot
+                  FROM c a JOIN c b ON a.d = b.d AND a.label < b.label
+                  GROUP BY 1, 2)
+            SELECT label_a, label_b, dot,
+              floor(dot / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+                * 1e6 + 0.5) / 1e6 AS cos_sim
+            FROM p JOIN n na ON na.label = p.label_a
+                   JOIN n nb ON nb.label = p.label_b
+            ORDER BY label_a, label_b"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
       randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
-      normProfile)
+      normProfile, labelMargin)
 }

@@ -727,8 +727,66 @@ object TextAnalysis {
                         FROM documents))
             GROUP BY source ORDER BY source"""))
 
+  /** LANGUAGE-ID CONFUSION MATRIX: [[langId]]'s predictions evaluated
+    * against the labeled `lang` column — (true, predicted, count, recall) —
+    * the eval every classifier gate ships with before its threshold is
+    * trusted at corpus scale. recall_micro = n * 1e6 div per-true-lang
+    * total (non-negative integer div). One corpus scan for scoring; the
+    * matrix and the per-lang totals are label-count-sized aggregations,
+    * the totals broadcast back onto the matrix. */
+  val langIdConfusion = GraftQuery(
+    "text_langid_confusion",
+    (s, dir) => {
+      val markers = Map(
+        "en" -> Seq("the", "a", "of"),
+        "de" -> Seq("der", "die", "das"),
+        "es" -> Seq("el", "los", "una"),
+        "fr" -> Seq("le", "la", "les"))
+      def score(lang: String) = {
+        val set = markers(lang).map(m => s"'$m'").mkString(", ")
+        expr(s"size(filter(split(text, ' '), x -> x IN ($set)))")
+      }
+      val pred = t(s, dir, "documents")
+        .select(col("lang"),
+          score("en").as("s_en"), score("de").as("s_de"),
+          score("es").as("s_es"), score("fr").as("s_fr"))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+      val totals = broadcast(pred.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_true")))
+      pred.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .join(totals, "lang")
+        .select(col("lang"), col("pred_lang"), col("n"),
+          expr("cast(n * 1000000 div n_true as bigint)").as("recall_micro"))
+        .orderBy(col("lang"), col("pred_lang"))
+    },
+    Some("""WITH scored AS (
+              SELECT lang,
+                len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of'))) AS s_en,
+                len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'das'))) AS s_de,
+                len(list_filter(string_split(text, ' '), x -> x IN ('el', 'los', 'una'))) AS s_es,
+                len(list_filter(string_split(text, ' '), x -> x IN ('le', 'la', 'les'))) AS s_fr
+              FROM documents),
+            pred AS (
+              SELECT lang,
+                CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_es >= s_fr THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+              FROM scored),
+            totals AS (SELECT lang, count(*) AS n_true FROM pred GROUP BY lang)
+            SELECT p.lang, p.pred_lang, count(*) AS n,
+              CAST(count(*) * 1000000 // any_value(t.n_true) AS BIGINT) AS recall_micro
+            FROM pred p JOIN totals t USING (lang)
+            GROUP BY p.lang, p.pred_lang
+            ORDER BY p.lang, p.pred_lang"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
       cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit,
-      vocabCoverage, bpeFertility, complexity)
+      vocabCoverage, bpeFertility, complexity, langIdConfusion)
 }
