@@ -1031,5 +1031,39 @@ object EventOps {
     intervalJoinAuto, intervalJoinBetween, cepPairs, forwardFill,
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
-    weeklyPattern, anomalyMad)
+    weeklyPattern, anomalyMad, funnelTtc)
+
+  /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
+    * purchase AFTER it — [[funnel]] says who converts, this says how fast
+    * (the metric conversion-rate work is actually judged by). Exact
+    * integer microsecond gaps; median/p90 ride the same exact-percentile
+    * parity as [[interarrivalStats]]. Two user-keyed aggregations meet in
+    * one user-keyed join — at corpus scale everything shuffles on the
+    * user key once and the output is one row. */
+  lazy val funnelTtc = GraftQuery(
+    "ev_funnel_ttc",
+    (s, dir) => {
+      val base = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val firstClick = base.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+      base.filter(col("event_type") === "purchase")
+        .join(firstClick, "user_id")
+        .filter(col("us") > col("c_us"))
+        .groupBy(col("user_id"))
+        .agg(min(col("us")).as("p_us"), min(col("c_us")).as("c_us"))
+        .agg(count(lit(1)).as("n_converted"),
+          expr("round(median(p_us - c_us) / 1e6, 4)").as("median_ttc_s"),
+          expr("round(percentile(p_us - c_us, 0.9) / 1e6, 4)").as("p90_ttc_s"))
+    },
+    Some("""WITH fc AS (SELECT user_id, min(epoch_us(ts)) AS c_us
+                        FROM events WHERE event_type = 'click' GROUP BY user_id),
+            fp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS p_us, min(c_us) AS c_us
+                   FROM events e JOIN fc USING (user_id)
+                   WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c_us
+                   GROUP BY e.user_id)
+            SELECT count(*) AS n_converted,
+              round(CAST(median(p_us - c_us) AS DOUBLE) / 1e6, 4) AS median_ttc_s,
+              round(quantile_cont(p_us - c_us, 0.9) / 1e6, 4) AS p90_ttc_s
+            FROM fp"""))
 }

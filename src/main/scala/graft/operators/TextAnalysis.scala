@@ -785,8 +785,58 @@ object TextAnalysis {
             GROUP BY p.lang, p.pred_lang
             ORDER BY p.lang, p.pred_lang"""))
 
+  /** SOURCE DIVERGENCE (domain-drift panel): total-variation distance
+    * between each source's token distribution and the corpus distribution,
+    * both restricted to the global top-100 tokens — the drift alarm an
+    * ingest pipeline fires when one feed's language shifts. TV over a
+    * fixed token set is a sum of |p_source - p_corpus| with both
+    * probabilities integer-scaled (count * 1e6 div set-total, non-negative
+    * div), so the distance is an exact BIGINT. The top-100 head is a
+    * TakeOrderedAndProject broadcast; the full (source x token) grid is a
+    * crossJoin of two constant-bounded smalls (BNLJ-allowlisted) so tokens
+    * ABSENT from a source still contribute their corpus mass. */
+  val sourceDivergence = GraftQuery(
+    "text_source_divergence",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val top = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(100)
+      val corpusTot = broadcast(top.agg(sum(col("c")).as("tot")))
+      val pc = broadcast(top.crossJoin(corpusTot)
+        .select(col("w"), expr("cast(c * 1000000 div tot as bigint)").as("p_corpus")))
+      val srcCounts = tok.join(broadcast(top.select(col("w"))), "w")
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("sc"))
+      val srcTot = srcCounts.groupBy(col("source")).agg(sum(col("sc")).as("stot"))
+      val grid = broadcast(srcTot).crossJoin(pc)
+      grid.join(srcCounts, Seq("source", "w"), "left")
+        .select(col("source"), col("p_corpus"),
+          expr("cast(coalesce(sc, 0) * 1000000 div stot as bigint)").as("p_src"))
+        .groupBy(col("source"))
+        .agg(sum(abs(col("p_src") - col("p_corpus"))).as("tv_micro"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                         FROM documents),
+            top AS (SELECT w, count(*) AS c FROM tok GROUP BY w
+                    ORDER BY c DESC, w LIMIT 100),
+            pc AS (SELECT w, CAST(c * 1000000 //
+                     (SELECT CAST(sum(c) AS BIGINT) FROM top) AS BIGINT)
+                     AS p_corpus FROM top),
+            sc AS (SELECT source, w, count(*) AS sc
+                   FROM tok WHERE w IN (SELECT w FROM top)
+                   GROUP BY source, w),
+            st AS (SELECT source, CAST(sum(sc) AS BIGINT) AS stot FROM sc GROUP BY source)
+            SELECT st.source,
+              CAST(sum(abs(CAST(coalesce(s2.sc, 0) * 1000000 // st.stot AS BIGINT)
+                - pc.p_corpus)) AS BIGINT) AS tv_micro
+            FROM st CROSS JOIN pc
+            LEFT JOIN sc s2 ON s2.source = st.source AND s2.w = pc.w
+            GROUP BY st.source ORDER BY st.source"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
       cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit,
-      vocabCoverage, bpeFertility, complexity, langIdConfusion)
+      vocabCoverage, bpeFertility, complexity, langIdConfusion,
+      sourceDivergence)
 }
