@@ -1314,6 +1314,79 @@ object Relational {
             GROUP BY s.s_suppkey, s.s_name
             ORDER BY n_waiting DESC, s_suppkey"""))
 
+  /** ORDER-PRIORITY REPORT (TPC-H Q4 shape): orders per priority in one
+    * quarter having AT LEAST ONE late lineitem — the canonical
+    * EXISTS-correlated count, expressed as the left-semi join Catalyst
+    * decorrelates it to. Scale shape: the date filter prunes orders at the
+    * scan, the semi-join shuffles only (orderkey) from the lateness-
+    * filtered lineitem projection, and the final count groups five rows. */
+  val q52PriorityReport = GraftQuery(
+    "q52_priority_report",
+    (s, dir) => {
+      val orders96q1 = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      val late = t(s, dir, "lineitem")
+        .join(orders96q1.select(col("o_orderkey").as("k"), col("o_orderdate")),
+          col("l_orderkey") === col("k"))
+        .filter(col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAYS"))
+        .select(col("l_orderkey"))
+      orders96q1.join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** PROMO REVENUE SHARE by month (TPC-H Q14 shape): the
+    * ratio-of-conditional-aggregates report — promo revenue over total
+    * revenue per shipping month. Both numerator and denominator are exact
+    * integer-cents sums; the share is integer cross-multiplied to micro
+    * units (non-negative div), so no float ever aggregates. One broadcast
+    * of the part dimension; revenue partial-aggregates map-side on the
+    * month key (12-24 groups). */
+  val q53PromoShare = GraftQuery(
+    "q53_promo_share",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+        .join(broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+          expr("cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)")
+            .as("cents"),
+          (col("p_type") === "PROMO").as("is_promo"))
+        .groupBy(col("ship_month"))
+        .agg(sum(when(col("is_promo"), col("cents")).otherwise(0L)).as("promo_cents"),
+          sum(col("cents")).as("total_cents"))
+        .withColumn("promo_share_micro",
+          expr("cast(promo_cents * 1000000 div total_cents as bigint)"))
+        .orderBy(col("ship_month")),
+    Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+              CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) AS promo_cents,
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS total_cents,
+              CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+                THEN CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                ELSE 0 END) AS BIGINT) * 1000000
+                // CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                AS BIGINT) AS promo_share_micro
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+            GROUP BY ship_month ORDER BY ship_month"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -1324,5 +1397,5 @@ object Relational {
     q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
     q41Median, q42LateralTopN, q43JoinSix, q44MarketShare, q45Unpivot,
     q46SmallQty, q47LargeOrders, q48ValueShare, q49Disjunctive, q50Inactive,
-    q51LateSuppliers)
+    q51LateSuppliers, q52PriorityReport, q53PromoShare)
 }
