@@ -833,8 +833,39 @@ object Dedup {
           ORDER BY bands DESC"""
     })
 
+  /** NEAR-DUP CLUSTER SIZE DISTRIBUTION: histogram of [[clusters]]'
+    * connected-component sizes plus the doc-savings each size class buys
+    * (a size-k cluster keeps 1, drops k-1) — the capacity headline of a
+    * dedup run ("how much smaller does the corpus get, and is mass in
+    * pairs or mega-clusters?"; a heavy tail here is also the skew alarm
+    * for the CC iteration itself). Component labels come from the shared
+    * pointer-jumping loop; sizes and the histogram are two tiny keyed
+    * aggregations over (doc_id, cluster_id) pairs. */
+  val clusterStats = GraftQuery(
+    "dedup_cluster_stats",
+    (s, dir) =>
+      connectedComponents(minhashPairs(s, dir))
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * (col("csize") - 1)).as("docs_dropped"))
+        .orderBy(col("csize")),
+    Some(s"""WITH RECURSIVE $MinhashPairsCte,
+             pairs AS (SELECT doc_a, doc_b FROM eq WHERE n_eq >= 8),
+             und AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                     UNION SELECT doc_b, doc_a FROM pairs),
+             reach(node, r) AS (
+               SELECT DISTINCT src, src FROM und
+               UNION
+               SELECT re.node, u.dst FROM reach re JOIN und u ON u.src = re.r),
+             comp AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+             sizes AS (SELECT cluster_id, count(*) AS csize FROM comp GROUP BY cluster_id)
+             SELECT csize, count(*) AS n_clusters,
+               count(*) * (csize - 1) AS docs_dropped
+             FROM sizes GROUP BY csize ORDER BY csize"""))
+
   val all: Seq[GraftQuery] =
     Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
       containment, minhashFast, chunk, priorityKeep, ingestDelta, fuzzyNames,
-      rewrite, snapshotMerge, snm, candidateEval, bandingSweep)
+      rewrite, snapshotMerge, snm, candidateEval, bandingSweep, clusterStats)
 }

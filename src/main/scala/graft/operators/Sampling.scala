@@ -589,8 +589,36 @@ object Sampling {
               bit_xor(doc_id) AS id_xor
             FROM documents"""))
 
+  /** PER-SHARD PARITY MANIFEST: [[checksum]]'s order-independent XOR
+    * fingerprint computed per [[shardAssign]] shard — when the corpus-level
+    * certificate diverges, this is the manifest that says WHICH shard to
+    * re-transfer instead of re-shipping 100 TB. Same scan-side hashing;
+    * one 16-group partial-agg'd shuffle of three longs per shard. */
+  val shardChecksum = GraftQuery(
+    "pipeline_shard_checksum",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 16).as("shard"),
+          col("doc_id"),
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("text"))), 1, 12), 16, 10).cast("long").as("rh"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("bit_xor(rh)").as("content_xor"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy(col("shard")),
+    Some("""SELECT CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16
+                AS shard,
+              count(*) AS n_docs,
+              bit_xor(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 12))
+                AS BIGINT)) AS content_xor,
+              bit_xor(doc_id) AS id_xor
+            FROM documents GROUP BY shard ORDER BY shard"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
     stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources,
     sampleK, epochSchedule, weightedSample, histogram, curriculum,
-    lengthBucketPack, checksum)
+    lengthBucketPack, checksum, shardChecksum)
 }
