@@ -1387,6 +1387,30 @@ object Relational {
               AND l_shipdate < DATE '1997-01-01'
             GROUP BY ship_month ORDER BY ship_month"""))
 
+  /** CUSTOMER ORDER-COUNT DISTRIBUTION (TPC-H Q13 shape): how many
+    * customers placed exactly k orders, INCLUDING the zero-order customers
+    * the left outer join preserves — the double-aggregation
+    * (join → per-customer count → histogram of counts) that famously
+    * stresses outer-join + two-level grouping. Scale shape: the join and
+    * first count shuffle on the customer key once; the histogram is a
+    * count-keyed aggregation over customer-sized rows. */
+  val q54CustDist = GraftQuery(
+    "q54_customer_distribution",
+    (s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+    Some("""SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -1397,5 +1421,5 @@ object Relational {
     q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
     q41Median, q42LateralTopN, q43JoinSix, q44MarketShare, q45Unpivot,
     q46SmallQty, q47LargeOrders, q48ValueShare, q49Disjunctive, q50Inactive,
-    q51LateSuppliers, q52PriorityReport, q53PromoShare)
+    q51LateSuppliers, q52PriorityReport, q53PromoShare, q54CustDist)
 }

@@ -834,9 +834,69 @@ object TextAnalysis {
             LEFT JOIN sc s2 ON s2.source = st.source AND s2.w = pc.w
             GROUP BY st.source ORDER BY st.source"""))
 
+  /** VOCABULARY GROWTH CURVE (Heaps' law): cumulative distinct-word count
+    * vs cumulative token count at 10 corpus checkpoints — sublinear growth
+    * (V ~ N^beta, beta ~ 0.5-0.7) is what natural corpora do; a curve bending
+    * linear screams ID-like/generated junk tokens, flat screams template
+    * spam. The trick that makes "distinct so far" scale: a word's
+    * contribution to the curve is fully determined by its FIRST occurrence
+    * (min doc-decile per word — one vocabulary-sized aggregation), so no
+    * checkpoint ever re-counts distinct over a prefix; the cumulative sums
+    * run over 10 rows. Deciles are range-based on doc_id (pure function,
+    * no rank); the 1-row bounds ride a broadcast crossJoin
+    * (BNLJ-allowlisted). */
+  val vocabGrowth = GraftQuery(
+    "text_vocab_growth",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+      val bounds = broadcast(words.agg(min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi")))
+      val dec = words.crossJoin(bounds)
+        .select(col("w"),
+          expr("cast((doc_id - lo) * 10 div (hi - lo + 1) as int)").as("dec"))
+      val toks = dec.groupBy(col("dec")).agg(count(lit(1)).as("n_tokens"))
+      val news = dec.groupBy(col("w")).agg(min(col("dec")).as("dec"))
+        .groupBy(col("dec")).agg(count(lit(1)).as("n_new_words"))
+      val w10 = Window.orderBy(col("dec"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      toks.join(news, Seq("dec"), "left")
+        .withColumn("n_new_words", coalesce(col("n_new_words"), lit(0L)))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w10))
+        .withColumn("cum_vocab", sum(col("n_new_words")).over(w10))
+        .select(col("dec"), col("n_tokens"), col("cum_tokens"),
+          col("n_new_words"), col("cum_vocab"))
+        .orderBy(col("dec"))
+    },
+    Some("""WITH words AS (
+              SELECT doc_id, w FROM (
+                SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+                FROM documents)
+              WHERE length(w) >= 2),
+            b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM words),
+            dec AS (SELECT w, CAST((doc_id - lo) * 10 // (hi - lo + 1) AS INTEGER) AS dec
+                    FROM words CROSS JOIN b),
+            toks AS (SELECT dec, count(*) AS n_tokens FROM dec GROUP BY dec),
+            news AS (SELECT dec, count(*) AS n_new_words FROM
+                       (SELECT w, min(dec) AS dec FROM dec GROUP BY w)
+                     GROUP BY dec)
+            SELECT t.dec, t.n_tokens,
+              CAST(sum(t.n_tokens) OVER (ORDER BY t.dec
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_tokens,
+              coalesce(n.n_new_words, 0) AS n_new_words,
+              CAST(sum(coalesce(n.n_new_words, 0)) OVER (ORDER BY t.dec
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS cum_vocab
+            FROM toks t LEFT JOIN news n USING (dec)
+            ORDER BY t.dec"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
       cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit,
       vocabCoverage, bpeFertility, complexity, langIdConfusion,
-      sourceDivergence)
+      sourceDivergence, vocabGrowth)
 }

@@ -34,7 +34,7 @@ class PlanLintSpec extends SparkTestBase {
     "emb_power_iteration", "text_tfidf", "curation_temperature_sample",
     "curation_dsir_weights", "lm_backoff_score", "text_vocab_coverage",
     "q48_value_share", "q50_inactive_high_balance", "pipeline_histogram",
-    "pipeline_curriculum", "text_source_divergence",
+    "pipeline_curriculum", "text_source_divergence", "text_vocab_growth",
     // crossJoins of 1-row scalar aggregates (budget+G, then the water
     // level) onto G=source-count rows — both sides constant-bounded
     "curation_token_budget",
