@@ -864,8 +864,51 @@ object Dedup {
                count(*) * (csize - 1) AS docs_dropped
              FROM sizes GROUP BY csize ORDER BY csize"""))
 
+  /** VERIFY-THRESHOLD TUNING TABLE: candidate-pair survivor counts at
+    * every n_eq cut 4..16 — the companion of [[bandingSweep]] (which tunes
+    * the CANDIDATE side): together they are the full (banding, threshold)
+    * tuning surface measured on the actual corpus. One signature pass and
+    * one band join produce all 7 rows (n_eq computed per pair once, the
+    * cut applied to a 13-value histogram); the threshold table is
+    * constant-bounded, so the >= theta join is tiny-by-tiny
+    * (BNLJ-allowlisted). est_jaccard_micro = t*1e6 div 16, the signature
+    * agreement each cut demands. */
+  val thresholdSweep = GraftQuery(
+    "dedup_threshold_sweep",
+    (s, dir) => {
+      import s.implicits._
+      val bands = bandedSig(
+        perRowSig(t(s, dir, "documents"), md5Hash).cache(), md5Band)
+      val nEq = expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))")
+      val byEq = bands
+        .select(col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("b"), col("bh"))
+        .join(bands.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+          col("b"), col("bh")), Seq("b", "bh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), nEq.cast("int").as("n_eq"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(max(col("n_eq")).as("n_eq"))
+        .groupBy(col("n_eq")).agg(count(lit(1)).as("c"))
+      Seq(4, 6, 8, 10, 12, 14, 16).toDF("threshold")
+        .join(broadcast(byEq), col("n_eq") >= col("threshold"), "left")
+        .groupBy(col("threshold"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_pairs"),
+          expr("cast(any_value(threshold) * 1000000 div 16 as bigint)")
+            .as("est_jaccard_micro"))
+        .orderBy(col("threshold"))
+    },
+    Some(s"""WITH $MinhashPairsCte,
+             byeq AS (SELECT n_eq, count(*) AS c FROM eq GROUP BY n_eq),
+             th AS (SELECT unnest([4, 6, 8, 10, 12, 14, 16]) AS threshold)
+             SELECT threshold,
+               CAST(coalesce(sum(c), 0) AS BIGINT) AS n_pairs,
+               CAST(any_value(threshold) * 1000000 // 16 AS BIGINT)
+                 AS est_jaccard_micro
+             FROM th LEFT JOIN byeq ON n_eq >= threshold
+             GROUP BY threshold ORDER BY threshold"""))
+
   val all: Seq[GraftQuery] =
     Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
       containment, minhashFast, chunk, priorityKeep, ingestDelta, fuzzyNames,
-      rewrite, snapshotMerge, snm, candidateEval, bandingSweep, clusterStats)
+      rewrite, snapshotMerge, snm, candidateEval, bandingSweep, clusterStats,
+      thresholdSweep)
 }

@@ -1031,7 +1031,7 @@ object EventOps {
     intervalJoinAuto, intervalJoinBetween, cepPairs, forwardFill,
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
-    weeklyPattern, anomalyMad, funnelTtc)
+    weeklyPattern, anomalyMad, funnelTtc, peakConcurrency)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1066,4 +1066,54 @@ object EventOps {
               round(CAST(median(p_us - c_us) AS DOUBLE) / 1e6, 4) AS median_ttc_s,
               round(quantile_cont(p_us - c_us, 0.9) / 1e6, 4) AS p90_ttc_s
             FROM fp"""))
+
+  /** PEAK CONCURRENCY per day — the sweep-line classic as one window pass:
+    * each user-day activity interval contributes a +1 at its start and a -1
+    * just after its end; the running sum of deltas in (instant, delta DESC)
+    * order is the live-session count, and its max is the capacity headline.
+    * The DESC tie-break makes instant-touching intervals count as
+    * concurrent, and identical delta rows are interchangeable, so the
+    * per-day MAX is deterministic whatever order an engine visits ties in.
+    * Scale: the sweep window is partitioned by day (bounded partitions);
+    * everything upstream is one user-day keyed aggregation. */
+  lazy val peakConcurrency = GraftQuery(
+    "ev_peak_concurrency",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val iv = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("us"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      val deltas = iv.select(col("day"), col("s_us").as("us"), lit(1).as("delta"))
+        .unionByName(iv.select(col("day"), (col("e_us") + 1).as("us"),
+          lit(-1).as("delta")))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("us"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val peaks = deltas.withColumn("cur", sum(col("delta")).over(w))
+        .groupBy(col("day")).agg(max(col("cur")).as("peak_concurrent"))
+      iv.groupBy(col("day")).agg(count(lit(1)).as("n_sessions"))
+        .join(peaks, "day")
+        .select(col("day"), col("n_sessions"), col("peak_concurrent"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH iv AS (
+              SELECT user_id, CAST(ts AS DATE) AS day,
+                min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+              FROM events GROUP BY user_id, CAST(ts AS DATE)),
+            deltas AS (
+              SELECT day, s_us AS us, 1 AS delta FROM iv
+              UNION ALL
+              SELECT day, e_us + 1 AS us, -1 AS delta FROM iv),
+            sweep AS (
+              SELECT day, CAST(sum(delta) OVER (PARTITION BY day
+                ORDER BY us, delta DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cur
+              FROM deltas),
+            peaks AS (SELECT day, max(cur) AS peak_concurrent FROM sweep GROUP BY day)
+            SELECT i.day, count(*) AS n_sessions,
+              any_value(p.peak_concurrent) AS peak_concurrent
+            FROM iv i JOIN peaks p USING (day)
+            GROUP BY i.day ORDER BY i.day"""))
 }

@@ -40,6 +40,8 @@ class PlanLintSpec extends SparkTestBase {
     "curation_token_budget",
     // composes dedup_minhash + ngram truth, inherits the scalar crossJoins
     "dedup_candidate_eval",
+    // 7-row threshold table >= joined to the <=13-row n_eq histogram
+    "dedup_threshold_sweep",
     // 4-epoch constant table crossed with the shard list (both metadata)
     "pipeline_epoch_schedule"
   )
