@@ -1031,7 +1031,7 @@ object EventOps {
     intervalJoinAuto, intervalJoinBetween, cepPairs, forwardFill,
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
-    weeklyPattern, anomalyMad, funnelTtc, peakConcurrency)
+    weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1116,4 +1116,39 @@ object EventOps {
               any_value(p.peak_concurrent) AS peak_concurrent
             FROM iv i JOIN peaks p USING (day)
             GROUP BY i.day ORDER BY i.day"""))
+
+  /** DAU/WAU STICKINESS: daily actives, trailing-7-day actives, and their
+    * ratio per day — THE product-engagement headline. Rolling DISTINCT
+    * can't ride a window frame, so WAU is the day-bounded rewrite: the
+    * (day, user) pairs dedupe once (the only corpus-sized shuffle), and
+    * the DISTINCT day list (calendar-bounded, broadcast) range-joins each
+    * pair into the <= 7 windows it serves — fan-out 7 by construction,
+    * BNLJ-allowlisted. Stickiness is integer cross-scaled
+    * (dau * 1e6 div wau, non-negative). */
+  lazy val wauStickiness = GraftQuery(
+    "ev_wau_stickiness",
+    (s, dir) => {
+      val du = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
+      val days = broadcast(du.select(col("day").as("win_day")).distinct())
+      val wau = days.join(du,
+          datediff(col("win_day"), col("day")).between(0, 6))
+        .groupBy(col("win_day"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(col("win_day").as("day"), col("wau"))
+      dau.join(wau, "day")
+        .select(col("day"), col("dau"), col("wau"),
+          expr("cast(dau * 1000000 div wau as bigint)").as("stickiness_micro"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+            dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+            days AS (SELECT DISTINCT day AS win_day FROM du),
+            wau AS (SELECT win_day AS day, count(DISTINCT user_id) AS wau
+                    FROM days JOIN du ON date_diff('day', du.day, win_day) BETWEEN 0 AND 6
+                    GROUP BY win_day)
+            SELECT day, dau, wau,
+              CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_micro
+            FROM dau JOIN wau USING (day) ORDER BY day"""))
 }

@@ -312,6 +312,85 @@ object Multimodal {
                               FROM documents)))
             ORDER BY doc_id"""))
 
+  /** MULTIMODAL SEQUENCE BUDGET: each document's TOTAL training-sequence
+    * cost — BPE text tokens (under the trained merges, [[TextAnalysis]]'s
+    * broadcast dictionary) PLUS its image patch tokens ([[patchGrid]]'s
+    * 16x16 grid + CLS) — packed greedily-by-position into 2048-token
+    * multimodal sequences via the shared two-phase prefix sum. This is the
+    * interleaved text+image packing a VLM pretraining loader executes;
+    * composing the two token economies in ONE lazy plan is the point (the
+    * text side never shuffles more than (doc_id, n_tokens), the image side
+    * is pure scan math). Output is the per-sequence manifest. */
+  val seqBudget = GraftQuery(
+    "mm_seq_budget",
+    (s, dir) => {
+      val (_, state) = TextAnalysis.bpeTrainState(s, dir)
+      val dict = state.select(col("w"), size(col("toks")).as("ntok"))
+      val txt = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .join(broadcast(dict), "w")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("ntok")).cast("long").as("txt_tokens"))
+      val img = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).as("n"))
+        .select(col("doc_id"), (col("n") % 193 + 64).as("w"), (col("n") % 151 + 64).as("h"))
+        .withColumn("scale", least(lit(224.0) / col("w"), lit(224.0) / col("h"), lit(1.0)))
+        .select(col("doc_id"),
+          floor(col("w") * col("scale")).cast("int").as("out_w"),
+          floor(col("h") * col("scale")).cast("int").as("out_h"))
+        .select(col("doc_id"),
+          (expr("(out_w + 15) div 16") * expr("(out_h + 15) div 16") + 1)
+            .cast("long").as("img_tokens"))
+      val seq = img.join(txt, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (coalesce(col("txt_tokens"), lit(0L)) + col("img_tokens")).as("seq_len"))
+      Sampling.prefixSum(s, seq, "doc_id", "seq_len", "start_tok")
+        .withColumn("group_id", (col("start_tok") / 2048).cast("long"))
+        .groupBy(col("group_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("seq_len")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("group_id"))
+    },
+    Some {
+      s"""WITH ${TextAnalysis.bpeDictOracleCtes},
+          txt AS MATERIALIZED (
+            SELECT doc_id, CAST(sum(ntok) AS BIGINT) AS txt_tokens
+            FROM docw JOIN dict USING (w)
+            WHERE length(w) >= 2 GROUP BY doc_id),
+          img AS (
+            SELECT doc_id,
+              CAST(((out_w + 15) // 16) * ((out_h + 15) // 16) + 1 AS BIGINT)
+                AS img_tokens
+            FROM (SELECT doc_id,
+                    CAST(floor(w * scale) AS INTEGER) AS out_w,
+                    CAST(floor(h * scale) AS INTEGER) AS out_h
+                  FROM (SELECT doc_id, w, h,
+                          least(CAST(224.0 AS DOUBLE) / w,
+                                CAST(224.0 AS DOUBLE) / h,
+                                CAST(1.0 AS DOUBLE)) AS scale
+                        FROM (SELECT doc_id,
+                                CAST(octet_length(encode(text)) % 193 + 64 AS INTEGER) AS w,
+                                CAST(octet_length(encode(text)) % 151 + 64 AS INTEGER) AS h
+                              FROM documents)))),
+          seq AS MATERIALIZED (
+            SELECT i.doc_id, coalesce(t.txt_tokens, 0) + i.img_tokens AS seq_len
+            FROM img i LEFT JOIN txt t USING (doc_id)),
+          placed AS (
+            SELECT doc_id, seq_len,
+              CAST(floor(CAST(coalesce(sum(seq_len) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                / 2048) AS BIGINT) AS group_id
+            FROM seq)
+          SELECT group_id, count(*) AS n_docs,
+            CAST(sum(seq_len) AS BIGINT) AS n_tokens,
+            min(doc_id) AS first_doc, max(doc_id) AS last_doc
+          FROM placed GROUP BY group_id ORDER BY group_id"""
+    })
+
   val all: Seq[GraftQuery] = Seq(meta, decodeFeatures, frameSample, resizePlan,
-    captionPairs, audioWindows, shardManifest, patchGrid)
+    captionPairs, audioWindows, shardManifest, patchGrid, seqBudget)
 }

@@ -42,6 +42,8 @@ class PlanLintSpec extends SparkTestBase {
     "dedup_candidate_eval",
     // 7-row threshold table >= joined to the <=13-row n_eq histogram
     "dedup_threshold_sweep",
+    // calendar-bounded day list range-joined onto (day,user) pairs (<=7 fan-out)
+    "ev_wau_stickiness",
     // 4-epoch constant table crossed with the shard list (both metadata)
     "pipeline_epoch_schedule"
   )
