@@ -1031,7 +1031,8 @@ object EventOps {
     intervalJoinAuto, intervalJoinBetween, cepPairs, forwardFill,
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
-    weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness)
+    weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
+    seasonalBaseline)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1151,4 +1152,39 @@ object EventOps {
             SELECT day, dau, wau,
               CAST(dau * 1000000 // wau AS BIGINT) AS stickiness_micro
             FROM dau JOIN wau USING (day) ORDER BY day"""))
+
+  /** SEASONAL-NAIVE FORECAST ERROR: per day, the mean absolute error of
+    * "this hour = same hour last week" over its 24 hourly event counts —
+    * the baseline every real forecasting model must beat, and the daily
+    * drift alarm when the corpus' traffic shape changes. Hourly counts are
+    * exact integers keyed by (day, hour); the lag-7-days comparison is one
+    * equality join on the shifted day key (no window over the corpus);
+    * MAE is integer cross-scaled (sum*1e6 div slots). */
+  lazy val seasonalBaseline = GraftQuery(
+    "ev_seasonal_baseline",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), hour(col("ts")).as("hr"))
+        .groupBy(col("day"), col("hr")).agg(count(lit(1)).as("n"))
+      val prior = hourly.select(date_add(col("day"), 7).as("day"),
+        col("hr"), col("n").as("n_prior"))
+      hourly.join(prior, Seq("day", "hr"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_slots"),
+          sum(abs(col("n") - col("n_prior"))).as("total_abs_err"))
+        .withColumn("mae_micro",
+          expr("cast(total_abs_err * 1000000 div n_slots as bigint)"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH hourly AS (
+              SELECT CAST(ts AS DATE) AS day, CAST(hour(ts) AS INTEGER) AS hr,
+                count(*) AS n
+              FROM events GROUP BY day, hr)
+            SELECT a.day, count(*) AS n_slots,
+              CAST(sum(abs(a.n - b.n)) AS BIGINT) AS total_abs_err,
+              CAST(CAST(sum(abs(a.n - b.n)) AS BIGINT) * 1000000 // count(*)
+                AS BIGINT) AS mae_micro
+            FROM hourly a JOIN hourly b
+              ON a.day = b.day + INTERVAL 7 DAY AND a.hr = b.hr
+            GROUP BY a.day ORDER BY a.day"""))
 }

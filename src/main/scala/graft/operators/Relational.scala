@@ -1411,6 +1411,50 @@ object Relational {
                   GROUP BY c_custkey)
             GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
 
+  /** RETURNED-ITEM REVENUE, top 20 customers (TPC-H Q10 shape): who cost
+    * us the most in returns last quarter. The scale discipline mirrors
+    * q43: orders date-filtered and lineitem returnflag-filtered AT THE
+    * SCAN (both predicates push to parquet), the two facts meet in a
+    * shuffle join on orderkey, the customer dimension joins on custkey,
+    * nation broadcasts, and the top-20 is TakeOrderedAndProject (revenue
+    * in exact integer cents with custkey tie-break) — no global sort. */
+  val q55ReturnedRevenue = GraftQuery(
+    "q55_returned_revenue",
+    (s, dir) => {
+      val orders = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val returned = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          expr("cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)")
+            .as("cents"))
+      returned.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("cents")).as("revenue_cents"))
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"), col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c_custkey, c_name, n_name,
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND c_nationkey = n_nationkey
+              AND l_returnflag = 'R'
+              AND o_orderdate >= DATE '1996-01-01'
+              AND o_orderdate < DATE '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue_cents DESC, c_custkey LIMIT 20"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -1421,5 +1465,6 @@ object Relational {
     q36WindowRange, q37WindowDist, q38RangeJoin, q39StringAgg, q40Argmax,
     q41Median, q42LateralTopN, q43JoinSix, q44MarketShare, q45Unpivot,
     q46SmallQty, q47LargeOrders, q48ValueShare, q49Disjunctive, q50Inactive,
-    q51LateSuppliers, q52PriorityReport, q53PromoShare, q54CustDist)
+    q51LateSuppliers, q52PriorityReport, q53PromoShare, q54CustDist,
+    q55ReturnedRevenue)
 }
