@@ -1455,6 +1455,33 @@ object Relational {
             GROUP BY c_custkey, c_name, n_name
             ORDER BY revenue_cents DESC, c_custkey LIMIT 20"""))
 
+  /** FORECASTING REVENUE CHANGE (TPC-H Q6 shape): the would-be revenue
+    * gain from eliminating a discount band — one full-scan aggregate whose
+    * ENTIRE predicate (ship year, discount band, quantity cap) pushes to
+    * the parquet scan, the canonical scan-throughput probe (Q6 is the
+    * TPC-H query storage vendors race). Revenue in exact integer cents
+    * (price*discount is one double product, identical on both engines,
+    * floor-scaled per row before the sum). */
+  val q56ForecastRevenue = GraftQuery(
+    "q56_forecast_revenue",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          sum(expr("cast(floor(l_extendedprice * l_discount * 100 + 0.5) as bigint)"))
+            .as("revenue_cents")),
+    Some("""SELECT count(*) AS n_items,
+              CAST(sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24"""))
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -1466,5 +1493,5 @@ object Relational {
     q41Median, q42LateralTopN, q43JoinSix, q44MarketShare, q45Unpivot,
     q46SmallQty, q47LargeOrders, q48ValueShare, q49Disjunctive, q50Inactive,
     q51LateSuppliers, q52PriorityReport, q53PromoShare, q54CustDist,
-    q55ReturnedRevenue)
+    q55ReturnedRevenue, q56ForecastRevenue)
 }

@@ -1293,10 +1293,59 @@ object Similarity {
                    JOIN n nb ON nb.label = p.label_b
             ORDER BY label_a, label_b"""))
 
+  /** INT8 QUANTIZATION ERROR BUDGET per label: the reconstruction-error
+    * report that decides whether [[quantizeInt8]]'s 4x storage saving is
+    * safe for a given slice — mean and max squared reconstruction error
+    * across each label's vectors. The per-vector error is the identical
+    * ordered fold on both engines (dequantize = lo + round(code)*scale,
+    * the exact [[quantizeInt8]] op tree), floor-scaled to pico-units ONCE
+    * per row, so the label aggregates are exact integers. Scan-side math,
+    * one label-keyed shuffle of three longs. */
+  val quantError = GraftQuery(
+    "emb_quantization_error",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"),
+          expr("cast(array_min(embedding) as double)").as("lo"),
+          col("embedding"))
+        .withColumn("scale", greatest(
+          (expr("cast(array_max(embedding) as double)") - col("lo")) / 255.0,
+          lit(1e-30)))
+        // residual computed once per dim via a nested transform binding
+        // (r -> r * r), NOT pow(): libm pow need not square exactly and
+        // differs across engines (graft-oracle-discipline)
+        .select(col("label"),
+          expr("""cast(floor(aggregate(transform(transform(sequence(0, 63),
+                    i -> cast(embedding[i] as double) -
+                         (lo + floor((cast(embedding[i] as double) - lo) / scale + 0.5) * scale)),
+                    r -> r * r),
+                  cast(0.0 as double), (acc, v) -> acc + v) * 1e12 + 0.5) as bigint)""")
+            .as("err_sq_pico"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          expr("cast(sum(err_sq_pico) div count(1) as bigint)").as("avg_err_sq_pico"),
+          max(col("err_sq_pico")).as("max_err_sq_pico"))
+        .orderBy(col("label")),
+    Some("""SELECT label, count(*) AS n,
+              CAST(CAST(sum(e) AS BIGINT) // count(*) AS BIGINT) AS avg_err_sq_pico,
+              max(e) AS max_err_sq_pico
+            FROM (SELECT label,
+                    CAST(floor(list_sum(list_transform(list_transform(generate_series(1, 64),
+                      i -> CAST(embedding[i] AS DOUBLE) -
+                           (lo + floor((CAST(embedding[i] AS DOUBLE) - lo) / scale + 0.5) * scale)),
+                      r -> r * r))
+                      * 1e12 + 0.5) AS BIGINT) AS e
+                  FROM (SELECT label, embedding,
+                          CAST(list_min(embedding) AS DOUBLE) AS lo,
+                          greatest((CAST(list_max(embedding) AS DOUBLE)
+                            - CAST(list_min(embedding) AS DOUBLE)) / 255.0, 1e-30) AS scale
+                        FROM embeddings))
+            GROUP BY label ORDER BY label"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
       randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
-      normProfile, labelMargin)
+      normProfile, labelMargin, quantError)
 }
