@@ -1032,7 +1032,7 @@ object EventOps {
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
-    seasonalBaseline)
+    seasonalBaseline, alertDebounce)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1187,4 +1187,43 @@ object EventOps {
             FROM hourly a JOIN hourly b
               ON a.day = b.day + INTERVAL 7 DAY AND a.hr = b.hr
             GROUP BY a.day ORDER BY a.day"""))
+
+  /** ALERT DEBOUNCE: suppress an event arriving within 5 minutes of the
+    * previous SAME (user, type) event — the storm-collapse every paging/
+    * notification pipeline applies before fan-out. NOTE the semantics
+    * pinned here: the comparison is against the previous RAW event (a
+    * rolling lag window), not the previous *delivered* one — the rolling
+    * form is one lag() pass and is what a per-key stream processor
+    * computes; chained-suppression would need an iterative fixpoint.
+    * Exact integer microsecond gaps; one (user,type)-keyed window, then a
+    * 5-group rollup. */
+  lazy val alertDebounce = GraftQuery(
+    "ev_alert_debounce",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+        .withColumn("suppressed",
+          col("gap_us").isNotNull && col("gap_us") < 300000000L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("suppressed"), 1L).otherwise(0L)).as("n_suppressed"),
+          sum(when(col("suppressed"), 0L).otherwise(1L)).as("n_delivered"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n_events,
+              CAST(sum(CASE WHEN suppressed THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_suppressed,
+              CAST(sum(CASE WHEN suppressed THEN 0 ELSE 1 END) AS BIGINT)
+                AS n_delivered
+            FROM (SELECT event_type,
+                    coalesce(epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY epoch_us(ts), event_id) < 300000000,
+                      FALSE) AS suppressed
+                  FROM events)
+            GROUP BY event_type ORDER BY event_type"""))
 }

@@ -403,7 +403,45 @@ object GraphOps {
             SELECT degree, count(*) AS n_nodes
             FROM deg GROUP BY degree ORDER BY degree"""))
 
+  /** TWO-HOP NEIGHBORHOOD SIZE: |{nodes at distance <= 2}| per node — the
+    * friends-of-friends reach metric (and the audience estimate one more
+    * BFS round would visit). Same frontier algebra as [[ssspQuery]]
+    * restricted to 2 unrollable rounds with unit distances, so the only
+    * shuffles are (node, reached) pair dedups; edges join the frontier,
+    * never edges-join-edges unbounded. Self excluded. */
+  val twoHop = GraftQuery(
+    "graph_two_hop",
+    (s, dir) => {
+      val half = Tables.t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select((col("l_suppkey") + SuppOffset).as("a"), col("l_partkey").as("b"))
+        .distinct()
+      val edges = half.select(col("a").as("src"), col("b").as("dst"))
+        .union(half.select(col("b").as("src"), col("a").as("dst")))
+      val hop1 = edges.select(col("src").as("node"), col("dst").as("r")).distinct()
+      val hop2 = hop1.join(edges, col("r") === col("src"))
+        .select(col("node"), col("dst").as("r"))
+      hop1.union(hop2).distinct()
+        .filter(col("node") =!= col("r"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_within_2"))
+        .orderBy(col("node"))
+    },
+    Some(s"""WITH half AS (
+              SELECT DISTINCT l_suppkey + $SuppOffset AS a, l_partkey AS b
+              FROM lineitem WHERE l_orderkey % 50 = 0),
+            edges AS MATERIALIZED (
+              SELECT a AS src, b AS dst FROM half
+              UNION ALL SELECT b AS src, a AS dst FROM half),
+            hop1 AS MATERIALIZED (SELECT DISTINCT src AS node, dst AS r FROM edges),
+            reach AS (
+              SELECT node, r FROM hop1
+              UNION
+              SELECT h.node, e.dst AS r FROM hop1 h JOIN edges e ON e.src = h.r)
+            SELECT node, count(*) AS n_within_2
+            FROM reach WHERE node <> r
+            GROUP BY node ORDER BY node"""))
+
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
-      ssspQuery, degreeHist)
+      ssspQuery, degreeHist, twoHop)
 }
