@@ -1342,10 +1342,48 @@ object Similarity {
                         FROM embeddings))
             GROUP BY label ORDER BY label"""))
 
+  /** COSINE-THRESHOLD SWEEP: near-dup pair counts at every candidate
+    * dedup cut (0.35..0.95) from ONE pair scoring — the embedding-space
+    * member of the tuning-table family (dedup_banding_sweep tunes LSH
+    * candidates, dedup_threshold_sweep the MinHash verify cut; this one
+    * answers "how aggressive can the semantic cut be before it eats the
+    * corpus"). Pair similarities collapse to a <=6500-row 4-dp histogram
+    * before the >= theta join, so the sweep costs one tiny-by-tiny join
+    * however many pairs exist (all-pairs scoring itself is the documented
+    * correctness baseline, the dedup_embedding precedent; the LSH-bucketed
+    * path is the scale route). */
+  val embThresholdSweep = GraftQuery(
+    "emb_threshold_sweep",
+    (s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "embeddings").select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = t(s, dir, "embeddings").select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      graft.functions.VectorFunctions.ensureRegistered(s)
+      val hist = a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        .select(expr("cast(floor(graft_cosine(ea, eb) * 10000 + 0.5) as int)")
+          .as("sim_4dp"))
+        .filter(col("sim_4dp") >= 3500)
+        .groupBy(col("sim_4dp")).agg(count(lit(1)).as("c"))
+      Seq(3500, 5000, 7000, 9000, 9500).toDF("threshold_4dp")
+        .join(broadcast(hist), col("sim_4dp") >= col("threshold_4dp"), "left")
+        .groupBy(col("threshold_4dp"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_pairs"))
+        .orderBy(col("threshold_4dp"))
+    },
+    Some(s"""WITH hist AS (
+               SELECT CAST(floor(${sqlCos("a.embedding", "b.embedding")} * 10000 + 0.5)
+                 AS INTEGER) AS sim_4dp, count(*) AS c
+               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+               GROUP BY 1 HAVING sim_4dp >= 3500),
+             th AS (SELECT unnest([3500, 5000, 7000, 9000, 9500]) AS threshold_4dp)
+             SELECT threshold_4dp, CAST(coalesce(sum(c), 0) AS BIGINT) AS n_pairs
+             FROM th LEFT JOIN hist ON sim_4dp >= threshold_4dp
+             GROUP BY threshold_4dp ORDER BY threshold_4dp"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
       randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
-      normProfile, labelMargin, quantError)
+      normProfile, labelMargin, quantError, embThresholdSweep)
 }

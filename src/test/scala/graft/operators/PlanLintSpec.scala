@@ -24,7 +24,7 @@ class PlanLintSpec extends SparkTestBase {
     "ann_cosine_topk", "ann_range_search", "ann_recall_eval",
     "ann_dim_truncation_eval",
     // documented all-pairs correctness baseline
-    "dedup_embedding",
+    "dedup_embedding", "emb_threshold_sweep",
     // crossJoin(broadcast(k centroids / seed set)) — nearest-seed assignment
     "emb_kmeans_assign", "emb_kmeans_update", "dedup_semantic",
     // crossJoin(broadcast(codebook / per-query ADC lookup tables))
