@@ -1032,7 +1032,7 @@ object EventOps {
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
-    seasonalBaseline, alertDebounce)
+    seasonalBaseline, alertDebounce, firstTouch)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1226,4 +1226,51 @@ object EventOps {
                       FALSE) AS suppressed
                   FROM events)
             GROUP BY event_type ORDER BY event_type"""))
+
+  /** FIRST-TOUCH ATTRIBUTION: every purchase credits the event type of its
+    * user's FIRST-ever event — the simplest (and still ubiquitous)
+    * marketing attribution model. The first event per user is a ranked
+    * window with the (ts, event_id) determinism contract; purchases join
+    * it on the user key. Output: per first-touch channel, how many
+    * purchasing users and purchases it gets credit for, share
+    * integer-scaled. */
+  lazy val firstTouch = GraftQuery(
+    "ev_first_touch_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val firstEv = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("first_touch"))
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_purch"))
+      val attr = purchases.join(firstEv, "user_id")
+        .groupBy(col("first_touch"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_purch")).as("n_purchases"))
+      val tot = broadcast(attr.agg(sum(col("n_purchases")).as("tot")))
+      attr.crossJoin(tot)
+        .select(col("first_touch"), col("n_users"), col("n_purchases"),
+          expr("cast(n_purchases * 1000000 div tot as bigint)").as("share_micro"))
+        .orderBy(col("first_touch"))
+    },
+    Some("""WITH fe AS (
+              SELECT user_id, event_type AS first_touch FROM (
+                SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS rn
+                FROM events) WHERE rn = 1),
+            p AS (SELECT user_id, count(*) AS n_purch FROM events
+                  WHERE event_type = 'purchase' GROUP BY user_id),
+            attr AS (SELECT first_touch, count(*) AS n_users,
+                       CAST(sum(n_purch) AS BIGINT) AS n_purchases
+                     FROM p JOIN fe USING (user_id) GROUP BY first_touch)
+            SELECT first_touch, n_users, n_purchases,
+              CAST(n_purchases * 1000000 //
+                (SELECT CAST(sum(n_purchases) AS BIGINT) FROM attr) AS BIGINT)
+                AS share_micro
+            FROM attr ORDER BY first_touch"""))
 }

@@ -1380,10 +1380,39 @@ object Similarity {
              FROM th LEFT JOIN hist ON sim_4dp >= threshold_4dp
              GROUP BY threshold_4dp ORDER BY threshold_4dp"""))
 
+  /** IVF CELL BALANCE: inverted-file cell-size report (cells = the coarse
+    * label quantizer annIvf/annIvfPq probe) — min/max/imbalance across
+    * cells. Imbalance = max_cell * n_cells * 1e6 div total (1e6 = perfectly
+    * uniform): the single number that predicts probe-latency variance and
+    * tells you when the coarse quantizer needs retraining. One
+    * label-keyed count, then cell-count-bounded rows with a 1-row scalar
+    * broadcast (BNLJ-allowlisted). */
+  val ivfBalance = GraftQuery(
+    "emb_ivf_balance",
+    (s, dir) => {
+      val cells = t(s, dir, "embeddings")
+        .groupBy(col("label")).agg(count(lit(1)).as("csize"))
+      val tot = broadcast(cells.agg(sum(col("csize")).as("tot"),
+        count(lit(1)).as("n_cells"), max(col("csize")).as("max_cell"),
+        min(col("csize")).as("min_cell")))
+      tot.select(col("n_cells"), col("tot").cast("long").as("n_vectors"),
+        col("min_cell"), col("max_cell"),
+        expr("cast(max_cell * n_cells * 1000000 div tot as bigint)")
+          .as("imbalance_micro"))
+    },
+    Some("""WITH cells AS (SELECT label, count(*) AS csize
+                           FROM embeddings GROUP BY label)
+            SELECT count(*) AS n_cells,
+              CAST(sum(csize) AS BIGINT) AS n_vectors,
+              min(csize) AS min_cell, max(csize) AS max_cell,
+              CAST(max(csize) * count(*) * 1000000
+                // CAST(sum(csize) AS BIGINT) AS BIGINT) AS imbalance_micro
+            FROM cells"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
       randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
-      normProfile, labelMargin, quantError, embThresholdSweep)
+      normProfile, labelMargin, quantError, embThresholdSweep, ivfBalance)
 }

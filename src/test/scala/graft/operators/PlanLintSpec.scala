@@ -44,6 +44,8 @@ class PlanLintSpec extends SparkTestBase {
     "dedup_threshold_sweep",
     // calendar-bounded day list range-joined onto (day,user) pairs (<=7 fan-out)
     "ev_wau_stickiness",
+    // crossJoin of the 1-row purchase-total scalar onto 5 channel rows
+    "ev_first_touch_attribution",
     // 4-epoch constant table crossed with the shard list (both metadata)
     "pipeline_epoch_schedule"
   )
