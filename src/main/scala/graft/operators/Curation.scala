@@ -922,9 +922,48 @@ object Curation {
             GROUP BY source_a, source_b
             ORDER BY source_a, source_b"""))
 
+  /** SNAPSHOT DRIFT REPORT: per-source added/removed/kept counts between a
+    * corpus snapshot and an incoming batch — the release-notes table next
+    * to [[Dedup.snapshotMerge]]'s materialization (same %7 snapshot / %3
+    * incoming convention, overlap at %21). One full-outer join on the
+    * doc key, verdicts map-side, counts per source; only (doc_id, source)
+    * pairs move. */
+  val snapshotDrift = GraftQuery(
+    "curation_snapshot_drift",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val snap = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("source").as("src_old"))
+      val inc = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("source").as("src_new"))
+      snap.join(inc, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("src_new"), col("src_old")).as("source"),
+          col("src_old"), col("src_new"))
+        .groupBy(col("source"))
+        .agg(
+          sum(when(col("src_old").isNotNull && col("src_new").isNotNull, 1L)
+            .otherwise(0L)).as("n_kept"),
+          sum(when(col("src_old").isNull, 1L).otherwise(0L)).as("n_added"),
+          sum(when(col("src_new").isNull, 1L).otherwise(0L)).as("n_removed"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH snap AS (SELECT doc_id, source AS src_old FROM documents
+                          WHERE doc_id % 7 = 0),
+            inc AS (SELECT doc_id, source AS src_new FROM documents
+                    WHERE doc_id % 3 = 0)
+            SELECT coalesce(src_new, src_old) AS source,
+              CAST(sum(CASE WHEN src_old IS NOT NULL AND src_new IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+              CAST(sum(CASE WHEN src_old IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_added,
+              CAST(sum(CASE WHEN src_new IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_removed
+            FROM snap FULL OUTER JOIN inc USING (doc_id)
+            GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
       tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
-      dedupImpact, sourceOverlap)
+      dedupImpact, sourceOverlap, snapshotDrift)
 }

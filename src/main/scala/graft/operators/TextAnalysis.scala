@@ -894,9 +894,39 @@ object TextAnalysis {
             FROM toks t LEFT JOIN news n USING (dec)
             ORDER BY t.dec"""))
 
+  /** HAPAX RATIO per source: share of each source's vocabulary appearing
+    * exactly once in it (hapax legomena) — the classic lexical-richness /
+    * noise split: natural prose sits near 40-60%, templated spam collapses
+    * toward 0, OCR junk or ID-bearing text explodes toward 100%. One
+    * (source, word)-keyed count (the only corpus shuffle), then
+    * vocabulary-sized aggregation; ratio integer-scaled non-negative. */
+  val hapaxRatio = GraftQuery(
+    "text_hapax_ratio",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          expr("cast(sum(case when c = 1 then 1 else 0 end) * 1000000 div count(1) as bigint)")
+            .as("hapax_micro"))
+        .orderBy(col("source")),
+    Some("""SELECT source, count(*) AS vocab,
+              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+              CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000000 // count(*) AS BIGINT) AS hapax_micro
+            FROM (SELECT source, w, count(*) AS c
+                  FROM (SELECT source,
+                          unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+                        FROM documents)
+                  WHERE length(w) >= 2 GROUP BY source, w)
+            GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
       cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit,
       vocabCoverage, bpeFertility, complexity, langIdConfusion,
-      sourceDivergence, vocabGrowth)
+      sourceDivergence, vocabGrowth, hapaxRatio)
 }
