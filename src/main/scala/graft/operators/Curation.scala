@@ -961,9 +961,52 @@ object Curation {
             FROM snap FULL OUTER JOIN inc USING (doc_id)
             GROUP BY source ORDER BY source"""))
 
+  /** MIXTURE ENTROPY: one-row Shannon entropy of the source mix plus its
+    * evenness against the uniform maximum — the diversity gauge a data-mix
+    * owner watches (entropy collapsing = one feed is eating the corpus).
+    * Float discipline (the dsir precedent): each source's -p*ln(p) term is
+    * ONE division + one ln + one product on both engines, floor-scaled to
+    * micros per source BEFORE the 20-row sum, so the total is an exact
+    * integer; evenness is a non-negative integer division by the
+    * ln(n_sources) micro-scalar. */
+  val mixtureEntropy = GraftQuery(
+    "curation_mixture_entropy",
+    (s, dir) => {
+      val counts = t(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val tot = broadcast(counts.agg(sum(col("n")).as("tot"),
+        count(lit(1)).as("n_sources")))
+      counts.crossJoin(tot)
+        .select(col("n_sources"),
+          expr("""cast(floor(-(cast(n as double) / tot) * ln(cast(n as double) / tot)
+                 * 1e6 + 0.5) as bigint)""").as("term_micro"))
+        .groupBy(col("n_sources"))
+        .agg(sum(col("term_micro")).as("entropy_micro"))
+        .select(col("n_sources"), col("entropy_micro"),
+          expr("cast(floor(ln(cast(n_sources as double)) * 1e6 + 0.5) as bigint)")
+            .as("max_entropy_micro"),
+          expr("""cast(entropy_micro * 1000000 div
+                 cast(floor(ln(cast(n_sources as double)) * 1e6 + 0.5) as bigint) as bigint)""")
+            .as("evenness_micro"))
+    },
+    Some("""WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+            t AS (SELECT CAST(sum(n) AS BIGINT) AS tot, count(*) AS n_sources FROM counts),
+            terms AS (SELECT n_sources,
+                CAST(floor(-(CAST(n AS DOUBLE) / tot) * ln(CAST(n AS DOUBLE) / tot)
+                  * 1e6 + 0.5) AS BIGINT) AS term_micro
+              FROM counts CROSS JOIN t)
+            SELECT n_sources,
+              CAST(sum(term_micro) AS BIGINT) AS entropy_micro,
+              CAST(floor(ln(CAST(n_sources AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                AS max_entropy_micro,
+              CAST(CAST(sum(term_micro) AS BIGINT) * 1000000
+                // CAST(floor(ln(CAST(n_sources AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                AS BIGINT) AS evenness_micro
+            FROM terms GROUP BY n_sources"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
       tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
-      dedupImpact, sourceOverlap, snapshotDrift)
+      dedupImpact, sourceOverlap, snapshotDrift, mixtureEntropy)
 }

@@ -1032,7 +1032,7 @@ object EventOps {
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
-    seasonalBaseline, alertDebounce, firstTouch)
+    seasonalBaseline, alertDebounce, firstTouch, cartAbandonment)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1273,4 +1273,52 @@ object EventOps {
                 (SELECT CAST(sum(n_purchases) AS BIGINT) FROM attr) AS BIGINT)
                 AS share_micro
             FROM attr ORDER BY first_touch"""))
+
+  /** CART ABANDONMENT per day: clicks with NO purchase by the same user in
+    * the following 24 hours — the conversion-funnel complement every
+    * commerce dashboard tracks daily. The not-followed-within-window test
+    * is a left-anti join EQUI-KEYED on user_id with the 24 h bound as a
+    * residual — the anti side carries only (user, purchase-instant) pairs,
+    * so nothing fans out beyond each user's own purchases. Abandonment
+    * rate integer-scaled. */
+  lazy val cartAbandonment = GraftQuery(
+    "ev_cart_abandonment",
+    (s, dir) => {
+      val clicks = t(s, dir, "events")
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("c_us"))
+      val purchases = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("p_us"))
+      val abandoned = clicks.join(purchases,
+          clicks("user_id") === purchases("user_id") &&
+            col("p_us") > col("c_us") &&
+            col("p_us") <= col("c_us") + 86400000000L,
+          "left_anti")
+      clicks.groupBy(col("day")).agg(count(lit(1)).as("n_clicks"))
+        .join(abandoned.groupBy(col("day")).agg(count(lit(1)).as("n_abandoned")),
+          Seq("day"), "left")
+        .withColumn("n_abandoned", coalesce(col("n_abandoned"), lit(0L)))
+        .withColumn("abandon_micro",
+          expr("cast(n_abandoned * 1000000 div n_clicks as bigint)"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH clicks AS (
+              SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS c_us
+              FROM events WHERE event_type = 'click'),
+            purchases AS (
+              SELECT user_id, epoch_us(ts) AS p_us
+              FROM events WHERE event_type = 'purchase'),
+            ab AS (SELECT day FROM clicks c
+                   WHERE NOT EXISTS (SELECT 1 FROM purchases p
+                     WHERE p.user_id = c.user_id
+                       AND p.p_us > c.c_us AND p.p_us <= c.c_us + 86400000000))
+            SELECT c.day, count(*) AS n_clicks,
+              coalesce(any_value(a.n_ab), 0) AS n_abandoned,
+              CAST(coalesce(any_value(a.n_ab), 0) * 1000000 // count(*) AS BIGINT)
+                AS abandon_micro
+            FROM clicks c LEFT JOIN
+              (SELECT day, count(*) AS n_ab FROM ab GROUP BY day) a USING (day)
+            GROUP BY c.day ORDER BY c.day"""))
 }

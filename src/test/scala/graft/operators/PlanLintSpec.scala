@@ -46,6 +46,8 @@ class PlanLintSpec extends SparkTestBase {
     "ev_wau_stickiness",
     // crossJoin of the 1-row purchase-total scalar onto 5 channel rows
     "ev_first_touch_attribution",
+    // crossJoin of the 1-row corpus-total scalar onto 20 source rows
+    "curation_mixture_entropy",
     // 4-epoch constant table crossed with the shard list (both metadata)
     "pipeline_epoch_schedule"
   )
