@@ -1032,7 +1032,8 @@ object EventOps {
     transitionMatrix, asofNearest, resampleGrid, rateLimit, topPaths, absence,
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
-    seasonalBaseline, alertDebounce, firstTouch, cartAbandonment)
+    seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
+    errorBudgetBurn)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1321,4 +1322,33 @@ object EventOps {
             FROM clicks c LEFT JOIN
               (SELECT day, count(*) AS n_ab FROM ab GROUP BY day) a USING (day)
             GROUP BY c.day ORDER BY c.day"""))
+
+  /** ERROR-BUDGET BURN per day: error rate against a 1% SLO and the burn
+    * multiple (rate / budget — burn > 1e6 micro means that day consumed
+    * more than its share, the page-the-oncall signal in any SRE burn-rate
+    * alert policy). Exact integer event counts, both ratios non-negative
+    * integer divisions; one day-keyed partial-agg'd scan. */
+  lazy val errorBudgetBurn = GraftQuery(
+    "ev_error_budget_burn",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(to_date(col("ts")).as("day"),
+          (col("event_type") === "error").as("is_err"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_err"), 1L).otherwise(0L)).as("n_errors"))
+        .withColumn("err_rate_micro",
+          expr("cast(n_errors * 1000000 div n_events as bigint)"))
+        // burn = rate / 1% budget; *100 keeps it one integer division
+        .withColumn("burn_micro",
+          expr("cast(n_errors * 100000000 div n_events as bigint)"))
+        .orderBy(col("day")),
+    Some("""SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_errors,
+              CAST(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                * 1000000 // count(*) AS BIGINT) AS err_rate_micro,
+              CAST(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+                * 100000000 // count(*) AS BIGINT) AS burn_micro
+            FROM events GROUP BY day ORDER BY day"""))
 }

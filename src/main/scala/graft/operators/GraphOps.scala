@@ -441,7 +441,45 @@ object GraphOps {
             FROM reach WHERE node <> r
             GROUP BY node ORDER BY node"""))
 
+  /** LINK PREDICTION BASELINE: top-20 non-adjacent node pairs by
+    * common-neighbor count — the simplest (and the standard first)
+    * link-prediction score; "who should be connected but isn't" over the
+    * co-purchase graph. The wedge join (the [[triangleCount]] shape) opens
+    * each 2-path into a candidate pair, existing edges anti-join away, and
+    * TakeOrderedAndProject keeps the head — wedge fan-out is bounded by
+    * the same degree structure the triangle count already pays. */
+  val commonNeighbors = GraftQuery(
+    "graph_common_neighbors",
+    (s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      val und = e.select(col("u").as("src"), col("v").as("dst"))
+        .union(e.select(col("v").as("src"), col("u").as("dst")))
+        .cache()
+      val cand = und.as("w1")
+        .join(und.as("w2"), col("w1.dst") === col("w2.src"))
+        .select(col("w1.src").as("a"), col("w2.dst").as("b"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+      cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
+        .orderBy(col("n_common").desc, col("a"), col("b")).limit(20)
+    },
+    Some("""WITH e AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            und AS MATERIALIZED (
+              SELECT u AS src, v AS dst FROM e
+              UNION ALL SELECT v AS src, u AS dst FROM e),
+            cand AS (
+              SELECT w1.src AS a, w2.dst AS b, count(*) AS n_common
+              FROM und w1 JOIN und w2 ON w1.dst = w2.src
+              WHERE w1.src < w2.dst
+              GROUP BY w1.src, w2.dst)
+            SELECT a, b, n_common FROM cand
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = a AND e.v = b)
+            ORDER BY n_common DESC, a, b LIMIT 20"""))
+
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
-      ssspQuery, degreeHist, twoHop)
+      ssspQuery, degreeHist, twoHop, commonNeighbors)
 }
