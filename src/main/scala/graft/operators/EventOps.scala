@@ -1033,7 +1033,7 @@ object EventOps {
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
-    errorBudgetBurn)
+    errorBudgetBurn, transitionEntropy)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1351,4 +1351,48 @@ object EventOps {
               CAST(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
                 * 100000000 // count(*) AS BIGINT) AS burn_micro
             FROM events GROUP BY day ORDER BY day"""))
+
+  /** TRANSITION ENTROPY per state: Shannon entropy of each event type's
+    * next-state distribution (from the same lead() hops as
+    * [[transitionMatrix]]) — how predictable behavior is FROM each state;
+    * the one-number-per-state summary a session-model owner reads before
+    * the full matrix. Float discipline: each -p*ln(p) term is one
+    * division + ln + product, floor-scaled to micros per (state, next)
+    * BEFORE the per-state sum (the [[Curation.mixtureEntropy]] rule), so
+    * the entropy is an exact integer. */
+  lazy val transitionEntropy = GraftQuery(
+    "ev_transition_entropy",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val hops = t(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = hops.groupBy(col("event_type")).agg(sum(col("n")).as("tot"))
+      hops.join(broadcast(totals), "event_type")
+        .select(col("event_type"),
+          expr("""cast(floor(-(cast(n as double) / tot) * ln(cast(n as double) / tot)
+                 * 1e6 + 0.5) as bigint)""").as("term_micro"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_next_states"),
+          sum(col("term_micro")).as("entropy_micro"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH hops AS (
+              SELECT event_type, next_type, count(*) AS n
+              FROM (SELECT event_type,
+                      lead(event_type, 1) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+                    FROM events)
+              WHERE next_type IS NOT NULL
+              GROUP BY event_type, next_type),
+            t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS tot
+                  FROM hops GROUP BY event_type)
+            SELECT event_type, count(*) AS n_next_states,
+              CAST(sum(CAST(floor(-(CAST(n AS DOUBLE) / tot)
+                * ln(CAST(n AS DOUBLE) / tot) * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+                AS entropy_micro
+            FROM hops JOIN t USING (event_type)
+            GROUP BY event_type ORDER BY event_type"""))
 }
