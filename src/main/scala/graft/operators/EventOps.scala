@@ -1033,7 +1033,7 @@ object EventOps {
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
-    errorBudgetBurn, transitionEntropy)
+    errorBudgetBurn, transitionEntropy, sessionDepth)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1395,4 +1395,35 @@ object EventOps {
                 AS entropy_micro
             FROM hops JOIN t USING (event_type)
             GROUP BY event_type ORDER BY event_type"""))
+
+  /** SESSION DEPTH DISTRIBUTION: how many sessions contain exactly k
+    * events — the engagement-shape histogram behind every bounce-rate and
+    * depth-funnel number ([[session]] materializes the sessions; this is
+    * the corpus-level summary read first). Same 30-minute session_window
+    * grouping, then a depth-keyed count of counts — two keyed
+    * aggregations, the second over session-sized rows. */
+  lazy val sessionDepth = GraftQuery(
+    "ev_session_depth",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("depth"))
+        .groupBy(col("depth"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("depth")),
+    Some("""WITH marked AS (
+              SELECT user_id, ts,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS brk
+              FROM events),
+            numbered AS (
+              SELECT user_id,
+                CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+              FROM marked),
+            sess AS (SELECT user_id, sid, count(*) AS depth
+                     FROM numbered GROUP BY user_id, sid)
+            SELECT depth, count(*) AS n_sessions
+            FROM sess GROUP BY depth ORDER BY depth"""))
 }
