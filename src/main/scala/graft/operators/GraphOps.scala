@@ -84,6 +84,50 @@ object GraphOps {
       .distinct()
   }
 
+  /** Node degrees of an undirected graph given as its deduplicated u<v
+    * half-edge list — one node-keyed count, key-sized output. Shared by the
+    * wedge family ([[triangleCount]], [[commonNeighbors]]) so degrees are
+    * computed once per graph (the graph_degree_hist aggregate). */
+  private[operators] def degrees(half: DataFrame): DataFrame =
+    half.select(col("u").as("node")).union(half.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+
+  /** (degree, id)-ORIENTED edge list: each undirected edge {u,v} directed
+    * from its lower-(deg, id) endpoint, carrying both endpoint degrees —
+    * the compact-forward orientation (Latapy's triangle survey; Suri &
+    * Vassilvitskii's MR triangle counting). The property that matters at
+    * 100 TB: a power-law hub's OUT-degree counts only its higher-(deg,id)
+    * neighbors, so oriented wedge enumeration does
+    * Σ_v C(outdeg(v),2) = O(Σ_{u,v}∈E min(deg u, deg v)) work instead of
+    * Σ_v deg(v)² — a degree-10⁶ celebrity whose neighbors are ordinary
+    * nodes opens ~zero wedges instead of 10¹². Output columns:
+    * (src, sdeg, dst, ddeg) with (sdeg, src) < (ddeg, dst). */
+  private[operators] def orient(half: DataFrame, deg: DataFrame): DataFrame = {
+    val du = deg.select(col("node").as("u"), col("deg").as("udeg"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("vdeg"))
+    val lowFirst = col("udeg") < col("vdeg") ||
+      (col("udeg") === col("vdeg") && col("u") < col("v"))
+    half.join(du, "u").join(dv, "v")
+      .select(
+        when(lowFirst, col("u")).otherwise(col("v")).as("src"),
+        when(lowFirst, col("udeg")).otherwise(col("vdeg")).as("sdeg"),
+        when(lowFirst, col("v")).otherwise(col("u")).as("dst"),
+        when(lowFirst, col("vdeg")).otherwise(col("udeg")).as("ddeg"))
+  }
+
+  /** Ordered out-out wedge candidates of the oriented edge list: rows
+    * (x, y, z) where x→y and x→z are oriented edges and (ydeg, y) <
+    * (zdeg, z). Every triangle {x,y,z} has EXACTLY ONE such apex (its
+    * (deg,id)-minimum corner), so closing with the oriented edge y→z
+    * counts each triangle once — and the row count is Σ_v C(outdeg(v),2),
+    * the hub-safe bound pinned by GraphOpsSpec's planted-star property. */
+  private[operators] def orientedWedges(o: DataFrame): DataFrame =
+    o.as("e1").join(o.as("e2"),
+        col("e2.src") === col("e1.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") && col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
+
   /** Sparse symmetrized supplier<->part subgraph (every 50th order) —
     * sparse enough that the DuckDB transitive-closure oracle is cheap while
     * still leaving multiple non-trivial components. */
@@ -110,24 +154,28 @@ object GraphOps {
              SELECT node, min(r) AS component FROM reach GROUP BY node ORDER BY node"""))
 
   /** TRIANGLE COUNTING over the part co-purchase graph (parts appearing in
-    * the same order), reporting the 20 most clustered parts. The edge list
-    * is oriented u < v so each triangle is counted exactly once; triangles
-    * close via the canonical wedge join e1(u,v) |><| e2(v,w) |><| e3(u,w),
-    * and the deduplicated edge list is cached because it is read three
-    * times. On a real cluster the orientation would be by degree
-    * (low-degree endpoint first) to bound hub-node wedge fan-out;
-    * id-orientation keeps the oracle bit-identical with the same plan shape. */
+    * the same order), reporting the 20 most clustered parts. Edges are
+    * (degree, id)-oriented ([[orient]]) and each triangle is enumerated
+    * exactly once from its (deg,id)-minimum corner via the out-out wedge
+    * join ([[orientedWedges]]) closed by the oriented edge y→z — the
+    * compact-forward discipline that bounds wedge fan-out at power-law
+    * hubs to Σ C(outdeg,2) instead of Σ deg² (a degree-10⁶ hub with
+    * ordinary neighbors has outdeg ≈ 0). The per-node triangle counts are
+    * orientation-invariant, so the oracle enumerates with the simpler
+    * id-orientation and the outputs hash-match. The oriented list is
+    * cached because it is read three times (two wedge sides + closure). */
   val triangleCount = GraftQuery(
     "graph_triangles",
     (s, dir) => {
-      val e = coPurchaseEdges(s, dir).cache()
-      val tri = e.as("e1")
-        .join(e.as("e2"), col("e2.u") === col("e1.v"))
-        .join(e.as("e3"), col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
-        .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
-      tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      val half = coPurchaseEdges(s, dir).cache()
+      val o = orient(half, degrees(half)).cache()
+      val tri = orientedWedges(o)
+        .join(o.as("e3"), col("e3.src") === col("y") && col("e3.dst") === col("z"))
+        .select(col("x"), col("y"), col("z"))
+      val out = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("node")).limit(20)
+      out
     },
     Some("""WITH e AS (
               SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
@@ -441,39 +489,94 @@ object GraphOps {
             FROM reach WHERE node <> r
             GROUP BY node ORDER BY node"""))
 
+  /** Wedge-center degree cap for [[commonNeighbors]]. Exact common-neighbor
+    * counting is intrinsically Σ_c C(deg(c),2) wedges — no orientation can
+    * shrink the OUTPUT — so the only 100 TB defense against a degree-10⁶
+    * celebrity center (10¹² wedge rows through one shuffle key) is to
+    * exclude super-hub centers, the standard link-prediction discipline
+    * (a neighbor shared with everyone carries no signal; cf. Adamic-Adar's
+    * 1/log(deg) down-weighting). The cap is PART OF THE QUERY SEMANTICS —
+    * the DuckDB oracle applies the identical `deg <= cap` predicate — so
+    * results stay bit-exact at any scale; drops are logged, never silent
+    * (max center degree at sf0.1 is 222, so nothing drops at test SFs). */
+  private[operators] val WedgeHubCap = 1024
+
+  /** Exact common-neighbor counts (a < b by id, count >= 1) of the
+    * undirected graph given by its u<v half-edge list, excluding wedge
+    * centers with degree > hubCap. Each unordered wedge a—c—b is generated
+    * EXACTLY ONCE by splitting c's neighbor pairs along the (deg, id)
+    * orientation — (in,in), (in,out), (out,out) partition the pairs — so
+    * the join emits Σ C(deg,2) rows instead of generating Σ deg² and
+    * filtering half away, and each side of every join is the half-sized
+    * oriented list, never the doubled und list. */
+  private[operators] def commonNeighborCounts(
+      half: DataFrame, deg: DataFrame, hubCap: Int): DataFrame = {
+    val o = orient(half, deg)
+    // neighbor lists keyed by the wedge CENTER c, carrying the neighbor's
+    // (deg, id) rank; capped centers are excluded on both lists
+    val inL = o.filter(col("ddeg") <= hubCap)
+      .select(col("dst").as("c"), col("src").as("x"), col("sdeg").as("xdeg"))
+    val outL = o.filter(col("sdeg") <= hubCap)
+      .select(col("src").as("c"), col("dst").as("x"), col("ddeg").as("xdeg"))
+    def pairs(l: DataFrame, r: DataFrame, ordered: Boolean): DataFrame = {
+      val on =
+        if (ordered)
+          col("l.c") === col("r.c") &&
+            (col("l.xdeg") < col("r.xdeg") ||
+              (col("l.xdeg") === col("r.xdeg") && col("l.x") < col("r.x")))
+        else col("l.c") === col("r.c")
+      l.as("l").join(r.as("r"), on)
+        .select(least(col("l.x"), col("r.x")).as("a"),
+          greatest(col("l.x"), col("r.x")).as("b"))
+    }
+    // (in,in) and (out,out) need the ord filter to emit each pair once;
+    // (in,out) pairs are automatically distinct and once-each (the in
+    // neighbor ranks below c, the out neighbor above)
+    pairs(inL, inL, ordered = true)
+      .union(pairs(inL, outL, ordered = false))
+      .union(pairs(outL, outL, ordered = true))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+  }
+
   /** LINK PREDICTION BASELINE: top-20 non-adjacent node pairs by
     * common-neighbor count — the simplest (and the standard first)
     * link-prediction score; "who should be connected but isn't" over the
-    * co-purchase graph. The wedge join (the [[triangleCount]] shape) opens
-    * each 2-path into a candidate pair, existing edges anti-join away, and
-    * TakeOrderedAndProject keeps the head — wedge fan-out is bounded by
-    * the same degree structure the triangle count already pays. */
+    * co-purchase graph. Degrees are computed once ([[degrees]]), wedges are
+    * opened once-each along the (deg, id) orientation
+    * ([[commonNeighborCounts]]), super-hub centers are capped at
+    * [[WedgeHubCap]] with the drop count LOGGED (no silent caps — and the
+    * oracle applies the same cap predicate, so capping never diverges the
+    * hash), existing edges anti-join away, and TakeOrderedAndProject keeps
+    * the head. */
   val commonNeighbors = GraftQuery(
     "graph_common_neighbors",
     (s, dir) => {
-      val e = coPurchaseEdges(s, dir)
-      val und = e.select(col("u").as("src"), col("v").as("dst"))
-        .union(e.select(col("v").as("src"), col("u").as("dst")))
-        .cache()
-      val cand = und.as("w1")
-        .join(und.as("w2"), col("w1.dst") === col("w2.src"))
-        .select(col("w1.src").as("a"), col("w2.dst").as("b"))
-        .filter(col("a") < col("b"))
-        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+      val e = coPurchaseEdges(s, dir).cache()
+      val deg = degrees(e).cache()
+      val droppedCenters = deg.filter(col("deg") > WedgeHubCap).count()
+      if (droppedCenters > 0)
+        org.slf4j.LoggerFactory.getLogger("graft.operators.GraphOps").warn(
+          s"graph_common_neighbors: $droppedCenters wedge centers exceed " +
+            s"degree $WedgeHubCap and are excluded from scoring (by design; " +
+            "the oracle applies the identical cap)")
+      val cand = commonNeighborCounts(e, deg, WedgeHubCap)
       cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
         .orderBy(col("n_common").desc, col("a"), col("b")).limit(20)
     },
-    Some("""WITH e AS (
+    Some(s"""WITH e AS (
               SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
               FROM lineitem a JOIN lineitem b
                 ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
             und AS MATERIALIZED (
               SELECT u AS src, v AS dst FROM e
               UNION ALL SELECT v AS src, u AS dst FROM e),
+            deg AS MATERIALIZED (
+              SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
             cand AS (
               SELECT w1.src AS a, w2.dst AS b, count(*) AS n_common
               FROM und w1 JOIN und w2 ON w1.dst = w2.src
-              WHERE w1.src < w2.dst
+              JOIN deg d ON d.node = w1.dst
+              WHERE w1.src < w2.dst AND d.deg <= $WedgeHubCap
               GROUP BY w1.src, w2.dst)
             SELECT a, b, n_common FROM cand
             WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = a AND e.v = b)

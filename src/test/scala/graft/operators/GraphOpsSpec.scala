@@ -79,6 +79,58 @@ class GraphOpsSpec extends SparkTestBase {
     assert(c4.as[(Long, Long)].collect().toMap == (1L to 5L).map(_ -> 4L).toMap)
   }
 
+  test("wedge family: (deg,id) orientation bounds wedge rows at a planted hub") {
+    import spark.implicits._
+    // planted star: hub 0 ↔ leaves 1..1000, plus one triangle among leaves
+    // {1,2,3} so the closure join has something to find
+    val half = ((1L to 1000L).map(h => (0L, h)) ++ Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+      .toDF("u", "v")
+    val deg = GraphOps.degrees(half).cache()
+    val o = GraphOps.orient(half, deg).cache()
+    // every leaf (deg <= 3) ranks below the hub (deg 1000): all star edges
+    // point leaf→hub, so the hub's OUT-degree is zero
+    assert(o.filter(col("dst") === 0L).count() == 1000)
+    assert(o.filter(col("src") === 0L).count() == 0)
+    // oriented wedge-row count is Σ_v C(outdeg(v),2): node 1 (out {0,2,3})
+    // contributes C(3,2)=3, node 2 (out {0,3}) contributes 1, all else 0 —
+    // 4 rows total, vs Σ_v deg(v)² ≈ 10⁶ for the naive und⋈und wedge join
+    // (the r10-flagged shape), and under the compact-forward bound
+    // Σ_e min(deg u, deg v) = 997·1 + 6·3 = 1015
+    val wedgeRows = GraphOps.orientedWedges(o).count()
+    assert(wedgeRows == 4, s"oriented wedge rows must be Σ C(outdeg,2)=4, got $wedgeRows")
+    val outdeg = o.groupBy(col("src")).agg(count(lit(1)).as("c")).as[(Long, Long)].collect()
+    assert(outdeg.map { case (_, c) => c * (c - 1) / 2 }.sum == wedgeRows)
+    val minDegBound = 997L * 1 + 6 * 3
+    assert(wedgeRows <= minDegBound && minDegBound * 100 < 1000L * 1000L)
+    // closure finds all four triangles (the planted {1,2,3} plus the three
+    // it forms with the hub), each from its (deg,id)-min apex, once each
+    val tri = GraphOps.orientedWedges(o)
+      .join(o.as("e3"), col("e3.src") === col("y") && col("e3.dst") === col("z"))
+      .select(col("x"), col("y"), col("z")).as[(Long, Long, Long)].collect().toSet
+    assert(tri == Set((1L, 2L, 3L), (1L, 2L, 0L), (1L, 3L, 0L), (2L, 3L, 0L)),
+      s"star+triangle closure, got $tri")
+
+    // common-neighbor counts: each unordered wedge exactly once. With the
+    // hub under the cap, Σ n_common must equal Σ_{deg(c)<=cap} C(deg c, 2)
+    // = C(1000,2) + 3·C(3,2) = 499509 over C(1000,2)+3 distinct pairs;
+    // spot-check {4,5} (hub only) = 1 and {1,2} (hub + center 3) = 2
+    val cn = GraphOps.commonNeighborCounts(half, deg, hubCap = 2000).cache()
+    assert(cn.agg(sum(col("n_common"))).as[Long].head == 499509L)
+    assert(cn.count() == 499500L + 3)
+    val byPair = cn.filter(col("a") < 6).as[(Long, Long, Long)].collect()
+      .map { case (a, b, n) => (a, b) -> n }.toMap
+    assert(byPair((4L, 5L)) == 1L && byPair((1L, 2L)) == 2L && byPair((0L, 1L)) == 2L)
+    cn.unpersist()
+    // capping the hub center drops its C(1000,2) wedges — only the three
+    // deg-3 leaf centers remain, 6 candidate pairs, all of them existing
+    // edges (so the registry query's anti-join would return nothing)
+    val capped = GraphOps.commonNeighborCounts(half, deg, hubCap = 100).cache()
+    assert(capped.count() == 6)
+    assert(capped.agg(sum(col("n_common"))).as[Long].head == 9L)
+    capped.unpersist()
+    o.unpersist(); deg.unpersist()
+  }
+
   test("sssp relaxes a weighted chain to exact prefix sums within the hop bound") {
     import spark.implicits._
     // chain 0-1-2-...-7 with weight i+1 on edge (i, i+1): dist(k) must be
