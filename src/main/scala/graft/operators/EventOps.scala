@@ -1121,24 +1121,27 @@ object EventOps {
 
   /** DAU/WAU STICKINESS: daily actives, trailing-7-day actives, and their
     * ratio per day — THE product-engagement headline. Rolling DISTINCT
-    * can't ride a window frame, so WAU is the day-bounded rewrite: the
-    * (day, user) pairs dedupe once (the only corpus-sized shuffle), and
-    * the DISTINCT day list (calendar-bounded, broadcast) range-joins each
-    * pair into the <= 7 windows it serves — fan-out 7 by construction,
-    * BNLJ-allowlisted. Stickiness is integer cross-scaled
-    * (dau * 1e6 div wau, non-negative). */
+    * can't ride a window frame, so WAU is the explode rewrite: the
+    * (day, user) pairs dedupe once (the only corpus-sized shuffle), then
+    * each pair `explode(sequence(0,6))`s into exactly the 7 trailing
+    * windows it serves and a hash aggregation counts distinct users per
+    * window — fan-out 7 by construction, all equi-keyed, no nested-loop
+    * join anywhere (the r10 BNLJ-against-the-day-list shape is gone);
+    * windows with no same-day activity drop out via the dau equi-join,
+    * matching the oracle's observed-day list. Stickiness is integer
+    * cross-scaled (dau * 1e6 div wau, non-negative). */
   lazy val wauStickiness = GraftQuery(
     "ev_wau_stickiness",
     (s, dir) => {
       val du = t(s, dir, "events")
         .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
       val dau = du.groupBy(col("day")).agg(countDistinct(col("user_id")).as("dau"))
-      val days = broadcast(du.select(col("day").as("win_day")).distinct())
-      val wau = days.join(du,
-          datediff(col("win_day"), col("day")).between(0, 6))
-        .groupBy(col("win_day"))
+      val wau = du
+        .select(col("user_id"), col("day"),
+          explode(sequence(lit(0), lit(6))).as("off"))
+        .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+        .groupBy(col("day"))
         .agg(countDistinct(col("user_id")).as("wau"))
-        .select(col("win_day").as("day"), col("wau"))
       dau.join(wau, "day")
         .select(col("day"), col("dau"), col("wau"),
           expr("cast(dau * 1000000 div wau as bigint)").as("stickiness_micro"))

@@ -42,8 +42,6 @@ class PlanLintSpec extends SparkTestBase {
     "dedup_candidate_eval",
     // 7-row threshold table >= joined to the <=13-row n_eq histogram
     "dedup_threshold_sweep",
-    // calendar-bounded day list range-joined onto (day,user) pairs (<=7 fan-out)
-    "ev_wau_stickiness",
     // crossJoin of the 1-row purchase-total scalar onto 5 channel rows
     "ev_first_touch_attribution",
     // crossJoin of the 1-row corpus-total scalar onto 20 source rows
