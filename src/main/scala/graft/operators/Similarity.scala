@@ -1380,6 +1380,50 @@ object Similarity {
              FROM th LEFT JOIN hist ON sim_4dp >= threshold_4dp
              GROUP BY threshold_4dp ORDER BY threshold_4dp"""))
 
+  /** [[embThresholdSweep]]'s SCALE ROUTE: the same cosine-threshold sweep
+    * on a DETERMINISTIC 1/16 content-hash sample of the vectors
+    * (first md5 hex digit of vec_id = '0', the pipeline_hash_sample
+    * discipline — engine-, shard-, and re-run-stable, and applied
+    * IDENTICALLY in the oracle so the sampled counts are exact, not
+    * approximate-vs-oracle). Sampling vectors at rate p samples pairs at
+    * p², so the scored-pair volume drops 256x while every threshold's
+    * count remains an unbiased 1/256-scale estimate of the full histogram
+    * — at 100 TB you tune the digit count (each added hex digit is
+    * another 256x off the pair volume) instead of scoring all pairs; the
+    * unsampled parent stays the documented correctness baseline. */
+  val embThresholdSweepSampled = GraftQuery(
+    "emb_threshold_sweep_sampled",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.VectorFunctions.ensureRegistered(s)
+      val sample = t(s, dir, "embeddings")
+        .filter(substring(md5(col("vec_id").cast("string")), 1, 1) === "0")
+      val a = sample.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = sample.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      val hist = a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        .select(expr("cast(floor(graft_cosine(ea, eb) * 10000 + 0.5) as int)")
+          .as("sim_4dp"))
+        .filter(col("sim_4dp") >= 3500)
+        .groupBy(col("sim_4dp")).agg(count(lit(1)).as("c"))
+      Seq(3500, 5000, 7000, 9000, 9500).toDF("threshold_4dp")
+        .join(broadcast(hist), col("sim_4dp") >= col("threshold_4dp"), "left")
+        .groupBy(col("threshold_4dp"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_pairs"))
+        .orderBy(col("threshold_4dp"))
+    },
+    Some(s"""WITH sample AS (
+               SELECT vec_id, embedding FROM embeddings
+               WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'),
+             hist AS (
+               SELECT CAST(floor(${sqlCos("a.embedding", "b.embedding")} * 10000 + 0.5)
+                 AS INTEGER) AS sim_4dp, count(*) AS c
+               FROM sample a JOIN sample b ON a.vec_id < b.vec_id
+               GROUP BY 1 HAVING sim_4dp >= 3500),
+             th AS (SELECT unnest([3500, 5000, 7000, 9000, 9500]) AS threshold_4dp)
+             SELECT threshold_4dp, CAST(coalesce(sum(c), 0) AS BIGINT) AS n_pairs
+             FROM th LEFT JOIN hist ON sim_4dp >= threshold_4dp
+             GROUP BY threshold_4dp ORDER BY threshold_4dp"""))
+
   /** IVF CELL BALANCE: inverted-file cell-size report (cells = the coarse
     * label quantizer annIvf/annIvfPq probe) — min/max/imbalance across
     * cells. Imbalance = max_cell * n_cells * 1e6 div total (1e6 = perfectly
@@ -1414,5 +1458,6 @@ object Similarity {
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
       randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
-      normProfile, labelMargin, quantError, embThresholdSweep, ivfBalance)
+      normProfile, labelMargin, quantError, embThresholdSweep,
+      embThresholdSweepSampled, ivfBalance)
 }

@@ -25,6 +25,9 @@ class PlanLintSpec extends SparkTestBase {
     "ann_dim_truncation_eval",
     // documented all-pairs correctness baseline
     "dedup_embedding", "emb_threshold_sweep",
+    // all-pairs on a deterministic 1/16 hash-sample (1/256 of the pairs):
+    // the sweep's scale route; sample rate is the tuning knob at 100 TB
+    "emb_threshold_sweep_sampled",
     // crossJoin(broadcast(k centroids / seed set)) — nearest-seed assignment
     "emb_kmeans_assign", "emb_kmeans_update", "dedup_semantic",
     // crossJoin(broadcast(codebook / per-query ADC lookup tables))
