@@ -1482,6 +1482,133 @@ object Relational {
               AND l_discount >= 0.05 AND l_discount <= 0.07
               AND l_quantity < 24"""))
 
+  /** MIN-COST SUPPLIER (TPC-H Q2 shape): for each small STANDARD part,
+    * the EUROPE supplier(s) matching the MINIMUM supply cost for that part
+    * — the classic correlated scalar-MIN subquery over a 4-dim join
+    * (part, supplier, nation, region + the supply relation), written AS
+    * the correlated SQL so Catalyst's RewriteCorrelatedScalarSubquery path
+    * is exercised and pinned: the subquery decorrelates into a per-part
+    * min aggregate joined back, never a per-row re-execution. This schema
+    * has no partsupp table, so the supply relation is derived from
+    * lineitem: cost(part, supplier) = min line price in exact integer
+    * cents (deterministic, engine-exact). */
+  val q57MinCostSupplier = GraftQuery(
+    "q57_min_cost_supplier",
+    (s, dir) => {
+      Seq("part", "supplier", "nation", "region", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q57Sql)
+    },
+    Some(Q57Sql))
+
+  private lazy val Q57Sql =
+    """WITH supply AS (
+         SELECT l_partkey, l_suppkey,
+                min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_cents
+         FROM lineitem GROUP BY l_partkey, l_suppkey),
+       eur AS (
+         SELECT s_suppkey, s_name, n_name
+         FROM supplier
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'EUROPE')
+       SELECT p_partkey, p_name, s_name, n_name, cost_cents
+       FROM part, supply, eur
+       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         AND p_type = 'STANDARD' AND p_size <= 10
+         AND cost_cents = (
+           SELECT min(s2.cost_cents)
+           FROM supply s2 JOIN eur e2 ON e2.s_suppkey = s2.l_suppkey
+           WHERE s2.l_partkey = p_partkey)
+       ORDER BY n_name, s_name, p_partkey"""
+
+  /** PROFIT BY NATION AND YEAR (TPC-H Q9 shape): supplier-nation profit on
+    * red parts per order year — the 5-table star (lineitem, part LIKE
+    * filter, supplier, orders, nation) with a COMPUTED measure. This
+    * schema has no partsupp, so unit cost is the part's retail price:
+    * profit = discounted revenue − retail_cost × quantity, all in exact
+    * integer cents (revenue per the [[q43JoinSix]] invariant, cost as
+    * retail cents × integral quantity) so accumulation order can't flip a
+    * bit. Scale shape: the LIKE-pruned part and supplier⋈nation dims
+    * broadcast, lineitem⋈orders shuffles on the order key, AQE free to
+    * re-plan. */
+  val q58ProfitByNation = GraftQuery(
+    "q58_profit_by_nation_year",
+    (s, dir) => {
+      val redParts = broadcast(
+        t(s, dir, "part").filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"),
+            expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").as("retail_cents")))
+      val supNation = broadcast(
+        t(s, dir, "supplier")
+          .join(broadcast(t(s, dir, "nation")),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name")))
+      t(s, dir, "lineitem")
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .withColumn("amount_cents",
+          expr("""cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)
+                  - retail_cents * cast(floor(l_quantity + 0.5) as bigint)"""))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sum(col("amount_cents")).as("profit_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+    Some("""SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+                - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS profit_cents,
+              count(*) AS n_items
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%red%'
+            GROUP BY n_name, o_year
+            ORDER BY n_name, o_year DESC"""))
+
+  /** CONCENTRATED SUPPLIERS (TPC-H Q20 shape): suppliers whose single
+    * largest 1996 shipment of some red-prefixed part exceeded HALF their
+    * total 1996 volume of that part — the nested-IN-with-correlated-
+    * aggregate gate (supplier IN (... part IN (...) AND capacity >
+    * correlated SUM)), written AS the nested SQL so Catalyst's
+    * double-correlated (partkey, suppkey) scalar-aggregate decorrelation
+    * is exercised and pinned. All quantities are exact integers; the
+    * half-threshold is integer cross-multiplied (cap × 2 > total), so no
+    * float divides anywhere. */
+  val q59ConcentratedSuppliers = GraftQuery(
+    "q59_concentrated_suppliers",
+    (s, dir) => {
+      Seq("part", "supplier", "nation", "lineitem")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q59Sql)
+    },
+    Some(Q59Sql))
+
+  private lazy val Q59Sql =
+    """SELECT s_name, n_name
+       FROM supplier JOIN nation ON s_nationkey = n_nationkey
+       WHERE s_suppkey IN (
+         SELECT sp.l_suppkey FROM (
+           SELECT l_partkey, l_suppkey,
+                  max(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS cap_qty
+           FROM lineitem
+           WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+           GROUP BY l_partkey, l_suppkey) sp
+         WHERE sp.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+           AND sp.cap_qty * 2 > (
+             SELECT CAST(sum(CAST(floor(l2.l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+             FROM lineitem l2
+             WHERE l2.l_partkey = sp.l_partkey AND l2.l_suppkey = sp.l_suppkey
+               AND l2.l_shipdate >= DATE '1996-01-01'
+               AND l2.l_shipdate < DATE '1997-01-01'))
+       ORDER BY s_name"""
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -1493,5 +1620,6 @@ object Relational {
     q41Median, q42LateralTopN, q43JoinSix, q44MarketShare, q45Unpivot,
     q46SmallQty, q47LargeOrders, q48ValueShare, q49Disjunctive, q50Inactive,
     q51LateSuppliers, q52PriorityReport, q53PromoShare, q54CustDist,
-    q55ReturnedRevenue, q56ForecastRevenue)
+    q55ReturnedRevenue, q56ForecastRevenue, q57MinCostSupplier,
+    q58ProfitByNation, q59ConcentratedSuppliers)
 }

@@ -266,6 +266,41 @@ class PlanInvariantsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q58_profit_by_nation_year: dims broadcast, lineitem never on a build side") {
+    // same 1000x simulation as the q3/q44 tests: shrink the threshold so
+    // only the genuinely small dims may stay broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+    try {
+      val p = plan("q58_profit_by_nation_year", benchSf)
+      val bs = broadcastSubtrees(p)
+      assert(bs.exists(b => b.toString.contains("part.parquet")),
+        s"LIKE-pruned part dimension should broadcast, plan:\n$p")
+      assert(bs.exists(b => b.toString.contains("supplier.parquet")),
+        s"supplier x nation dimension should broadcast, plan:\n$p")
+      assert(bs.forall(b => !b.toString.contains("lineitem.parquet")),
+        s"fact table on the build side at simulated scale, plan:\n$p")
+      assert(bs.forall(b => !b.toString.contains("orders.parquet")),
+        s"orders must shuffle, not broadcast, at simulated scale, plan:\n$p")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("q57/q59: correlated subqueries decorrelate — fact never broadcast, no per-row re-execution") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
+    try {
+      for (name <- Seq("q57_min_cost_supplier", "q59_concentrated_suppliers")) {
+        val p = plan(name, benchSf)
+        // decorrelation leaves at most non-correlated scalar subqueries; a
+        // surviving correlated one would show as DynamicPruning/InSubquery
+        // re-executed per row — pin that the whole plan is joins+aggregates
+        val s = p.toString
+        assert(!s.contains("CartesianProduct"), s"$name plans a cartesian:\n$s")
+        val bs = broadcastSubtrees(p)
+        assert(bs.forall(b => !b.toString.contains("lineitem.parquet")),
+          s"$name puts the fact table on a broadcast build side at simulated scale:\n$s")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   private def emptyPartitionWindows(df: org.apache.spark.sql.DataFrame) =
     df.queryExecution.optimizedPlan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window
