@@ -43,3 +43,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // accumulate across them (SparkTestBase.afterAll cleans up, this is the
 // safety margin against a full-GC spiral on unlucky suite orderings).
 Test / javaOptions += "-Xmx12g"
+
+// Single source of truth for the engine version: generate a properties
+// resource from `ThisBuild / version` so OpsServer's /version endpoint can
+// never drift from the build (the jar manifest covers packaged runs; this
+// covers classes-dir runs — tests, scripts/run_verify.sh). Written straight
+// into classDirectory so a bare `compile` (no copyResources) already
+// serves it on the run_verify.sh classpath.
+Compile / resourceGenerators += Def.task {
+  val out = (Compile / resourceManaged).value / "graft-version.properties"
+  IO.write(out, s"version=${version.value}\n")
+  val inClasses = (Compile / classDirectory).value / "graft-version.properties"
+  IO.write(inClasses, s"version=${version.value}\n")
+  Seq(out)
+}.taskValue
+Compile / compile := ((Compile / compile) dependsOn (Compile / copyResources)).value

@@ -41,7 +41,10 @@ final class AppRegistry(spark: SparkSession) {
       val durMs =
         if (p.durationMs.containsKey("triggerExecution")) p.durationMs.get("triggerExecution").longValue
         else p.durationMs.values.stream.mapToLong(_.longValue).sum
-      lastSeen.put(p.id, (System.nanoTime(),
+      // bind the built Metrics locally: re-reading lastSeen(p.id) below
+      // would throw if a concurrent termination path ever removed the entry
+      // between the put and the read, killing the listener callback
+      val metrics =
         Metrics(p.batchId, nz(p.inputRowsPerSecond), nz(p.processedRowsPerSecond),
           durMs, p.numInputRows, p.timestamp,
           { import scala.jdk.CollectionConverters._
@@ -50,7 +53,8 @@ final class AppRegistry(spark: SparkSession) {
             p.observedMetrics.asScala.map { case (k, row) =>
               k -> sanitizeJson(row.json) }.toMap },
           p.stateOperators.toSeq.map(so => Metrics.StateOp(so.operatorName,
-            so.numRowsTotal, so.numRowsUpdated, so.memoryUsedBytes)))))
+            so.numRowsTotal, so.numRowsUpdated, so.memoryUsedBytes)))
+      lastSeen.put(p.id, (System.nanoTime(), metrics))
       val ring = durations.getOrElseUpdate(p.id, scala.collection.mutable.ArrayDeque.empty)
       ring.synchronized {
         ring.append(durMs)
@@ -58,7 +62,7 @@ final class AppRegistry(spark: SparkSession) {
       }
       val hist = history.getOrElseUpdate(p.id, scala.collection.mutable.ArrayDeque.empty)
       hist.synchronized {
-        hist.append((System.currentTimeMillis(), lastSeen(p.id)._2))
+        hist.append((System.currentTimeMillis(), metrics))
         if (hist.size > historyRetained) { hist.removeHead(); () }
       }
       ()

@@ -64,7 +64,13 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
   private val dashCtx = server.createContext("/dashboard", (x: HttpExchange) => serveDashboard(x))
   auth.foreach { case (user, pass) =>
     val a = new com.sun.net.httpserver.BasicAuthenticator("graft") {
-      override def checkCredentials(u: String, p: String): Boolean = u == user && p == pass
+      // MessageDigest.isEqual is constant-time: String == short-circuits at
+      // the first differing char, leaking a timing oracle on the password
+      private def ctEq(a: String, b: String): Boolean =
+        java.security.MessageDigest.isEqual(
+          a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+      override def checkCredentials(u: String, p: String): Boolean =
+        ctEq(u, user) & ctEq(p, pass) // non-short-circuit &: check both
     }
     apiCtx.setAuthenticator(a)
     dashCtx.setAuthenticator(a)
@@ -389,11 +395,25 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
 }
 
 object OpsServer {
-  /** Jar-manifest Implementation-Version when packaged; the build.sbt
-    * `ThisBuild / version` fallback covers classes-dir runs (tests,
-    * scripts/run_verify.sh), where no manifest exists. */
-  val Version: String =
-    Option(classOf[OpsServer].getPackage.getImplementationVersion).getOrElse("0.1.0")
+  /** Jar-manifest Implementation-Version when packaged; classes-dir runs
+    * (tests, scripts/run_verify.sh) read the `graft-version.properties`
+    * resource the build GENERATES from `ThisBuild / version`, so a version
+    * bump can never silently drift this endpoint. The literal is only the
+    * last-resort for a classpath with neither manifest nor resource, and
+    * is marked as such. */
+  val Version: String = {
+    def fromManifest = Option(classOf[OpsServer].getPackage.getImplementationVersion)
+    def fromResource = Option(
+        classOf[OpsServer].getClassLoader.getResourceAsStream("graft-version.properties"))
+      .flatMap { in =>
+        try {
+          val p = new java.util.Properties
+          p.load(in)
+          Option(p.getProperty("version"))
+        } finally in.close()
+      }
+    fromManifest.orElse(fromResource).getOrElse("0.0.0-unversioned")
+  }
 
   /** The reference's five builtin edge partitioners
     * (reference: streaming/src/main/scala/io/gearpump/streaming/Constants.scala:34-39)

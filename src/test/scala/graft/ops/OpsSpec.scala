@@ -472,6 +472,20 @@ class OpsSpec extends SparkTestBase {
       assert(vc === 200 && vb.contains("\"version\":\"graft-")
         && vb.contains(s"\"sparkVersion\":\"${spark.version}\""), vb)
       org.json4s.jackson.JsonMethods.parse(vb)
+      // classes-dir runs must serve the BUILD's version via the generated
+      // graft-version.properties resource, never a drifting literal: the
+      // resource exists on this (classes-dir) classpath and the endpoint
+      // echoes exactly its value
+      val res = classOf[OpsServer].getClassLoader
+        .getResourceAsStream("graft-version.properties")
+      assert(res != null, "build-generated graft-version.properties missing from classpath")
+      val props = new java.util.Properties
+      try props.load(res) finally res.close()
+      val buildVersion = props.getProperty("version")
+      assert(buildVersion != null && buildVersion.nonEmpty)
+      assert(OpsServer.Version === buildVersion,
+        s"version endpoint (${OpsServer.Version}) drifted from build ($buildVersion)")
+      assert(vb.contains(s""""version":"graft-$buildVersion""""), vb)
 
       // partitioner inventory (reference MasterService.scala:168) — all five
       // reference builtins present, each with its Spark-native spelling
