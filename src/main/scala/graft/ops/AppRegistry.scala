@@ -30,6 +30,11 @@ final class AppRegistry(spark: SparkSession) {
   // the chart window without unbounded growth)
   private val historyRetained = 64
   private val history = TrieMap.empty[java.util.UUID, scala.collection.mutable.ArrayDeque[(Long, Metrics)]]
+  // master-level twin of the per-app ring: bounded engine-wide rollup
+  // snapshots, one per progress event (the reference's
+  // HistoryMetricsService also retains master/worker-level series for the
+  // cluster charts, not just per-app ones)
+  private val masterHistory = scala.collection.mutable.ArrayDeque.empty[(Long, String)]
 
   private val listener = new StreamingQueryListener {
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
@@ -64,6 +69,10 @@ final class AppRegistry(spark: SparkSession) {
       hist.synchronized {
         hist.append((System.currentTimeMillis(), metrics))
         if (hist.size > historyRetained) { hist.removeHead(); () }
+      }
+      masterHistory.synchronized {
+        masterHistory.append((System.currentTimeMillis(), rollupJson))
+        if (masterHistory.size > historyRetained) { masterHistory.removeHead(); () }
       }
       ()
     }
@@ -232,6 +241,20 @@ final class AppRegistry(spark: SparkSession) {
   def historyJson(id: java.util.UUID): String =
     metricsHistory(id)
       .map { case (atMs, m) => s"""{"atMs":$atMs,"progress":${fmt(m)}}""" }
+      .mkString("[", ",", "]")
+
+  /** Bounded engine-wide rollup history, oldest first — the master-level
+    * twin of [[metricsHistory]], REST `master/metrics?history=true`
+    * (reference HistoryMetricsService retains master-level series for the
+    * cluster charts too). Each snapshot is the [[rollupJson]] captured at
+    * a progress event. */
+  def masterMetricsHistory: Seq[(Long, String)] =
+    masterHistory.synchronized { masterHistory.toVector }
+
+  /** JSON time series for `master/metrics?history=true`. */
+  def masterHistoryJson: String =
+    masterMetricsHistory
+      .map { case (atMs, roll) => s"""{"atMs":$atMs,"rollup":$roll}""" }
       .mkString("[", ",", "]")
 
   /** Percentiles over the retained batch-duration window (nearest-rank). */

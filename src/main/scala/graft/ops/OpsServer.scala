@@ -152,7 +152,12 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
         case ("GET", "master" :: Nil) => respond(x, 200, masterSummary)
         case ("GET", "master" :: "applist" :: Nil) => respond(x, 200, registry.applist)
         case ("GET", "master" :: "config" :: Nil) => respond(x, 200, configJson)
-        case ("GET", "master" :: "metrics" :: Nil) => respond(x, 200, registry.rollupJson)
+        case ("GET", "master" :: "metrics" :: Nil) =>
+          if (query(x, "history").contains("true"))
+            // master-level HistoryMetricsService parity: the bounded
+            // engine-wide rollup ring behind the dashboard's cluster chart
+            respond(x, 200, s"""{"history":${registry.masterHistoryJson}}""")
+          else respond(x, 200, registry.rollupJson)
         case ("GET", "master" :: "workerlist" :: Nil) => respond(x, 200, workerlist)
         case ("GET", "worker" :: id :: rest) if rest.isEmpty || rest == List("config") || rest == List("metrics") =>
           // reference: services/.../WorkerService.scala:38-62 serves

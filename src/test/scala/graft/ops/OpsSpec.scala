@@ -588,6 +588,47 @@ class OpsSpec extends SparkTestBase {
     } finally { q.stop(); srv.stop(); reg.close() }
   }
 
+  test("master/metrics?history=true serves the bounded engine-wide rollup ring; dashboard charts both rings") {
+    import spark.implicits._
+    val reg = new AppRegistry(spark)
+    val srv = new OpsServer(spark, reg, catalog = Map.empty).start()
+    val in = GraftSource.memory[Int](spark)
+    val q = in.toDS().writeStream.format("noop").queryName("ops_master_history").start()
+    try {
+      // drive past the 64-entry bound to prove the ring caps (one rollup
+      // snapshot lands per progress event, the per-app-ring cadence)
+      for (b <- 1 to 70) { in.addData(b); q.processAllAvailable() }
+      val deadline = System.currentTimeMillis() + 15000
+      while (reg.masterMetricsHistory.size < 64 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val hist = reg.masterMetricsHistory
+      assert(hist.size === 64, s"master ring must cap at 64, saw ${hist.size}")
+      // oldest-first: capture times non-decreasing, every snapshot a rollup
+      assert(hist.sliding(2).forall {
+        case Seq((t1, _), (t2, _)) => t1 <= t2
+        case _ => true
+      }, "master history must be time-ordered")
+      assert(hist.forall(_._2.contains("\"processedRowsPerSecond\"")))
+      // the endpoint serves >= 2 snapshots under a running query, parseable
+      val (hc, body) = httpOn(srv.boundPort, "GET", "/api/v1.0/master/metrics?history=true")
+      assert(hc === 200 && body.contains("\"history\":[") && body.contains("\"rollup\""),
+        body.take(300))
+      val parsed = org.json4s.jackson.JsonMethods.parse(body)
+      val snaps = (parsed \ "history").children
+      assert(snaps.size >= 2, s"expected >=2 master snapshots, got ${snaps.size}")
+      // default (no param) still serves the flat rollup shape
+      val (rc, r) = httpOn(srv.boundPort, "GET", "/api/v1.0/master/metrics")
+      assert(rc === 200 && r.startsWith("""{"queries":"""), r.take(200))
+      // the dashboard fetches BOTH history rings and draws them (the chart
+      // loop the r9 history endpoint was built for)
+      val (pc, page) = httpOn(srv.boundPort, "GET", "/dashboard")
+      assert(pc === 200 && page.contains("metrics?history=true"), page.take(200))
+      assert(page.contains("master/metrics?history=true"), "master ring not polled")
+      assert(page.contains("drawSpark") && page.contains("<canvas"),
+        "dashboard must render the history rings as sparklines")
+    } finally { q.stop(); srv.stop(); reg.close() }
+  }
+
   test("opt-in BasicAuth guards every route; default stays open") {
     val reg = new AppRegistry(spark)
     val srv = new OpsServer(spark, reg, catalog = Map.empty,
