@@ -956,8 +956,13 @@ object EventOps {
     * ((days + 4) % 7, Sunday = 0; 1970-01-01 was a Thursday) rather than
     * any engine's dayofweek() builtin, because those disagree on both the
     * start day and the base index across engines and locales — epoch
-    * arithmetic is convention-free and exact. Scan-side integer exprs +
-    * one 168-group partial-agg'd shuffle. */
+    * arithmetic is convention-free and exact FOR ts >= epoch: Spark's
+    * `div` truncates while DuckDB's `//` floors, which only agree on
+    * non-negative operands (the graft-oracle-discipline rule), so this
+    * query ASSUMES post-1970 timestamps (true of this corpus and any
+    * event-log source; a pre-epoch corpus would need pmod/floor-div
+    * spellings on both engines). Scan-side integer exprs + one 168-group
+    * partial-agg'd shuffle. */
   val weeklyPattern = GraftQuery(
     "ev_weekly_pattern",
     (s, dir) =>

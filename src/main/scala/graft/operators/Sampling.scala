@@ -474,8 +474,15 @@ object Sampling {
           size(col("w")).cast("long").as("n_words"))
         .select(col("doc_id"),
           expr("chars * 1000000 div n_words").as("score_micro"))
+        // the invariant is ENFORCED, not assumed: a doc whose mean word
+        // length reaches 8.39 chars (score_micro >= 2^23) or an id >= 2^40
+        // would silently overflow the pack and diverge the rank order —
+        // raise_error instead (codegen'd branch, no measurable scan cost)
         .withColumn("pack",
-          col("score_micro") * lit(1099511627776L) + col("doc_id"))
+          when(col("score_micro") >= lit(1L << 23) || col("doc_id") >= lit(1L << 40),
+            expr("raise_error('pipeline_curriculum: pack overflow — " +
+              "score_micro >= 2^23 or doc_id >= 2^40')").cast("long"))
+            .otherwise(col("score_micro") * lit(1099511627776L) + col("doc_id")))
         .withColumn("one", lit(1L))
       val n = broadcast(scored.agg(count(lit(1)).as("n")))
       prefixSum(s, scored, "pack", "one", "rank")

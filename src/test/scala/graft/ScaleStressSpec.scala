@@ -76,14 +76,62 @@ class ScaleStressSpec extends SparkTestBase {
     * live: dedup_rewrite's whole reconstruction pipeline optimized away,
     * 0.1 s "completion"). Hash every output column into the aggregate so
     * the full plan actually executes. */
-  private def run(name: String, dir: String): (Long, Double, DataFrame) = {
+  private def run(name: String, dir: String): (Long, Double, DataFrame, DataFrame) = {
     val df = SparkEntry.queries(name)(spark, dir)
-    val t0 = System.nanoTime()
-    val n = df
+    val probe = df
       .select(xxhash64(df.columns.map(col): _*).as("h"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(h)"))
-      .head().getLong(0)
-    (n, (System.nanoTime() - t0) / 1e9, df)
+    val t0 = System.nanoTime()
+    // collect(), NOT head(): head() builds a separate Limit QueryExecution,
+    // leaving probe.queryExecution (and df's) unexecuted with
+    // isFinalPlan=false — runtime assertions (AQE skew-split etc.) must
+    // inspect probe's FINAL plan; static ones may use df's initial plan
+    val n = probe.collect()(0).getLong(0)
+    (n, (System.nanoTime() - t0) / 1e9, df, probe)
+  }
+
+  // ---------------------------------------------------------------- skewed
+
+  /** Per-key power-law copy count 1..100: u = hash(key)/1000 uniform in
+    * [0,1), copies = floor(100^u) — density ~ 1/c, mean ~21.5. Most keys
+    * replicate once or twice; a heavy tail replicates up to 100x — the
+    * shape of a real crawl corpus (and adversarial for dedup: hot docs
+    * form C(copies,2)-sized LSH buckets). */
+  private def skewCopiesSql(keyCol: String): String =
+    s"greatest(1L, least(100L, cast(floor(power(100.0, " +
+      s"pmod(xxhash64($keyCol), 1000L) / 1000.0)) as bigint)))"
+
+  /** A single HUB customer receives every 2nd order (before exploding, so
+    * all its copies follow): ~half the order volume lands on ONE join key —
+    * the classic default/null-foreign-key skew every real warehouse has,
+    * and the celebrity-key case per-key power-law alone cannot produce
+    * (15k customers hashed across partitions average it away; and because
+    * a constant-key run compresses ~10x better than mixed keys, byte-based
+    * skew detection needs the hot key to dominate ROWS by much more than
+    * the factor it must dominate BYTES by). */
+  private val HubCust = 0L
+
+  /** Generated facts are written as 64 files: shuffle map-task granularity
+    * is the unit AQE can split a skewed partition at, and a single-file
+    * corpus reads as ONE map task — unsplittable by construction. A real
+    * 100 TB corpus is thousands of files; the writer must mirror that. */
+  private val GenFiles = 64
+
+  private def skewExplodeFact(dir: Path, name: String, shiftKeys: Seq[String],
+      skewKey: String): Unit = {
+    val base0 = Tables.t(spark, baseSf, name)
+    val base =
+      if (name == "orders")
+        base0.withColumn("o_custkey",
+          when(pmod(xxhash64(col(skewKey)), lit(2L)) === 0L, lit(HubCust))
+            .otherwise(col("o_custkey")))
+      else base0
+    val copies = base.withColumn("copy",
+      explode(expr(s"sequence(0L, ${skewCopiesSql(skewKey)} - 1L)")))
+    shiftKeys.foldLeft(copies) { (d, k) =>
+      d.withColumn(k, col(k) + col("copy") * KeyOff)
+    }.drop("copy").repartition(GenFiles)
+      .write.mode("overwrite").parquet(s"$dir/$name.parquet")
   }
 
   test("sf0.1 exploded 10x: heavy queries complete, plans stay stable, driver heap bounded") {
@@ -98,13 +146,13 @@ class ScaleStressSpec extends SparkTestBase {
 
       // baseline plan shapes at bench scale, executed so AQE has finalized
       val baseBroadcasts = Heavy.map { q =>
-        val (_, _, df) = run(q, baseSf)
+        val (_, _, df, _) = run(q, baseSf)
         q -> broadcastSubtrees(df.queryExecution.executedPlan).size
       }.toMap
       spark.sharedState.cacheManager.clearCache() // minhash sig caches etc.
 
       val report = Heavy.map { q =>
-        val (n, secs, df) = run(q, dir.toString)
+        val (n, secs, df, _) = run(q, dir.toString)
         assert(n > 0, s"$q returned no rows on the exploded corpus")
         val plan = df.queryExecution.executedPlan
         val planStr = plan.toString
@@ -126,6 +174,76 @@ class ScaleStressSpec extends SparkTestBase {
       info("scale-stress (10x sf0.1, local[4]):")
       report.foreach(info(_))
     } finally {
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
+  test("skewed explode: hot keys survive — AQE skew-split kicks in, queries complete") {
+    assume(enabled, "scale-stress evidence run; set GRAFT_SCALE_STRESS=1")
+    val dir = Files.createTempDirectory("graft-skew")
+    // simulate cluster scale (the PlanInvariants q3/q44 discipline): shrink
+    // the broadcast threshold so customer genuinely shuffles, run with a
+    // cluster-like partition count (at 4 local partitions a hub key is
+    // averaged into ~25% of the data and never looks skewed), and lower the
+    // AQE skew thresholds proportionally to this corpus (defaults are 256MB
+    // partitions — correct at 100 TB, unreachable in a GB-scale test)
+    // adaptive broadcast is disabled outright (-1): at 100 TB the customer
+    // dimension does NOT fit in a broadcast, and AQE demoting the skewed
+    // SMJ to a broadcast join at toy scale would erase the very skew path
+    // this test exists to prove; the 32 KB static threshold keeps the
+    // genuinely tiny dims (nation/region/supplier) broadcast
+    val tuned = Seq(
+      "spark.sql.shuffle.partitions" -> "64",
+      // a real 100 TB corpus scans as thousands of input splits; without
+      // this the whole toy fact packs into ONE map task and AQE cannot
+      // split the hub reduce partition (mapper chunks are the split unit)
+      "spark.sql.files.maxPartitionBytes" -> (2 * 1024 * 1024).toString,
+      "spark.sql.files.openCostInBytes" -> (128 * 1024).toString,
+      "spark.sql.autoBroadcastJoinThreshold" -> (32 * 1024).toString,
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> (8 * 1024).toString,
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> (4 * 1024).toString,
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val prior = tuned.map { case (k, _) => k -> spark.conf.getOption(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      skewExplodeFact(dir, "orders", Seq("o_orderkey"), "o_orderkey")
+      skewExplodeFact(dir, "lineitem", Seq("l_orderkey"), "l_orderkey")
+      skewExplodeFact(dir, "documents", Seq("doc_id"), "doc_id")
+      Seq("customer", "supplier", "part", "nation", "region", "embeddings")
+        .foreach(copyDim(dir, _))
+
+      val report = Seq("q28_salted_join", "q43_join_six", "dedup_minhash").map { q =>
+        val (n, secs, _, probe) = run(q, dir.toString)
+        assert(n > 0, s"$q returned no rows on the skewed corpus")
+        val planStr = probe.queryExecution.executedPlan.toString
+        assert(!planStr.contains("CartesianProduct"),
+          s"$q plans a CartesianProduct under skew:\n$planStr")
+        if (q == "q43_join_six") {
+          // the hub customer (~half of all exploded orders on ONE custkey)
+          // must trip AQE's skew-split on the orders<->customer sort-merge
+          // join — the runtime re-plan that keeps one reducer from eating
+          // the default-key partition at 100 TB
+          assert(planStr.contains("skew=true"),
+            s"$q never triggered an AQE skew-split:\n$planStr")
+          assert(broadcastSubtrees(probe.queryExecution.executedPlan)
+              .forall(b => !b.toString.contains("lineitem.parquet")),
+            s"$q broadcasts the exploded fact table")
+        }
+        val heap = usedHeapGiB()
+        assert(heap < 8.0, f"driver heap $heap%.1f GiB after $q")
+        spark.sharedState.cacheManager.clearCache()
+        f"$q%-16s rows=$n%-8d ${secs}%6.1f s  heap=$heap%.1f GiB  " +
+          s"skewSplit=${planStr.contains("skew=true")}"
+      }
+      info("skew-stress (power-law 1..100 copies + default-key hub customer, sf0.1, local[4]):")
+      report.foreach(info(_))
+    } finally {
+      prior.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
       import scala.jdk.CollectionConverters._
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
