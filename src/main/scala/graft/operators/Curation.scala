@@ -1004,9 +1004,66 @@ object Curation {
                 AS BIGINT) AS evenness_micro
             FROM terms GROUP BY n_sources"""))
 
+  /** DATASET CARD: the one-row release summary every published training
+    * set ships with — corpus size (docs, whitespace tokens, chars),
+    * diversity (distinct languages/sources, top language and its micro
+    * share), and integrity (exact-duplicate rate in micros, distinct
+    * fingerprints) — all from ONE scan plus key-sized aggregates. The
+    * duplicate rate reuses text_fingerprint's canonical md5; every ratio
+    * is a non-negative integer div so the card is bit-identical on any
+    * engine — a card that drifts between engines is worse than no card. */
+  val datasetCard = GraftQuery(
+    "pipeline_dataset_card",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"),
+        length(col("text")).cast("long").as("chars"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+      val topLang = broadcast(
+        d.groupBy(col("lang")).agg(count(lit(1)).as("lc"))
+          .orderBy(col("lc").desc, col("lang")).limit(1)
+          .select(col("lang").as("top_lang"), col("lc")))
+      base.crossJoin(topLang)
+        .select(col("n_docs"), col("n_tokens").cast("long").as("n_tokens"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("n_langs"), col("n_sources"), col("top_lang"),
+          expr("cast(lc * 1000000 div n_docs as bigint)").as("top_lang_micro"),
+          col("n_distinct_fp"),
+          expr("cast((n_docs - n_distinct_fp) * 1000000 div n_docs as bigint)")
+            .as("dup_rate_micro"))
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, source,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+                CAST(length(text) AS BIGINT) AS chars,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents),
+            base AS (SELECT count(*) AS n_docs,
+                CAST(sum(toks) AS BIGINT) AS n_tokens,
+                CAST(sum(chars) AS BIGINT) AS n_chars,
+                count(DISTINCT lang) AS n_langs,
+                count(DISTINCT source) AS n_sources,
+                count(DISTINCT fp) AS n_distinct_fp
+              FROM d),
+            top_lang AS (SELECT lang AS top_lang, count(*) AS lc
+              FROM d GROUP BY lang ORDER BY lc DESC, lang LIMIT 1)
+            SELECT n_docs, n_tokens, n_chars, n_langs, n_sources, top_lang,
+              CAST(lc * 1000000 // n_docs AS BIGINT) AS top_lang_micro,
+              n_distinct_fp,
+              CAST((n_docs - n_distinct_fp) * 1000000 // n_docs AS BIGINT)
+                AS dup_rate_micro
+            FROM base CROSS JOIN top_lang"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
       tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
-      dedupImpact, sourceOverlap, snapshotDrift, mixtureEntropy)
+      dedupImpact, sourceOverlap, snapshotDrift, mixtureEntropy, datasetCard)
 }

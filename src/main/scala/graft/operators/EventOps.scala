@@ -1038,7 +1038,7 @@ object EventOps {
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
-    errorBudgetBurn, transitionEntropy, sessionDepth)
+    errorBudgetBurn, transitionEntropy, sessionDepth, userGini)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1434,4 +1434,44 @@ object EventOps {
                      FROM numbered GROUP BY user_id, sid)
             SELECT depth, count(*) AS n_sessions
             FROM sess GROUP BY depth ORDER BY depth"""))
+
+  /** TRAFFIC CONCENTRATION (Gini): one-row Gini coefficient of events per
+    * user — the single number behind "does 1% of users generate 90% of the
+    * load", the capacity-planning twin of [[weeklyPattern]]'s calendar
+    * shape and the skew early-warning for every user-keyed operator. The
+    * global ascending rank comes from the shared two-phase prefix sum
+    * (Sampling.prefixSum) over (cnt, user_id) packed into one long — no
+    * single-task global window — with the pack invariant ENFORCED by
+    * raise_error (cnt < 2^31, user_id < 2^32; the pipeline_curriculum
+    * discipline). Gini = (2·Σ rank·cnt − (n+1)·Σcnt) / (n·Σcnt), exact
+    * BIGINT arithmetic, non-negative operands, micro-scaled div. */
+  lazy val userGini = GraftQuery(
+    "ev_user_gini",
+    (s, dir) => {
+      val cnts = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .withColumn("pack",
+          when(col("cnt") >= lit(1L << 31) || col("user_id") >= lit(1L << 32) ||
+              col("user_id") < 0,
+            expr("raise_error('ev_user_gini: pack overflow — cnt >= 2^31 " +
+              "or user_id outside [0, 2^32)')").cast("long"))
+            .otherwise(col("cnt") * lit(1L << 32) + col("user_id")))
+        .withColumn("one", lit(1L))
+      Sampling.prefixSum(s, cnts, "pack", "one", "rank")
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cnt")).as("total_events"),
+          sum((col("rank") + 1) * col("cnt")).as("rank_weighted"))
+        .select(col("n_users"), col("total_events").cast("long").as("total_events"),
+          expr("""cast((2 * rank_weighted - (n_users + 1) * total_events) * 1000000
+                  div (n_users * total_events) as bigint)""").as("gini_micro"))
+    },
+    Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
+            r AS (SELECT cnt,
+                    CAST(row_number() OVER (ORDER BY cnt, user_id) AS BIGINT) AS rnk
+                  FROM c)
+            SELECT count(*) AS n_users, CAST(sum(cnt) AS BIGINT) AS total_events,
+              CAST((2 * CAST(sum(rnk * cnt) AS BIGINT)
+                    - (count(*) + 1) * CAST(sum(cnt) AS BIGINT)) * 1000000
+                // (count(*) * CAST(sum(cnt) AS BIGINT)) AS BIGINT) AS gini_micro
+            FROM r"""))
 }

@@ -582,7 +582,61 @@ object GraphOps {
             WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = a AND e.v = b)
             ORDER BY n_common DESC, a, b LIMIT 20"""))
 
+  /** LOCAL CLUSTERING COEFFICIENT: per node, 2·triangles / (deg·(deg−1))
+    * over the co-purchase graph — the community-tightness profile next to
+    * [[degreeHist]]'s volume profile (the two numbers that decide whether
+    * a graph is social-like or bipartite-like). Reuses the degree-oriented
+    * triangle machinery ([[orient]]/[[orientedWedges]]) so the wedge work
+    * stays Σ C(outdeg,2); the coefficient is integer-scaled to micros with
+    * a non-negative div (deg ≥ 2 filter guarantees a positive divisor).
+    * The oracle enumerates triangles id-oriented — the per-node counts are
+    * orientation-invariant (the [[triangleCount]] argument). */
+  val clusteringCoeff = GraftQuery(
+    "graph_clustering_coeff",
+    (s, dir) => {
+      val half = coPurchaseEdges(s, dir).cache()
+      val deg = degrees(half).cache()
+      val o = orient(half, deg).cache()
+      val tri = orientedWedges(o)
+        .join(o.as("e3"), col("e3.src") === col("y") && col("e3.dst") === col("z"))
+        .select(col("x"), col("y"), col("z"))
+      val tn = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      deg.filter(col("deg") >= 2)
+        .join(tn, Seq("node"), "left")
+        .select(col("node"), col("deg").as("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+          expr("cast(coalesce(n_tri, 0) * 2000000 div (deg * (deg - 1)) as bigint)")
+            .as("coeff_micro"))
+        .orderBy(col("node"))
+    },
+    Some("""WITH e AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            und AS MATERIALIZED (
+              SELECT u AS src, v AS dst FROM e
+              UNION ALL SELECT v AS src, u AS dst FROM e),
+            deg AS MATERIALIZED (
+              SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+            tri AS (
+              SELECT e1.u AS x, e1.v AS y, e2.v AS z
+              FROM e e1 JOIN e e2 ON e2.u = e1.v
+              JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+            tn AS (
+              SELECT node, count(*) AS n_tri FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri)
+              GROUP BY node)
+            SELECT d.node, CAST(d.deg AS BIGINT) AS degree,
+              CAST(coalesce(n_tri, 0) AS BIGINT) AS n_triangles,
+              CAST(coalesce(n_tri, 0) * 2000000 // (d.deg * (d.deg - 1)) AS BIGINT)
+                AS coeff_micro
+            FROM deg d LEFT JOIN tn ON tn.node = d.node
+            WHERE d.deg >= 2 ORDER BY d.node"""))
+
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
-      ssspQuery, degreeHist, twoHop, commonNeighbors)
+      ssspQuery, degreeHist, twoHop, commonNeighbors, clusteringCoeff)
 }

@@ -1609,6 +1609,183 @@ object Relational {
                AND l2.l_shipdate < DATE '1997-01-01'))
        ORDER BY s_name"""
 
+  /** SHIPPING PRIORITY (TPC-H Q3 shape): top-10 not-yet-shipped orders of
+    * BUILDING-segment customers by outstanding revenue — the classic
+    * date-straddle join (orders placed BEFORE the cutoff whose lineitems
+    * ship AFTER it). Scale shape: both date filters reach their scans
+    * (PushedFilters), the segment-pruned customer dim broadcasts, the
+    * order-keyed aggregation feeds TakeOrderedAndProject — no global
+    * sort. Revenue in exact integer cents. */
+  val q60ShippingPriority = GraftQuery(
+    "q60_shipping_priority",
+    (s, dir) => {
+      val cutoff = "1997-06-01"
+      val bldg = broadcast(
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey")))
+      t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit(cutoff))
+        .join(bldg, col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_shipdate") > lit(cutoff)),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(expr(
+          "cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)"))
+          .as("revenue_cents"))
+        .select(col("l_orderkey"), col("revenue_cents"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue_cents").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+    Some("""SELECT l_orderkey,
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+              o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < DATE '1997-06-01'
+              AND l_shipdate > DATE '1997-06-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10"""))
+
+  /** BILATERAL TRADE VOLUME (TPC-H Q7 shape): shipping revenue between two
+    * nations in BOTH directions per ship year — the two-role nation join
+    * (supplier's nation x customer's nation) with a symmetric disjunctive
+    * pair filter. Both nation-keyed dims broadcast; the fact chain
+    * shuffles once per key. */
+  val q61NationVolume = GraftQuery(
+    "q61_nation_volume",
+    (s, dir) => {
+      val n1 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+      val sup = broadcast(t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1998-01-01"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("sn_key"))
+        .join(n2, col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+          (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(expr(
+          "cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)"))
+          .as("revenue_cents"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS INTEGER) AS l_year,
+              CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents,
+              count(*) AS n_items
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+                OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
+              AND l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year"""))
+
+  /** LATE-SHIPMENT PRIORITY MIX (TPC-H Q12 shape): per return flag (this
+    * schema's shipmode analog), how many late-shipped 1996 lineitems
+    * belonged to high- vs low-priority orders — the conditional-count
+    * pivot over an order⋈lineitem join with the lateness predicate as the
+    * join residual. Exact integer counts; one 3-group shuffle. */
+  val q62LatePriorityMix = GraftQuery(
+    "q62_late_priority_mix",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .join(t(s, dir, "lineitem")
+            .filter(col("l_shipdate") >= lit("1996-01-01") &&
+              col("l_shipdate") < lit("1997-01-01"))
+            .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** TOP SUPPLIER (TPC-H Q15 shape): the supplier(s) whose 1996-Q1 revenue
+    * equals the global maximum — the uncorrelated scalar-MAX subquery over
+    * a shared aggregate (Q15's view), expressed as SQL so the
+    * ScalarSubquery + CTE-reuse path is exercised: the revenue aggregate
+    * computes once, the 1-row max broadcasts back as a filter. Ties are
+    * all returned (Q15 semantics), deterministically ordered. */
+  val q63TopSupplier = GraftQuery(
+    "q63_top_supplier",
+    (s, dir) => {
+      Seq("supplier", "lineitem").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q63Sql)
+    },
+    Some(Q63Sql))
+
+  private lazy val Q63Sql =
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS total_cents
+         FROM lineitem
+         WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_cents
+       FROM supplier JOIN revenue ON s_suppkey = supplier_no
+       WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+       ORDER BY s_suppkey"""
+
+  /** SUPPLIER-PART STATS (TPC-H Q16 shape): distinct suppliers per
+    * (brand, size) for non-excluded parts, excluding flagged suppliers via
+    * NOT IN — the null-aware anti-join Catalyst path (distinct from the
+    * NOT EXISTS anti-joins of q5/q50). The supply relation derives from
+    * lineitem (no partsupp in this schema); the flagged-supplier list
+    * (negative balance) is key-only and broadcasts as the anti side. */
+  val q64SupplierPartStats = GraftQuery(
+    "q64_supplier_part_stats",
+    (s, dir) => {
+      Seq("part", "supplier", "lineitem").foreach(n =>
+        t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(Q64Sql)
+    },
+    Some(Q64Sql))
+
+  private lazy val Q64Sql =
+    """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+         AND l_suppkey NOT IN (
+           SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       GROUP BY p_brand, p_size
+       ORDER BY supplier_cnt DESC, p_brand, p_size LIMIT 40"""
+
   val all: Seq[GraftQuery] = Seq(
     q1Agg, q2JoinBroadcast, q3JoinMulti, q4SemiJoin, q5AntiJoin, q6OuterJoin,
     q7FullOuter, q8WindowRank, q9WindowRunning, q10TopK, q11Union,
@@ -1621,5 +1798,6 @@ object Relational {
     q46SmallQty, q47LargeOrders, q48ValueShare, q49Disjunctive, q50Inactive,
     q51LateSuppliers, q52PriorityReport, q53PromoShare, q54CustDist,
     q55ReturnedRevenue, q56ForecastRevenue, q57MinCostSupplier,
-    q58ProfitByNation, q59ConcentratedSuppliers)
+    q58ProfitByNation, q59ConcentratedSuppliers, q60ShippingPriority,
+    q61NationVolume, q62LatePriorityMix, q63TopSupplier, q64SupplierPartStats)
 }

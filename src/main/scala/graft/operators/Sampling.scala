@@ -624,8 +624,43 @@ object Sampling {
               bit_xor(doc_id) AS id_xor
             FROM documents GROUP BY shard ORDER BY shard"""))
 
+  /** SFT LOSS-MASK ACCOUNTING: per source, how many tokens the trainer
+    * would MASK (prompt) vs LEARN FROM (completion) under the fixed-window
+    * instruction-tuning convention "prompt = the first 16 whitespace
+    * tokens, loss on the rest" — the table that explains why an SFT epoch
+    * sees far fewer learnable tokens than the corpus size suggests (this
+    * synthetic corpus has no sentence punctuation, so the window
+    * convention is the deterministic boundary; completion = total − prompt
+    * by construction, short docs are all prompt). The learnable fraction
+    * is a non-negative integer div to micros. Pure scan-side expressions +
+    * one source-keyed shuffle of three longs. */
+  val lossMask = GraftQuery(
+    "pipeline_loss_mask",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("tt"),
+          least(size(split(col("text"), " ")).cast("long"), lit(16L)).as("pt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pt")).as("prompt_tokens"),
+          sum(col("tt") - col("pt")).as("completion_tokens"),
+          expr("cast(sum(tt - pt) * 1000000 div sum(tt) as bigint)")
+            .as("learnable_micro"))
+        .orderBy(col("source")),
+    Some("""SELECT source, count(*) AS n_docs,
+              CAST(sum(pt) AS BIGINT) AS prompt_tokens,
+              CAST(sum(tt - pt) AS BIGINT) AS completion_tokens,
+              CAST(CAST(sum(tt - pt) AS BIGINT) * 1000000
+                // CAST(sum(tt) AS BIGINT) AS BIGINT) AS learnable_micro
+            FROM (SELECT source,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS tt,
+                    least(CAST(len(string_split(text, ' ')) AS BIGINT), 16) AS pt
+                  FROM documents)
+            GROUP BY source ORDER BY source"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
     stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources,
     sampleK, epochSchedule, weightedSample, histogram, curriculum,
-    lengthBucketPack, checksum, shardChecksum)
+    lengthBucketPack, checksum, shardChecksum, lossMask)
 }

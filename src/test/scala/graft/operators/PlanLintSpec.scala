@@ -49,6 +49,8 @@ class PlanLintSpec extends SparkTestBase {
     "ev_first_touch_attribution",
     // crossJoin of the 1-row corpus-total scalar onto 20 source rows
     "curation_mixture_entropy",
+    // crossJoin of two 1-row aggregates (corpus totals x top-language row)
+    "pipeline_dataset_card",
     // 4-epoch constant table crossed with the shard list (both metadata)
     "pipeline_epoch_schedule"
   )
