@@ -284,6 +284,25 @@ class PlanInvariantsSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("q60: date filters reach both scans, top-10 is TakeOrderedAndProject") {
+    val p = plan("q60_shipping_priority", benchSf)
+    val s = p.toString
+    assert(s.contains("TakeOrderedAndProject"),
+      s"top-10 must not be a global sort:\n$s")
+    assert(s.contains("LessThan(o_orderdate") && s.contains("GreaterThan(l_shipdate"),
+      s"date-straddle filters must push to the parquet scans:\n$s")
+  }
+
+  test("q64: NOT IN plans as a null-aware hash anti-join, never a nested loop") {
+    val p = plan("q64_supplier_part_stats", benchSf)
+    val s = p.toString
+    assert(s.contains("LeftAnti"), s"NOT IN must compile to an anti-join:\n$s")
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"null-aware anti must stay a hash join (non-null key):\n$s")
+    assert(s.contains("LessThan(s_acctbal"),
+      s"flagged-supplier filter must push to the supplier scan:\n$s")
+  }
+
   test("q57/q59: correlated subqueries decorrelate — fact never broadcast, no per-row re-execution") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (512 * 1024).toString)
     try {
