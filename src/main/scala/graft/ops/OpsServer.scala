@@ -62,18 +62,104 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
   // the reference ships a full dashboard SPA (services/dashboard/); the
   // library-scale analog is one static page polling the JSON endpoints
   private val dashCtx = server.createContext("/dashboard", (x: HttpExchange) => serveDashboard(x))
+
+  // MessageDigest.isEqual is constant-time: String == short-circuits at
+  // the first differing char, leaking a timing oracle on the password
+  private def ctEq(a: String, b: String): Boolean =
+    java.security.MessageDigest.isEqual(
+      a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
+
+  /** Browser-session twin of the reference's SecurityService login flow
+    * (services/jvm/.../security/SecurityService.scala serves
+    * `/login`/`/logout` beyond per-request auth): POST /login exchanges
+    * credentials for an HttpOnly session cookie; every authenticated route
+    * then accepts EITHER Basic credentials or a live session; POST /logout
+    * revokes the session server-side. Tokens are 128-bit SecureRandom,
+    * bounded (256) and TTL'd (1 h) so an embedded long-lived server cannot
+    * leak sessions. Only active when `auth` is configured. */
+  private val sessions = scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  private val sessionTtlMs = 60L * 60 * 1000
+  private val rng = new java.security.SecureRandom
+
+  private def sessionUser(x: HttpExchange): Option[String] = {
+    val cookies = Option(x.getRequestHeaders.getFirst("Cookie")).getOrElse("")
+    cookies.split(";").map(_.trim).collectFirst {
+      case c if c.startsWith("graft_session=") => c.stripPrefix("graft_session=")
+    }.flatMap { tok =>
+      sessions.get(tok).collect {
+        case (u, exp) if exp > System.currentTimeMillis() => u
+      }
+    }
+  }
+
+  private def handleLogin(x: HttpExchange, user: String, pass: String): Unit = {
+    try {
+      if (x.getRequestMethod != "POST") { respond(x, 405, """{"error":"POST only"}""") }
+      else {
+        // credentials come as a form body (user=...&pass=...) or a Basic header
+        val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val form = body.split("&").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> java.net.URLDecoder.decode(v, "UTF-8")
+        }.toMap
+        val fromBasic = Option(x.getRequestHeaders.getFirst("Authorization"))
+          .filter(_.startsWith("Basic ")).map(h => new String(
+            java.util.Base64.getDecoder.decode(h.stripPrefix("Basic ")),
+            StandardCharsets.UTF_8).split(":", 2)).collect { case Array(u, p) => (u, p) }
+        val creds = fromBasic.orElse(
+          for (u <- form.get("user"); p <- form.get("pass")) yield (u, p))
+        creds match {
+          case Some((u, p)) if ctEq(u, user) & ctEq(p, pass) =>
+            val bytes = new Array[Byte](16)
+            rng.nextBytes(bytes)
+            val tok = bytes.map("%02x".format(_)).mkString
+            // bound the store: drop expired first, then oldest if still full
+            val now = System.currentTimeMillis()
+            sessions.filterInPlace { case (_, (_, exp)) => exp > now }
+            if (sessions.size >= 256)
+              sessions.toSeq.sortBy(_._2._2).take(sessions.size - 255)
+                .foreach { case (t, _) => sessions.remove(t) }
+            sessions.put(tok, (u, now + sessionTtlMs))
+            x.getResponseHeaders.add("Set-Cookie",
+              s"graft_session=$tok; HttpOnly; Path=/")
+            respond(x, 200, s"""{"status":"success","user":${AppRegistry.jstrStatic(u)}}""")
+          case _ => respond(x, 401, """{"error":"invalid credentials"}""")
+        }
+      }
+    } catch {
+      case e: Exception => respond(x, 500, s"""{"error":${AppRegistry.jstrStatic(e.toString)}}""")
+    }
+  }
+
+  private def handleLogout(x: HttpExchange): Unit = {
+    val cookies = Option(x.getRequestHeaders.getFirst("Cookie")).getOrElse("")
+    cookies.split(";").map(_.trim).collect {
+      case c if c.startsWith("graft_session=") => c.stripPrefix("graft_session=")
+    }.foreach(sessions.remove)
+    x.getResponseHeaders.add("Set-Cookie",
+      "graft_session=; HttpOnly; Path=/; Max-Age=0")
+    respond(x, 200, """{"status":"success"}""")
+  }
+
   auth.foreach { case (user, pass) =>
-    val a = new com.sun.net.httpserver.BasicAuthenticator("graft") {
-      // MessageDigest.isEqual is constant-time: String == short-circuits at
-      // the first differing char, leaking a timing oracle on the password
-      private def ctEq(a: String, b: String): Boolean =
-        java.security.MessageDigest.isEqual(
-          a.getBytes(StandardCharsets.UTF_8), b.getBytes(StandardCharsets.UTF_8))
-      override def checkCredentials(u: String, p: String): Boolean =
-        ctEq(u, user) & ctEq(p, pass) // non-short-circuit &: check both
+    val a = new com.sun.net.httpserver.Authenticator {
+      private val basic = new com.sun.net.httpserver.BasicAuthenticator("graft") {
+        override def checkCredentials(u: String, p: String): Boolean =
+          ctEq(u, user) & ctEq(p, pass) // non-short-circuit &: check both
+      }
+      override def authenticate(x: HttpExchange): com.sun.net.httpserver.Authenticator.Result =
+        sessionUser(x) match {
+          case Some(u) => new com.sun.net.httpserver.Authenticator.Success(
+            new com.sun.net.httpserver.HttpPrincipal(u, "graft"))
+          case None => basic.authenticate(x)
+        }
     }
     apiCtx.setAuthenticator(a)
     dashCtx.setAuthenticator(a)
+    // login/logout live OUTSIDE the authenticated contexts: login is the
+    // credential exchange itself, logout only ever revokes the caller's
+    // own cookie
+    server.createContext("/login", (x: HttpExchange) => handleLogin(x, user, pass))
+    server.createContext("/logout", (x: HttpExchange) => handleLogout(x))
   }
   server.setExecutor(null) // serve on the dispatch thread; ops traffic is light
 

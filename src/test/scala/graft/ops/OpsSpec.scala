@@ -659,6 +659,62 @@ class OpsSpec extends SparkTestBase {
     finally open.stop()
   }
 
+  test("session login flow: POST /login issues a cookie that authenticates; /logout revokes it") {
+    val reg = new AppRegistry(spark)
+    val srv = new OpsServer(spark, reg, catalog = Map.empty,
+      auth = Some(("admin", "secret"))).start()
+    def req(method: String, path: String, headers: Map[String, String],
+        body: String = null): (Int, String, Map[String, java.util.List[String]]) = {
+      val conn = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}$path")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod(method)
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      if (body != null) {
+        conn.setDoOutput(true)
+        val os = conn.getOutputStream
+        try os.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+      }
+      val code = conn.getResponseCode
+      val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val out = if (is == null) "" else {
+        val b = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        is.close(); b
+      }
+      import scala.jdk.CollectionConverters._
+      // com.sun.net.httpserver normalizes header casing ("Set-cookie") —
+      // compare lowercased
+      (code, out, conn.getHeaderFields.asScala.filter(_._1 != null)
+        .map { case (k, v) => k.toLowerCase -> v }.toMap)
+    }
+    try {
+      // bad credentials -> 401, no cookie
+      assert(req("POST", "/login", Map.empty, "user=admin&pass=wrong")._1 === 401)
+      // GET is not a login
+      assert(req("GET", "/login", Map.empty)._1 === 405)
+      // good credentials (form body) -> cookie
+      val (lc, lb, lh) = req("POST", "/login", Map.empty, "user=admin&pass=secret")
+      assert(lc === 200 && lb.contains("\"status\":\"success\""), lb)
+      val cookie = lh("set-cookie").get(0)
+      assert(cookie.startsWith("graft_session=") && cookie.contains("HttpOnly"), cookie)
+      val tok = cookie.split(";")(0)
+      // the cookie authenticates API routes with NO Basic header
+      assert(req("GET", "/api/v1.0/version", Map("Cookie" -> tok))._1 === 200)
+      assert(req("GET", "/dashboard", Map("Cookie" -> tok))._1 === 200)
+      // a forged cookie does not
+      assert(req("GET", "/api/v1.0/version",
+        Map("Cookie" -> "graft_session=deadbeef"))._1 === 401)
+      // Basic-header login also works (the curl spelling)
+      val b64 = java.util.Base64.getEncoder.encodeToString(
+        "admin:secret".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val (bc, _, bh) = req("POST", "/login", Map("Authorization" -> s"Basic $b64"))
+      assert(bc === 200 && bh("set-cookie").get(0).startsWith("graft_session="), bh)
+      // logout revokes server-side: the same cookie is dead afterwards
+      assert(req("POST", "/logout", Map("Cookie" -> tok))._1 === 200)
+      assert(req("GET", "/api/v1.0/version", Map("Cookie" -> tok))._1 === 401)
+    } finally { srv.stop(); reg.close() }
+  }
+
   test("version fallback literal tracks build.sbt (classes-dir runs have no manifest)") {
     // ADVICE r9: the "0.1.0" fallback in OpsServer.Version duplicates
     // build.sbt's ThisBuild/version — pin them together so a version bump
