@@ -200,57 +200,67 @@ object GraphOps {
     * rounds are a fixed unrollable count so the oracle is three chained
     * CTEs. Graph: the part co-purchase graph; seeds: every 20th part keyed
     * by partkey mod 5. */
+  /** The 3-round LPA loop shared by [[labelPropagation]] and
+    * [[modularity]]: (node, seed, label) for EVERY node, label null where
+    * no labeled neighbor ever reached it. */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val half = coPurchaseEdges(s, dir)
+    val edges = half.union(half.select(col("v").as("u"), col("u").as("v"))).cache()
+    val nodes = edges.select(col("u").as("node")).distinct()
+    val seeds = nodes.select(col("node"),
+      when(col("node") % 20 === 0, col("node") % 5).as("seed"))
+    var labels = seeds.withColumn("label", col("seed")).localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val votes = edges.join(labels, col("u") === col("node"))
+        .filter(col("label").isNotNull)
+        .groupBy(col("v").as("n"), col("label")).agg(count(lit(1)).as("c"))
+      val adopted = votes
+        .withColumn("best", min(struct(negate(col("c")).as("negc"), col("label").as("lab")))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("n"))))
+        .filter(col("c") === -col("best.negc") && col("label") === col("best.lab"))
+        .select(col("n").as("node"), col("label").as("adopted"))
+      val next = seeds.join(adopted, Seq("node"), "left")
+        .select(col("node"), col("seed"),
+          coalesce(col("seed"), col("adopted")).as("label"))
+        .localCheckpoint(true) // eager: materialized before the old tick drops
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist() // labels is checkpointed; the edge cache fed the loop
+    labels
+  }
+
+  /** The matching DuckDB WITH-prefix (through lab3) shared by both LPA
+    * consumers; callers append their own CTEs with a leading comma. */
+  private lazy val LpaOracleCtes: String = {
+    def round(k: Int): String =
+      s"""v$k AS (SELECT e.v AS n, l.label, count(*) AS c
+                  FROM edges e JOIN lab${k - 1} l ON l.node = e.u
+                  WHERE l.label IS NOT NULL GROUP BY e.v, l.label),
+          a$k AS (SELECT n, min(label) AS adopted FROM v$k x
+                  WHERE c = (SELECT max(c) FROM v$k y WHERE y.n = x.n)
+                  GROUP BY n),
+          lab$k AS (SELECT s.node, s.seed, coalesce(s.seed, a$k.adopted) AS label
+                    FROM seeds s LEFT JOIN a$k ON a$k.n = s.node)"""
+    s"""half AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        edges AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
+        nodes AS (SELECT DISTINCT u AS node FROM edges),
+        seeds AS (SELECT node,
+            CASE WHEN node % 20 = 0 THEN node % 5 END AS seed FROM nodes),
+        lab0 AS (SELECT node, seed, seed AS label FROM seeds),
+        ${(1 to 3).map(round).mkString(",\n")}"""
+  }
+
   val labelPropagation = GraftQuery(
     "graph_label_propagation",
-    (s, dir) => {
-      val half = coPurchaseEdges(s, dir)
-      val edges = half.union(half.select(col("v").as("u"), col("u").as("v"))).cache()
-      val nodes = edges.select(col("u").as("node")).distinct()
-      val seeds = nodes.select(col("node"),
-        when(col("node") % 20 === 0, col("node") % 5).as("seed"))
-      var labels = seeds.withColumn("label", col("seed")).localCheckpoint(true)
-      for (_ <- 1 to 3) {
-        val votes = edges.join(labels, col("u") === col("node"))
-          .filter(col("label").isNotNull)
-          .groupBy(col("v").as("n"), col("label")).agg(count(lit(1)).as("c"))
-        val adopted = votes
-          .withColumn("best", min(struct(negate(col("c")).as("negc"), col("label").as("lab")))
-            .over(org.apache.spark.sql.expressions.Window.partitionBy(col("n"))))
-          .filter(col("c") === -col("best.negc") && col("label") === col("best.lab"))
-          .select(col("n").as("node"), col("label").as("adopted"))
-        val next = seeds.join(adopted, Seq("node"), "left")
-          .select(col("node"), col("seed"),
-            coalesce(col("seed"), col("adopted")).as("label"))
-          .localCheckpoint(true) // eager: materialized before the old tick drops
-        labels.unpersist()
-        labels = next
-      }
-      edges.unpersist() // labels is checkpointed; the edge cache fed the loop
-      labels.filter(col("label").isNotNull)
-        .select(col("node"), col("label")).orderBy(col("node"))
-    },
-    Some {
-      def round(k: Int): String =
-        s"""v$k AS (SELECT e.v AS n, l.label, count(*) AS c
-                    FROM edges e JOIN lab${k - 1} l ON l.node = e.u
-                    WHERE l.label IS NOT NULL GROUP BY e.v, l.label),
-            a$k AS (SELECT n, min(label) AS adopted FROM v$k x
-                    WHERE c = (SELECT max(c) FROM v$k y WHERE y.n = x.n)
-                    GROUP BY n),
-            lab$k AS (SELECT s.node, s.seed, coalesce(s.seed, a$k.adopted) AS label
-                      FROM seeds s LEFT JOIN a$k ON a$k.n = s.node)"""
-      s"""WITH half AS (
-            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-            FROM lineitem a JOIN lineitem b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
-          edges AS (SELECT u, v FROM half UNION ALL SELECT v, u FROM half),
-          nodes AS (SELECT DISTINCT u AS node FROM edges),
-          seeds AS (SELECT node,
-              CASE WHEN node % 20 = 0 THEN node % 5 END AS seed FROM nodes),
-          lab0 AS (SELECT node, seed, seed AS label FROM seeds),
-          ${(1 to 3).map(round).mkString(",\n")}
-          SELECT node, label FROM lab3 WHERE label IS NOT NULL ORDER BY node"""
-    })
+    (s, dir) =>
+      lpaLabels(s, dir).filter(col("label").isNotNull)
+        .select(col("node"), col("label")).orderBy(col("node")),
+    Some(s"""WITH $LpaOracleCtes
+          SELECT node, label FROM lab3 WHERE label IS NOT NULL ORDER BY node"""))
 
   /** K-CORE DECOMPOSITION (iterative peeling): repeatedly remove every node
     * whose degree in the induced subgraph is < k, simultaneously per round,
@@ -636,7 +646,102 @@ object GraphOps {
             FROM deg d LEFT JOIN tn ON tn.node = d.node
             WHERE d.deg >= 2 ORDER BY d.node"""))
 
+  /** MODULARITY, structure vs null: Newman's Q for two partitions of the
+    * sparse supplier~part graph — its CONNECTED COMPONENTS (real
+    * structure: no inter-community edges, so Q = 1 − Σd_c²/4m² > 0) and a
+    * node%8 RANDOM partition (the null model: Q ≈ 0) — the two-row table
+    * that answers "did the clustering find structure or noise" WITH its
+    * own calibration row. (The LPA partition is deliberately not used
+    * here: on the dense co-purchase graph min-label ties collapse it to
+    * one community, whose Q is identically 0 — correct but uninformative.)
+    * The whole formula is ONE division: Q = Σ_c(4·m·e_c − d_c²) / (4m²)
+    * over exact BIGINTs, the numerator SHIFTED by +4m² before the
+    * micro-div so the operand stays non-negative (Q ≥ −½; Spark div
+    * truncates, DuckDB floors — they only agree on non-negative operands)
+    * and un-shifted after. Key-sized shuffles only; at 100 TB edge counts
+    * (m > ~10⁹) the moments would move to decimal128. */
+  val modularity = GraftQuery(
+    "graph_modularity",
+    (s, dir) => {
+      val half = Tables.t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_partkey").as("u"), (col("l_suppkey") + SuppOffset).as("v"))
+        .distinct().cache()
+      val deg = degrees(half).cache()
+      val m = broadcast(half.agg(count(lit(1)).as("m")))
+      val comps = components(half.select(col("u").as("a"), col("v").as("b")))
+        .select(col("node"), col("label").as("c"))
+      def q(comm: DataFrame, kind: String): DataFrame = {
+        val cm = comm.cache()
+        val dc = cm.join(deg, "node")
+          .groupBy(col("c")).agg(sum(col("deg")).as("d_c"))
+        val ec = half
+          .join(cm.select(col("node").as("u"), col("c").as("cu")), "u")
+          .join(cm.select(col("node").as("v"), col("c").as("cv")), "v")
+          .filter(col("cu") === col("cv"))
+          .groupBy(col("cu").as("c")).agg(count(lit(1)).as("e_c"))
+        dc.join(ec, Seq("c"), "left")
+          .select(coalesce(col("e_c"), lit(0L)).as("e_c"), col("d_c"))
+          .crossJoin(m)
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_communities"),
+            sum(expr("4 * m * e_c - d_c * d_c")).as("num"))
+          .select(lit(kind).as("part_kind"),
+            col("m").cast("long").as("m_edges"), col("n_communities"),
+            expr("""cast((cast(num as bigint) + 4 * m * m) * 1000000
+                    div (4 * m * m) - 1000000 as bigint)""").as("q_micro"))
+      }
+      val rand = deg.select(col("node"), (col("node") % 8).as("c"))
+      q(comps, "components").unionByName(q(rand, "random8"))
+        .orderBy(col("part_kind"))
+    },
+    Some(s"""WITH RECURSIVE half AS MATERIALIZED (
+            SELECT DISTINCT l_partkey AS u, l_suppkey + $SuppOffset AS v
+            FROM lineitem WHERE l_orderkey % 50 = 0),
+          edges AS MATERIALIZED (
+            SELECT u AS src, v AS dst FROM half
+            UNION ALL SELECT v AS src, u AS dst FROM half),
+          deg AS MATERIALIZED (
+            SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+          mm AS (SELECT count(*) AS m FROM half),
+          reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT re.node, e.dst FROM reach re JOIN edges e ON e.src = re.r),
+          compc AS MATERIALIZED (
+            SELECT node, min(r) AS c FROM reach GROUP BY node),
+          randc AS (SELECT node, node % 8 AS c FROM deg),
+          dc_c AS (SELECT c, CAST(sum(deg) AS BIGINT) AS d_c
+                   FROM compc JOIN deg USING (node) GROUP BY c),
+          ec_c AS (SELECT cu.c AS c, count(*) AS e_c
+                   FROM half JOIN compc cu ON half.u = cu.node
+                   JOIN compc cv ON half.v = cv.node
+                   WHERE cu.c = cv.c GROUP BY cu.c),
+          dc_r AS (SELECT c, CAST(sum(deg) AS BIGINT) AS d_c
+                   FROM randc JOIN deg USING (node) GROUP BY c),
+          ec_r AS (SELECT cu.c AS c, count(*) AS e_c
+                   FROM half JOIN randc cu ON half.u = cu.node
+                   JOIN randc cv ON half.v = cv.node
+                   WHERE cu.c = cv.c GROUP BY cu.c),
+          tc AS (SELECT dc_c.c, coalesce(e_c, 0) AS e_c, d_c
+                 FROM dc_c LEFT JOIN ec_c ON ec_c.c = dc_c.c),
+          tr AS (SELECT dc_r.c, coalesce(e_c, 0) AS e_c, d_c
+                 FROM dc_r LEFT JOIN ec_r ON ec_r.c = dc_r.c)
+          SELECT 'components' AS part_kind, m AS m_edges,
+            count(*) AS n_communities,
+            CAST((CAST(sum(4 * m * e_c - d_c * d_c) AS BIGINT) + 4 * m * m)
+              * 1000000 // (4 * m * m) - 1000000 AS BIGINT) AS q_micro
+          FROM tc CROSS JOIN mm GROUP BY m
+          UNION ALL
+          SELECT 'random8' AS part_kind, m AS m_edges,
+            count(*) AS n_communities,
+            CAST((CAST(sum(4 * m * e_c - d_c * d_c) AS BIGINT) + 4 * m * m)
+              * 1000000 // (4 * m * m) - 1000000 AS BIGINT) AS q_micro
+          FROM tr CROSS JOIN mm GROUP BY m
+          ORDER BY part_kind"""))
+
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
-      ssspQuery, degreeHist, twoHop, commonNeighbors, clusteringCoeff)
+      ssspQuery, degreeHist, twoHop, commonNeighbors, clusteringCoeff,
+      modularity)
 }

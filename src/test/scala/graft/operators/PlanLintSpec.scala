@@ -51,6 +51,8 @@ class PlanLintSpec extends SparkTestBase {
     "curation_mixture_entropy",
     // crossJoin of two 1-row aggregates (corpus totals x top-language row)
     "pipeline_dataset_card",
+    // crossJoin of the 1-row edge-count scalar onto community-sized rows
+    "graph_modularity",
     // 4-epoch constant table crossed with the shard list (both metadata)
     "pipeline_epoch_schedule"
   )
