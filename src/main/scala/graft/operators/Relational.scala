@@ -1652,27 +1652,33 @@ object Relational {
   /** BILATERAL TRADE VOLUME (TPC-H Q7 shape): shipping revenue between two
     * nations in BOTH directions per ship year — the two-role nation join
     * (supplier's nation x customer's nation) with a symmetric disjunctive
-    * pair filter. Both nation-keyed dims broadcast; the fact chain
-    * shuffles once per key. */
+    * pair filter. The single-side IMPLICATIONS of the disjunction
+    * (each role's nation ∈ {the two nations}) are applied as explicit
+    * dimension pre-filters — the Q19 discipline — so supplier and
+    * customer shrink to the two nations' members BEFORE any fact row is
+    * touched, and the pruned supplier broadcast prunes lineitem first;
+    * only the pair combination remains as the post-join residual. */
   val q61NationVolume = GraftQuery(
     "q61_nation_volume",
     (s, dir) => {
-      val n1 = broadcast(t(s, dir, "nation")
+      val pair = Seq("NATION_12", "NATION_10")
+      val n1 = broadcast(t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
-      val n2 = broadcast(t(s, dir, "nation")
+      val n2 = broadcast(t(s, dir, "nation").filter(col("n_name").isin(pair: _*))
         .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
       val sup = broadcast(t(s, dir, "supplier")
-        .select(col("s_suppkey"), col("s_nationkey")))
+        .join(n1, col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      val cust = t(s, dir, "customer")
+        .join(n2, col("c_nationkey") === col("cn_key"))
+        .select(col("c_custkey"), col("cust_nation"))
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1998-01-01"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
-          col("o_custkey") === col("c_custkey"))
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(n1, col("s_nationkey") === col("sn_key"))
-        .join(n2, col("c_nationkey") === col("cn_key"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .filter((col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
           (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
         .groupBy(col("supp_nation"), col("cust_nation"),
