@@ -1038,7 +1038,7 @@ object EventOps {
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
-    errorBudgetBurn, transitionEntropy, sessionDepth, userGini)
+    errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1434,6 +1434,62 @@ object EventOps {
                      FROM numbered GROUP BY user_id, sid)
             SELECT depth, count(*) AS n_sessions
             FROM sess GROUP BY depth ORDER BY depth"""))
+
+  /** RFM SEGMENTATION: the classic recency/frequency/monetary customer
+    * grid — every user scored 1..3 on hours-since-last-event (recency vs
+    * the corpus max timestamp), event count, and exact-cents spend, then
+    * rolled up per (r,f,m) cell with user counts and cell revenue — the
+    * segmentation every retention/win-back campaign starts from. Recency
+    * is raw epoch-microsecond arithmetic ((mx_us − last_us) div 3600e6,
+    * non-negative so truncating and flooring div agree) rather than any
+    * engine's hour-diff builtin, because those disagree on
+    * boundary-crossing vs elapsed semantics — the ev_weekly_pattern
+    * discipline. One user-keyed aggregation + a 1-row anchor broadcast
+    * (BNLJ-allowlisted) + a ≤27-group rollup. */
+  lazy val rfmSegments = GraftQuery(
+    "ev_rfm_segments",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      val anchor = broadcast(ev.agg(max(col("us")).as("mx_us")))
+      ev.groupBy(col("user_id"))
+        .agg(max(col("us")).as("last_us"), count(lit(1)).as("f"),
+          sum(col("cents")).as("m"))
+        .crossJoin(anchor)
+        .select(
+          expr("""case when (mx_us - last_us) div 3600000000 <= 4 then 3
+                       when (mx_us - last_us) div 3600000000 <= 12 then 2
+                       else 1 end""").as("r_score"),
+          expr("case when f >= 72 then 3 when f >= 60 then 2 else 1 end")
+            .as("f_score"),
+          expr("case when m >= 360000 then 3 when m >= 300000 then 2 else 1 end")
+            .as("m_score"),
+          col("m"))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("m")).as("monetary_cents"))
+        .orderBy(col("r_score").desc, col("f_score").desc, col("m_score").desc)
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            anchor AS (SELECT max(us) AS mx_us FROM ev),
+            u AS (SELECT user_id, max(us) AS last_us, count(*) AS f,
+                    CAST(sum(cents) AS BIGINT) AS m
+                  FROM ev GROUP BY user_id),
+            scored AS (SELECT
+                CASE WHEN (mx_us - last_us) // 3600000000 <= 4 THEN 3
+                     WHEN (mx_us - last_us) // 3600000000 <= 12 THEN 2
+                     ELSE 1 END AS r_score,
+                CASE WHEN f >= 72 THEN 3 WHEN f >= 60 THEN 2 ELSE 1 END AS f_score,
+                CASE WHEN m >= 360000 THEN 3 WHEN m >= 300000 THEN 2 ELSE 1 END AS m_score,
+                m
+              FROM u CROSS JOIN anchor)
+            SELECT r_score, f_score, m_score, count(*) AS n_users,
+              CAST(sum(m) AS BIGINT) AS monetary_cents
+            FROM scored GROUP BY r_score, f_score, m_score
+            ORDER BY r_score DESC, f_score DESC, m_score DESC"""))
 
   /** TRAFFIC CONCENTRATION (Gini): one-row Gini coefficient of events per
     * user — the single number behind "does 1% of users generate 90% of the

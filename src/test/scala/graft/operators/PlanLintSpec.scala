@@ -53,6 +53,8 @@ class PlanLintSpec extends SparkTestBase {
     "pipeline_dataset_card",
     // crossJoin of the 1-row edge-count scalar onto community-sized rows
     "graph_modularity",
+    // crossJoin of the 1-row corpus-max-timestamp anchor onto user rows
+    "ev_rfm_segments",
     // 4-epoch constant table crossed with the shard list (both metadata)
     "pipeline_epoch_schedule"
   )
