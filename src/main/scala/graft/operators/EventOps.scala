@@ -1501,26 +1501,31 @@ object EventOps {
     * raise_error (cnt < 2^31, user_id < 2^32; the pipeline_curriculum
     * discipline). Gini = (2·Σ rank·cnt − (n+1)·Σcnt) / (n·Σcnt), exact
     * BIGINT arithmetic, non-negative operands, micro-scaled div. */
+  /** The Gini core over any (user_id, cnt) table — extracted so the
+    * property spec can feed planted distributions (uniform → 0,
+    * one-owner → (n−1)/n) without synthesizing an events table. */
+  private[operators] def giniMicro(s: SparkSession, counts: DataFrame): DataFrame = {
+    val cnts = counts
+      .withColumn("pack",
+        when(col("cnt") >= lit(1L << 31) || col("user_id") >= lit(1L << 32) ||
+            col("user_id") < 0,
+          expr("raise_error('ev_user_gini: pack overflow — cnt >= 2^31 " +
+            "or user_id outside [0, 2^32)')").cast("long"))
+          .otherwise(col("cnt") * lit(1L << 32) + col("user_id")))
+      .withColumn("one", lit(1L))
+    Sampling.prefixSum(s, cnts, "pack", "one", "rank")
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("cnt")).as("total_events"),
+        sum((col("rank") + 1) * col("cnt")).as("rank_weighted"))
+      .select(col("n_users"), col("total_events").cast("long").as("total_events"),
+        expr("""cast((2 * rank_weighted - (n_users + 1) * total_events) * 1000000
+                div (n_users * total_events) as bigint)""").as("gini_micro"))
+  }
+
   lazy val userGini = GraftQuery(
     "ev_user_gini",
-    (s, dir) => {
-      val cnts = t(s, dir, "events")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-        .withColumn("pack",
-          when(col("cnt") >= lit(1L << 31) || col("user_id") >= lit(1L << 32) ||
-              col("user_id") < 0,
-            expr("raise_error('ev_user_gini: pack overflow — cnt >= 2^31 " +
-              "or user_id outside [0, 2^32)')").cast("long"))
-            .otherwise(col("cnt") * lit(1L << 32) + col("user_id")))
-        .withColumn("one", lit(1L))
-      Sampling.prefixSum(s, cnts, "pack", "one", "rank")
-        .agg(count(lit(1)).as("n_users"),
-          sum(col("cnt")).as("total_events"),
-          sum((col("rank") + 1) * col("cnt")).as("rank_weighted"))
-        .select(col("n_users"), col("total_events").cast("long").as("total_events"),
-          expr("""cast((2 * rank_weighted - (n_users + 1) * total_events) * 1000000
-                  div (n_users * total_events) as bigint)""").as("gini_micro"))
-    },
+    (s, dir) => giniMicro(s,
+      t(s, dir, "events").groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))),
     Some("""WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id),
             r AS (SELECT cnt,
                     CAST(row_number() OVER (ORDER BY cnt, user_id) AS BIGINT) AS rnk
