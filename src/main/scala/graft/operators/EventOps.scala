@@ -1038,7 +1038,8 @@ object EventOps {
     interarrivalStats, resampleInterpolate, dailyActive, changepoint,
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
-    errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments)
+    errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
+    scd2History)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1434,6 +1435,60 @@ object EventOps {
                      FROM numbered GROUP BY user_id, sid)
             SELECT depth, count(*) AS n_sessions
             FROM sess GROUP BY depth ORDER BY depth"""))
+
+  /** SCD TYPE-2 HISTORY: collapse each user's daily-state change log into
+    * validity intervals — (user, state, valid_from, valid_to, is_current)
+    * with half-open [from, to) ranges and NULL valid_to on the current row
+    * — the slowly-changing-dimension table every warehouse derives from a
+    * change stream. State = the user's LAST event type of each active day
+    * (deterministic: row_number over (ts DESC, event_id DESC), never an
+    * unordered arg_max); runs of equal consecutive states merge via the
+    * lag-change filter; valid_to is the NEXT change's valid_from via lead.
+    * Every window is user-keyed (range-parallel across users, never a
+    * global sort); the rows that move are (user, day, state) triples. */
+  lazy val scd2History = GraftQuery(
+    "ev_scd2_state_history",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("event_type"), col("ts"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"), col("day"))
+            .orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("event_type").as("state"))
+      val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val runs = daily
+        .withColumn("prev", lag(col("state"), 1).over(byDay))
+        .filter(col("prev").isNull || col("prev") =!= col("state"))
+        .select(col("user_id"), col("state"), col("day").as("valid_from"))
+      val byFrom = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+      runs
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
+        .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+    Some("""WITH daily AS (
+              SELECT user_id, day, event_type AS state FROM (
+                SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                  row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+              WHERE rn = 1),
+            runs AS (
+              SELECT user_id, state, day AS valid_from FROM (
+                SELECT user_id, day, state,
+                  lag(state) OVER (PARTITION BY user_id ORDER BY day) AS prev
+                FROM daily)
+              WHERE prev IS NULL OR prev <> state)
+            SELECT user_id, state, valid_from,
+              lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                AS valid_to,
+              lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                IS NULL AS is_current
+            FROM runs ORDER BY user_id, valid_from"""))
 
   /** RFM SEGMENTATION: the classic recency/frequency/monetary customer
     * grid — every user scored 1..3 on hours-since-last-event (recency vs
