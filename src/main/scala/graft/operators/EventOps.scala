@@ -1039,7 +1039,7 @@ object EventOps {
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
-    scd2History)
+    scd2History, valueQuantileSketch)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1435,6 +1435,27 @@ object EventOps {
                      FROM numbered GROUP BY user_id, sid)
             SELECT depth, count(*) AS n_sessions
             FROM sess GROUP BY depth ORDER BY depth"""))
+
+  /** VALUE-QUANTILE SKETCH (rows-only; QuantileSketchSpec is the
+    * correctness pin): the corpus' p50/p90/p99 value percentiles from ONE
+    * pass of the mergeable log₂-bucketed [[graft.functions.QuantileSketch]]
+    * — the monitoring-grade percentile surface whose buffer (16 KB of
+    * longs) shuffles instead of values, usable in batch and streaming
+    * folds alike where percentile_approx cannot go. Reported numbers are
+    * bucket LOWER EDGES: deterministic, within 6.25% relative below the
+    * true order statistic (the documented sketch guarantee), identical on
+    * any engine/shard/arrival order. */
+  lazy val valueQuantileSketch = GraftQuery(
+    "ev_value_quantile_sketch",
+    (s, dir) => {
+      import s.implicits._
+      val sk = t(s, dir, "events").select(col("value").cast("double")).as[Double]
+        .select(graft.functions.QuantileSketch.agg.toColumn).head()
+      s.createDataFrame(Seq((sk.n, sk.quantile(0.5), sk.quantile(0.9),
+          sk.quantile(0.99))))
+        .toDF("n", "p50_lower", "p90_lower", "p99_lower")
+    },
+    None)
 
   /** SCD TYPE-2 HISTORY: collapse each user's daily-state change log into
     * validity intervals — (user, state, valid_from, valid_to, is_current)
