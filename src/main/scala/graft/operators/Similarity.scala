@@ -1424,6 +1424,54 @@ object Similarity {
              FROM th LEFT JOIN hist ON sim_4dp >= threshold_4dp
              GROUP BY threshold_4dp ORDER BY threshold_4dp"""))
 
+  /** SEMANTIC DECONTAMINATION: flag training vectors whose embedding sits
+    * near ANY eval-benchmark vector — the semantic twin of the n-gram
+    * pipeline_decontaminate gate (paraphrased leakage that shares no
+    * 8-gram still shows up here). Eval set = every 10th vector, standing
+    * in for a benchmark suite; it BROADCASTS because benchmarks are
+    * constant-sized in practice while the train corpus streams map-side —
+    * each train vector is scored against the eval set and reduced to its
+    * MAX similarity in one pass, then a label-keyed rollup reports
+    * contaminated counts at the house near-dup cut (0.35, the
+    * dedup_embedding θ) plus the per-label max. Similarities floor-round
+    * to 4dp before any aggregate (the emb_threshold_sweep discipline) so
+    * both engines agree bit-for-bit. */
+  val semanticDecontam = GraftQuery(
+    "emb_semantic_decontam",
+    (s, dir) => {
+      graft.functions.VectorFunctions.ensureRegistered(s)
+      val e = t(s, dir, "embeddings")
+      val eval = broadcast(e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("e_id"), col("embedding").as("e_emb")))
+      e.filter(col("vec_id") % 10 =!= 0)
+        .crossJoin(eval)
+        .select(col("vec_id"), col("label"),
+          expr("cast(floor(graft_cosine(embedding, e_emb) * 10000 + 0.5) as int)")
+            .as("sim_4dp"))
+        .groupBy(col("vec_id"), col("label"))
+        .agg(max(col("sim_4dp")).as("max_sim_4dp"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_train"),
+          sum(when(col("max_sim_4dp") >= 3500, 1L).otherwise(0L))
+            .as("n_contaminated"),
+          max(col("max_sim_4dp")).as("label_max_sim_4dp"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH ev AS (SELECT vec_id AS e_id, embedding AS e_emb
+               FROM embeddings WHERE vec_id % 10 = 0),
+             tr AS (SELECT vec_id, label, embedding
+               FROM embeddings WHERE vec_id % 10 <> 0),
+             scored AS (
+               SELECT tr.vec_id, tr.label,
+                 max(CAST(floor(${sqlCos("tr.embedding", "ev.e_emb")} * 10000 + 0.5)
+                   AS INTEGER)) AS max_sim_4dp
+               FROM tr CROSS JOIN ev GROUP BY tr.vec_id, tr.label)
+             SELECT label, count(*) AS n_train,
+               CAST(sum(CASE WHEN max_sim_4dp >= 3500 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_contaminated,
+               max(max_sim_4dp) AS label_max_sim_4dp
+             FROM scored GROUP BY label ORDER BY label"""))
+
   /** IVF CELL BALANCE: inverted-file cell-size report (cells = the coarse
     * label quantizer annIvf/annIvfPq probe) — min/max/imbalance across
     * cells. Imbalance = max_cell * n_cells * 1e6 div total (1e6 = perfectly
@@ -1459,5 +1507,5 @@ object Similarity {
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
       randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
       normProfile, labelMargin, quantError, embThresholdSweep,
-      embThresholdSweepSampled, ivfBalance)
+      embThresholdSweepSampled, ivfBalance, semanticDecontam)
 }

@@ -55,6 +55,10 @@ class PlanLintSpec extends SparkTestBase {
     "graph_modularity",
     // crossJoin of the 1-row corpus-max-timestamp anchor onto user rows
     "ev_rfm_segments",
+    // eval-benchmark set broadcast against the streaming train corpus —
+    // benchmarks are constant-sized in practice (the map-side-broadcast
+    // pattern, same as the ann query sets)
+    "emb_semantic_decontam",
     // 4-epoch constant table crossed with the shard list (both metadata)
     "pipeline_epoch_schedule"
   )
