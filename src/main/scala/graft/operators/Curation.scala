@@ -367,6 +367,60 @@ object Curation {
             HAVING count(*) >= 2
             ORDER BY train_doc, bench_doc"""))
 
+  /** LEAKAGE N-GRAM-LENGTH SWEEP: for n ∈ {2,3,4,5}, what fraction of the
+    * eval slice's distinct n-grams also appear in train — the tuning curve
+    * behind [[decontaminate]]'s single n choice (short n-grams match
+    * everything, long ones miss paraphrases; the knee is the right gate).
+    * ONE corpus scan emits every (n, gram) via a nested-transform flatten
+    * — never four passes — grams move as md5 DIGESTS (identical in both
+    * engines, bounded-width shuffle — the dedup-family discipline), and
+    * each n's leak fraction is a non-negative integer div to micros.
+    * Completes the tuning-table family: LSH bands, MinHash verify cut,
+    * cosine cut, banding layout, and now gate length. */
+  val leakNgramSweep = GraftQuery(
+    "curation_leak_ngram_sweep",
+    (s, dir) => {
+      val grams = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 5)
+        .select((col("doc_id") % 97 === 0).as("is_eval"),
+          explode(expr("""flatten(transform(array(2, 3, 4, 5),
+                    n -> transform(sequence(0, size(w) - n),
+                      i -> struct(n, md5(concat_ws(' ', slice(w, i + 1, n))) as g))))"""))
+            .as("x"))
+        .select(col("is_eval"), col("x.n").as("n"), col("x.g").as("g"))
+        .distinct()
+      val ev = grams.filter(col("is_eval")).select(col("n"), col("g"))
+      val tr = grams.filter(!col("is_eval")).select(col("n"), col("g"))
+      val leaked = ev.join(tr, Seq("n", "g"), "left_semi")
+        .groupBy(col("n")).agg(count(lit(1)).as("n_leaked"))
+      ev.groupBy(col("n")).agg(count(lit(1)).as("n_eval_grams"))
+        .join(leaked, Seq("n"), "left")
+        .select(col("n"), col("n_eval_grams"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+          expr("cast(coalesce(n_leaked, 0) * 1000000 div n_eval_grams as bigint)")
+            .as("leak_micro"))
+        .orderBy(col("n"))
+    },
+    Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+              FROM documents WHERE len(string_split(text, ' ')) >= 5),
+            grams AS (SELECT DISTINCT doc_id % 97 = 0 AS is_eval, n,
+                md5(array_to_string(w[i + 1 : i + n], ' ')) AS g
+              FROM tok
+              CROSS JOIN LATERAL
+                (SELECT unnest(generate_series(0, len(w) - 2)) AS i) gi
+              CROSS JOIN (SELECT unnest([2, 3, 4, 5]) AS n) ns
+              WHERE i <= len(w) - n),
+            ev AS (SELECT n, g FROM grams WHERE is_eval),
+            tr AS (SELECT n, g FROM grams WHERE NOT is_eval)
+            SELECT ev.n, count(*) AS n_eval_grams,
+              CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_leaked,
+              CAST(CAST(sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) * 1000000 // count(*) AS BIGINT) AS leak_micro
+            FROM ev LEFT JOIN tr ON ev.n = tr.n AND ev.g = tr.g
+            GROUP BY ev.n ORDER BY ev.n"""))
+
   /** MIXTURE QUOTA sampling — hit a target per-source composition by taking
     * a fixed deterministic quota from each source (domain/dataset mixing,
     * the knob every pretraining recipe turns). Selection is the top-25 of
@@ -1065,5 +1119,6 @@ object Curation {
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
       tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
-      dedupImpact, sourceOverlap, snapshotDrift, mixtureEntropy, datasetCard)
+      dedupImpact, sourceOverlap, snapshotDrift, mixtureEntropy, datasetCard,
+      leakNgramSweep)
 }
