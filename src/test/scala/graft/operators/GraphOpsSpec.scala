@@ -131,6 +131,48 @@ class GraphOpsSpec extends SparkTestBase {
     o.unpersist(); deg.unpersist()
   }
 
+  test("oriented wedge decomposition equals brute force on random graphs") {
+    import spark.implicits._
+    // the in-in/in-out/out-out split must count every unordered wedge
+    // exactly once on ARBITRARY graphs, not just the planted star —
+    // cross-check against a driver-side brute force on three random graphs
+    for (seed <- Seq(1, 2, 3)) {
+      val rng = new scala.util.Random(seed)
+      val n = 30
+      val edges = (for {
+        u <- 0L until n; v <- (u + 1) until n
+        if rng.nextDouble() < 0.15
+      } yield (u, v)).toSeq
+      val half = edges.toDF("u", "v")
+      val deg = GraphOps.degrees(half)
+      val got = GraphOps.commonNeighborCounts(half, deg, hubCap = 1000)
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      // brute force: common neighbors per non-ordered pair
+      val nbrs = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val want = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        c = nbrs.getOrElse(a, Set.empty).intersect(nbrs.getOrElse(b, Set.empty)).size
+        if c > 0
+      } yield (a, b) -> c.toLong).toMap
+      assert(got == want, s"seed $seed: oriented decomposition diverged from brute force")
+      // triangles too: per-node counts from the oriented closure vs brute force
+      val o = GraphOps.orient(half, deg)
+      val triNodes = GraphOps.orientedWedges(o)
+        .join(o.as("e3"), col("e3.src") === col("y") && col("e3.dst") === col("z"))
+        .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+        .groupBy("node").count().as[(Long, Long)].collect().toMap
+      val wantTri = (for {
+        a <- 0L until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if nbrs.getOrElse(a, Set.empty)(b) && nbrs.getOrElse(b, Set.empty)(c) &&
+          nbrs.getOrElse(a, Set.empty)(c)
+        x <- Seq(a, b, c)
+      } yield x).groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+      assert(triNodes == wantTri, s"seed $seed: oriented triangles diverged")
+    }
+  }
+
   test("sssp relaxes a weighted chain to exact prefix sums within the hop bound") {
     import spark.implicits._
     // chain 0-1-2-...-7 with weight i+1 on edge (i, i+1): dist(k) must be
