@@ -1039,7 +1039,7 @@ object EventOps {
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
-    scd2History, valueQuantileSketch)
+    scd2History, valueQuantileSketch, pointInTimeJoin)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1436,6 +1436,59 @@ object EventOps {
             SELECT depth, count(*) AS n_sessions
             FROM sess GROUP BY depth ORDER BY depth"""))
 
+  /** POINT-IN-TIME JOIN: each event joined to the dimension row VALID AT
+    * its event time — the feature-store correctness primitive (training
+    * labels must see the state a user HAD, never a later one: the
+    * "no-feature-leakage" rule) — here against the [[scd2Intervals]]
+    * state table, rolled up as (state-at-event-time, event_type) counts.
+    * Scale shape: equi-join on user_id (the interval table is runs-sized,
+    * far smaller than events), the half-open interval predicate
+    * `valid_from <= day < valid_to` is a cheap join residual with ≤
+    * intervals(user) fan-in, and each event matches EXACTLY ONE interval
+    * by construction (the intervals partition the user's day axis from
+    * first activity on) — pinned by the n_events total equaling the
+    * event count. */
+  lazy val pointInTimeJoin = GraftQuery(
+    "ev_point_in_time_join",
+    (s, dir) => {
+      val iv = scd2Intervals(s, dir)
+        .select(col("user_id").as("iv_user"), col("state"),
+          col("valid_from"), col("valid_to"))
+      t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("event_type"))
+        .join(iv, col("user_id") === col("iv_user") &&
+          col("day") >= col("valid_from") &&
+          (col("valid_to").isNull || col("day") < col("valid_to")))
+        .groupBy(col("state"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("state"), col("event_type"))
+    },
+    Some("""WITH daily AS (
+              SELECT user_id, day, event_type AS state FROM (
+                SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+                  row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                    ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events)
+              WHERE rn = 1),
+            runs AS (
+              SELECT user_id, state, day AS valid_from FROM (
+                SELECT user_id, day, state,
+                  lag(state) OVER (PARTITION BY user_id ORDER BY day) AS prev
+                FROM daily)
+              WHERE prev IS NULL OR prev <> state),
+            iv AS (
+              SELECT user_id AS iv_user, state, valid_from,
+                lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+                  AS valid_to
+              FROM runs)
+            SELECT state, event_type, count(*) AS n_events
+            FROM (SELECT user_id, CAST(ts AS DATE) AS day, event_type FROM events) e
+            JOIN iv ON e.user_id = iv.iv_user
+              AND e.day >= iv.valid_from
+              AND (iv.valid_to IS NULL OR e.day < iv.valid_to)
+            GROUP BY state, event_type
+            ORDER BY state, event_type"""))
+
   /** VALUE-QUANTILE SKETCH (rows-only; QuantileSketchSpec is the
     * correctness pin): the corpus' p50/p90/p99 value percentiles from ONE
     * pass of the mergeable log₂-bucketed [[graft.functions.QuantileSketch]]
@@ -1467,30 +1520,35 @@ object EventOps {
     * lag-change filter; valid_to is the NEXT change's valid_from via lead.
     * Every window is user-keyed (range-parallel across users, never a
     * global sort); the rows that move are (user, day, state) triples. */
+  /** The SCD2 interval table shared by [[scd2History]] and
+    * [[pointInTimeJoin]]: (user_id, state, valid_from, valid_to-or-null)
+    * half-open intervals partitioning each user's active-day axis. */
+  private def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("day"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("event_type").as("state"))
+    val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val runs = daily
+      .withColumn("prev", lag(col("state"), 1).over(byDay))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .select(col("user_id"), col("state"), col("day").as("valid_from"))
+    val byFrom = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
+    runs.withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
+  }
+
   lazy val scd2History = GraftQuery(
     "ev_scd2_state_history",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val daily = t(s, dir, "events")
-        .select(col("user_id"), to_date(col("ts")).as("day"),
-          col("event_type"), col("ts"), col("event_id"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("user_id"), col("day"))
-            .orderBy(col("ts").desc, col("event_id").desc)))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("day"), col("event_type").as("state"))
-      val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
-      val runs = daily
-        .withColumn("prev", lag(col("state"), 1).over(byDay))
-        .filter(col("prev").isNull || col("prev") =!= col("state"))
-        .select(col("user_id"), col("state"), col("day").as("valid_from"))
-      val byFrom = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
-      runs
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
+    (s, dir) =>
+      scd2Intervals(s, dir)
         .select(col("user_id"), col("state"), col("valid_from"), col("valid_to"),
           col("valid_to").isNull.as("is_current"))
-        .orderBy(col("user_id"), col("valid_from"))
-    },
+        .orderBy(col("user_id"), col("valid_from")),
     Some("""WITH daily AS (
               SELECT user_id, day, event_type AS state FROM (
                 SELECT user_id, CAST(ts AS DATE) AS day, event_type,
