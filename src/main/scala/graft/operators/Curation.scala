@@ -1062,10 +1062,14 @@ object Curation {
     * set ships with — corpus size (docs, whitespace tokens, chars),
     * diversity (distinct languages/sources, top language and its micro
     * share), and integrity (exact-duplicate rate in micros, distinct
-    * fingerprints) — all from ONE scan plus key-sized aggregates. The
-    * duplicate rate reuses text_fingerprint's canonical md5; every ratio
-    * is a non-negative integer div so the card is bit-identical on any
-    * engine — a card that drifts between engines is worse than no card. */
+    * fingerprints) — all from ONE scan. The distinct-fingerprint count is
+    * the card's one corpus-keyed shuffle (exact COUNT DISTINCT over md5s,
+    * partial-aggregated map-side); at 100 TB the documented knob is
+    * approx_count_distinct on that column alone, trading the oracle's
+    * exactness for an HLL-sized buffer. The duplicate rate reuses
+    * text_fingerprint's canonical md5; every ratio is a non-negative
+    * integer div so the card is bit-identical on any engine — a card that
+    * drifts between engines is worse than no card. */
   val datasetCard = GraftQuery(
     "pipeline_dataset_card",
     (s, dir) => {
