@@ -1039,7 +1039,7 @@ object EventOps {
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
-    scd2History, valueQuantileSketch, pointInTimeJoin)
+    scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1435,6 +1435,38 @@ object EventOps {
                      FROM numbered GROUP BY user_id, sid)
             SELECT depth, count(*) AS n_sessions
             FROM sess GROUP BY depth ORDER BY depth"""))
+
+  /** HLL SKETCH ROLLUP (rows-only; HllRollupSpec is the pin): weekly
+    * distinct users estimated by UNIONING the week's DAILY HLL sketches —
+    * the re-aggregatable-distinct pattern that makes "uniques over any
+    * window" an O(sketch) merge instead of a corpus re-scan, and the
+    * reason warehouses store sketch columns next to counts. Daily
+    * sketches come from Spark's DataSketches hll_sketch_agg (order-
+    * independent: bucket-max updates), the weekly estimate from
+    * hll_union_agg, and each output row carries the exact weekly distinct
+    * count plus a within-5% verdict — same self-auditing shape as
+    * text_cms_heavy_hitters. At 100 TB only day-keyed sketches (KBs)
+    * move through the weekly merge; the raw corpus is scanned once. */
+  lazy val hllRollup = GraftQuery(
+    "ev_hll_rollup",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .withColumn("week", date_sub(col("day"), (dayofweek(col("day")) + 5) % 7))
+      val daily = ev.groupBy(col("week"), col("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val weekly = daily.groupBy(col("week"))
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+      val exact = ev.groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      weekly.join(exact, "week")
+        .select(col("week"), col("n_days"), col("exact_users"), col("est_users"),
+          (abs(col("est_users") - col("exact_users")) * 100 <=
+            col("exact_users") * 5).as("within_5pct"))
+        .orderBy(col("week"))
+    },
+    None)
 
   /** POINT-IN-TIME JOIN: each event joined to the dimension row VALID AT
     * its event time — the feature-store correctness primitive (training
