@@ -24,7 +24,12 @@ import org.apache.spark.sql.expressions.Aggregator
 final case class QSketch(n: Long, counts: Array[Long]) {
   import QuantileSketch._
 
-  /** In-place add (the aggregation buffer is owned by the caller). */
+  /** DESTRUCTIVE, buffer-owned add: mutates this sketch's `counts` array
+    * in place and returns a copy that SHARES it (only `n` is fresh). A
+    * caller that retains the pre-add reference observes the mutated counts
+    * with a stale `n` — by design for the Aggregator hot loop, where the
+    * buffer has a single owner and add allocates nothing. Treat the input
+    * as consumed; use [[merge]] (which allocates) for value semantics. */
   def add(v: Double): QSketch = {
     counts(bucketOf(v)) += 1
     copy(n = n + 1)
@@ -39,7 +44,9 @@ final case class QSketch(n: Long, counts: Array[Long]) {
 
   /** Quantile estimate: the LOWER EDGE of the bucket holding rank
     * ceil(q·n) — within one sub-bucket (≤6.25% relative) below the true
-    * order statistic for values ≥ 2^-512. */
+    * order statistic for values inside the [2^-64, 2^64) bucket window;
+    * values below the window (incl. 0 and subnormals) collapse to bucket
+    * 0, whose reported lower edge is 0.0. */
   def quantile(q: Double): Double = {
     require(q >= 0.0 && q <= 1.0, s"quantile $q outside [0,1]")
     if (n == 0) return 0.0

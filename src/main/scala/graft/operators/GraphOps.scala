@@ -548,27 +548,59 @@ object GraphOps {
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
   }
 
+  /** Observed-metric name under which [[commonNeighbors]] reports its
+    * dropped-hub count (surfaced by [[ensureDropLogger]] at execution
+    * time, and by the ops server's observedMetrics passthrough). */
+  private[operators] val DroppedCentersMetric = "graph_common_neighbors_drops"
+
+  private val dropLoggerSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** One-time-per-session QueryExecutionListener that warn-logs the
+    * [[DroppedCentersMetric]] observation when nonzero — the cap stays
+    * loud WITHOUT an eager build-time Spark job: merely constructing or
+    * plan-linting the DataFrame runs nothing; the count is collected by
+    * the CollectMetrics node during the query's own execution. */
+  private[operators] def ensureDropLogger(s: SparkSession): Unit =
+    if (dropLoggerSessions.add(s))
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.get(DroppedCentersMetric).foreach { row =>
+            val d = row.getAs[Long]("dropped_centers")
+            if (d > 0)
+              org.slf4j.LoggerFactory.getLogger("graft.operators.GraphOps").warn(
+                s"graph_common_neighbors: $d wedge centers exceed degree " +
+                  s"$WedgeHubCap and are excluded from scoring (by design; " +
+                  "the oracle applies the identical cap)")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+
   /** LINK PREDICTION BASELINE: top-20 non-adjacent node pairs by
     * common-neighbor count — the simplest (and the standard first)
     * link-prediction score; "who should be connected but isn't" over the
     * co-purchase graph. Degrees are computed once ([[degrees]]), wedges are
     * opened once-each along the (deg, id) orientation
     * ([[commonNeighborCounts]]), super-hub centers are capped at
-    * [[WedgeHubCap]] with the drop count LOGGED (no silent caps — and the
-    * oracle applies the same cap predicate, so capping never diverges the
-    * hash), existing edges anti-join away, and TakeOrderedAndProject keeps
-    * the head. */
+    * [[WedgeHubCap]] with the drop count surfaced as an OBSERVED METRIC
+    * and warn-logged at execution time (no silent caps, and no eager
+    * build-time scan either — and the oracle applies the same cap
+    * predicate, so capping never diverges the hash), existing edges
+    * anti-join away, and TakeOrderedAndProject keeps the head. */
   val commonNeighbors = GraftQuery(
     "graph_common_neighbors",
     (s, dir) => {
+      ensureDropLogger(s)
       val e = coPurchaseEdges(s, dir).cache()
       val deg = degrees(e).cache()
-      val droppedCenters = deg.filter(col("deg") > WedgeHubCap).count()
-      if (droppedCenters > 0)
-        org.slf4j.LoggerFactory.getLogger("graft.operators.GraphOps").warn(
-          s"graph_common_neighbors: $droppedCenters wedge centers exceed " +
-            s"degree $WedgeHubCap and are excluded from scoring (by design; " +
-            "the oracle applies the identical cap)")
+        .observe(DroppedCentersMetric,
+          sum(when(col("deg") > WedgeHubCap, 1L).otherwise(0L))
+            .as("dropped_centers"))
       val cand = commonNeighborCounts(e, deg, WedgeHubCap)
       cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
         .orderBy(col("n_common").desc, col("a"), col("b")).limit(20)
@@ -658,8 +690,10 @@ object GraphOps {
     * over exact BIGINTs, the numerator SHIFTED by +4m² before the
     * micro-div so the operand stays non-negative (Q ≥ −½; Spark div
     * truncates, DuckDB floors — they only agree on non-negative operands)
-    * and un-shifted after. Key-sized shuffles only; at 100 TB edge counts
-    * (m > ~10⁹) the moments would move to decimal128. */
+    * and un-shifted after. Key-sized shuffles only; the Int64 headroom
+    * ends where the shifted-then-scaled numerator (≈ 8m² · 10⁶) hits 2⁶³,
+    * i.e. m ≈ 1.1·10⁶ edges — past that the moments move to decimal128
+    * (drop the 10⁶ scale into the shift or cast before multiplying). */
   val modularity = GraftQuery(
     "graph_modularity",
     (s, dir) => {

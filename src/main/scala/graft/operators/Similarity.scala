@@ -1424,15 +1424,26 @@ object Similarity {
              FROM th LEFT JOIN hist ON sim_4dp >= threshold_4dp
              GROUP BY threshold_4dp ORDER BY threshold_4dp"""))
 
+  /** The decontamination eval side must stay broadcastable BY
+    * CONSTRUCTION: [[semanticDecontam]] refuses (raise_error) to run if
+    * the benchmark exceeds this many vectors, so the broadcast side is
+    * constant-bounded (≤ 100k rows ≈ tens of MB at dim 64) no matter how
+    * the corpus grows. Real benchmark suites are orders of magnitude
+    * smaller; raising the cap is an explicit, reviewed decision. */
+  val EvalCap = 100000L
+
   /** SEMANTIC DECONTAMINATION: flag training vectors whose embedding sits
     * near ANY eval-benchmark vector — the semantic twin of the n-gram
     * pipeline_decontaminate gate (paraphrased leakage that shares no
     * 8-gram still shows up here). Eval set = every 10th vector, standing
-    * in for a benchmark suite; it BROADCASTS because benchmarks are
-    * constant-sized in practice while the train corpus streams map-side —
-    * each train vector is scored against the eval set and reduced to its
-    * MAX similarity in one pass, then a label-keyed rollup reports
-    * contaminated counts at the house near-dup cut (0.35, the
+    * in for a benchmark suite; it BROADCASTS because the [[EvalCap]]
+    * assert-then-broadcast guard makes the eval side constant-bounded by
+    * construction (a filter that raise_errors past the cap — the
+    * pipeline_curriculum enforcement precedent, reproduced identically in
+    * the oracle via DuckDB error()), while the train corpus streams
+    * map-side — each train vector is scored against the eval set and
+    * reduced to its MAX similarity in one pass, then a label-keyed rollup
+    * reports contaminated counts at the house near-dup cut (0.35, the
     * dedup_embedding θ) plus the per-label max. Similarities floor-round
     * to 4dp before any aggregate (the emb_threshold_sweep discipline) so
     * both engines agree bit-for-bit. */
@@ -1441,8 +1452,19 @@ object Similarity {
     (s, dir) => {
       graft.functions.VectorFunctions.ensureRegistered(s)
       val e = t(s, dir, "embeddings")
-      val eval = broadcast(e.filter(col("vec_id") % 10 === 0)
-        .select(col("vec_id").as("e_id"), col("embedding").as("e_emb")))
+      val evalRaw = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("e_id"), col("embedding").as("e_emb"))
+      val nEval = broadcast(evalRaw.agg(count(lit(1)).as("n_eval")))
+      // assert-then-broadcast: the guard is a FILTER (column pruning can
+      // never drop it) that errors out past EvalCap instead of letting the
+      // broadcast side scale with the corpus
+      val eval = broadcast(evalRaw.crossJoin(nEval)
+        .filter(when(col("n_eval") > lit(EvalCap),
+          expr(s"raise_error('emb_semantic_decontam: eval benchmark " +
+            s"exceeds EvalCap=$EvalCap rows - refusing to broadcast a " +
+            s"corpus-sized side')").cast("boolean"))
+          .otherwise(lit(true)))
+        .select(col("e_id"), col("e_emb")))
       e.filter(col("vec_id") % 10 =!= 0)
         .crossJoin(eval)
         .select(col("vec_id"), col("label"),
@@ -1457,8 +1479,13 @@ object Similarity {
           max(col("max_sim_4dp")).as("label_max_sim_4dp"))
         .orderBy(col("label"))
     },
-    Some(s"""WITH ev AS (SELECT vec_id AS e_id, embedding AS e_emb
+    Some(s"""WITH nev AS (SELECT count(*) AS n_eval
                FROM embeddings WHERE vec_id % 10 = 0),
+             ev AS (SELECT vec_id AS e_id, embedding AS e_emb
+               FROM embeddings CROSS JOIN nev WHERE vec_id % 10 = 0
+                 AND CASE WHEN n_eval > 100000
+                          THEN error('emb_semantic_decontam: eval benchmark exceeds EvalCap=100000 rows')
+                          ELSE TRUE END),
              tr AS (SELECT vec_id, label, embedding
                FROM embeddings WHERE vec_id % 10 <> 0),
              scored AS (

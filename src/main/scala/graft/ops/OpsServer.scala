@@ -119,8 +119,12 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
               sessions.toSeq.sortBy(_._2._2).take(sessions.size - 255)
                 .foreach { case (t, _) => sessions.remove(t) }
             sessions.put(tok, (u, now + sessionTtlMs))
+            // SameSite=Strict: the cookie never rides a cross-site request,
+            // so cookie-authenticated state-changing routes (logout, kill,
+            // submit) are not CSRF-able even in browsers that don't default
+            // to Lax
             x.getResponseHeaders.add("Set-Cookie",
-              s"graft_session=$tok; HttpOnly; Path=/")
+              s"graft_session=$tok; HttpOnly; Path=/; SameSite=Strict")
             respond(x, 200, s"""{"status":"success","user":${AppRegistry.jstrStatic(u)}}""")
           case _ => respond(x, 401, """{"error":"invalid credentials"}""")
         }
@@ -136,7 +140,7 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
       case c if c.startsWith("graft_session=") => c.stripPrefix("graft_session=")
     }.foreach(sessions.remove)
     x.getResponseHeaders.add("Set-Cookie",
-      "graft_session=; HttpOnly; Path=/; Max-Age=0")
+      "graft_session=; HttpOnly; Path=/; Max-Age=0; SameSite=Strict")
     respond(x, 200, """{"status":"success"}""")
   }
 

@@ -56,8 +56,10 @@ class PlanLintSpec extends SparkTestBase {
     // crossJoin of the 1-row corpus-max-timestamp anchor onto user rows
     "ev_rfm_segments",
     // eval-benchmark set broadcast against the streaming train corpus —
-    // benchmarks are constant-sized in practice (the map-side-broadcast
-    // pattern, same as the ann query sets)
+    // constant-bounded BY CONSTRUCTION: an assert-then-broadcast filter
+    // raise_errors past Similarity.EvalCap (=100k) rows, so the broadcast
+    // side cannot grow with the corpus (the map-side-broadcast pattern,
+    // same as the ann query sets)
     "emb_semantic_decontam",
     // 4-epoch constant table crossed with the shard list (both metadata)
     "pipeline_epoch_schedule"
