@@ -480,6 +480,88 @@ object Dedup {
             FROM ch JOIN cnt USING (h)
             GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Minimum duplicated-span length (in tokens) for
+    * [[exactSubstring]] — the Lee et al. 2022 threshold (they use 50 BPE
+    * tokens; whitespace tokens here, the house tokenizer). */
+  private[graft] val SubstrWindow = 50
+
+  /** Core of [[exactSubstring]], factored over an arbitrary
+    * (doc_id, text) frame so the boundary-straddling property spec can run
+    * it on planted documents. A span of ≥ `window` tokens duplicated
+    * across documents contains at least one FULL stride-1 window of length
+    * `window`, and a shared stride-1 window IS such a span — so "any
+    * stride-1 window digest shared by ≥2 distinct docs" detects exactly
+    * the spans the suffix-array formulation does, as an equi-join. */
+  private[graft] def exactSubstringVerdicts(docs: DataFrame, window: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // stride-1 windows, digested scan-side: only 32-char digests shuffle
+    val wins = toks.filter(size(col("w")) >= window)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(w) - $window),
+              i -> md5(concat_ws(' ', slice(w, i + 1, $window))))""")).as("h"))
+      .cache()
+    val shared = wins.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2).select(col("h"))
+    val dup = wins.join(shared, "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    toks.select(col("doc_id"),
+        greatest(size(col("w")) - lit(window - 1), lit(0)).cast("long")
+          .as("n_windows"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup"), lit(0L)) > 0).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** EXACT-SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"): flag documents that share a verbatim
+    * token span of ≥ [[SubstrWindow]] tokens with ANY other document —
+    * regardless of where the span sits. [[chunk]]'s fixed 10-token grid
+    * misses a long span that straddles chunk boundaries without covering
+    * a full aligned chunk in both docs; the stride-1 window family here
+    * cannot (every ≥W span contains a full stride-1 W-window at every
+    * alignment). Lee et al. build a suffix array; the windowed-digest
+    * spelling is the shuffle-friendly equivalent — identical ≥W-span
+    * detection semantics, expressed as one digest equi-join instead of a
+    * global suffix sort.
+    *
+    * 100 TB shape: windows digest SCAN-SIDE (a per-row transform inside
+    * codegen), so the shuffle carries 32-char digests only, never window
+    * text — volume is O(corpus tokens × 32 B), the price of stride-1
+    * recall; [[graft.operators.TextAnalysis]]'s winnowing fingerprints are
+    * the documented sub-linear route when that constant matters more than
+    * exactness. The shared-digest set is doc-distinct-then-count (two
+    * digest-keyed shuffles), verdicts join back by digest then doc_id —
+    * no all-pairs stage anywhere, and per-digest fan-in is bounded by how
+    * many docs actually share a 50-token span. */
+  val exactSubstring = GraftQuery(
+    "dedup_exact_substring",
+    (s, dir) => exactSubstringVerdicts(t(s, dir, "documents"), SubstrWindow),
+    Some(s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+               FROM documents),
+             wins AS (
+               SELECT doc_id,
+                 md5(array_to_string(w[(i+1):(i+$SubstrWindow)], ' ')) AS h
+               FROM tok CROSS JOIN LATERAL
+                 (SELECT unnest(generate_series(0,
+                    CAST(len(w) - $SubstrWindow AS INTEGER))) AS i) g
+               WHERE len(w) >= $SubstrWindow),
+             shared AS (
+               SELECT h FROM (SELECT DISTINCT h, doc_id FROM wins)
+               GROUP BY h HAVING count(*) >= 2),
+             dup AS (
+               SELECT doc_id, count(*) AS n_dup FROM wins
+               JOIN shared USING (h) GROUP BY doc_id)
+             SELECT t.doc_id,
+               CAST(greatest(len(w) - ${SubstrWindow - 1}, 0) AS BIGINT)
+                 AS n_windows,
+               CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_windows,
+               coalesce(n_dup, 0) > 0 AS is_dup
+             FROM tok t LEFT JOIN dup USING (doc_id)
+             ORDER BY doc_id"""))
+
   /** PRIORITY KEEP: when the same content arrives from several sources
     * (snapshot overlap, mirror crawls), keep ONE canonical copy chosen by
     * source priority (lower source ordinal wins here) with a doc_id
@@ -908,7 +990,7 @@ object Dedup {
 
   val all: Seq[GraftQuery] =
     Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
-      containment, minhashFast, chunk, priorityKeep, ingestDelta, fuzzyNames,
-      rewrite, snapshotMerge, snm, candidateEval, bandingSweep, clusterStats,
-      thresholdSweep)
+      containment, minhashFast, chunk, exactSubstring, priorityKeep,
+      ingestDelta, fuzzyNames, rewrite, snapshotMerge, snm, candidateEval,
+      bandingSweep, clusterStats, thresholdSweep)
 }

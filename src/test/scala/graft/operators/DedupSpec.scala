@@ -29,6 +29,40 @@ class DedupSpec extends SparkTestBase {
     assert((fast.diff(slow) ++ slow.diff(fast)).size <= slow.size / 2)
   }
 
+  test("exact-substring: boundary-straddling >=50-token spans are caught, 49-token spans are not, and the 10-token chunk grid misses them") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val S = (0 until 50).map(i => s"s$i") // the planted 50-token span
+    // the span sits at UNALIGNED offsets 3 and 17 — different phases mod 10,
+    // so no aligned 10-token chunk is common to both docs
+    val a = ((0 until 3).map(i => s"a$i") ++ S ++ (0 until 10).map(i => s"ax$i")).mkString(" ")
+    val b = ((0 until 17).map(i => s"b$i") ++ S ++ (0 until 5).map(i => s"bx$i")).mkString(" ")
+    // one token short of the bar: must NOT be flagged
+    val c = ((0 until 7).map(i => s"c$i") ++ S.take(49) ++ (0 until 12).map(i => s"cx$i")).mkString(" ")
+    val d = (0 until 60).map(i => s"d$i").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+
+    val v = Dedup.exactSubstringVerdicts(docs, Dedup.SubstrWindow)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // 63 tokens -> 14 stride-1 windows; exactly ONE (the span itself) is shared
+    assert(v(1L) == ((14L, 1L, true)))
+    assert(v(2L) == ((23L, 1L, true)))
+    assert(v(3L) == ((19L, 0L, false)), "a 49-token span is below the bar")
+    assert(v(4L) == ((11L, 0L, false)))
+
+    // the gap exact-substring closes: dedup_chunk's aligned 10-token grid
+    // finds NO shared chunk between docs 1 and 2 despite the 50-token span
+    val grid = docs.filter(col("doc_id").isin(1L, 2L))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, cast(floor((size(w)-1)/10) as int)),
+             c -> md5(concat_ws(' ', slice(w, c*10+1, 10))))""")).as("h"))
+    val sharedChunks = grid.select("h", "doc_id").distinct()
+      .groupBy("h").agg(count(lit(1)).as("n")).filter(col("n") >= 2).count()
+    assert(sharedChunks == 0L,
+      "straddling span must escape the aligned chunk grid (else this fixture proves nothing)")
+  }
+
   test("ngram-Jaccard df pruning loses no qualifying pair (vs unpruned brute force)") {
     import org.apache.spark.sql.functions._
     // unpruned reference: full inverted-index self-join, no df ceiling —
