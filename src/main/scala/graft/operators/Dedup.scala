@@ -624,6 +624,66 @@ object Dedup {
                 (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
             ORDER BY doc_id"""))
 
+  /** Bloom sizing for [[ingestDeltaBloom]]: ~7.3 bits/item ≈ 3% false
+    * positives at capacity. At 100 TB these are the two knobs: estimate
+    * the snapshot's digest count, size bits for the FP budget you'll pay
+    * as residual anti-join traffic (the filter itself stays
+    * bits/8 bytes ≈ 91 KB here — KB-to-MB at any realistic snapshot). */
+  private[graft] val IngestBloomEstItems = 100000L
+  private[graft] val IngestBloomNumBits = 730000L
+
+  /** BLOOM-GATED INGEST DELTA — the 100 TB scale twin of [[ingestDelta]].
+    * The exact formulation anti-joins every incoming digest against the
+    * full snapshot: correct, but the snapshot side shuffles (or must fit
+    * a broadcast hash map). The standard scale route replaces that with a
+    * Bloom filter BUILT AS AN AGGREGATE (Spark's own BloomFilterAggregate
+    * via [[graft.functions.BloomFunctions]]: map-side partial filters
+    * OR-merge, one reduce emits a single binary) consumed as a SCALAR
+    * SUBQUERY, so every incoming row evaluates a codegen'd
+    * graft_might_contain against the shared KB-sized filter — no join, no
+    * shuffle for the definite-new majority. Only MIGHT-CONTAIN survivors
+    * (true dups + the configured ~3% false positives) reach the exact
+    * anti-join, cutting its probe side by ~the novelty rate.
+    *
+    * The union is EXACTLY the exact delta — Bloom filters have no false
+    * negatives, so every true duplicate lands in the survivor branch and
+    * is eliminated there — which is why this scale twin shares
+    * [[ingestDelta]]'s DuckDB oracle verbatim (same rows, same hash), and
+    * BloomGateSpec additionally pins zero-false-negative behavior and the
+    * measured FP rate against the configured bound. */
+  val ingestDeltaBloom = GraftQuery(
+    "dedup_ingest_delta_bloom",
+    (s, dir) => {
+      graft.functions.BloomFunctions.ensureRegistered(s)
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      docs.filter(col("doc_id") % 7 === 0).select(col("h"))
+        .createOrReplaceTempView("graft_ingest_snapshot")
+      docs.filter(col("doc_id") % 7 =!= 0)
+        .createOrReplaceTempView("graft_ingest_incoming")
+      s.sql(s"""
+        WITH scored AS (
+          SELECT doc_id, h,
+            graft_might_contain(
+              (SELECT graft_bloom_agg(xxhash64(h),
+                        ${IngestBloomEstItems}L, ${IngestBloomNumBits}L)
+               FROM graft_ingest_snapshot),
+              xxhash64(h)) AS maybe_dup
+          FROM graft_ingest_incoming)
+        SELECT doc_id, h FROM scored WHERE NOT maybe_dup
+        UNION ALL
+        SELECT s.doc_id, s.h
+        FROM (SELECT doc_id, h FROM scored WHERE maybe_dup) s
+        LEFT ANTI JOIN graft_ingest_snapshot sn ON s.h = sn.h
+        ORDER BY doc_id""")
+    },
+    // identical semantics to the exact formulation => identical oracle
+    Some("""SELECT doc_id, md5(text) AS h FROM documents
+            WHERE doc_id % 7 <> 0
+              AND md5(text) NOT IN
+                (SELECT md5(text) FROM documents WHERE doc_id % 7 = 0)
+            ORDER BY doc_id"""))
+
   /** FUZZY (edit-distance) DEDUP via FastSS deletion signatures (Bocek et
     * al. 2007): two strings are within edit distance 1 iff they share a
     * signature in {s} ∪ {s minus one character} — substitution at i shares
@@ -991,6 +1051,6 @@ object Dedup {
   val all: Seq[GraftQuery] =
     Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
       containment, minhashFast, chunk, exactSubstring, priorityKeep,
-      ingestDelta, fuzzyNames, rewrite, snapshotMerge, snm, candidateEval,
-      bandingSweep, clusterStats, thresholdSweep)
+      ingestDelta, ingestDeltaBloom, fuzzyNames, rewrite, snapshotMerge, snm,
+      candidateEval, bandingSweep, clusterStats, thresholdSweep)
 }
