@@ -239,6 +239,121 @@ class ScaleStressSpec extends SparkTestBase {
       }
       info("skew-stress (power-law 1..100 copies + default-key hub customer, sf0.1, local[4]):")
       report.foreach(info(_))
+
+      // ---- salted-join payoff, measured (the operator's reason to exist).
+      // Plant a DOMINANT hub ORDER key at read time (90% of the 13M-row
+      // exploded lineitem on one l_orderkey) joined against the base-sized
+      // orders table, and time the exact q28 code path (Skew.saltedRevenue)
+      // against the naive join with AQE skew-splitting DISABLED — the
+      // single-reducer fate manual salting guards against (single-mapper
+      // shuffles, pre-AQE engines, skew below byte-detection thresholds).
+      // The naive join with skew-splitting ON is logged as context: AQE's
+      // automatic mitigation on the same data. Measured honesty note: the
+      // salting tax is Salt x the FULL build side, so an earlier variant of
+      // this fixture (50% hub against the 3.2M-row power-law orders) had
+      // the tax EXCEED the single-reducer cost — salting lost 2x to the
+      // naive join. Salting pays off when hub volume >> Salt x build size;
+      // below that line, prefer AQE's split (which pays the tax only on
+      // the hot partition). This fixture sits clearly above the line.
+      val dirStr = dir.toString
+      val hubOrder = Tables.t(spark, baseSf, "orders")
+        .agg(min(col("o_orderkey"))).head().getLong(0)
+      def liHub = Tables.t(spark, dirStr, "lineitem").withColumn("l_orderkey",
+        when(pmod(xxhash64(col("l_orderkey")), lit(10L)) < 9L, lit(hubOrder))
+          .otherwise(col("l_orderkey")))
+      def oAll = Tables.t(spark, baseSf, "orders")
+      def withSkewSplit[T](on: Boolean)(body: => T): T = {
+        val k = "spark.sql.adaptive.skewJoin.enabled"
+        val prev = spark.conf.getOption(k)
+        spark.conf.set(k, on.toString)
+        try body finally prev match {
+          case Some(v) => spark.conf.set(k, v)
+          case None => spark.conf.unset(k)
+        }
+      }
+      // hash only the EXACT columns across plans (priority, n_items):
+      // revenue is round(sum(double),2) and the salted plan sums in a
+      // different order, so its last bit can straddle the rounding
+      // boundary at hub-corpus magnitudes — cross-plan bit-equality of
+      // doubles is not the claim here (the DuckDB oracle pins q28's
+      // semantics at the verified SFs). revenue is still aggregated into
+      // the probe so Catalyst cannot prune the revenue computation out of
+      // the measured work.
+      def timeHash(df: DataFrame): (Long, Long, Double) = {
+        val probe = df
+          .select(xxhash64(col("o_orderpriority"), col("n_items")).as("h"),
+            col("revenue"))
+          .agg(count(lit(1)).as("n"), expr("bit_xor(h)").as("x"),
+            sum(col("revenue")))
+        val t0 = System.nanoTime()
+        val r = probe.collect()(0)
+        (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
+      }
+      val (nN, xN, tNaive) = withSkewSplit(false)(
+        timeHash(operators.Skew.plainRevenue(liHub, oAll)))
+      val (nS, xS, tSalted) = withSkewSplit(false)(
+        timeHash(operators.Skew.saltedRevenue(liHub, oAll)))
+      val (nA, xA, tAqe) = withSkewSplit(true)(
+        timeHash(operators.Skew.plainRevenue(liHub, oAll)))
+      assert((nS, xS) == ((nN, xN)) && (nA, xA) == ((nN, xN)),
+        "salting must be semantics-preserving on the hubbed corpus")
+      assert(tSalted <= tNaive,
+        f"salted join ($tSalted%.1f s) must beat the naive single-reducer " +
+          f"join ($tNaive%.1f s) on the hub-order corpus")
+      info(f"salted-join payoff (hub order = half of lineitem): naive(skew-split off) " +
+        f"$tNaive%.1f s, salted $tSalted%.1f s (${tNaive / tSalted}%.1fx), " +
+        f"naive+AQE-split $tAqe%.1f s")
+
+      // ---- wedge family under a planted degree-1001 hub part. Append
+      // 1000 synthetic 3-item orders {hub, q_i+1, q_i+2} to the skewed
+      // corpus: hub degree 1001 (just under WedgeHubCap), neighbors form a
+      // chain, 1000 planted triangles through the hub.
+      val HubPart = 500000000L
+      val tplSchema = Tables.t(spark, baseSf, "lineitem").schema
+      val plant = Tables.t(spark, baseSf, "lineitem").limit(1)
+        .crossJoin(spark.range(1000).toDF("gi"))
+        .crossJoin(spark.range(3).toDF("gr"))
+        // orderkeys above the explode range: copy<=99 shifts base keys up
+        // to ~1.0e9, so 2e9+ cannot collide (a 900M plant DID collide with
+        // copy=90 rows, handing the hub 85 phantom neighbors)
+        .withColumn("l_orderkey", lit(2000000000L) + col("gi"))
+        .withColumn("l_partkey",
+          when(col("gr") === 0, lit(HubPart))
+            .when(col("gr") === 1, lit(HubPart) + 1L + col("gi"))
+            .otherwise(lit(HubPart) + 2L + col("gi")))
+        .withColumn("l_linenumber", col("gr") + 1)
+        .drop("gi", "gr")
+        .select(tplSchema.fields.map(f => col(f.name).cast(f.dataType)): _*)
+      plant.write.mode("append").parquet(s"$dir/lineitem.parquet")
+
+      val half = operators.GraphOps.coPurchaseEdges(spark, dirStr).cache()
+      val deg = operators.GraphOps.degrees(half).cache()
+      val hubDeg = deg.filter(col("node") === HubPart).head().getLong(1)
+      assert(hubDeg == 1001, s"planted hub degree should be 1001, got $hubDeg")
+      val o = operators.GraphOps.orient(half, deg).cache()
+      val wedgeRows = operators.GraphOps.orientedWedges(o).count()
+      val wedgeBound = o.groupBy(col("src")).agg(count(lit(1)).as("od"))
+        .agg(sum(expr("od * (od - 1) div 2")).as("b")).head().getLong(0)
+      assert(wedgeRows == wedgeBound,
+        s"oriented wedge rows ($wedgeRows) must equal Σ C(outdeg,2) ($wedgeBound)")
+      val naiveWedges = deg.agg(sum(expr("deg * deg")).as("n")).head().getLong(0)
+      assert(wedgeRows * 2 < naiveWedges,
+        s"orientation must stay well under the naive Σ deg² wedge volume " +
+          s"($wedgeRows vs $naiveWedges)")
+      half.unpersist(); deg.unpersist(); o.unpersist()
+
+      val graphReport = Seq("graph_triangles", "graph_common_neighbors").map { q =>
+        val (n, secs, _, _) = run(q, dirStr)
+        assert(n > 0, s"$q returned no rows on the hubbed corpus")
+        val heap = usedHeapGiB()
+        assert(heap < 8.0, f"driver heap $heap%.1f GiB after $q")
+        spark.sharedState.cacheManager.clearCache()
+        f"$q%-22s rows=$n%-6d ${secs}%6.1f s  heap=$heap%.1f GiB"
+      }
+      info(f"wedge family under planted hub (deg 1001, cap 1024): " +
+        f"wedge rows $wedgeRows = Σ C(outdeg,2), naive Σ deg² = $naiveWedges " +
+        f"(${naiveWedges.toDouble / wedgeRows}%.1fx saved)")
+      graphReport.foreach(info(_))
     } finally {
       prior.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
