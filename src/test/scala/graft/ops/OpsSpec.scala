@@ -408,10 +408,15 @@ class OpsSpec extends SparkTestBase {
       // unknown id → 404
       assert(http("GET", s"/api/v1.0/appmaster/${java.util.UUID.randomUUID()}/errors")._1 === 404)
 
-      // the dashboard page serves and targets these same endpoints
+      // the dashboard page serves and targets these same endpoints —
+      // including per-app terminal errors rendered as a red row state
       val (dc, db) = http("GET", "/dashboard")
       assert(dc === 200 && db.contains("<title>graft ops</title>")
         && db.contains("master/workerlist"), db.take(200))
+      assert(db.contains("/errors"),
+        "dashboard must poll the appmaster/<id>/errors endpoint")
+      assert(db.contains("class=\"bad\"") && db.contains("tr.bad"),
+        "dashboard must render erroring apps as a red row state")
     } finally { srv.stop(); reg.close() }
   }
 
