@@ -329,13 +329,23 @@ object Curation {
              SELECT doc_id, n_tokens, ttr, stop_ratio, reason, reason = 'ok' AS keep
              FROM r ORDER BY doc_id"""))
 
+  /** The benchmark n-gram index must stay broadcastable BY CONSTRUCTION:
+    * [[decontaminate]] refuses (raise_error) to run past this many bench
+    * grams, bounding the broadcast at ~tens of MB however the corpus
+    * grows — the [[Similarity.EvalCap]] discipline. Real benchmark suites
+    * index far fewer grams; raising the cap is an explicit decision. */
+  private[graft] val BenchGramCap = 1000000L
+
   /** Train/eval DECONTAMINATION — the overlap check every LLM training run
     * must pass: find training documents sharing >= 2 distinct 3-grams with
     * any benchmark document (here the planted benchmark set is doc_id % 97
     * = 0 — deterministic, same on both engines). 100 TB shape: the
     * benchmark n-gram index is EVAL-SET-sized (millions of n-grams, not
-    * corpus-sized), so it is explicitly `broadcast()` and the corpus is
-    * scanned map-side — zero corpus shuffle before the per-pair count. */
+    * corpus-sized) and that bound is ENFORCED, not assumed — a
+    * [[BenchGramCap]] assert-then-broadcast filter raise_errors past the
+    * cap (reproduced in the oracle via DuckDB error()), so the broadcast
+    * cannot silently scale with the corpus; the corpus then streams
+    * map-side — zero corpus shuffle before the per-pair count. */
   val decontaminate = GraftQuery(
     "pipeline_decontaminate",
     (s, dir) => {
@@ -344,8 +354,16 @@ object Curation {
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), explode(expr(
           "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("s"))
-      val bench = sh.filter(col("doc_id") % 97 === 0)
+      val benchRaw = sh.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("bench_doc"), col("s"))
+      val nBench = broadcast(benchRaw.agg(count(lit(1)).as("n_bench")))
+      val bench = benchRaw.crossJoin(nBench)
+        .filter(when(col("n_bench") > lit(BenchGramCap),
+          expr(s"raise_error('pipeline_decontaminate: benchmark index " +
+            s"exceeds BenchGramCap=$BenchGramCap n-grams - refusing to " +
+            s"broadcast a corpus-sized side')").cast("boolean"))
+          .otherwise(lit(true)))
+        .select(col("bench_doc"), col("s"))
       val train = sh.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id").as("train_doc"), col("s"))
       train.join(broadcast(bench), "s")
@@ -359,7 +377,12 @@ object Curation {
                    FROM tok CROSS JOIN LATERAL
                      (SELECT unnest(generate_series(1, len(w)-2)) AS i) g
                    WHERE len(w) >= 3),
-            bench AS (SELECT doc_id AS bench_doc, s FROM sh WHERE doc_id % 97 = 0),
+            nb AS (SELECT count(*) AS n_bench FROM sh WHERE doc_id % 97 = 0),
+            bench AS (SELECT doc_id AS bench_doc, s FROM sh CROSS JOIN nb
+                      WHERE doc_id % 97 = 0
+                        AND CASE WHEN n_bench > 1000000
+                                 THEN error('pipeline_decontaminate: benchmark index exceeds BenchGramCap=1000000 n-grams')
+                                 ELSE TRUE END),
             train AS (SELECT doc_id AS train_doc, s FROM sh WHERE doc_id % 97 <> 0)
             SELECT train_doc, bench_doc, count(*) AS n_shared
             FROM train JOIN bench USING (s)
