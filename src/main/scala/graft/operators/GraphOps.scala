@@ -75,7 +75,7 @@ object GraphOps {
   /** Deduplicated id-oriented (u < v) part co-purchase edges — parts
     * appearing in the same order; shared by [[triangleCount]] and
     * [[labelPropagation]]. */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
     li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -88,7 +88,7 @@ object GraphOps {
     * half-edge list — one node-keyed count, key-sized output. Shared by the
     * wedge family ([[triangleCount]], [[commonNeighbors]]) so degrees are
     * computed once per graph (the graph_degree_hist aggregate). */
-  private[operators] def degrees(half: DataFrame): DataFrame =
+  private[graft] def degrees(half: DataFrame): DataFrame =
     half.select(col("u").as("node")).union(half.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
 
@@ -102,7 +102,7 @@ object GraphOps {
     * Σ_v deg(v)² — a degree-10⁶ celebrity whose neighbors are ordinary
     * nodes opens ~zero wedges instead of 10¹². Output columns:
     * (src, sdeg, dst, ddeg) with (sdeg, src) < (ddeg, dst). */
-  private[operators] def orient(half: DataFrame, deg: DataFrame): DataFrame = {
+  private[graft] def orient(half: DataFrame, deg: DataFrame): DataFrame = {
     val du = deg.select(col("node").as("u"), col("deg").as("udeg"))
     val dv = deg.select(col("node").as("v"), col("deg").as("vdeg"))
     val lowFirst = col("udeg") < col("vdeg") ||
@@ -121,7 +121,7 @@ object GraphOps {
     * (deg,id)-minimum corner), so closing with the oriented edge y→z
     * counts each triangle once — and the row count is Σ_v C(outdeg(v),2),
     * the hub-safe bound pinned by GraphOpsSpec's planted-star property. */
-  private[operators] def orientedWedges(o: DataFrame): DataFrame =
+  private[graft] def orientedWedges(o: DataFrame): DataFrame =
     o.as("e1").join(o.as("e2"),
         col("e2.src") === col("e1.src") &&
           (col("e1.ddeg") < col("e2.ddeg") ||
@@ -518,16 +518,23 @@ object GraphOps {
     * orientation — (in,in), (in,out), (out,out) partition the pairs — so
     * the join emits Σ C(deg,2) rows instead of generating Σ deg² and
     * filtering half away, and each side of every join is the half-sized
-    * oriented list, never the doubled und list. */
+    * oriented list, never the doubled und list. Alongside `n_common` the
+    * aggregate also folds each wedge's RESOURCE-ALLOCATION term
+    * 1e6 div deg(c) into `ra_micro` (Zhou et al. 2009) — the
+    * center-degree down-weighting [[resourceAlloc]] ranks by; the extra
+    * column rides the existing wedge pass for free. */
   private[operators] def commonNeighborCounts(
       half: DataFrame, deg: DataFrame, hubCap: Int): DataFrame = {
     val o = orient(half, deg)
-    // neighbor lists keyed by the wedge CENTER c, carrying the neighbor's
-    // (deg, id) rank; capped centers are excluded on both lists
+    // neighbor lists keyed by the wedge CENTER c, carrying the center's
+    // own degree and the neighbor's (deg, id) rank; capped centers are
+    // excluded on both lists
     val inL = o.filter(col("ddeg") <= hubCap)
-      .select(col("dst").as("c"), col("src").as("x"), col("sdeg").as("xdeg"))
+      .select(col("dst").as("c"), col("ddeg").as("cdeg"),
+        col("src").as("x"), col("sdeg").as("xdeg"))
     val outL = o.filter(col("sdeg") <= hubCap)
-      .select(col("src").as("c"), col("dst").as("x"), col("ddeg").as("xdeg"))
+      .select(col("src").as("c"), col("sdeg").as("cdeg"),
+        col("dst").as("x"), col("ddeg").as("xdeg"))
     def pairs(l: DataFrame, r: DataFrame, ordered: Boolean): DataFrame = {
       val on =
         if (ordered)
@@ -537,7 +544,7 @@ object GraphOps {
         else col("l.c") === col("r.c")
       l.as("l").join(r.as("r"), on)
         .select(least(col("l.x"), col("r.x")).as("a"),
-          greatest(col("l.x"), col("r.x")).as("b"))
+          greatest(col("l.x"), col("r.x")).as("b"), col("l.cdeg").as("cdeg"))
     }
     // (in,in) and (out,out) need the ord filter to emit each pair once;
     // (in,out) pairs are automatically distinct and once-each (the in
@@ -545,13 +552,20 @@ object GraphOps {
     pairs(inL, inL, ordered = true)
       .union(pairs(inL, outL, ordered = false))
       .union(pairs(outL, outL, ordered = true))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000 div cdeg")).as("ra_micro"))
   }
 
   /** Observed-metric name under which [[commonNeighbors]] reports its
     * dropped-hub count (surfaced by [[ensureDropLogger]] at execution
     * time, and by the ops server's observedMetrics passthrough). */
   private[operators] val DroppedCentersMetric = "graph_common_neighbors_drops"
+
+  /** [[resourceAlloc]]'s twin of [[DroppedCentersMetric]] — observe-node
+    * names must be distinct per query, so the RA ranking reports its hub
+    * drops under its own name (same listener, same semantics). */
+  private[operators] val RaDroppedCentersMetric = "graph_resource_alloc_drops"
 
   private val dropLoggerSessions =
     java.util.Collections.newSetFromMap(
@@ -568,13 +582,15 @@ object GraphOps {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             durationNs: Long): Unit =
-          qe.observedMetrics.get(DroppedCentersMetric).foreach { row =>
-            val d = row.getAs[Long]("dropped_centers")
-            if (d > 0)
-              org.slf4j.LoggerFactory.getLogger("graft.operators.GraphOps").warn(
-                s"graph_common_neighbors: $d wedge centers exceed degree " +
-                  s"$WedgeHubCap and are excluded from scoring (by design; " +
-                  "the oracle applies the identical cap)")
+          Seq(DroppedCentersMetric, RaDroppedCentersMetric).foreach { m =>
+            qe.observedMetrics.get(m).foreach { row =>
+              val d = row.getAs[Long]("dropped_centers")
+              if (d > 0)
+                org.slf4j.LoggerFactory.getLogger("graft.operators.GraphOps").warn(
+                  s"$m: $d wedge centers exceed degree " +
+                    s"$WedgeHubCap and are excluded from scoring (by design; " +
+                    "the oracle applies the identical cap)")
+            }
           }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
@@ -603,6 +619,7 @@ object GraphOps {
             .as("dropped_centers"))
       val cand = commonNeighborCounts(e, deg, WedgeHubCap)
       cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
+        .select(col("a"), col("b"), col("n_common"))
         .orderBy(col("n_common").desc, col("a"), col("b")).limit(20)
     },
     Some(s"""WITH e AS (
@@ -623,6 +640,116 @@ object GraphOps {
             SELECT a, b, n_common FROM cand
             WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = a AND e.v = b)
             ORDER BY n_common DESC, a, b LIMIT 20"""))
+
+  /** RESOURCE-ALLOCATION link prediction (Zhou, Lü & Zhang 2009): top-20
+    * non-adjacent pairs by Σ_c 1/deg(c) over shared neighbors c — the
+    * degree-down-weighted upgrade of [[commonNeighbors]] (a neighbor
+    * shared through a hub carries less signal than one shared through a
+    * degree-3 node), and in the link-prediction literature the kernel
+    * that beats Adamic-Adar's 1/ln(deg). Chosen over AA deliberately:
+    * 1/deg is EXACTLY representable in integer micro-units
+    * (1e6 div deg(c), summed as BIGINTs — aggregation order cannot flip
+    * a bit and the DuckDB oracle reproduces every term with `//`),
+    * whereas 1/ln(deg) would hang the ranking on cross-engine libm
+    * agreement. Rides the identical once-each wedge pass as
+    * [[commonNeighbors]] ([[commonNeighborCounts]] folds both aggregates
+    * in one shuffle), same [[WedgeHubCap]] with drops observed under
+    * [[RaDroppedCentersMetric]], same anti-join against existing edges,
+    * TakeOrderedAndProject head. */
+  val resourceAlloc = GraftQuery(
+    "graph_resource_alloc",
+    (s, dir) => {
+      ensureDropLogger(s)
+      val e = coPurchaseEdges(s, dir).cache()
+      val deg = degrees(e).cache()
+        .observe(RaDroppedCentersMetric,
+          sum(when(col("deg") > WedgeHubCap, 1L).otherwise(0L))
+            .as("dropped_centers"))
+      val cand = commonNeighborCounts(e, deg, WedgeHubCap)
+      cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
+        .select(col("a"), col("b"), col("n_common"), col("ra_micro"))
+        .orderBy(col("ra_micro").desc, col("a"), col("b")).limit(20)
+    },
+    Some(s"""WITH e AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            und AS MATERIALIZED (
+              SELECT u AS src, v AS dst FROM e
+              UNION ALL SELECT v AS src, u AS dst FROM e),
+            deg AS MATERIALIZED (
+              SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+            cand AS (
+              SELECT w1.src AS a, w2.dst AS b, count(*) AS n_common,
+                CAST(sum(1000000 // d.deg) AS BIGINT) AS ra_micro
+              FROM und w1 JOIN und w2 ON w1.dst = w2.src
+              JOIN deg d ON d.node = w1.dst
+              WHERE w1.src < w2.dst AND d.deg <= $WedgeHubCap
+              GROUP BY w1.src, w2.dst)
+            SELECT a, b, n_common, ra_micro FROM cand
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = a AND e.v = b)
+            ORDER BY ra_micro DESC, a, b LIMIT 20"""))
+
+  /** DEGREE ASSORTATIVITY (Newman 2002): the one-row "do hubs link to
+    * hubs?" coefficient — Pearson correlation of the endpoint degrees
+    * over every directed edge (each undirected edge contributes both
+    * orientations, making the moments symmetric, so
+    * r = (M·Σdudv − (Σdu)²) / (M·Σdu² − (Σdu)²) with ALL moments exact
+    * integer sums). Social graphs run positive, bipartite-projection /
+    * co-purchase graphs negative — with [[degreeHist]] it decides the
+    * skew strategy before a workload runs. Shape: edges equi-join the
+    * node-sized degree table twice (never edges-join-edges), one global
+    * aggregate of four moments; the single division is micro-scaled in
+    * DECIMAL(38,0) — headroom to M·Σdeg²·2e6 ≈ 1e38, i.e. ~1e12 edges at
+    * hub degree 1e4 — with the numerator SHIFTED by +den before the div
+    * (r ≥ −1 makes num+den ≥ 0; Spark div truncates, DuckDB floors, they
+    * agree only on non-negative operands — the graph_modularity
+    * discipline) and un-shifted after. */
+  /** [[assortativity]]'s core over any u<v half-edge list — factored (the
+    * giniMicro precedent) so GraphOpsSpec can pin closed-form anchors
+    * (star → −1e6, permutation invariance) on synthetic graphs. */
+  private[graft] def assortativityOf(half: DataFrame): DataFrame = {
+    val und = half.union(half.select(col("v").as("u"), col("u").as("v")))
+    val deg = degrees(half)
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    und.join(du, "u").join(dv, "v")
+      .agg(count(lit(1)).as("m_directed"),
+        sum(col("du")).as("s1"),
+        sum(col("du") * col("du")).as("s2"),
+        sum(col("du") * col("dv")).as("sp"))
+      .select(col("m_directed"), col("s1"), col("s2"), col("sp"),
+        expr("""cast(((cast(m_directed as decimal(38,0)) * sp - cast(s1 as decimal(38,0)) * s1)
+                      + (cast(m_directed as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1))
+                     * 1000000 div (cast(m_directed as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1)
+                     - 1000000 as bigint)""").as("r_micro"))
+  }
+
+  val assortativity = GraftQuery(
+    "graph_assortativity",
+    (s, dir) => assortativityOf(coPurchaseEdges(s, dir)),
+    Some("""WITH e AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            und AS MATERIALIZED (
+              SELECT u AS src, v AS dst FROM e
+              UNION ALL SELECT v AS src, u AS dst FROM e),
+            deg AS MATERIALIZED (
+              SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+            mo AS (
+              SELECT count(*) AS m_directed,
+                CAST(sum(du.deg) AS BIGINT) AS s1,
+                CAST(sum(du.deg * du.deg) AS BIGINT) AS s2,
+                CAST(sum(du.deg * dv.deg) AS BIGINT) AS sp
+              FROM und JOIN deg du ON du.node = und.src
+                       JOIN deg dv ON dv.node = und.dst)
+            SELECT m_directed, s1, s2, sp,
+              CAST(((CAST(m_directed AS HUGEINT) * sp - CAST(s1 AS HUGEINT) * s1)
+                    + (CAST(m_directed AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1))
+                   * 1000000 // (CAST(m_directed AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+                   - 1000000 AS BIGINT) AS r_micro
+            FROM mo"""))
 
   /** LOCAL CLUSTERING COEFFICIENT: per node, 2·triangles / (deg·(deg−1))
     * over the co-purchase graph — the community-tightness profile next to
@@ -776,6 +903,6 @@ object GraphOps {
 
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
-      ssspQuery, degreeHist, twoHop, commonNeighbors, clusteringCoeff,
-      modularity)
+      ssspQuery, degreeHist, twoHop, commonNeighbors, resourceAlloc,
+      assortativity, clusteringCoeff, modularity)
 }

@@ -117,7 +117,8 @@ class GraphOpsSpec extends SparkTestBase {
     val cn = GraphOps.commonNeighborCounts(half, deg, hubCap = 2000).cache()
     assert(cn.agg(sum(col("n_common"))).as[Long].head == 499509L)
     assert(cn.count() == 499500L + 3)
-    val byPair = cn.filter(col("a") < 6).as[(Long, Long, Long)].collect()
+    val byPair = cn.filter(col("a") < 6).select(col("a"), col("b"), col("n_common"))
+      .as[(Long, Long, Long)].collect()
       .map { case (a, b, n) => (a, b) -> n }.toMap
     assert(byPair((4L, 5L)) == 1L && byPair((1L, 2L)) == 2L && byPair((0L, 1L)) == 2L)
     cn.unpersist()
@@ -145,9 +146,11 @@ class GraphOpsSpec extends SparkTestBase {
       } yield (u, v)).toSeq
       val half = edges.toDF("u", "v")
       val deg = GraphOps.degrees(half)
-      val got = GraphOps.commonNeighborCounts(half, deg, hubCap = 1000)
-        .as[(Long, Long, Long)].collect()
-        .map { case (a, b, c) => (a, b) -> c }.toMap
+      val gotRows = GraphOps.commonNeighborCounts(half, deg, hubCap = 1000)
+        .select(col("a"), col("b"), col("n_common"), col("ra_micro"))
+        .as[(Long, Long, Long, Long)].collect()
+      val got = gotRows.map { case (a, b, c, _) => (a, b) -> c }.toMap
+      val gotRa = gotRows.map { case (a, b, _, r) => (a, b) -> r }.toMap
       // brute force: common neighbors per non-ordered pair
       val nbrs = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
         .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
@@ -157,6 +160,13 @@ class GraphOpsSpec extends SparkTestBase {
         if c > 0
       } yield (a, b) -> c.toLong).toMap
       assert(got == want, s"seed $seed: oriented decomposition diverged from brute force")
+      // resource-allocation terms too: Σ_c 1e6 div deg(c), exact integers
+      val wantRa = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        cs = nbrs.getOrElse(a, Set.empty).intersect(nbrs.getOrElse(b, Set.empty))
+        if cs.nonEmpty
+      } yield (a, b) -> cs.toSeq.map(c => 1000000L / nbrs(c).size).sum).toMap
+      assert(gotRa == wantRa, s"seed $seed: RA terms diverged from brute force")
       // triangles too: per-node counts from the oriented closure vs brute force
       val o = GraphOps.orient(half, deg)
       val triNodes = GraphOps.orientedWedges(o)
