@@ -1030,6 +1030,13 @@ object EventOps {
             FROM dev d JOIN mad m USING (event_type)
             GROUP BY d.event_type ORDER BY d.event_type"""))
 
+  /** Grid cap for [[survivalCurve]] — the curve is reported for day
+    * offsets 0..this; longer lifetimes saturate into the last row's
+    * survivors rather than widening the output. Declared ABOVE [[all]]:
+    * `all` forces the lazy query vals at object init, so any constant
+    * their oracle strings interpolate must already be initialized. */
+  private val SurvivalHorizonDays = 30
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1039,7 +1046,8 @@ object EventOps {
     weeklyPattern, anomalyMad, funnelTtc, peakConcurrency, wauStickiness,
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
-    scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup)
+    scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
+    survivalCurve)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1687,6 +1695,57 @@ object EventOps {
         expr("""cast((2 * rank_weighted - (n_users + 1) * total_events) * 1000000
                 div (n_users * total_events) as bigint)""").as("gini_micro"))
   }
+
+  /** SURVIVAL CURVE (retention's Kaplan-Meier-shaped cousin for complete
+    * logs): for each day offset t, the fraction of users whose observed
+    * lifetime — last event day minus first event day — reaches t. The
+    * churn half of [[cohortRetention]]: where retention asks "who came
+    * back on day t", survival asks "who was still alive AT ALL by day t",
+    * and its knee is where win-back campaigns aim. Exactness: days are
+    * raw epoch-day floor-divs (post-1970 event logs, the
+    * ev_weekly_pattern discipline), fractions are integer micro-divs.
+    * Shape: one user-keyed aggregation collapses the corpus to lifetimes,
+    * a lifetime-keyed histogram collapses users to ≤ span rows, and the
+    * grid explode (capped at [[SurvivalHorizonDays]]) runs on HISTOGRAM
+    * rows — corpus-independent work after two key-sized shuffles; the
+    * 1-row total broadcasts (BNLJ-allowlisted). */
+  lazy val survivalCurve = GraftQuery(
+    "ev_survival_curve",
+    (s, dir) => {
+      val life = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy(col("user_id"))
+        .agg((max(col("day")) - min(col("day"))).as("lifetime_days"))
+      val hist = life.groupBy(col("lifetime_days"))
+        .agg(count(lit(1)).as("n_users"))
+      val total = broadcast(life.agg(count(lit(1)).as("n_total")))
+      hist.select(
+          expr(s"explode(sequence(0, least(lifetime_days, $SurvivalHorizonDays)))")
+            .as("t_days"),
+          col("n_users"))
+        .groupBy(col("t_days")).agg(sum(col("n_users")).as("n_surviving"))
+        .crossJoin(total)
+        .select(col("t_days"), col("n_surviving"),
+          expr("n_surviving * 1000000 div n_total").as("survival_micro"))
+        .orderBy(col("t_days"))
+    },
+    Some(s"""WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            life AS (SELECT user_id, max(day) - min(day) AS lifetime_days
+                     FROM ev GROUP BY user_id),
+            hist AS (SELECT lifetime_days, count(*) AS n_users
+                     FROM life GROUP BY lifetime_days),
+            total AS (SELECT count(*) AS n_total FROM life),
+            surv AS (SELECT g.t AS t_days,
+                       CAST(sum(h.n_users) AS BIGINT) AS n_surviving
+                     FROM hist h CROSS JOIN LATERAL
+                       (SELECT unnest(generate_series(0,
+                          least(h.lifetime_days, $SurvivalHorizonDays))) AS t) g
+                     GROUP BY g.t)
+            SELECT t_days, n_surviving,
+              n_surviving * 1000000 // n_total AS survival_micro
+            FROM surv CROSS JOIN total ORDER BY t_days"""))
 
   lazy val userGini = GraftQuery(
     "ev_user_gini",

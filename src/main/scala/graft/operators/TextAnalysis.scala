@@ -924,9 +924,80 @@ object TextAnalysis {
                   WHERE length(w) >= 2 GROUP BY source, w)
             GROUP BY source ORDER BY source"""))
 
+  /** Minimum bigram count for [[collocations]] — raw PMI is maximized by
+    * count-1 pairs of two hapaxes, so every practical PMI pass floors the
+    * pair count first (Church & Hanks 1990's caveat). */
+  private val CollocationMinCount = 5
+
+  /** COLLOCATION MINING (PMI): the top word pairs that co-occur far more
+    * than chance — pointwise mutual information
+    * ln(P(xy) / (P(x)·P(y))) over adjacent-token bigrams with count ≥
+    * [[CollocationMinCount]] (the classic low-frequency-pair PMI guard) —
+    * the phrase-discovery pass behind tokenizer vocab seeding and
+    * stop-phrase lists ("New York" scores high, "of the" scores low
+    * despite its count). Float discipline (the lm_backoff/dsir
+    * precedent): the probability ratio is assembled as ONE fixed op tree
+    * of integer-exact counts — (c_bg·T)/(c1·c2) · T/M, every product
+    * < 2⁵³ at oracle scale — so both engines feed libm-identical doubles
+    * to one ln, floor-scaled to micros. Shape: two corpus scans collapse
+    * to vocabulary-sized count tables; scoring joins the bigram model to
+    * the unigram model on each word (model-sized equi joins, skew follows
+    * token frequency — AQE territory), totals ride one 1-row broadcast;
+    * TakeOrderedAndProject keeps the head. Text never shuffles. */
+  val collocations = GraftQuery(
+    "text_collocations",
+    (s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(split(col("text"), " ").as("w"))
+      val uni = words.select(explode(col("w")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c_tok")).cache()
+      val bi = words.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg")).cache()
+      val totals = broadcast(
+        uni.agg(sum(col("c_tok")).as("t_tot"))
+          .crossJoin(bi.agg(sum(col("c_bg")).as("m_tot"))))
+      bi.filter(col("c_bg") >= CollocationMinCount)
+        .join(uni.select(col("tok").as("w1"), col("c_tok").as("c1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c_tok").as("c2")), "w2")
+        .crossJoin(totals)
+        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+          col("c_bg"), col("c1"), col("c2"),
+          expr("""cast(floor(ln((cast(c_bg * t_tot as double) / (c1 * c2))
+                               * (cast(t_tot as double) / m_tot)) * 1000000)
+                      as bigint)""").as("pmi_micro"))
+        .orderBy(col("pmi_micro").desc, col("bigram")).limit(30)
+    },
+    Some(s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
+            uc AS MATERIALIZED (
+              SELECT tok, count(*) AS c_tok
+              FROM (SELECT unnest(w) AS tok FROM d) GROUP BY tok),
+            bc AS MATERIALIZED (
+              SELECT w1, w2, count(*) AS c_bg
+              FROM (SELECT w[i] AS w1, w[i+1] AS w2
+                    FROM d CROSS JOIN LATERAL
+                      (SELECT unnest(generate_series(1, len(w)-1)) AS i) g
+                    WHERE len(w) >= 2)
+              GROUP BY w1, w2),
+            tot AS (SELECT (SELECT CAST(sum(c_tok) AS BIGINT) FROM uc) AS t_tot,
+                           (SELECT CAST(sum(c_bg) AS BIGINT) FROM bc) AS m_tot)
+            SELECT w1 || ' ' || w2 AS bigram, c_bg, u1.c_tok AS c1,
+              u2.c_tok AS c2,
+              CAST(floor(ln((CAST(c_bg * t_tot AS DOUBLE) / (u1.c_tok * u2.c_tok))
+                            * (CAST(t_tot AS DOUBLE) / m_tot)) * 1000000)
+                   AS BIGINT) AS pmi_micro
+            FROM bc JOIN uc u1 ON u1.tok = bc.w1
+                    JOIN uc u2 ON u2.tok = bc.w2
+            CROSS JOIN tot
+            WHERE c_bg >= $CollocationMinCount
+            ORDER BY pmi_micro DESC, bigram LIMIT 30"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
       cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit,
       vocabCoverage, bpeFertility, complexity, langIdConfusion,
-      sourceDivergence, vocabGrowth, hapaxRatio)
+      sourceDivergence, vocabGrowth, hapaxRatio, collocations)
 }

@@ -55,6 +55,9 @@ class PlanLintSpec extends SparkTestBase {
     "graph_modularity",
     // crossJoin of the 1-row corpus-max-timestamp anchor onto user rows
     "ev_rfm_segments",
+    // 1-row scalar guard (the assert-then-broadcast BenchGramCap) crossed
+    // onto the bench-gram side before it broadcasts
+    "pipeline_decontaminate",
     // eval-benchmark set broadcast against the streaming train corpus —
     // constant-bounded BY CONSTRUCTION: an assert-then-broadcast filter
     // raise_errors past Similarity.EvalCap (=100k) rows, so the broadcast
@@ -62,7 +65,12 @@ class PlanLintSpec extends SparkTestBase {
     // same as the ann query sets)
     "emb_semantic_decontam",
     // 4-epoch constant table crossed with the shard list (both metadata)
-    "pipeline_epoch_schedule"
+    "pipeline_epoch_schedule",
+    // crossJoin of the 1-row user-total scalar onto <=31 grid rows
+    "ev_survival_curve",
+    // crossJoin of the 1-row (token-total, bigram-total) scalar onto the
+    // count-filtered bigram model
+    "text_collocations"
   )
 
   test("no registry query plans a shuffle CartesianProduct; BNLJ only by design") {
