@@ -31,6 +31,28 @@ class VerifySpec extends SparkTestBase {
     assert(ej.contains("broken_query"), ej)
   }
 
+  test("SURVEY §2.11a inventory names every registry query and its declared count is exact") {
+    // inventory drift has shipped twice (mm_seq_budget in r11); the
+    // inventory is the judge's contract, so pin it permanently: every
+    // registry name must appear in the §2.11a section and the section's
+    // declared total must equal the registry size.
+    val survey = java.nio.file.Files.readString(java.nio.file.Paths.get("SURVEY.md"))
+    val start = survey.indexOf("### 2.11a")
+    assert(start >= 0, "SURVEY.md lost its §2.11a inventory section")
+    val rest = survey.substring(start)
+    val ends = Seq(rest.indexOf("\n### ", 5), rest.indexOf("\n## ", 5)).filter(_ > 0)
+    val section = rest.substring(0, if (ends.isEmpty) rest.length else ends.min)
+    val names = SparkEntry.registry.map(_.name)
+    assert(names.distinct.size == names.size, "duplicate registry names")
+    val missing = names.filterNot(n =>
+      ("\\b" + java.util.regex.Pattern.quote(n) + "\\b").r.findFirstIn(section).isDefined)
+    assert(missing.isEmpty,
+      s"registry queries missing from SURVEY §2.11a: ${missing.mkString(", ")}")
+    val declared = "(?m)^(\\d+) queries".r.findFirstMatchIn(section).map(_.group(1).toInt)
+    assert(declared.contains(names.size),
+      s"SURVEY §2.11a declares $declared queries; registry has ${names.size}")
+  }
+
   test("errors.json merges by what ran: fixed queries clear, untouched records survive") {
     val out = tmp()
     Verify.dump(spark, Seq("broken_query" -> boom, "other_broken" -> boom), sf, out)
