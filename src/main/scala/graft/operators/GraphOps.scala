@@ -705,6 +705,53 @@ object GraphOps {
     * (r ≥ −1 makes num+den ≥ 0; Spark div truncates, DuckDB floors, they
     * agree only on non-negative operands — the graph_modularity
     * discipline) and un-shifted after. */
+  /** NEIGHBORHOOD JACCARD link prediction: top-20 non-adjacent pairs by
+    * |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the third classic index beside
+    * [[commonNeighbors]] (raw count) and [[resourceAlloc]] (center
+    * down-weighting), and the one that normalizes away BOTH endpoints'
+    * degrees, so a pair of low-degree nodes sharing most of their small
+    * neighborhoods outranks two hubs sharing a sliver. Exact by
+    * construction: |A∪B| = deg(a) + deg(b) − n_common, so the score is
+    * one non-negative integer micro-div — no floats anywhere. Rides the
+    * identical once-each wedge pass ([[commonNeighborCounts]]) plus two
+    * node-keyed degree joins on the CANDIDATE list (pair-sized, not
+    * corpus-sized); same [[WedgeHubCap]] semantics, same anti-join,
+    * TakeOrderedAndProject head. */
+  val jaccardSimilarity = GraftQuery(
+    "graph_jaccard_similarity",
+    (s, dir) => {
+      val e = coPurchaseEdges(s, dir).cache()
+      val deg = degrees(e).cache()
+      val cand = commonNeighborCounts(e, deg, WedgeHubCap)
+      cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
+        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+        .select(col("a"), col("b"), col("n_common"),
+          expr("n_common * 1000000 div (da + db - n_common)").as("jaccard_micro"))
+        .orderBy(col("jaccard_micro").desc, col("a"), col("b")).limit(20)
+    },
+    Some(s"""WITH e AS (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            und AS MATERIALIZED (
+              SELECT u AS src, v AS dst FROM e
+              UNION ALL SELECT v AS src, u AS dst FROM e),
+            deg AS MATERIALIZED (
+              SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+            cand AS (
+              SELECT w1.src AS a, w2.dst AS b, count(*) AS n_common
+              FROM und w1 JOIN und w2 ON w1.dst = w2.src
+              JOIN deg d ON d.node = w1.dst
+              WHERE w1.src < w2.dst AND d.deg <= $WedgeHubCap
+              GROUP BY w1.src, w2.dst)
+            SELECT a, b, n_common,
+              n_common * 1000000 // (da.deg + db.deg - n_common) AS jaccard_micro
+            FROM cand JOIN deg da ON da.node = cand.a
+                      JOIN deg db ON db.node = cand.b
+            WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.a AND e.v = cand.b)
+            ORDER BY jaccard_micro DESC, a, b LIMIT 20"""))
+
   /** [[assortativity]]'s core over any u<v half-edge list — factored (the
     * giniMicro precedent) so GraphOpsSpec can pin closed-form anchors
     * (star → −1e6, permutation invariance) on synthetic graphs. */
@@ -719,9 +766,12 @@ object GraphOps {
         sum(col("du") * col("du")).as("s2"),
         sum(col("du") * col("dv")).as("sp"))
       .select(col("m_directed"), col("s1"), col("s2"), col("sp"),
+        // nullif-guarded: a REGULAR graph has zero degree variance, so r
+        // is 0/0-undefined — surface null, never a fabricated 0 (and
+        // never an ANSI divide-by-zero error); GraphOpsSpec pins it
         expr("""cast(((cast(m_directed as decimal(38,0)) * sp - cast(s1 as decimal(38,0)) * s1)
                       + (cast(m_directed as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1))
-                     * 1000000 div (cast(m_directed as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1)
+                     * 1000000 div nullif(cast(m_directed as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1, 0)
                      - 1000000 as bigint)""").as("r_micro"))
   }
 
@@ -747,7 +797,7 @@ object GraphOps {
             SELECT m_directed, s1, s2, sp,
               CAST(((CAST(m_directed AS HUGEINT) * sp - CAST(s1 AS HUGEINT) * s1)
                     + (CAST(m_directed AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1))
-                   * 1000000 // (CAST(m_directed AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1)
+                   * 1000000 // nullif(CAST(m_directed AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1, 0)
                    - 1000000 AS BIGINT) AS r_micro
             FROM mo"""))
 
@@ -904,5 +954,5 @@ object GraphOps {
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
       ssspQuery, degreeHist, twoHop, commonNeighbors, resourceAlloc,
-      assortativity, clusteringCoeff, modularity)
+      jaccardSimilarity, assortativity, clusteringCoeff, modularity)
 }

@@ -183,6 +183,25 @@ class GraphOpsSpec extends SparkTestBase {
     }
   }
 
+  test("assortativity: star anchors at -1e6, permutation-invariant, moments exact") {
+    import spark.implicits._
+    // a star is maximally DISassortative: every edge joins the hub
+    // (deg n-1) to a leaf (deg 1), so r = -1 exactly -> r_micro = -1e6
+    val star = (1L to 12L).map(l => (0L, l)).toDF("u", "v")
+    val r1 = GraphOps.assortativityOf(star).collect()(0)
+    assert(r1.getAs[Long]("r_micro") == -1000000L,
+      s"star assortativity must be exactly -1e6, got $r1")
+    assert(r1.getAs[Long]("m_directed") == 24L) // both orientations counted
+    // relabeling nodes cannot move any moment (degree multiset unchanged)
+    val perm = star.select((col("u") * 7 + 3).as("u"), (col("v") * 7 + 3).as("v"))
+    assert(GraphOps.assortativityOf(perm).collect()(0) == r1)
+    // a 4-cycle is 2-regular: zero degree variance makes r undefined
+    // (denominator 0) - the spelling must surface null, never a wrong 0
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)).toDF("u", "v")
+    assert(GraphOps.assortativityOf(cyc).collect()(0).isNullAt(4),
+      "regular graph: r_micro must be null (0/0), not fabricated")
+  }
+
   test("sssp relaxes a weighted chain to exact prefix sums within the hop bound") {
     import spark.implicits._
     // chain 0-1-2-...-7 with weight i+1 on edge (i, i+1): dist(k) must be
