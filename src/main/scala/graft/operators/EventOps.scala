@@ -1047,7 +1047,7 @@ object EventOps {
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
-    survivalCurve)
+    survivalCurve, valuePsi)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1746,6 +1746,96 @@ object EventOps {
             SELECT t_days, n_surviving,
               n_surviving * 1000000 // n_total AS survival_micro
             FROM surv CROSS JOIN total ORDER BY t_days"""))
+
+  /** POPULATION STABILITY INDEX (PSI) — the standard "did this feature's
+    * distribution move?" gate every ML monitoring stack runs before
+    * trusting a model on fresh data: Σ_buckets (p_i − q_i)·ln(p_i/q_i)
+    * between a BASELINE slice (first half of the log's day span) and the
+    * CURRENT slice (second half), over 10 equi-width buckets of the cent
+    * value laid out on the baseline's range (out-of-range current values
+    * absorb into the edge buckets, add-one smoothing keeps empty buckets
+    * finite — both standard PSI conventions; < 0.1 stable, > 0.25
+    * shifted). Exactness: buckets are pure integer arithmetic; each
+    * term's ln gets ONE integer-ratio argument ((n_b+1)(t_c+10)) /
+    * ((n_c+1)(t_b+10)), products < 2⁵³, so both engines feed libm the
+    * identical double and each term floors to micros BEFORE the rollup
+    * total — the dsir/lm_backoff discipline. Shape: two 1-row anchors
+    * (split day, baseline range) broadcast; the corpus is scanned
+    * map-side into a ≤10-row bucket table; the 0..9 grid left-join makes
+    * missing buckets explicit rather than silently dropped; the ROLLUP
+    * total row (bucket −1) is an exact integer sum of the already-floored
+    * terms. */
+  lazy val valuePsi = GraftQuery(
+    "ev_value_psi",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      val split = broadcast(ev.agg(
+        expr("(min(day) + max(day) + 1) div 2").as("split_day")))
+      val tagged = ev.crossJoin(split)
+        .select(col("cents"), (col("day") < col("split_day")).as("is_base"))
+      val range = broadcast(tagged.filter(col("is_base"))
+        .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx")))
+      val counts = tagged.crossJoin(range)
+        .select(col("is_base"),
+          expr("""least(greatest((cents - mn) div greatest((mx - mn) div 10 + 1, 1),
+                                 0), 9)""").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
+          sum(when(!col("is_base"), 1L).otherwise(0L)).as("nc"))
+      val grid = s.range(0, 10).toDF("bucket")
+      val filled = grid.join(counts, Seq("bucket"), "left")
+        .select(col("bucket"),
+          coalesce(col("nb"), lit(0L)).as("n_base"),
+          coalesce(col("nc"), lit(0L)).as("n_cur"))
+      val totals = broadcast(filled.agg(
+        sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc")))
+      filled.crossJoin(totals)
+        .select(col("bucket"), col("n_base"), col("n_cur"),
+          expr("""cast(floor((cast(n_base + 1 as double) / (tb + 10)
+                              - cast(n_cur + 1 as double) / (tc + 10))
+                             * ln(cast((n_base + 1) * (tc + 10) as double)
+                                  / ((n_cur + 1) * (tb + 10)))
+                             * 1000000) as bigint)""").as("psi_term_micro"))
+        .rollup(col("bucket"))
+        .agg(sum(col("n_base")).as("n_base"), sum(col("n_cur")).as("n_cur"),
+          sum(col("psi_term_micro")).as("psi_term_micro"))
+        .select(coalesce(col("bucket"), lit(-1L)).as("bucket"),
+          col("n_base"), col("n_cur"), col("psi_term_micro"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            sp AS (SELECT (min(day) + max(day) + 1) // 2 AS split_day FROM ev),
+            tagged AS (SELECT cents, day < split_day AS is_base
+                       FROM ev CROSS JOIN sp),
+            rng AS (SELECT min(cents) AS mn, max(cents) AS mx
+                    FROM tagged WHERE is_base),
+            cnt AS (SELECT least(greatest((cents - mn) // greatest((mx - mn) // 10 + 1, 1),
+                                          0), 9) AS bucket,
+                      CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+                      CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS nc
+                    FROM tagged CROSS JOIN rng GROUP BY 1),
+            filled AS (SELECT g.bucket, coalesce(nb, 0) AS n_base,
+                         coalesce(nc, 0) AS n_cur
+                       FROM (SELECT unnest(generate_series(0, 9)) AS bucket) g
+                       LEFT JOIN cnt ON cnt.bucket = g.bucket),
+            tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+                      CAST(sum(n_cur) AS BIGINT) AS tc FROM filled),
+            terms AS (SELECT bucket, n_base, n_cur,
+                        CAST(floor((CAST(n_base + 1 AS DOUBLE) / (tb + 10)
+                                    - CAST(n_cur + 1 AS DOUBLE) / (tc + 10))
+                                   * ln(CAST((n_base + 1) * (tc + 10) AS DOUBLE)
+                                        / ((n_cur + 1) * (tb + 10)))
+                                   * 1000000) AS BIGINT) AS psi_term_micro
+                      FROM filled CROSS JOIN tot)
+            SELECT coalesce(bucket, -1) AS bucket,
+              CAST(sum(n_base) AS BIGINT) AS n_base,
+              CAST(sum(n_cur) AS BIGINT) AS n_cur,
+              CAST(sum(psi_term_micro) AS BIGINT) AS psi_term_micro
+            FROM terms GROUP BY ROLLUP (bucket) ORDER BY bucket"""))
 
   lazy val userGini = GraftQuery(
     "ev_user_gini",

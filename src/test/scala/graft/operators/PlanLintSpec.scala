@@ -70,7 +70,10 @@ class PlanLintSpec extends SparkTestBase {
     "ev_survival_curve",
     // crossJoin of the 1-row (token-total, bigram-total) scalar onto the
     // count-filtered bigram model
-    "text_collocations"
+    "text_collocations",
+    // three 1-row anchors (split day, baseline range, totals) crossed onto
+    // the corpus scan / 10-bucket table
+    "ev_value_psi"
   )
 
   test("no registry query plans a shuffle CartesianProduct; BNLJ only by design") {
