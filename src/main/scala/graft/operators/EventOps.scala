@@ -1765,6 +1765,42 @@ object EventOps {
     * missing buckets explicit rather than silently dropped; the ROLLUP
     * total row (bucket −1) is an exact integer sum of the already-floored
     * terms. */
+  /** [[valuePsi]]'s core over any (cents, is_base) tagged frame — factored
+    * (the giniMicro precedent) so PsiPropertySpec can pin detection power
+    * on planted distributions: identical slices ≈ 0, a shifted slice
+    * crosses the 0.25 "population moved" threshold. */
+  private[graft] def psiTable(s: SparkSession, tagged: DataFrame): DataFrame = {
+    val range = broadcast(tagged.filter(col("is_base"))
+      .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx")))
+    val counts = tagged.crossJoin(range)
+      .select(col("is_base"),
+        expr("""least(greatest((cents - mn) div greatest((mx - mn) div 10 + 1, 1),
+                               0), 9)""").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("nc"))
+    val grid = s.range(0, 10).toDF("bucket")
+    val filled = grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("nb"), lit(0L)).as("n_base"),
+        coalesce(col("nc"), lit(0L)).as("n_cur"))
+    val totals = broadcast(filled.agg(
+      sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc")))
+    filled.crossJoin(totals)
+      .select(col("bucket"), col("n_base"), col("n_cur"),
+        expr("""cast(floor((cast(n_base + 1 as double) / (tb + 10)
+                            - cast(n_cur + 1 as double) / (tc + 10))
+                           * ln(cast((n_base + 1) * (tc + 10) as double)
+                                / ((n_cur + 1) * (tb + 10)))
+                           * 1000000) as bigint)""").as("psi_term_micro"))
+      .rollup(col("bucket"))
+      .agg(sum(col("n_base")).as("n_base"), sum(col("n_cur")).as("n_cur"),
+        sum(col("psi_term_micro")).as("psi_term_micro"))
+      .select(coalesce(col("bucket"), lit(-1L)).as("bucket"),
+        col("n_base"), col("n_cur"), col("psi_term_micro"))
+      .orderBy(col("bucket"))
+  }
+
   lazy val valuePsi = GraftQuery(
     "ev_value_psi",
     (s, dir) => {
@@ -1775,35 +1811,7 @@ object EventOps {
         expr("(min(day) + max(day) + 1) div 2").as("split_day")))
       val tagged = ev.crossJoin(split)
         .select(col("cents"), (col("day") < col("split_day")).as("is_base"))
-      val range = broadcast(tagged.filter(col("is_base"))
-        .agg(min(col("cents")).as("mn"), max(col("cents")).as("mx")))
-      val counts = tagged.crossJoin(range)
-        .select(col("is_base"),
-          expr("""least(greatest((cents - mn) div greatest((mx - mn) div 10 + 1, 1),
-                                 0), 9)""").as("bucket"))
-        .groupBy(col("bucket"))
-        .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
-          sum(when(!col("is_base"), 1L).otherwise(0L)).as("nc"))
-      val grid = s.range(0, 10).toDF("bucket")
-      val filled = grid.join(counts, Seq("bucket"), "left")
-        .select(col("bucket"),
-          coalesce(col("nb"), lit(0L)).as("n_base"),
-          coalesce(col("nc"), lit(0L)).as("n_cur"))
-      val totals = broadcast(filled.agg(
-        sum(col("n_base")).as("tb"), sum(col("n_cur")).as("tc")))
-      filled.crossJoin(totals)
-        .select(col("bucket"), col("n_base"), col("n_cur"),
-          expr("""cast(floor((cast(n_base + 1 as double) / (tb + 10)
-                              - cast(n_cur + 1 as double) / (tc + 10))
-                             * ln(cast((n_base + 1) * (tc + 10) as double)
-                                  / ((n_cur + 1) * (tb + 10)))
-                             * 1000000) as bigint)""").as("psi_term_micro"))
-        .rollup(col("bucket"))
-        .agg(sum(col("n_base")).as("n_base"), sum(col("n_cur")).as("n_cur"),
-          sum(col("psi_term_micro")).as("psi_term_micro"))
-        .select(coalesce(col("bucket"), lit(-1L)).as("bucket"),
-          col("n_base"), col("n_cur"), col("psi_term_micro"))
-        .orderBy(col("bucket"))
+      psiTable(s, tagged)
     },
     Some("""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day,
                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
