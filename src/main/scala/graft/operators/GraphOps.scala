@@ -752,6 +752,58 @@ object GraphOps {
             WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.a AND e.v = cand.b)
             ORDER BY jaccard_micro DESC, a, b LIMIT 20"""))
 
+  /** MARKET-BASKET LIFT — association-rule mining's headline statistic
+    * over the co-purchase data the graph family projects from: for part
+    * pairs sharing ≥ 5 orders, lift = P(ab) / (P(a)·P(b)) =
+    * n_ab·N / (n_a·n_b) — > 1 means genuinely associated, not just both
+    * popular (the flaw raw co-occurrence counts have). The
+    * "customers-also-bought" scorer. Exact: the ratio is ONE non-negative
+    * integer micro-div of BIGINT products (n_ab·N·1e6 < 2⁶³ far past
+    * these SFs; at true catalog scale move the numerator to decimal128).
+    * Shape: baskets are order-grouped lineitems, so pair generation is
+    * per-order C(items,2) — fan-out bounded by basket size (≤7 here),
+    * never by catalog popularity; the two count tables are item- and
+    * pair-sized; the 1-row basket total broadcasts; TakeOrderedAndProject
+    * keeps the head. */
+  val copurchaseLift = GraftQuery(
+    "graph_copurchase_lift",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .cache()
+      val nOrders = broadcast(li.agg(countDistinct(col("o")).as("n_orders")))
+      val item = li.groupBy(col("p")).agg(count(lit(1)).as("n_item"))
+      val pair = li.as("a").join(li.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      pair
+        .join(item.select(col("p").as("pa"), col("n_item").as("n_a")), "pa")
+        .join(item.select(col("p").as("pb"), col("n_item").as("n_b")), "pb")
+        .crossJoin(nOrders)
+        .select(col("pa"), col("pb"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("n_ab * n_orders * 1000000 div (n_a * n_b)").as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("pa"), col("pb")).limit(20)
+    },
+    Some("""WITH li AS MATERIALIZED (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+            n AS (SELECT count(DISTINCT o) AS n_orders FROM li),
+            item AS MATERIALIZED (
+              SELECT p, count(*) AS n_item FROM li GROUP BY p),
+            pair AS (
+              SELECT a.p AS pa, b.p AS pb, count(*) AS n_ab
+              FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+              GROUP BY a.p, b.p HAVING count(*) >= 5)
+            SELECT pa, pb, n_ab, n_a, n_b,
+              n_ab * n_orders * 1000000 // (n_a * n_b) AS lift_micro
+            FROM (SELECT pair.pa, pair.pb, pair.n_ab,
+                    ia.n_item AS n_a, ib.n_item AS n_b
+                  FROM pair JOIN item ia ON ia.p = pair.pa
+                            JOIN item ib ON ib.p = pair.pb)
+            CROSS JOIN n
+            ORDER BY lift_micro DESC, pa, pb LIMIT 20"""))
+
   /** [[assortativity]]'s core over any u<v half-edge list — factored (the
     * giniMicro precedent) so GraphOpsSpec can pin closed-form anchors
     * (star → −1e6, permutation invariance) on synthetic graphs. */
@@ -954,5 +1006,6 @@ object GraphOps {
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
       ssspQuery, degreeHist, twoHop, commonNeighbors, resourceAlloc,
-      jaccardSimilarity, assortativity, clusteringCoeff, modularity)
+      jaccardSimilarity, assortativity, copurchaseLift, clusteringCoeff,
+      modularity)
 }

@@ -73,7 +73,10 @@ class PlanLintSpec extends SparkTestBase {
     "text_collocations",
     // three 1-row anchors (split day, baseline range, totals) crossed onto
     // the corpus scan / 10-bucket table
-    "ev_value_psi"
+    "ev_value_psi",
+    // crossJoin of the 1-row basket-total scalar onto the support-filtered
+    // pair table
+    "graph_copurchase_lift"
   )
 
   test("no registry query plans a shuffle CartesianProduct; BNLJ only by design") {
