@@ -427,4 +427,16 @@ class PlanInvariantsSpec extends SparkTestBase {
     walk(p)
     assert(scans == 1, s"corpus must scan once (training state is checkpointed), saw $scans:\n$s")
   }
+
+  test("round-12 head queries: every top-k is TakeOrderedAndProject, not a global sort") {
+    // the link-prediction panel, PMI collocations, and basket lift all end
+    // in an ORDER BY ... LIMIT head; at 100 TB a global sort there would
+    // shuffle the whole candidate/model table to rank 20 rows
+    for (name <- Seq("graph_resource_alloc", "graph_jaccard_similarity",
+        "graph_copurchase_lift", "text_collocations")) {
+      val s = plan(name).toString
+      assert(s.contains("TakeOrderedAndProject"),
+        s"$name: top-k must be TakeOrderedAndProject:\n$s")
+    }
+  }
 }
