@@ -83,6 +83,62 @@ class Scd2TrackerSpec extends SparkTestBase {
     }
   }
 
+  test("tracker state survives a checkpoint restart: no lost, no duplicate intervals") {
+    import spark.implicits._
+    val rng = new Random(123)
+    val states = Vector("A", "B", "C")
+    val events = for {
+      u <- 0L until 5L
+      d <- 0 until 20 if rng.nextInt(3) > 0
+      i <- 0 until (1 + rng.nextInt(3))
+    } yield Scd2Event(u, d, rng.nextInt(86400).toLong, i.toLong,
+      states(rng.nextInt(states.size)))
+    val sentinels = events.map(_.user_id).distinct
+      .map(u => Scd2Event(u, events.map(_.day).max + 1, 0L, 0L, "FLUSH"))
+    val arrival = events.groupBy(_.day).toSeq.sortBy(_._1)
+      .flatMap { case (_, es) => rng.shuffle(es) }
+    val (first, second) = arrival.splitAt(arrival.size / 2)
+
+    withRocksDB { ck =>
+      // the memory sink refuses checkpoint recovery, so collect through
+      // foreachBatch (the RecoverySpec pattern); exactly-once over the
+      // restart = the two incarnations' emissions partition the expected
+      // set (union complete, intersection empty)
+      val in = GraftSource.memory[Scd2Event](spark)
+      def start(sink: java.util.Queue[(Long, String, Int, Int)]) =
+        Scd2Tracker.run(in.toDS()).writeStream.outputMode("append")
+          .option("checkpointLocation", ck)
+          .foreachBatch { (df: org.apache.spark.sql.Dataset[Scd2Out], _: Long) =>
+            df.collect().foreach(o =>
+              sink.add((o.user_id, o.state, o.valid_from_day, o.valid_to_day)))
+            ()
+          }.start()
+      import scala.jdk.CollectionConverters._
+      val sinkA = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Int, Int)]()
+      val sinkB = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String, Int, Int)]()
+
+      val q1 = start(sinkA)
+      in.addData(first)
+      q1.processAllAvailable()
+      q1.stop() // "driver crash" mid-log
+      val before = sinkA.asScala.toSet
+
+      val q2 = start(sinkB) // same checkpoint: offsets + RocksDB state
+      try {
+        in.addData(second)
+        in.addData(sentinels)
+        q2.processAllAvailable()
+        val after = sinkB.asScala.toSet
+        assert((before intersect after).isEmpty,
+          s"restart re-emitted ${(before intersect after).size} sealed intervals")
+        assert(before.union(after) == expectedClosed(events),
+          "restarted tracker must complete the interval set exactly")
+        assert(before.nonEmpty && after.nonEmpty,
+          "fixture must seal intervals on both sides of the crash")
+      } finally q2.stop()
+    }
+  }
+
   test("stream equals the registry ev_scd2_state_history closed intervals on real events") {
     import spark.implicits._
     val events = graft.Tables.t(spark, sf, "events")
