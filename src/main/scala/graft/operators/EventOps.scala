@@ -1047,7 +1047,7 @@ object EventOps {
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
-    survivalCurve, valuePsi)
+    survivalCurve, valuePsi, abLift)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1844,6 +1844,77 @@ object EventOps {
               CAST(sum(n_cur) AS BIGINT) AS n_cur,
               CAST(sum(psi_term_micro) AS BIGINT) AS psi_term_micro
             FROM terms GROUP BY ROLLUP (bucket) ORDER BY bucket"""))
+
+  /** A/B EXPERIMENT READOUT — the two-proportion z-test every product
+    * analytics stack runs before shipping a variant: users
+    * deterministically assigned by user_id parity (the hash assignment
+    * every real experiment framework uses), "converted" = the user's
+    * exact-cents spend exceeds the corpus mean (integer cross-multiplied,
+    * so conversion is non-degenerate at every SF — a universal
+    * ≥-1-purchase definition saturates to 100% on this log and the
+    * z-statistic collapses to 0/0). Since parity assignment is unrelated
+    * to spend, this doubles as the A/A CALIBRATION every experimentation
+    * pipeline must pass: |z| should be small, and a large value would
+    * indict the assignment, not the product. Exactness: rates and lift
+    * are non-negative integer micro-divs (nullif-guarded); the z-score is
+    * the one place a square root is genuinely needed, and unlike ln/pow,
+    * IEEE-754 specifies sqrt (and +,−,×,÷) as correctly rounded — the
+    * identical operand tree gives the bit-identical double on both
+    * engines, floored to micros. Shape: one user-keyed aggregation
+    * collapses the corpus to (variant, conv) flags against a 1-row
+    * (n, total) broadcast; everything after runs on ONE row. */
+  lazy val abLift = GraftQuery(
+    "ev_ab_lift",
+    (s, dir) => {
+      val spend = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(expr("cast(floor(value * 100 + 0.5) as bigint)")).as("cents"))
+      val tot = broadcast(spend.agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("tot_cents")))
+      val users = spend.crossJoin(tot)
+        .select((col("user_id") % 2).as("variant"),
+          (col("cents") * col("n_users") > col("tot_cents")).cast("long").as("conv"))
+      users.agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c_b"))
+        .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+          expr("c_a * 1000000 div nullif(n_a, 0)").as("p_a_micro"),
+          expr("c_b * 1000000 div nullif(n_b, 0)").as("p_b_micro"),
+          expr("c_b * n_a * 1000000 div nullif(c_a * n_b, 0) - 1000000")
+            .as("rel_lift_micro"),
+          expr("""cast(floor((cast(c_b as double) / n_b - cast(c_a as double) / n_a)
+                             / nullif(sqrt((cast(c_a + c_b as double) / (n_a + n_b))
+                                    * (1.0 - cast(c_a + c_b as double) / (n_a + n_b))
+                                    * (cast(n_a + n_b as double) / (n_a * n_b))), 0.0)
+                             * 1000000) as bigint)""").as("z_micro"))
+    },
+    Some("""WITH sp AS (SELECT user_id,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+              FROM events GROUP BY user_id),
+            tot AS (SELECT count(*) AS n_users,
+                CAST(sum(cents) AS BIGINT) AS tot_cents FROM sp),
+            v AS (SELECT user_id % 2 AS variant,
+                CAST(cents * n_users > tot_cents AS BIGINT) AS conv
+              FROM sp CROSS JOIN tot),
+            agg AS (SELECT
+                CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+                CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b
+              FROM v)
+            SELECT n_a, c_a, n_b, c_b,
+              c_a * 1000000 // nullif(n_a, 0) AS p_a_micro,
+              c_b * 1000000 // nullif(n_b, 0) AS p_b_micro,
+              c_b * n_a * 1000000 // nullif(c_a * n_b, 0) - 1000000
+                AS rel_lift_micro,
+              CAST(floor((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                         / nullif(sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                                * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                                * (CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))), 0.0)
+                         * 1000000) AS BIGINT) AS z_micro
+            FROM agg"""))
 
   lazy val userGini = GraftQuery(
     "ev_user_gini",

@@ -76,7 +76,9 @@ class PlanLintSpec extends SparkTestBase {
     "ev_value_psi",
     // crossJoin of the 1-row basket-total scalar onto the support-filtered
     // pair table
-    "graph_copurchase_lift"
+    "graph_copurchase_lift",
+    // crossJoin of the 1-row (n_users, total-spend) scalar onto user rows
+    "ev_ab_lift"
   )
 
   test("no registry query plans a shuffle CartesianProduct; BNLJ only by design") {
