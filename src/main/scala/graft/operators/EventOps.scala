@@ -1047,7 +1047,7 @@ object EventOps {
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
-    survivalCurve, valuePsi, abLift)
+    survivalCurve, valuePsi, abLift, ltvCohort)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -1915,6 +1915,51 @@ object EventOps {
                                 * (CAST(n_a + n_b AS DOUBLE) / (n_a * n_b))), 0.0)
                          * 1000000) AS BIGINT) AS z_micro
             FROM agg"""))
+
+  /** COHORT LTV CURVES — cumulative revenue per signup cohort as it ages:
+    * users grouped by first-event week, every cent of spend credited to
+    * its (cohort, age-in-weeks) cell, and the running total per cohort —
+    * the lifetime-value table every growth model is fit to, and the
+    * payback-period readout next to [[cohortRetention]]'s who-returns
+    * matrix and [[survivalCurve]]'s who-churns curve. Exactness: weeks
+    * are epoch-day floor-divs (post-1970 discipline), revenue is exact
+    * integer cents, the cumulative sum is a COHORT-KEYED window (never a
+    * global one) over cohort×age cells. Shape: one user-keyed aggregation
+    * finds cohorts, one user-keyed equi-join tags events (runs-sized
+    * dimension), one (cohort, age)-keyed aggregation collapses the
+    * corpus; the window then runs on cell rows only. */
+  lazy val ltvCohort = GraftQuery(
+    "ev_ltv_cohort",
+    (s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000 div 7").as("week"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_week"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+        .agg(countDistinct(col("user_id")).as("n_active"),
+          sum(col("cents")).as("revenue_cents"))
+        .withColumn("cum_revenue_cents",
+          sum(col("revenue_cents")).over(
+            Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))))
+        .orderBy(col("cohort_week"), col("age_weeks"))
+    },
+    Some("""WITH ev AS (SELECT user_id,
+                epoch_us(ts) // 86400000000 // 7 AS week,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            cohort AS (SELECT user_id, min(week) AS cohort_week
+                       FROM ev GROUP BY user_id),
+            cells AS (SELECT cohort_week, week - cohort_week AS age_weeks,
+                        count(DISTINCT ev.user_id) AS n_active,
+                        CAST(sum(cents) AS BIGINT) AS revenue_cents
+                      FROM ev JOIN cohort USING (user_id)
+                      GROUP BY cohort_week, week - cohort_week)
+            SELECT cohort_week, age_weeks, n_active, revenue_cents,
+              CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+                ORDER BY age_weeks) AS BIGINT) AS cum_revenue_cents
+            FROM cells ORDER BY cohort_week, age_weeks"""))
 
   lazy val userGini = GraftQuery(
     "ev_user_gini",
