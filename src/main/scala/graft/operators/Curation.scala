@@ -282,6 +282,114 @@ object Curation {
               CAST(sum(term) AS BIGINT) AS score_scaled
             FROM terms GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** INTERPOLATED KNESER-NEY bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1998 eq. 4.25) — the smoothing that beats stupid backoff when
+    * the model must be a proper probability: absolute discount d=0.75 on
+    * seen bigrams, the freed mass re-spent on the CONTINUATION unigram
+    * P_cont(w2) = |{w1 : c(w1 w2)>0}| / |bigram types| (how many contexts
+    * w2 completes — the "San Francisco" fix: 'Francisco' is frequent but
+    * completes one context, so KN scores it low as a novel continuation).
+    * Same held-out split + planted OOV token as [[lmBackoffScore]] so the
+    * unseen-bigram and OOV paths fire at every SF. Per eval bigram:
+    * seen prefix -> (c_bg−0.75)/c_w1 (0 if bigram unseen)
+    *               + 0.75·n1p(w1)/c_w1 · P_cont⁺(w2);
+    * unseen prefix -> P_cont⁺(w2); with P_cont⁺ add-one smoothed over
+    * (types+V) so OOV w2 stays finite.
+    *
+    * Shapes: the bigram model is built once from the train facts; prefix
+    * stats (c_w1, n1p) and continuation counts (nctx) are aggregations of
+    * MODEL rows, never a second corpus pass; scoring is three
+    * key-partitioned LEFT joins plus a 2-scalar broadcast. Float
+    * discipline: d=0.75 is exactly representable, every probability is an
+    * identical IEEE op tree on both engines, and each ln(P) is integer-
+    * scaled (floor(·1e6+0.5)) BEFORE the per-doc sum — the dsir/backoff
+    * discipline, aggregation-order-proof. */
+  val lmKneserNey = GraftQuery(
+    "lm_kneser_ney",
+    (s, dir) => {
+      def toks(train: Boolean) =
+        t(s, dir, "documents")
+          .filter(if (train) col("doc_id") % 5 =!= 0 else col("doc_id") % 5 === 0)
+          .select(col("doc_id"),
+            split(if (train) col("text")
+                  else concat(col("text"), lit(" zq"), col("doc_id").cast("string")),
+              " ").as("w"))
+      def bigrams(train: Boolean) =
+        toks(train).filter(size(col("w")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(0, size(w)-2),
+               i -> struct(w[i] as w1, w[i+1] as w2))""")).as("b"))
+          .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val model = bigrams(train = true)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg"))
+      val pfx = model.groupBy(col("w1"))
+        .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1p"))
+      val ctx = model.groupBy(col("w2")).agg(count(lit(1)).as("nctx"))
+      val vocab = toks(train = true).select(explode(col("w")).as("tok")).distinct()
+      val scalars = broadcast(
+        model.agg(count(lit(1)).as("nt")).crossJoin(vocab.agg(count(lit(1)).as("vv"))))
+      bigrams(train = false)
+        .join(model, Seq("w1", "w2"), "left")
+        .join(pfx, Seq("w1"), "left")
+        .join(ctx, Seq("w2"), "left")
+        .crossJoin(scalars)
+        .withColumn("term", expr(
+          """cast(floor(ln(
+               case when c_w1 is not null then
+                 (case when c_bg is not null
+                       then (cast(c_bg as double) - 0.75) / cast(c_w1 as double)
+                       else 0.0 end)
+                 + (0.75 * cast(n1p as double) / cast(c_w1 as double))
+                   * (cast(coalesce(nctx, 0) + 1 as double) / cast(nt + vv as double))
+               else (cast(coalesce(nctx, 0) + 1 as double) / cast(nt + vv as double)) end
+             ) * 1e6 + 0.5) as bigint)"""))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_unseen"),
+          sum(col("term")).as("score_scaled"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
+                        FROM documents WHERE doc_id % 5 <> 0),
+            ev AS (SELECT doc_id,
+                     string_split(text || ' zq' || CAST(doc_id AS VARCHAR), ' ') AS w
+                   FROM documents WHERE doc_id % 5 = 0),
+            trbg AS (SELECT
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i+1])) AS w2
+              FROM tr WHERE len(w) >= 2),
+            model AS MATERIALIZED (
+              SELECT w1, w2, count(*) AS c_bg FROM trbg GROUP BY w1, w2),
+            pfx AS (SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_w1, count(*) AS n1p
+                    FROM model GROUP BY w1),
+            ctx AS (SELECT w2, count(*) AS nctx FROM model GROUP BY w2),
+            sc AS (SELECT (SELECT count(*) FROM model) AS nt,
+                          (SELECT count(DISTINCT tok)
+                           FROM (SELECT unnest(w) AS tok FROM tr)) AS vv),
+            evbg AS (SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i+1])) AS w2
+              FROM ev WHERE len(w) >= 2),
+            terms AS (SELECT e.doc_id, m.c_bg,
+                CAST(floor(ln(
+                  CASE WHEN p.c_w1 IS NOT NULL THEN
+                    (CASE WHEN m.c_bg IS NOT NULL
+                          THEN (CAST(m.c_bg AS DOUBLE) - 0.75) / CAST(p.c_w1 AS DOUBLE)
+                          ELSE 0.0 END)
+                    + (0.75 * CAST(p.n1p AS DOUBLE) / CAST(p.c_w1 AS DOUBLE))
+                      * (CAST(coalesce(x.nctx, 0) + 1 AS DOUBLE) / CAST(s.nt + s.vv AS DOUBLE))
+                  ELSE (CAST(coalesce(x.nctx, 0) + 1 AS DOUBLE) / CAST(s.nt + s.vv AS DOUBLE)) END
+                ) * 1e6 + 0.5) AS BIGINT) AS term
+              FROM evbg e
+              LEFT JOIN model m ON m.w1 = e.w1 AND m.w2 = e.w2
+              LEFT JOIN pfx p ON p.w1 = e.w1
+              LEFT JOIN ctx x ON x.w2 = e.w2
+              CROSS JOIN sc s)
+            SELECT doc_id, count(*) AS n_bigrams,
+              CAST(sum(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen,
+              CAST(sum(term) AS BIGINT) AS score_scaled
+            FROM terms GROUP BY doc_id ORDER BY doc_id"""))
+
   // multilingual stop-marker list: the union of the langId marker sets
   private val Stops = Seq("the", "a", "of", "der", "die", "das",
     "el", "los", "una", "le", "la", "les")
@@ -1147,5 +1255,5 @@ object Curation {
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
       tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
       dedupImpact, sourceOverlap, snapshotDrift, mixtureEntropy, datasetCard,
-      leakNgramSweep)
+      leakNgramSweep, lmKneserNey)
 }

@@ -144,5 +144,159 @@ object PageRank {
              SELECT node, CAST(min(d) AS INTEGER) AS hops
              FROM walk GROUP BY node ORDER BY node"""))
 
-  val all: Seq[GraftQuery] = Seq(pagerank, bfs)
+  /** HITS HUBS & AUTHORITIES (Kleinberg 1999) on the DIRECTED
+    * supplier→part graph — the third classic iterative protocol after
+    * PageRank and BFS, and the one whose two-sided scores (good *curator*
+    * vs good *content*) PageRank's single score cannot express. Suppliers
+    * are pure hubs, parts pure authorities (the graph is bipartite), so
+    * each tick is exactly the textbook pair h=A·a, a=Aᵀ·h: two
+    * key-partitioned join+sum passes over the edge list.
+    *
+    * INTEGER-EXACT normalization: instead of the usual L2 norm (an
+    * order-dependent float sum over ALL nodes — not reproducible across
+    * engines), each vector is rescaled to max=1e6 with `x * 1e6 div max(x)`
+    * over exact BIGINTs. max() is order-free, div truncates identically in
+    * Spark and DuckDB on non-negative operands, so every score is
+    * bit-exact at any parallelism. The per-tick max is one scalar
+    * aggregate to the driver — the same cost shape as the PageRank
+    * convergence delta. Int64 headroom: scores ≤ 1e6, so a raw sum ≤
+    * 1e6·deg_max and the rescale multiplicand ≤ 1e12·deg_max — safe to
+    * deg_max ≈ 9·10⁶ (far past any real catalog's suppliers-per-part).
+    * Reference frame: the same controller/worker tick protocol as
+    * examples/pagerank (PageRankController.scala:38-70), different
+    * fixpoint. */
+  val hits = GraftQuery(
+    "graph_hits",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+      val edges = li.select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
+        .distinct().cache()
+      var auth = edges.select(col("dst").as("node")).distinct()
+        .withColumn("a", lit(1000000L))
+        .localCheckpoint(true)
+      var hub: DataFrame = null
+      var it = 0
+      while (it < 3) {
+        val hRaw = edges.join(auth, col("dst") === col("node"))
+          .groupBy(col("src")).agg(sum(col("a")).as("h_raw"))
+        val hMax = hRaw.agg(max(col("h_raw"))).head().getLong(0)
+        hub = hRaw
+          .select(col("src"), expr(s"h_raw * 1000000 div ${hMax}L").as("h"))
+          .localCheckpoint(true)
+        val aRaw = edges.join(hub, Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("a_raw"))
+        val aMax = aRaw.agg(max(col("a_raw"))).head().getLong(0)
+        auth = aRaw
+          .select(col("dst").as("node"), expr(s"a_raw * 1000000 div ${aMax}L").as("a"))
+          .localCheckpoint(true)
+        it += 1
+      }
+      edges.unpersist()
+      hub.select(lit("hub").as("kind"), col("src").as("node"), col("h").as("score_ppm"))
+        .union(auth.select(lit("auth").as("kind"), col("node"), col("a").as("score_ppm")))
+        .orderBy(col("kind"), col("node"))
+    },
+    Some("""WITH edges AS MATERIALIZED (
+               SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+             a0 AS (SELECT DISTINCT dst AS node, CAST(1000000 AS BIGINT) AS a FROM edges),
+             h1r AS MATERIALIZED (
+               SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h_raw
+               FROM edges e JOIN a0 a ON a.node = e.dst GROUP BY e.src),
+             h1 AS MATERIALIZED (
+               SELECT src, CAST(h_raw * 1000000 // (SELECT max(h_raw) FROM h1r) AS BIGINT) AS h FROM h1r),
+             a1r AS MATERIALIZED (
+               SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a_raw
+               FROM edges e JOIN h1 h ON h.src = e.src GROUP BY e.dst),
+             a1 AS MATERIALIZED (
+               SELECT dst AS node, CAST(a_raw * 1000000 // (SELECT max(a_raw) FROM a1r) AS BIGINT) AS a FROM a1r),
+             h2r AS MATERIALIZED (
+               SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h_raw
+               FROM edges e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+             h2 AS MATERIALIZED (
+               SELECT src, CAST(h_raw * 1000000 // (SELECT max(h_raw) FROM h2r) AS BIGINT) AS h FROM h2r),
+             a2r AS MATERIALIZED (
+               SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a_raw
+               FROM edges e JOIN h2 h ON h.src = e.src GROUP BY e.dst),
+             a2 AS MATERIALIZED (
+               SELECT dst AS node, CAST(a_raw * 1000000 // (SELECT max(a_raw) FROM a2r) AS BIGINT) AS a FROM a2r),
+             h3r AS MATERIALIZED (
+               SELECT e.src, CAST(sum(a.a) AS BIGINT) AS h_raw
+               FROM edges e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+             h3 AS MATERIALIZED (
+               SELECT src, CAST(h_raw * 1000000 // (SELECT max(h_raw) FROM h3r) AS BIGINT) AS h FROM h3r),
+             a3r AS MATERIALIZED (
+               SELECT e.dst, CAST(sum(h.h) AS BIGINT) AS a_raw
+               FROM edges e JOIN h3 h ON h.src = e.src GROUP BY e.dst),
+             a3 AS MATERIALIZED (
+               SELECT dst AS node, CAST(a_raw * 1000000 // (SELECT max(a_raw) FROM a3r) AS BIGINT) AS a FROM a3r)
+             SELECT 'hub' AS kind, src AS node, h AS score_ppm FROM h3
+             UNION ALL
+             SELECT 'auth' AS kind, node, a AS score_ppm FROM a3
+             ORDER BY kind, node"""))
+
+  /** PERSONALIZED PAGERANK: random walks that teleport back to a SEED SET
+    * instead of the uniform distribution — the relevance-to-these-nodes
+    * score behind recommendation ("parts related to what supplier group S
+    * touches") and local community detection. Same symmetrized
+    * supplier<->part graph, same 5-tick power iteration and float
+    * discipline as [[pagerank]] (per-node group-by sums, round(,8));
+    * the ONLY change is the teleport vector: 0.15/|S| on seeds
+    * (node % 17 == 0), 0 elsewhere — so mass decays with distance from
+    * the seeds and unreachable nodes go to 0, which is the point.
+    * |S| is one driver-side scalar, exactly like [[pagerank]]'s n. */
+  val ppr = GraftQuery(
+    "graph_personalized_pagerank",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+      val fwd = li.select((col("l_suppkey") + SuppOffset).as("src"), col("l_partkey").as("dst"))
+      val rev = li.select(col("l_partkey").as("src"), (col("l_suppkey") + SuppOffset).as("dst"))
+      val edges = fwd.union(rev).distinct().cache()
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val nodes = edges.select(col("src").as("node")).distinct().cache()
+      val nSeeds = nodes.filter(col("node") % 17 === 0).count()
+      val teleport = when(col("node") % 17 === 0, lit(0.15 / nSeeds)).otherwise(lit(0.0))
+      var ranks = nodes.withColumn("rank",
+        when(col("node") % 17 === 0, lit(1.0 / nSeeds)).otherwise(lit(0.0)))
+      var it = 0
+      while (it < Iters) {
+        val contribs = edges
+          .join(deg, "src")
+          .join(ranks, col("src") === col("node"))
+          .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+          .groupBy(col("node")).agg(sum(col("c")).as("contrib"))
+        val next = nodes.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (teleport + lit(Damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+          .localCheckpoint(true)
+        ranks.unpersist()
+        ranks = next
+        it += 1
+      }
+      edges.unpersist()
+      ranks.select(col("node"), round(col("rank"), 8).as("ppr")).orderBy(col("node"))
+    },
+    Some(s"""WITH edges AS (
+               SELECT DISTINCT l_suppkey + $SuppOffset AS src, l_partkey AS dst FROM lineitem
+               UNION
+               SELECT DISTINCT l_partkey AS src, l_suppkey + $SuppOffset AS dst FROM lineitem),
+             deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+             nodes AS (SELECT DISTINCT src AS node FROM edges),
+             nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes WHERE node % 17 = 0),
+             r0 AS (SELECT node,
+                      CASE WHEN node % 17 = 0 THEN 1.0 / nn.n ELSE 0.0 END AS rank
+                    FROM nodes CROSS JOIN nn),
+             ${(1 to Iters).map(pprIterSql).mkString(",\n")}
+             SELECT node, round(rank, 8) AS ppr FROM r$Iters ORDER BY node"""))
+
+  /** Oracle tick for [[ppr]]: seed-restricted teleport, else [[iterSql]]. */
+  private def pprIterSql(k: Int): String =
+    s"""it$k AS (SELECT e.dst AS node, sum(r.rank / d.deg) AS contrib
+                 FROM edges e JOIN deg d ON d.src = e.src
+                 JOIN r${k - 1} r ON e.src = r.node GROUP BY e.dst),
+        r$k AS (SELECT nodes.node,
+                  CASE WHEN nodes.node % 17 = 0 THEN 0.15 / nn.n ELSE 0.0 END
+                    + 0.85 * coalesce(it$k.contrib, 0.0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN it$k ON it$k.node = nodes.node)"""
+
+  val all: Seq[GraftQuery] = Seq(pagerank, bfs, hits, ppr)
 }

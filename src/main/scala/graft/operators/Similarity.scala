@@ -1528,11 +1528,50 @@ object Similarity {
                 // CAST(sum(csize) AS BIGINT) AS BIGINT) AS imbalance_micro
             FROM cells"""))
 
+  /** MAXIMUM INNER PRODUCT SEARCH (MIPS) top-k: rank the corpus by raw
+    * dot(q, x), NOT cosine — the retrieval objective when magnitude
+    * carries signal (recommender user·item scores, un-normalized
+    * two-tower retrieval, reward-model scoring). Same broadcast shape as
+    * [[annBruteTopK]]: ≤8 query vectors map-side against the corpus, one
+    * window per query — corpus never shuffles, score is the codegen'd
+    * ordered fold. Scale route: MIPS reduces to cosine NN by the
+    * norm-augmentation transform (Shrivastava & Li 2014) — append
+    * sqrt(M²−‖x‖²) to each corpus vector and 0 to each query, where
+    * M = max‖x‖ — after which every bucketed ANN route in this file
+    * (IVF cells, LSH bands) applies unchanged; the augmentation is one
+    * scan-side map, so the brute spelling here stays the documented
+    * correctness baseline. */
+  val annMipsTopK = GraftQuery(
+    "ann_mips_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(dotFold("embedding", "q_emb"), 4).as("dot"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("dot").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 8),
+             scored AS (SELECT q.q_id, e.vec_id,
+                          round(${sqlDot("e.embedding", "q.q_emb")}, 4) AS dot
+                        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+             ranked AS (SELECT q_id, vec_id, dot,
+                          row_number() OVER (PARTITION BY q_id ORDER BY dot DESC, vec_id) AS rank
+                        FROM scored)
+             SELECT q_id, vec_id, dot, CAST(rank AS INTEGER) AS rank
+             FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
       randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
       normProfile, labelMargin, quantError, embThresholdSweep,
-      embThresholdSweepSampled, ivfBalance, semanticDecontam)
+      embThresholdSweepSampled, ivfBalance, semanticDecontam, annMipsTopK)
 }

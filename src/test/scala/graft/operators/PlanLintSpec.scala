@@ -22,7 +22,7 @@ class PlanLintSpec extends SparkTestBase {
     "q38_range_join",
     // ≤8 query vectors broadcast against the corpus (map-side scoring)
     "ann_cosine_topk", "ann_range_search", "ann_recall_eval",
-    "ann_dim_truncation_eval",
+    "ann_dim_truncation_eval", "ann_mips_topk",
     // documented all-pairs correctness baseline
     "dedup_embedding", "emb_threshold_sweep",
     // all-pairs on a deterministic 1/16 hash-sample (1/256 of the pairs):
@@ -35,7 +35,8 @@ class PlanLintSpec extends SparkTestBase {
     "ann_probe_sweep",
     // crossJoin of a 1-row scalar aggregate (corpus totals / norm / v)
     "emb_power_iteration", "text_tfidf", "curation_temperature_sample",
-    "curation_dsir_weights", "lm_backoff_score", "text_vocab_coverage",
+    "curation_dsir_weights", "lm_backoff_score", "lm_kneser_ney",
+    "text_vocab_coverage",
     "q48_value_share", "q50_inactive_high_balance", "pipeline_histogram",
     "pipeline_curriculum", "text_source_divergence", "text_vocab_growth",
     // crossJoins of 1-row scalar aggregates (budget+G, then the water
