@@ -165,36 +165,44 @@ object PageRank {
     * Reference frame: the same controller/worker tick protocol as
     * examples/pagerank (PageRankController.scala:38-70), different
     * fixpoint. */
+  /** The HITS tick loop on a directed (src, dst) edge list — factored out
+    * so property specs can pin the fixpoint on synthetic graphs (the
+    * GraphOpsSpec pattern). Returns (kind, node, score_ppm) with kind
+    * 'hub' for src-side nodes and 'auth' for dst-side. */
+  private[operators] def hitsScores(edges: DataFrame, iters: Int): DataFrame = {
+    var auth = edges.select(col("dst").as("node")).distinct()
+      .withColumn("a", lit(1000000L))
+      .localCheckpoint(true)
+    var hub: DataFrame = null
+    var it = 0
+    while (it < iters) {
+      val hRaw = edges.join(auth, col("dst") === col("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h_raw"))
+      val hMax = hRaw.agg(max(col("h_raw"))).head().getLong(0)
+      hub = hRaw
+        .select(col("src"), expr(s"h_raw * 1000000 div ${hMax}L").as("h"))
+        .localCheckpoint(true)
+      val aRaw = edges.join(hub, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a_raw"))
+      val aMax = aRaw.agg(max(col("a_raw"))).head().getLong(0)
+      auth = aRaw
+        .select(col("dst").as("node"), expr(s"a_raw * 1000000 div ${aMax}L").as("a"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    hub.select(lit("hub").as("kind"), col("src").as("node"), col("h").as("score_ppm"))
+      .union(auth.select(lit("auth").as("kind"), col("node"), col("a").as("score_ppm")))
+  }
+
   val hits = GraftQuery(
     "graph_hits",
     (s, dir) => {
       val li = Tables.t(s, dir, "lineitem")
       val edges = li.select(col("l_suppkey").as("src"), col("l_partkey").as("dst"))
         .distinct().cache()
-      var auth = edges.select(col("dst").as("node")).distinct()
-        .withColumn("a", lit(1000000L))
-        .localCheckpoint(true)
-      var hub: DataFrame = null
-      var it = 0
-      while (it < 3) {
-        val hRaw = edges.join(auth, col("dst") === col("node"))
-          .groupBy(col("src")).agg(sum(col("a")).as("h_raw"))
-        val hMax = hRaw.agg(max(col("h_raw"))).head().getLong(0)
-        hub = hRaw
-          .select(col("src"), expr(s"h_raw * 1000000 div ${hMax}L").as("h"))
-          .localCheckpoint(true)
-        val aRaw = edges.join(hub, Seq("src"))
-          .groupBy(col("dst")).agg(sum(col("h")).as("a_raw"))
-        val aMax = aRaw.agg(max(col("a_raw"))).head().getLong(0)
-        auth = aRaw
-          .select(col("dst").as("node"), expr(s"a_raw * 1000000 div ${aMax}L").as("a"))
-          .localCheckpoint(true)
-        it += 1
-      }
+      val out = hitsScores(edges, iters = 3).orderBy(col("kind"), col("node"))
       edges.unpersist()
-      hub.select(lit("hub").as("kind"), col("src").as("node"), col("h").as("score_ppm"))
-        .union(auth.select(lit("auth").as("kind"), col("node"), col("a").as("score_ppm")))
-        .orderBy(col("kind"), col("node"))
+      out
     },
     Some("""WITH edges AS MATERIALIZED (
                SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
