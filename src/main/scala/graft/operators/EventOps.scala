@@ -1037,6 +1037,73 @@ object EventOps {
     * their oracle strings interpolate must already be initialized. */
   private val SurvivalHorizonDays = 30
 
+  /** BOT / AUTOMATION DETECTION: per-user cadence profile plus an
+    * unsupervised two-signal flag — high volume AND metronome-regular
+    * timing, the standard first gate before any engagement metric is
+    * trusted ([[interarrivalStats]] is the corpus-wide calibration; this
+    * is the per-actor verdict). Regularity = IQR/median of the user's
+    * inter-event gaps — scale-free (a bot polling every 10s and one
+    * polling hourly both score near 0), robust to the session-boundary
+    * outliers that wreck CV-of-gaps, and exactly computable: gaps are
+    * exact integer micros, percentiles interpolate identically in both
+    * engines (the q41 discipline), and the one division is
+    * floor-scaled to micros. Thresholds are DATA-DRIVEN (volume >= corpus
+    * p90, regularity <= corpus p10) so the flag fires at every SF instead
+    * of going vacuous when no absolute cutoff fits the synthetic cadence.
+    * Shapes: one lag() pass per user, one user-keyed aggregation, then a
+    * 1-row threshold broadcast onto user-count rows. Div-by-zero guarded
+    * with nullif on BOTH engines (duplicate-timestamp gaps can zero the
+    * median); a null regularity can never flag. */
+  val botDetection = GraftQuery(
+    "ev_bot_detection",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val prof = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          expr("percentile(gap_us, 0.5D)").as("med"),
+          expr("percentile(gap_us, 0.75D) - percentile(gap_us, 0.25D)").as("iqr"))
+      val th = broadcast(prof.agg(
+        expr("percentile(n_events, 0.9D)").as("vol_hi"),
+        expr("""percentile(cast(floor(iqr / nullif(med, 0.0) * 1e6 + 0.5) as bigint),
+                 0.1D)""").as("reg_lo")))
+      prof.crossJoin(th)
+        .select(col("user_id"), col("n_events"), col("n_types"),
+          expr("floor(med / 1e6 * 1e4 + 0.5) / 1e4").as("median_gap_s"),
+          expr("cast(floor(iqr / nullif(med, 0.0) * 1e6 + 0.5) as bigint)")
+            .as("regularity_micro"),
+          expr("""coalesce(n_events >= vol_hi
+                  and cast(floor(iqr / nullif(med, 0.0) * 1e6 + 0.5) as bigint) <= reg_lo,
+                  false)""").as("is_bot"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH g AS (
+              SELECT user_id, event_type,
+                epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+              FROM events),
+            prof AS MATERIALIZED (
+              SELECT user_id, count(*) AS n_events,
+                count(DISTINCT event_type) AS n_types,
+                quantile_cont(gap_us, 0.5) AS med,
+                quantile_cont(gap_us, 0.75) - quantile_cont(gap_us, 0.25) AS iqr
+              FROM g GROUP BY user_id),
+            th AS (SELECT quantile_cont(n_events, 0.9) AS vol_hi,
+                     quantile_cont(CAST(floor(iqr / nullif(med, 0.0) * 1e6 + 0.5) AS BIGINT),
+                       0.1) AS reg_lo
+                   FROM prof)
+            SELECT user_id, n_events, n_types,
+              floor(med / 1e6 * 1e4 + 0.5) / 1e4 AS median_gap_s,
+              CAST(floor(iqr / nullif(med, 0.0) * 1e6 + 0.5) AS BIGINT) AS regularity_micro,
+              coalesce(n_events >= vol_hi
+                AND CAST(floor(iqr / nullif(med, 0.0) * 1e6 + 0.5) AS BIGINT) <= reg_lo,
+                false) AS is_bot
+            FROM prof CROSS JOIN th ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1047,7 +1114,7 @@ object EventOps {
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
-    survivalCurve, valuePsi, abLift, ltvCohort)
+    survivalCurve, valuePsi, abLift, ltvCohort, botDetection)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
