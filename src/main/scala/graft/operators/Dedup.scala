@@ -1048,9 +1048,80 @@ object Dedup {
              FROM th LEFT JOIN byeq ON n_eq >= threshold
              GROUP BY threshold ORDER BY threshold"""))
 
+  /** Core of [[cdcChunks]], factored over an arbitrary (doc_id, text)
+    * frame so the insertion-robustness property spec can run it on planted
+    * document pairs. A token is a BOUNDARY when the last hex digit of its
+    * md5 is '0' (P = 1/16, expected chunk ≈ 16 tokens); a token's chunk id
+    * is the count of boundaries strictly before it, so boundaries are a
+    * property of the CONTENT, not the offset — insert a sentence and only
+    * the chunk containing it re-digests, where [[chunk]]'s fixed 10-token
+    * grid re-digests every downstream chunk. */
+  private[graft] def cdcChunkProfile(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("b", when(substring(md5(col("tok")), 32, 1) === "0", 1).otherwise(0))
+      .withColumn("chunk", coalesce(sum(col("b")).over(w), lit(0)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(md5(array_join(
+        expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+        " ")).as("h"))
+    val counts = chunks.groupBy(col("h")).agg(count(lit(1)).as("n"))
+    chunks.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("n") > 1, 1).otherwise(0)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        expr("floor(cast(n_dup_chunks as double) / n_chunks * 1e6 + 0.5) / 1e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** CONTENT-DEFINED CHUNKING dedup (the rsync/LBFS/storage-dedup boundary
+    * scheme applied to corpus text): chunk boundaries fall where a
+    * per-token hash condition fires instead of on a fixed grid, so chunk
+    * contents are INSERTION-ROBUST — prepend one sentence to a document
+    * and [[chunk]]'s 10-token grid shifts every downstream chunk (zero
+    * digests match), while the CDC boundaries re-synchronize immediately
+    * after the edit and every untouched chunk still matches
+    * (CdcChunkSpec pins exactly this pair). Same per-doc duplication
+    * report as [[chunk]] so the two spellings are directly comparable.
+    * 100 TB shape: boundary hashing and digesting are scan-side; the
+    * per-doc prefix-count window is doc-partitioned and bounded by doc
+    * length; only 32-char digests ever shuffle. */
+  val cdcChunks = GraftQuery(
+    "dedup_cdc_chunks",
+    (s, dir) => cdcChunkProfile(t(s, dir, "documents")),
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                unnest(generate_series(1, len(w))) AS pos,
+                unnest(list_transform(generate_series(1, len(w)), i -> w[i])) AS tok
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+            marked AS (
+              SELECT doc_id, pos, tok,
+                CASE WHEN substr(md5(tok), 32, 1) = '0' THEN 1 ELSE 0 END AS b
+              FROM tok),
+            chunked AS (
+              SELECT doc_id, pos, tok,
+                coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+              FROM marked),
+            ch AS MATERIALIZED (
+              SELECT doc_id, chunk,
+                md5(string_agg(tok, ' ' ORDER BY pos)) AS h
+              FROM chunked GROUP BY doc_id, chunk),
+            cnt AS (SELECT h, count(*) AS n FROM ch GROUP BY h)
+            SELECT doc_id, count(*) AS n_chunks,
+              CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+              floor(CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / count(*) * 1e6 + 0.5) / 1e6 AS dup_frac
+            FROM ch JOIN cnt USING (h)
+            GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GraftQuery] =
     Seq(exact, hashKey, minhashLsh, clusters, simhash, ngramJaccard,
       containment, minhashFast, chunk, exactSubstring, priorityKeep,
       ingestDelta, ingestDeltaBloom, fuzzyNames, rewrite, snapshotMerge, snm,
-      candidateEval, bandingSweep, clusterStats, thresholdSweep)
+      candidateEval, bandingSweep, clusterStats, thresholdSweep, cdcChunks)
 }
