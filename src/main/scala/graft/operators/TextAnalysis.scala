@@ -995,9 +995,85 @@ object TextAnalysis {
             WHERE c_bg >= $CollocationMinCount
             ORDER BY pmi_micro DESC, bigram LIMIT 30"""))
 
+  /** RAKE KEYWORD EXTRACTION (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are maximal
+    * runs of non-stopword tokens (the same 7-marker stop set as
+    * [[quality]]); each word scores deg(w)/freq(w) — degree counts the
+    * lengths of every phrase the word appears in, so words that travel in
+    * long phrases outrank bare frequent words — and a phrase scores the
+    * sum of its words' scores. The corpus-level top-25 keyword table is
+    * the cheap topical fingerprint next to [[tfidf]]'s per-doc terms and
+    * [[collocations]]' bigram PMI.
+    *
+    * Shapes: phrase splitting is one per-doc prefix-count window
+    * (doc-partitioned, bounded by doc length — the dedup_cdc_chunks
+    * machinery); word stats and phrase scores are key-partitioned
+    * aggregations on phrase-sized rows; top-25 is TakeOrderedAndProject.
+    * Float discipline: deg*1e6 div freq is one non-negative integer
+    * division, phrase scores are exact-integer sums of those micros. */
+  val keywordRake = GraftQuery(
+    "text_keyword_rake",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stops = Seq("the", "a", "of", "to", "and", "in", "is")
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val phrases = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+        .withColumn("b", when(col("tok").isin(stops: _*), 1).otherwise(0))
+        .withColumn("grp", sum(col("b")).over(w))
+        .filter(col("b") === 0)
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(array_join(
+            expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+            " ").as("phrase"),
+          count(lit(1)).as("n_words"))
+      val wstats = phrases
+        .select(col("n_words"), explode(split(col("phrase"), " ")).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+        .select(col("w"), expr("deg * 1000000 div freq").as("wscore_micro"))
+      phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+        .select(col("phrase"), col("n_occ"), explode(split(col("phrase"), " ")).as("w"))
+        .join(wstats, "w")
+        .groupBy(col("phrase"), col("n_occ"))
+        .agg(sum(col("wscore_micro")).as("score_micro"))
+        .orderBy(col("score_micro").desc, col("phrase")).limit(25)
+        .select(col("phrase"), col("n_occ"), col("score_micro"))
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id,
+                unnest(generate_series(1, len(w))) AS pos,
+                unnest(list_transform(generate_series(1, len(w)), i -> w[i])) AS tok
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+            grouped AS (
+              SELECT doc_id, pos, tok, b,
+                sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+              FROM (SELECT doc_id, pos, tok,
+                      CASE WHEN tok IN ('the','a','of','to','and','in','is')
+                           THEN 1 ELSE 0 END AS b
+                    FROM tok)),
+            phrases AS MATERIALIZED (
+              SELECT doc_id, grp, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                count(*) AS n_words
+              FROM grouped WHERE b = 0 GROUP BY doc_id, grp),
+            wstats AS MATERIALIZED (
+              SELECT w,
+                CAST(CAST(sum(n_words) AS BIGINT) * 1000000 // count(*) AS BIGINT)
+                  AS wscore_micro
+              FROM (SELECT n_words, unnest(string_split(phrase, ' ')) AS w FROM phrases)
+              GROUP BY w),
+            pocc AS (SELECT phrase, count(*) AS n_occ FROM phrases GROUP BY phrase)
+            SELECT p.phrase, p.n_occ, CAST(sum(ws.wscore_micro) AS BIGINT) AS score_micro
+            FROM (SELECT phrase, n_occ, unnest(string_split(phrase, ' ')) AS w
+                  FROM pocc) p
+            JOIN wstats ws ON ws.w = p.w
+            GROUP BY p.phrase, p.n_occ
+            ORDER BY score_micro DESC, phrase LIMIT 25"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
       cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit,
       vocabCoverage, bpeFertility, complexity, langIdConfusion,
-      sourceDivergence, vocabGrowth, hapaxRatio, collocations)
+      sourceDivergence, vocabGrowth, hapaxRatio, collocations, keywordRake)
 }
