@@ -390,6 +390,56 @@ object Curation {
               CAST(sum(term) AS BIGINT) AS score_scaled
             FROM terms GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE (Dwork et al. 2006): the
+    * (lang, source) document counts with Laplace(1/ε) noise at ε = 1 —
+    * sensitivity is 1 because adding or removing one document moves
+    * exactly one cell by exactly 1, so this is the textbook counting-query
+    * mechanism and the release-side complement of
+    * [[kAnonymity]]'s suppress-side audit. The noise is drawn by inverse
+    * CDF from a KEYED-HASH uniform (48 md5 bits per cell, the
+    * temperature-sample derivation) — deterministic so the oracle can
+    * reproduce it bit-for-bit and releases are replayable; swap the key
+    * for a fresh random seed per release in production, where
+    * replayability across releases would compound ε. u is offset by half
+    * an ulp of the 48-bit grid so 2u and 2(1−u) never hit ln(0). The
+    * true count is emitted alongside for verification; a real release
+    * drops it. Float discipline: one ln per cell on an identical IEEE
+    * argument, floor-scaled to micros (the dsir/collocations ln rule);
+    * everything after is exact-integer. Group-cardinality output — the
+    * scan aggregates map-side. */
+  val dpHistogram = GraftQuery(
+    "curation_dp_histogram",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("v", conv(substring(
+          md5(concat(lit("dpnoise:"), col("lang"), lit(":"), col("source"))),
+          1, 12), 16, 10).cast("long"))
+        .withColumn("u", expr("(cast(v as double) + 0.5) / 281474976710656.0"))
+        .withColumn("noise_micro", expr(
+          """cast(floor((case when u >= 0.5 then -ln(2.0 * (1.0 - u))
+                              else ln(2.0 * u) end) * 1e6 + 0.5) as bigint)"""))
+        .select(col("lang"), col("source"), col("n_docs"), col("noise_micro"),
+          expr("n_docs * 1000000 + noise_micro").as("released_micro"))
+        .orderBy(col("lang"), col("source")),
+    Some("""WITH cells AS (
+              SELECT lang, source, count(*) AS n_docs,
+                CAST(('0x' || substring(md5('dpnoise:' || lang || ':' || source), 1, 12))
+                  AS BIGINT) AS v
+              FROM documents GROUP BY lang, source),
+            noised AS (
+              SELECT lang, source, n_docs,
+                CAST(floor((CASE WHEN u >= 0.5 THEN -ln(2.0 * (1.0 - u))
+                                 ELSE ln(2.0 * u) END) * 1e6 + 0.5) AS BIGINT)
+                  AS noise_micro
+              FROM (SELECT lang, source, n_docs,
+                      (CAST(v AS DOUBLE) + 0.5) / 281474976710656.0 AS u
+                    FROM cells))
+            SELECT lang, source, n_docs, noise_micro,
+              n_docs * 1000000 + noise_micro AS released_micro
+            FROM noised ORDER BY lang, source"""))
+
   // multilingual stop-marker list: the union of the langId marker sets
   private val Stops = Seq("the", "a", "of", "der", "die", "das",
     "el", "los", "una", "le", "la", "les")
@@ -1255,5 +1305,5 @@ object Curation {
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
       tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
       dedupImpact, sourceOverlap, snapshotDrift, mixtureEntropy, datasetCard,
-      leakNgramSweep, lmKneserNey)
+      leakNgramSweep, lmKneserNey, dpHistogram)
 }
