@@ -1104,8 +1104,8 @@ object Dedup {
               FROM tok),
             chunked AS (
               SELECT doc_id, pos, tok,
-                coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+                coalesce(CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk
               FROM marked),
             ch AS MATERIALIZED (
               SELECT doc_id, chunk,

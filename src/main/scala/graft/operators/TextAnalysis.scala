@@ -1048,7 +1048,7 @@ object TextAnalysis {
               FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
             grouped AS (
               SELECT doc_id, pos, tok, b,
-                sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS grp
               FROM (SELECT doc_id, pos, tok,
                       CASE WHEN tok IN ('the','a','of','to','and','in','is')
                            THEN 1 ELSE 0 END AS b
