@@ -1003,9 +1003,73 @@ object GraphOps {
           FROM tr CROSS JOIN mm GROUP BY m
           ORDER BY part_kind"""))
 
+  /** LOUVAIN FIRST-MOVE PASS (Blondel et al. 2008, phase 1, tick 1): from
+    * singleton communities, each node greedily picks the neighbor
+    * community with the best modularity gain and moves iff the gain is
+    * positive — the seed step of the method behind most production
+    * community detection, and the MOVE-SELECTION primitive the iterated
+    * algorithm repeats. All moves are evaluated SYNCHRONOUSLY (the
+    * distributed-Louvain convention — sequential scan order doesn't exist
+    * at scale), and the output is each node's decision, so simultaneity
+    * is semantics, not a race.
+    *
+    * EXACT-INTEGER gain: moving isolated i into singleton {j} gives
+    * ΔQ·2m² = 2m·k_{i,in} − Σ_tot·k_i = 2m − deg(i)·deg(j) — the
+    * whole argmax runs on BIGINTs (headroom to deg ≈ 3·10⁹ at any m), so
+    * argmax over j = argmin deg(j) with a min-j tie-break: one
+    * row_number window over the neighbor lists, no floats anywhere.
+    * Same sparse supplier~part graph as [[modularity]]; m is one
+    * driver-side scalar (the PageRank n discipline). Shapes: two
+    * key-sized shuffles (degrees, per-node argmin), never
+    * edges-join-edges. */
+  val louvainMove = GraftQuery(
+    "graph_louvain_move",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val half = Tables.t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_partkey").as("u"), (col("l_suppkey") + SuppOffset).as("v"))
+        .distinct().cache()
+      val m = half.count()
+      val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
+      val deg = degrees(half)
+      val cand = edges
+        .join(deg.select(col("node").as("u"), col("deg").as("degree")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("degj")), "v")
+      val w = Window.partitionBy(col("u")).orderBy(col("degj"), col("v"))
+      val out = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("u").as("node"), col("degree"),
+          expr(s"case when ${m}L * 2 - degree * degj > 0 then v else u end").as("target"),
+          expr(s"${m}L * 2 - degree * degj").as("gain_scaled"),
+          expr(s"${m}L * 2 - degree * degj > 0").as("moved"))
+        .orderBy(col("node"))
+      half.unpersist()
+      out
+    },
+    Some(s"""WITH half AS MATERIALIZED (
+               SELECT DISTINCT l_partkey AS u, l_suppkey + $SuppOffset AS v
+               FROM lineitem WHERE l_orderkey % 50 = 0),
+             edges AS MATERIALIZED (
+               SELECT u, v FROM half UNION ALL SELECT v AS u, u AS v FROM half),
+             deg AS MATERIALIZED (
+               SELECT u AS node, count(*) AS deg FROM edges GROUP BY u),
+             mm AS (SELECT count(*) AS m FROM half),
+             cand AS (
+               SELECT e.u, e.v, di.deg AS degree, dj.deg AS degj,
+                 row_number() OVER (PARTITION BY e.u ORDER BY dj.deg, e.v) AS rn
+               FROM edges e
+               JOIN deg di ON di.node = e.u
+               JOIN deg dj ON dj.node = e.v)
+             SELECT c.u AS node, c.degree,
+               CASE WHEN mm.m * 2 - c.degree * c.degj > 0 THEN c.v ELSE c.u END AS target,
+               mm.m * 2 - c.degree * c.degj AS gain_scaled,
+               mm.m * 2 - c.degree * c.degj > 0 AS moved
+             FROM cand c CROSS JOIN mm WHERE c.rn = 1 ORDER BY node"""))
+
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
       ssspQuery, degreeHist, twoHop, commonNeighbors, resourceAlloc,
       jaccardSimilarity, assortativity, copurchaseLift, clusteringCoeff,
-      modularity)
+      modularity, louvainMove)
 }
