@@ -191,6 +191,62 @@ object Multimodal {
             FROM documents JOIN embeddings ON doc_id = vec_id
             ORDER BY doc_id"""))
 
+  /** SHOT-BOUNDARY DETECTION (scene cuts) for video-like payloads: a cut
+    * falls where consecutive frames' features jump by more than a
+    * threshold, and scenes are the runs between cuts — the segmentation a
+    * video training pipeline does before sampling frames per SCENE instead
+    * of per fixed stride ([[frameSample]]'s grid oversamples static shots
+    * and misses short ones). The per-frame feature is the decode STUB
+    * (deterministic 8-bit pseudo-luma from a keyed hash, standing in for
+    * the codec's mean-luminance); the segmentation arithmetic is the real,
+    * scale-tested part. The cut predicate is STATELESS: the previous
+    * frame's feature is re-derived by hashing i−1 rather than carried by a
+    * lag() window, so cut detection is pure scan-side per-row work — the
+    * only window is the per-video prefix count that numbers the scenes
+    * (video-partitioned, bounded by frame count). */
+  val sceneCuts = GraftQuery(
+    "mm_scene_cuts",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def luma(ix: org.apache.spark.sql.Column) =
+        conv(substring(md5(concat(lit("luma:"), col("doc_id").cast("string"),
+          lit(":"), ix.cast("string"))), 1, 4), 16, 10).cast("long") % 256
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          (octet_length(encode(col("text"), "UTF-8")) % 240 + 16).as("n_frames"))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, n_frames - 1)")).as("i"))
+        .withColumn("cut",
+          when(col("i") > 0 &&
+            abs(luma(col("i")) - luma(col("i") - 1)) > 160, 1).otherwise(0))
+        .withColumn("scene", sum(col("cut")).over(w))
+        .groupBy(col("doc_id"), col("scene"))
+        .agg(min(col("i")).as("start_frame"), count(lit(1)).as("scene_len"))
+        .orderBy(col("doc_id"), col("scene"))
+    },
+    Some("""WITH f AS (
+              SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS i
+              FROM (SELECT doc_id,
+                      CAST(octet_length(encode(text)) % 240 + 16 AS INTEGER) AS n_frames
+                    FROM documents)),
+            feat AS (
+              SELECT doc_id, i,
+                CASE WHEN i > 0 AND abs(
+                    CAST(('0x' || substring(md5('luma:' || CAST(doc_id AS VARCHAR)
+                      || ':' || CAST(i AS VARCHAR)), 1, 4)) AS BIGINT) % 256
+                  - CAST(('0x' || substring(md5('luma:' || CAST(doc_id AS VARCHAR)
+                      || ':' || CAST(i - 1 AS VARCHAR)), 1, 4)) AS BIGINT) % 256) > 160
+                THEN 1 ELSE 0 END AS cut
+              FROM f),
+            sc AS (
+              SELECT doc_id, i,
+                CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS scene
+              FROM feat)
+            SELECT doc_id, scene, CAST(min(i) AS INTEGER) AS start_frame,
+              count(*) AS scene_len
+            FROM sc GROUP BY doc_id, scene ORDER BY doc_id, scene"""))
+
   /** AUDIO WINDOWING plan: treat the payload as 16-bit mono PCM and cut it
     * into fixed windows with 50% overlap — the standard ASR/audio-model
     * featurization grid (window 64 samples, hop 32, scaled to the toy
@@ -392,5 +448,5 @@ object Multimodal {
     })
 
   val all: Seq[GraftQuery] = Seq(meta, decodeFeatures, frameSample, resizePlan,
-    captionPairs, audioWindows, shardManifest, patchGrid, seqBudget)
+    captionPairs, audioWindows, shardManifest, patchGrid, seqBudget, sceneCuts)
 }

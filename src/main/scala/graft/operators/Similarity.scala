@@ -1567,11 +1567,120 @@ object Similarity {
              SELECT q_id, vec_id, dot, CAST(rank AS INTEGER) AS rank
              FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""))
 
+  /** One unrolled MMR selection round for [[annMmrTopK]]'s oracle: from
+    * the shortlist minus sel$p, score 0.7·rel − 0.3·max-sim-to-selected
+    * and take the per-query argmax (vec_id tie-break). */
+  private def mmrStepSql(k: Int): String = {
+    val p = k - 1
+    s"""c$k AS (
+          SELECT c.q_id, c.vec_id, c.embedding, c.rel,
+            max(round(${sqlCos("c.embedding", "s.embedding")}, 4)) AS msim
+          FROM short c JOIN sel$p s ON s.q_id = c.q_id
+          WHERE NOT EXISTS (SELECT 1 FROM sel$p x
+                            WHERE x.q_id = c.q_id AND x.vec_id = c.vec_id)
+          GROUP BY c.q_id, c.vec_id, c.embedding, c.rel),
+        p$k AS (
+          SELECT q_id, vec_id, embedding, rel,
+            0.7 * rel - 0.3 * msim AS score,
+            row_number() OVER (PARTITION BY q_id
+              ORDER BY 0.7 * rel - 0.3 * msim DESC, vec_id) AS rn
+          FROM c$k),
+        s$k AS (SELECT q_id, vec_id, embedding, rel, $k AS pick, score
+                FROM p$k WHERE rn = 1),
+        sel$k AS MATERIALIZED (
+          SELECT * FROM sel$p UNION ALL SELECT * FROM s$k)"""
+  }
+
+  /** MMR-DIVERSIFIED TOP-K (Maximal Marginal Relevance, Carbonell &
+    * Goldstein 1998): re-rank each query's exact-cosine top-20 shortlist
+    * by picking 5 items greedily, each maximizing
+    * λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s) with λ = 0.7 — the
+    * standard redundancy-suppressing second stage behind RAG context
+    * assembly and dedup-aware retrieval (near-identical corpus items
+    * should not fill all k slots; [[annBruteTopK]] happily lets them).
+    *
+    * Shapes: stage 1 is the documented broadcast-query corpus scan +
+    * per-query window — the expensive, 100 TB-shaped part, identical to
+    * [[annPqRerank]]'s shortlist; the MMR loop then runs 4 more rounds on
+    * SHORTLIST-sized frames (≤ 20 rows/query joined against ≤ 4 picks), so
+    * selection cost is independent of corpus size. Float discipline:
+    * similarities round to 4 dp BEFORE any MMR arithmetic in both engines,
+    * the score is one fixed op tree of those rounded doubles, and vec_id
+    * tie-breaks make every argmax total — the selection is deterministic
+    * cross-engine even at score ties. max-over-empty is defined as 0 (the
+    * first pick scores 0.7·rel − 0.3·0), identically in the oracle. */
+  val annMmrTopK = GraftQuery(
+    "ann_mmr_topk",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wr = Window.partitionBy(col("q_id"))
+        .orderBy(col("rel").desc, col("vec_id"))
+      val shortlist = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("embedding"),
+          round(cosine(s, "embedding", "q_emb"), 4).as("rel"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") <= 20)
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("rel"))
+        .cache()
+      val wp = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      var selected = shortlist
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("rel"),
+          lit(1).as("pick"), expr("0.7 * rel - 0.3 * 0.0").as("score"))
+        .localCheckpoint(true)
+      var k = 2
+      while (k <= 5) {
+        graft.functions.VectorFunctions.ensureRegistered(s)
+        val cand = shortlist
+          .join(selected.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+        val scoredK = cand
+          .join(selected.select(col("q_id"), col("embedding").as("s_emb")), Seq("q_id"))
+          .groupBy(col("q_id"), col("vec_id"))
+          .agg(first(col("embedding")).as("embedding"), first(col("rel")).as("rel"),
+            max(round(expr("graft_cosine(embedding, s_emb)"), 4)).as("msim"))
+          .withColumn("score", expr("0.7 * rel - 0.3 * msim"))
+          .withColumn("rn", row_number().over(wp))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), col("vec_id"), col("embedding"), col("rel"),
+            lit(k).as("pick"), col("score"))
+        selected = selected.union(scoredK).localCheckpoint(true)
+        k += 1
+      }
+      shortlist.unpersist()
+      selected.select(col("q_id"), col("pick"), col("vec_id"), col("rel"), col("score"))
+        .orderBy(col("q_id"), col("pick"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                        FROM embeddings WHERE vec_id < 8),
+             scored AS (SELECT q.q_id, e.vec_id, e.embedding,
+                          round(${sqlCos("e.embedding", "q.q_emb")}, 4) AS rel
+                        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+             short AS MATERIALIZED (
+               SELECT q_id, vec_id, embedding, rel FROM (
+                 SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY rel DESC, vec_id) AS rn FROM scored)
+               WHERE rn <= 20),
+             s1 AS (SELECT q_id, vec_id, embedding, rel, 1 AS pick,
+                      0.7 * rel - 0.3 * 0.0 AS score
+                    FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+                            ORDER BY rel DESC, vec_id) AS rn FROM short)
+                    WHERE rn = 1),
+             sel1 AS MATERIALIZED (SELECT * FROM s1),
+             ${(2 to 5).map(mmrStepSql).mkString(",\n")}
+             SELECT q_id, CAST(pick AS INTEGER) AS pick, vec_id, rel, score
+             FROM sel5 ORDER BY q_id, pick"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
       randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
       normProfile, labelMargin, quantError, embThresholdSweep,
-      embThresholdSweepSampled, ivfBalance, semanticDecontam, annMipsTopK)
+      embThresholdSweepSampled, ivfBalance, semanticDecontam, annMipsTopK,
+      annMmrTopK)
 }

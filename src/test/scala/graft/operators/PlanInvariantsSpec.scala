@@ -432,8 +432,10 @@ class PlanInvariantsSpec extends SparkTestBase {
     // the link-prediction panel, PMI collocations, and basket lift all end
     // in an ORDER BY ... LIMIT head; at 100 TB a global sort there would
     // shuffle the whole candidate/model table to rank 20 rows
+    // text_keyword_rake joined this list in round 12: its corpus top-25
+    // must rank on phrase-table rows without a global sort
     for (name <- Seq("graph_resource_alloc", "graph_jaccard_similarity",
-        "graph_copurchase_lift", "text_collocations")) {
+        "graph_copurchase_lift", "text_collocations", "text_keyword_rake")) {
       val s = plan(name).toString
       assert(s.contains("TakeOrderedAndProject"),
         s"$name: top-k must be TakeOrderedAndProject:\n$s")
