@@ -1104,6 +1104,68 @@ object EventOps {
                 false) AS is_bot
             FROM prof CROSS JOIN th ORDER BY user_id"""))
 
+  /** ORDERED MULTI-STEP FUNNEL: the 3-row conversion table
+    * view → click-after-first-view → purchase-after-that-click, with
+    * step-over-step and step-over-top rates — the dashboard artifact
+    * product analytics actually ships ([[funnel]] is the 2-event
+    * click<purchase reduction; this is the strict ordered cascade where
+    * each step must follow the PREVIOUS step's anchor event). Anchors
+    * chain through three per-user window minimums — t2's predicate reads
+    * the t1 column, t3's reads t2 — so one user-partitioned pass computes
+    * the whole cascade, no self-joins; everything after runs on ONE row.
+    * Rates are non-negative integer micro-divs with nullif guards. */
+  val funnelSteps = GraftQuery(
+    "ev_funnel_steps",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+        .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+        .groupBy(col("user_id"))
+        .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+        .agg(count(col("t1")).as("u1"), count(col("t2")).as("u2"),
+          count(col("t3")).as("u3"))
+        .selectExpr("""stack(3,
+            1, 'view', u1, cast(1000000 as bigint), cast(1000000 as bigint),
+            2, 'click_after_view', u2,
+              u2 * 1000000 div nullif(u1, 0), u2 * 1000000 div nullif(u1, 0),
+            3, 'purchase_after_click', u3,
+              u3 * 1000000 div nullif(u2, 0), u3 * 1000000 div nullif(u1, 0)
+          ) as (step, gate, n_users, conv_step_micro, conv_total_micro)""")
+        .orderBy(col("step"))
+    },
+    Some("""WITH e1 AS (
+              SELECT user_id, event_type, ts,
+                min(CASE WHEN event_type = 'view' THEN ts END)
+                  OVER (PARTITION BY user_id) AS t1
+              FROM events),
+            e2 AS (
+              SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t2
+              FROM e1),
+            e3 AS (
+              SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+                  OVER (PARTITION BY user_id) AS t3
+              FROM e2),
+            u AS (SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3
+                  FROM e3 GROUP BY user_id),
+            c AS (SELECT count(t1) AS u1, count(t2) AS u2, count(t3) AS u3 FROM u)
+            SELECT * FROM (
+              SELECT 1 AS step, 'view' AS gate, u1 AS n_users,
+                CAST(1000000 AS BIGINT) AS conv_step_micro,
+                CAST(1000000 AS BIGINT) AS conv_total_micro FROM c
+              UNION ALL
+              SELECT 2, 'click_after_view', u2,
+                u2 * 1000000 // nullif(u1, 0), u2 * 1000000 // nullif(u1, 0) FROM c
+              UNION ALL
+              SELECT 3, 'purchase_after_click', u3,
+                u3 * 1000000 // nullif(u2, 0), u3 * 1000000 // nullif(u1, 0) FROM c)
+            ORDER BY step"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1114,7 +1176,7 @@ object EventOps {
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
-    survivalCurve, valuePsi, abLift, ltvCohort, botDetection)
+    survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
