@@ -1067,9 +1067,97 @@ object GraphOps {
                mm.m * 2 - c.degree * c.degj > 0 AS moved
              FROM cand c CROSS JOIN mm WHERE c.rn = 1 ORDER BY node"""))
 
+  /** RANDOM-WALK CORPUS GENERATION (DeepWalk, Perozzi et al. 2014 /
+    * node2vec p=q=1): 2 walks of 3 hops from every 5th node of the sparse
+    * supplier~part graph — the sentence generator graph-embedding training
+    * feeds to a skip-gram model, and the fourth classic iterative protocol
+    * here after PageRank/BFS/HITS. The walk is DERANDOMIZED the house way:
+    * hop s of walk (start, wid) at node c picks neighbor ordinal
+    * hash48('rw:start:wid:s:c') mod deg(c), so both engines (and any two
+    * cluster runs) generate the identical corpus — seeded reproducibility
+    * is what a production embedding pipeline wants anyway.
+    *
+    * Shapes: neighbor ordinals are one row_number window per node
+    * (degree-bounded); each hop is two equi-joins keyed by the CURRENT
+    * node (deg lookup, then (node, ordinal) lookup) over walk-count-sized
+    * state — edges never join edges, and walk state is (starts × 2) rows
+    * regardless of graph size. Every node has deg ≥ 1 by construction so
+    * no walk ever strands. */
+  val randomWalk = GraftQuery(
+    "graph_random_walk",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val half = Tables.t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_partkey").as("u"), (col("l_suppkey") + SuppOffset).as("v"))
+        .distinct()
+      val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
+        .select(col("u").as("src"), col("v").as("dst")).cache()
+      val nbr = edges.withColumn("idx",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      def pick(step: Int) = expr(
+        s"""cast(conv(substring(md5(concat('rw:', cast(start as string), ':',
+            cast(wid as string), ':$step:', cast(cur as string))), 1, 12), 16, 10)
+            as bigint) % deg""")
+      var walk = edges.select(col("src").as("start")).distinct()
+        .filter(col("start") % 5 === 0)
+        .select(col("start"), explode(expr("array(0, 1)")).as("wid"))
+        .withColumn("cur", col("start"))
+      for (step <- 1 to 3) {
+        val p = walk
+          .join(deg, col("cur") === deg("src")).drop("src")
+          .withColumn("idx", pick(step)).drop("deg")
+        walk = p
+          .join(nbr, p("cur") === nbr("src") && p("idx") === nbr("idx"))
+          .drop("src").drop("idx").drop("cur")
+          .withColumnRenamed("dst", s"hop$step")
+          .withColumn("cur", col(s"hop$step"))
+      }
+      val out = walk.select(col("start"), col("wid"),
+          col("hop1"), col("hop2"), col("hop3"))
+        .orderBy(col("start"), col("wid"))
+      out
+    },
+    Some(s"""WITH half AS MATERIALIZED (
+               SELECT DISTINCT l_partkey AS u, l_suppkey + $SuppOffset AS v
+               FROM lineitem WHERE l_orderkey % 50 = 0),
+             edges AS MATERIALIZED (
+               SELECT u AS src, v AS dst FROM half
+               UNION ALL SELECT v, u FROM half),
+             nbr AS MATERIALIZED (
+               SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx
+               FROM edges),
+             deg AS MATERIALIZED (
+               SELECT src, count(*) AS deg FROM edges GROUP BY src),
+             w0 AS (
+               SELECT start, unnest([0, 1]) AS wid, start AS cur
+               FROM (SELECT DISTINCT src AS start FROM edges WHERE src % 5 = 0)),
+             ${(1 to 3).map(walkStepSql).mkString(",\n")}
+             SELECT start, wid, hop1, hop2, hop3 FROM w3
+             ORDER BY start, wid"""))
+
+  /** One derandomized hop for [[randomWalk]]'s oracle: ordinal =
+    * hash48(rw:start:wid:step:cur) mod deg(cur), then the (cur, ordinal)
+    * neighbor lookup; hops accumulate as columns. */
+  private def walkStepSql(step: Int): String = {
+    val p = step - 1
+    val hops = (1 until step).map(i => s"p.hop$i,").mkString(" ")
+    s"""p$step AS (
+          SELECT w.*, CAST(('0x' || substring(md5('rw:'
+              || CAST(w.start AS VARCHAR) || ':' || CAST(w.wid AS VARCHAR)
+              || ':$step:' || CAST(w.cur AS VARCHAR)), 1, 12)) AS BIGINT)
+            % d.deg AS idx
+          FROM w$p w JOIN deg d ON d.src = w.cur),
+        w$step AS MATERIALIZED (
+          SELECT p.start, p.wid, $hops n.dst AS hop$step, n.dst AS cur
+          FROM p$step p JOIN nbr n ON n.src = p.cur AND n.idx = p.idx)"""
+  }
+
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
       ssspQuery, degreeHist, twoHop, commonNeighbors, resourceAlloc,
       jaccardSimilarity, assortativity, copurchaseLift, clusteringCoeff,
-      modularity, louvainMove)
+      modularity, louvainMove, randomWalk)
 }
