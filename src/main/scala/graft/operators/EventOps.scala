@@ -1166,6 +1166,49 @@ object EventOps {
                 u3 * 1000000 // nullif(u2, 0), u3 * 1000000 // nullif(u1, 0) FROM c)
             ORDER BY step"""))
 
+  /** LINEAR MULTI-TOUCH ATTRIBUTION: every touchpoint strictly before a
+    * user's FIRST purchase shares that conversion's credit equally —
+    * the equal-weight sibling of [[firstTouch]] (which gives the opener
+    * everything) and the standard next step before position-based or
+    * data-driven models. Per converting user: n_touches from one
+    * full-partition window count, each touch credited 1e6 div n_touches
+    * exact micro-units (truncating div, identical cross-engine on
+    * non-negative operands — the residual from truncation stays with the
+    * house, deliberately, rather than being smeared float-wise), rolled up
+    * per channel. Two windows (first-purchase anchor, touch count) in ONE
+    * user-partitioned pass, then a channel-sized aggregation — no
+    * per-purchase fan-out because the conversion anchor is the first
+    * purchase only (the classic single-conversion simplification). */
+  val linearAttribution = GraftQuery(
+    "ev_linear_attribution",
+    (s, dir) => {
+      val wAll = Window.partitionBy(col("user_id"))
+      val touches = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("fp_us",
+          min(when(col("event_type") === "purchase", col("us"))).over(wAll))
+        .filter(col("fp_us").isNotNull && col("us") < col("fp_us"))
+        .withColumn("nt", count(lit(1)).over(wAll))
+        .withColumn("credit_micro", expr("1000000 div nt"))
+      touches.groupBy(col("event_type").as("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          sum(col("credit_micro")).as("credit_micro_total"))
+        .orderBy(col("channel"))
+    },
+    Some("""WITH e AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us,
+                min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                  OVER (PARTITION BY user_id) AS fp_us
+              FROM events),
+            touches AS (
+              SELECT user_id, event_type,
+                count(*) OVER (PARTITION BY user_id) AS nt
+              FROM e WHERE fp_us IS NOT NULL AND us < fp_us)
+            SELECT event_type AS channel, count(*) AS n_touches,
+              CAST(sum(1000000 // nt) AS BIGINT) AS credit_micro_total
+            FROM touches GROUP BY event_type ORDER BY channel"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1176,7 +1219,8 @@ object EventOps {
     seasonalBaseline, alertDebounce, firstTouch, cartAbandonment,
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
-    survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps)
+    survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps,
+    linearAttribution)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast

@@ -659,8 +659,52 @@ object Sampling {
                   FROM documents)
             GROUP BY source ORDER BY source"""))
 
+  /** PADDING-WASTE TUNING TABLE: for each candidate bucket width
+    * W ∈ {32, 64, 128, 256}, the tokens a length-bucketed batcher
+    * (pipeline_length_bucket_pack's geometry: every doc pads up to the
+    * next multiple of W) would burn as padding — the table that picks W
+    * by measuring the real length distribution instead of folklore.
+    * Narrow buckets waste little padding but fragment batches; wide ones
+    * batch well but pad short docs to death; the knee is corpus-specific,
+    * which is why this is a QUERY. One corpus scan explodes 4 width rows
+    * per doc (map-side), then a 4-row aggregation: ceil-to-W is integer
+    * arithmetic — (n + W − 1) div W · W — and the waste share is one
+    * non-negative integer micro-div. Completes the tuning-table family
+    * (dedup banding, LSH thresholds, decontam n, IVF probes, pack
+    * widths). */
+  val padWasteSweep = GraftQuery(
+    "pipeline_pad_waste_sweep",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .select(col("n"), explode(expr("array(32L, 64L, 128L, 256L)")).as("w"))
+        .select(col("w"), col("n"),
+          expr("(n + w - 1) div w * w").as("padded"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("total_tokens"),
+          sum(expr("padded - n")).as("pad_tokens"),
+          sum(col("padded")).as("padded_tokens"))
+        .withColumn("waste_micro",
+          expr("pad_tokens * 1000000 div padded_tokens"))
+        .orderBy(col("w")),
+    Some("""WITH d AS (
+              SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+            e AS (
+              SELECT n, unnest([CAST(32 AS BIGINT), 64, 128, 256]) AS w FROM d),
+            p AS (
+              SELECT w, n, (n + w - 1) // w * w AS padded FROM e)
+            SELECT w, count(*) AS n_docs,
+              CAST(sum(n) AS BIGINT) AS total_tokens,
+              CAST(sum(padded - n) AS BIGINT) AS pad_tokens,
+              CAST(sum(padded) AS BIGINT) AS padded_tokens,
+              CAST(CAST(sum(padded - n) AS BIGINT) * 1000000
+                // CAST(sum(padded) AS BIGINT) AS BIGINT) AS waste_micro
+            FROM p GROUP BY w ORDER BY w"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
     stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources,
     sampleK, epochSchedule, weightedSample, histogram, curriculum,
-    lengthBucketPack, checksum, shardChecksum, lossMask)
+    lengthBucketPack, checksum, shardChecksum, lossMask, padWasteSweep)
 }

@@ -26,8 +26,13 @@ class ScaleStressSpec extends SparkTestBase {
   private val Copies = 10
   private val KeyOff = 10000000L // > any sf0.1 key; keeps replicas disjoint
 
+  // round-12 additions: dedup_cdc_chunks (every chunk exists >= Copies
+  // times — adversarial for the digest groupBy), graph_hits (iterative
+  // tick loop re-scans the 10x edge fact per round), ann_mmr_topk (stage-1
+  // corpus scan is 10x; the MMR rounds must stay shortlist-sized)
   private val Heavy = Seq("dedup_minhash", "dedup_rewrite", "q43_join_six",
-    "ann_ivfpq_topk", "pipeline_tokenize_pack")
+    "ann_ivfpq_topk", "pipeline_tokenize_pack", "dedup_cdc_chunks",
+    "graph_hits", "ann_mmr_topk")
 
   /** Fact replicas get shifted surrogate keys; joins fan the extra volume
     * onto the SAME dimension rows — the realistic 10x growth shape (more
