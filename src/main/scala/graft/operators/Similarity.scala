@@ -1675,6 +1675,89 @@ object Similarity {
              SELECT q_id, CAST(pick AS INTEGER) AS pick, vec_id, rel, score
              FROM sel5 ORDER BY q_id, pick"""))
 
+  /** FILTERED VECTOR SEARCH tuning table: top-k under a metadata predicate
+    * (label ≡ query mod 4, ~25% selective) by the two routes every vector
+    * store offers — PRE-FILTER (apply the predicate, then rank: exact, but
+    * an index can't always push the predicate) and POST-FILTER (fetch the
+    * global top-F, then filter, keep 10: index-friendly, but survivors
+    * thin out with selectivity). For F ∈ {10, 20, 40} the table reports
+    * kept counts and recall vs the pre-filtered truth — the over-fetch
+    * knob measured on the actual corpus, the same decision DiskANN/pgvector
+    * users tune by rule of thumb. One corpus×query scoring pass feeds BOTH
+    * routes: global rank and filtered rank are two windows over the same
+    * scored frame, the F sweep explodes only predicate survivors, and
+    * every count after is (query × F)-sized. Ranks are total orders
+    * (cos_sim 4dp, vec_id tie-break) so both engines select identical
+    * sets; recall is one nullif-guarded integer micro-div. */
+  val annFilteredRecall = GraftQuery(
+    "ann_filtered_recall",
+    (s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wq = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("label"),
+          round(cosine(s, "embedding", "q_emb"), 4).as("cos_sim"))
+        .withColumn("grank", row_number().over(wq))
+      val pred = scored.filter(col("label") % 4 === col("q_id") % 4)
+        .withColumn("frank", row_number().over(wq))
+      val truthCnt = pred.groupBy(col("q_id"))
+        .agg(sum(when(col("frank") <= 10, 1L).otherwise(0L)).as("n_truth"))
+      val wf = Window.partitionBy(col("q_id"), col("overfetch"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      pred
+        .select(col("q_id"), col("vec_id"), col("cos_sim"), col("grank"), col("frank"),
+          explode(expr("array(10, 20, 40)")).as("overfetch"))
+        .filter(col("grank") <= col("overfetch"))
+        .withColumn("prank", row_number().over(wf))
+        .filter(col("prank") <= 10)
+        .groupBy(col("q_id"), col("overfetch"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(when(col("frank") <= 10, 1L).otherwise(0L)).as("n_hit"))
+        .join(truthCnt, "q_id")
+        .select(col("q_id"), col("overfetch"), col("n_truth"), col("n_kept"),
+          col("n_hit"),
+          expr("n_hit * 1000000 div nullif(n_truth, 0)").as("recall_micro"))
+        .orderBy(col("q_id"), col("overfetch"))
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
+                        FROM embeddings WHERE vec_id < 8),
+             scored AS MATERIALIZED (
+               SELECT q_id, vec_id, label, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, vec_id) AS grank
+               FROM (SELECT q.q_id, e.vec_id, e.label,
+                       round(${sqlCos("e.embedding", "q.q_emb")}, 4) AS cos_sim
+                     FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)),
+             pred AS MATERIALIZED (
+               SELECT *, row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, vec_id) AS frank
+               FROM scored WHERE label % 4 = q_id % 4),
+             tc AS (SELECT q_id,
+                      CAST(sum(CASE WHEN frank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                        AS n_truth
+                    FROM pred GROUP BY q_id),
+             post AS (
+               SELECT q_id, overfetch, vec_id, frank,
+                 row_number() OVER (PARTITION BY q_id, overfetch
+                   ORDER BY cos_sim DESC, vec_id) AS prank
+               FROM (SELECT p.*, f.overfetch
+                     FROM pred p CROSS JOIN
+                       (SELECT unnest([10, 20, 40]) AS overfetch) f
+                     WHERE p.grank <= f.overfetch)),
+             agg AS (
+               SELECT q_id, overfetch, count(*) AS n_kept,
+                 CAST(sum(CASE WHEN frank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hit
+               FROM post WHERE prank <= 10 GROUP BY q_id, overfetch)
+             SELECT a.q_id, a.overfetch, t.n_truth, a.n_kept, a.n_hit,
+               a.n_hit * 1000000 // nullif(t.n_truth, 0) AS recall_micro
+             FROM agg a JOIN tc t ON t.q_id = a.q_id
+             ORDER BY a.q_id, a.overfetch"""))
+
   val all: Seq[GraftQuery] =
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
@@ -1682,5 +1765,5 @@ object Similarity {
       randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
       normProfile, labelMargin, quantError, embThresholdSweep,
       embThresholdSweepSampled, ivfBalance, semanticDecontam, annMipsTopK,
-      annMmrTopK)
+      annMmrTopK, annFilteredRecall)
 }

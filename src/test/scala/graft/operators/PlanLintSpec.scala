@@ -23,6 +23,7 @@ class PlanLintSpec extends SparkTestBase {
     // ≤8 query vectors broadcast against the corpus (map-side scoring)
     "ann_cosine_topk", "ann_range_search", "ann_recall_eval",
     "ann_dim_truncation_eval", "ann_mips_topk", "ann_mmr_topk",
+    "ann_filtered_recall",
     // documented all-pairs correctness baseline
     "dedup_embedding", "emb_threshold_sweep",
     // all-pairs on a deterministic 1/16 hash-sample (1/256 of the pairs):
