@@ -440,6 +440,122 @@ object Curation {
               n_docs * 1000000 + noise_micro AS released_micro
             FROM noised ORDER BY lang, source"""))
 
+  /** CROSS-DOMAIN LM TRANSFER MATRIX: every language's held-out slice
+    * scored under every language's train-slice bigram model — the
+    * lang × lang table that answers "which domains predict which" before
+    * anyone re-weights a data mixture (the LM-based companion of
+    * [[dsirWeights]]' importance ratios and text_source_divergence's
+    * token-distribution distance; a strong diagonal is the sanity check,
+    * the off-diagonal ranking is the signal). Scoring is
+    * [[lmBackoffScore]]'s stupid backoff per model — seen bigram →
+    * ln(c_bg/c_w1), unseen → ln(0.4·(c_u+1)/(T+V)) — with every model
+    * quantity keyed by model language. The driver's synthetic languages
+    * share one generator vocabulary (the lang column is a label, not a
+    * lexicon), so every doc carries two planted lang-marker tokens in
+    * train AND eval (the lm_backoff/piiScrub planting precedent, mirrored
+    * in the oracle) — same-lang scoring resolves the marker bigrams,
+    * cross-lang scoring backs off on them, giving the synthetic corpus
+    * the lexical divergence real corpora have and the diagonal its
+    * measurable edge.
+    *
+    * Shapes: one train scan builds all 5 models at once (lang is just
+    * another key), one eval scan emits bigrams; the model axis is a
+    * LANG-COUNT-bounded broadcast (5 rows of scalars) crossed onto eval
+    * bigrams, and the model joins stay key-partitioned on
+    * (model_lang, gram). The per-cell mean is deliberately NOT emitted:
+    * score_scaled is negative and truncating vs flooring div diverge on
+    * negatives — readers divide client-side. Terms integer-scaled before
+    * summation (the dsir discipline). */
+  val lmTransferMatrix = GraftQuery(
+    "lm_transfer_matrix",
+    (s, dir) => {
+      def toks(train: Boolean) =
+        t(s, dir, "documents")
+          .filter(if (train) col("doc_id") % 5 =!= 0 else col("doc_id") % 5 === 0)
+          .select(col("lang"),
+            split(concat(col("text"), lit(" xq"), col("lang"),
+              lit(" xq"), col("lang")), " ").as("w"))
+      def bigrams(train: Boolean) =
+        toks(train).filter(size(col("w")) >= 2)
+          .select(col("lang"), explode(expr(
+            """transform(sequence(0, size(w)-2),
+               i -> struct(w[i] as w1, w[i+1] as w2))""")).as("b"))
+          .select(col("lang"), col("b.w1"), col("b.w2"))
+      val model = bigrams(train = true)
+        .groupBy(col("lang").as("model_lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_bg"))
+        .withColumn("c_w1", sum(col("c_bg")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("model_lang"), col("w1"))))
+      val uni = toks(train = true)
+        .select(col("lang").as("model_lang"), explode(col("w")).as("tok"))
+        .groupBy(col("model_lang"), col("tok")).agg(count(lit(1)).as("c_u"))
+      val scal = uni.groupBy(col("model_lang"))
+        .agg(sum(col("c_u")).as("tt"), count(lit(1)).as("vv"))
+      bigrams(train = false)
+        .withColumnRenamed("lang", "eval_lang")
+        .crossJoin(broadcast(scal))
+        .join(model, Seq("model_lang", "w1", "w2"), "left")
+        .join(uni.withColumnRenamed("tok", "w2").select(col("model_lang"),
+          col("w2"), col("c_u")), Seq("model_lang", "w2"), "left")
+        .withColumn("term", expr(
+          """cast(floor(case
+               when c_bg is not null
+                 then ln(cast(c_bg as double) / cast(c_w1 as double))
+               else ln(0.4 * (cast(coalesce(c_u, 0) + 1 as double)
+                              / cast(tt + vv as double)))
+             end * 1e6 + 0.5) as bigint)"""))
+        .groupBy(col("model_lang"), col("eval_lang"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_backoff"),
+          sum(col("term")).as("score_scaled"))
+        .orderBy(col("model_lang"), col("eval_lang"))
+    },
+    Some("""WITH tr AS (SELECT lang,
+                string_split(text || ' xq' || lang || ' xq' || lang, ' ') AS w
+              FROM documents WHERE doc_id % 5 <> 0),
+            ev AS (SELECT lang,
+                string_split(text || ' xq' || lang || ' xq' || lang, ' ') AS w
+              FROM documents WHERE doc_id % 5 = 0),
+            trbg AS (SELECT lang AS model_lang,
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i+1])) AS w2
+              FROM tr WHERE len(w) >= 2),
+            model AS MATERIALIZED (
+              SELECT model_lang, w1, w2, count(*) AS c_bg
+              FROM trbg GROUP BY model_lang, w1, w2),
+            pfx AS (SELECT model_lang, w1, CAST(sum(c_bg) AS BIGINT) AS c_w1
+                    FROM model GROUP BY model_lang, w1),
+            uni AS (SELECT lang AS model_lang, tok, count(*) AS c_u
+                    FROM (SELECT lang, unnest(w) AS tok FROM tr)
+                    GROUP BY lang, tok),
+            sc AS (SELECT model_lang, CAST(sum(c_u) AS BIGINT) AS tt,
+                     count(*) AS vv
+                   FROM uni GROUP BY model_lang),
+            evbg AS (SELECT lang AS eval_lang,
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i+1])) AS w2
+              FROM ev WHERE len(w) >= 2),
+            terms AS (SELECT e.eval_lang, s.model_lang, m.c_bg,
+                CAST(floor(CASE
+                    WHEN m.c_bg IS NOT NULL
+                      THEN ln(CAST(m.c_bg AS DOUBLE) / CAST(p.c_w1 AS DOUBLE))
+                    ELSE ln(0.4 * (CAST(coalesce(u.c_u, 0) + 1 AS DOUBLE)
+                                   / CAST(s.tt + s.vv AS DOUBLE)))
+                  END * 1e6 + 0.5) AS BIGINT) AS term
+              FROM evbg e
+              CROSS JOIN sc s
+              LEFT JOIN model m ON m.model_lang = s.model_lang
+                AND m.w1 = e.w1 AND m.w2 = e.w2
+              LEFT JOIN pfx p ON p.model_lang = s.model_lang AND p.w1 = e.w1
+              LEFT JOIN uni u ON u.model_lang = s.model_lang AND u.tok = e.w2)
+            SELECT model_lang, eval_lang, count(*) AS n_bigrams,
+              CAST(sum(CASE WHEN c_bg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_backoff,
+              CAST(sum(term) AS BIGINT) AS score_scaled
+            FROM terms GROUP BY model_lang, eval_lang
+            ORDER BY model_lang, eval_lang"""))
+
   // multilingual stop-marker list: the union of the langId marker sets
   private val Stops = Seq("the", "a", "of", "der", "die", "das",
     "el", "los", "una", "le", "la", "les")
@@ -1305,5 +1421,5 @@ object Curation {
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
       tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
       dedupImpact, sourceOverlap, snapshotDrift, mixtureEntropy, datasetCard,
-      leakNgramSweep, lmKneserNey, dpHistogram)
+      leakNgramSweep, lmKneserNey, dpHistogram, lmTransferMatrix)
 }

@@ -38,6 +38,9 @@ class PlanLintSpec extends SparkTestBase {
     "emb_power_iteration", "text_tfidf", "curation_temperature_sample",
     "curation_dsir_weights", "lm_backoff_score", "lm_kneser_ney",
     "text_vocab_coverage",
+    // the 5-row per-model scalar table (lang-count-bounded) crossed onto
+    // eval bigrams — the model axis of the transfer matrix
+    "lm_transfer_matrix",
     "q48_value_share", "q50_inactive_high_balance", "pipeline_histogram",
     "pipeline_curriculum", "text_source_divergence", "text_vocab_growth",
     // crossJoins of 1-row scalar aggregates (budget+G, then the water
