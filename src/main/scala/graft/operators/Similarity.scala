@@ -1567,6 +1567,78 @@ object Similarity {
              SELECT q_id, vec_id, dot, CAST(rank AS INTEGER) AS rank
              FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""))
 
+  /** One unrolled farthest-point round for [[kmeansSeedFarthest]]'s
+    * oracle: per remaining vector the min cosine-distance to the selected
+    * set, then the per-corpus argmax (vec_id tie-break). */
+  private def seedStepSql(k: Int): String = {
+    val p = k - 1
+    s"""d$k AS (
+          SELECT e.vec_id, min(1.0 - round(${sqlCos("e.embedding", "s.embedding")}, 4))
+            AS dist
+          FROM embeddings e CROSS JOIN sel$p s
+          WHERE NOT EXISTS (SELECT 1 FROM sel$p x WHERE x.vec_id = e.vec_id)
+          GROUP BY e.vec_id),
+        pick$k AS (
+          SELECT vec_id, dist, row_number() OVER (ORDER BY dist DESC, vec_id) AS rn
+          FROM d$k),
+        s$k AS (SELECT $k AS seed_rank, p.vec_id, e.embedding,
+                  CAST(floor(p.dist * 1e6 + 0.5) AS BIGINT) AS dist_micro
+                FROM pick$k p JOIN embeddings e ON e.vec_id = p.vec_id
+                WHERE p.rn = 1),
+        sel$k AS MATERIALIZED (SELECT * FROM sel$p UNION ALL SELECT * FROM s$k)"""
+  }
+
+  /** K-CENTER SEEDING (farthest-point traversal — kmeans++'s
+    * derandomized MAX variant, Gonzalez 1985): 5 cluster seeds picked
+    * greedily, each maximizing its min cosine-distance to the seeds so
+    * far — the init that prevents Lloyd's iteration from starting with
+    * two centroids in one blob, completing this file's kmeans family
+    * (seed → assign → update → train). Derandomized the house way:
+    * kmeans++ samples ∝ D², this takes argmax D (the classic 2-approx
+    * k-center traversal) with vec_id tie-breaks, anchored at vec 0 — so
+    * both engines and any two runs pick identical seeds.
+    *
+    * Shapes: each round is one map-side corpus scan against the ≤4
+    * selected vectors (a constant broadcast) reduced to ONE argmax row —
+    * the honest k-center cost, k·O(corpus) with nothing but the winner
+    * crossing to the driver. Distances round to 4dp before the min/argmax
+    * (the MMR discipline) so selection is a total order cross-engine. */
+  val kmeansSeedFarthest = GraftQuery(
+    "emb_kmeans_seed_farthest",
+    (s, dir) => {
+      import s.implicits._
+      graft.functions.VectorFunctions.ensureRegistered(s)
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding")).cache()
+      var picks = Seq((1, 0L, Option.empty[Long])) // (rank, vec_id, dist_micro)
+      var k = 2
+      while (k <= 5) {
+        val selIds = picks.map(_._2)
+        val sel = e.filter(col("vec_id").isin(selIds: _*))
+          .select(col("embedding").as("s_emb"))
+        val winner = e.filter(!col("vec_id").isin(selIds: _*))
+          .crossJoin(broadcast(sel))
+          .select(col("vec_id"),
+            (lit(1.0) - round(expr("graft_cosine(embedding, s_emb)"), 4)).as("d"))
+          .groupBy(col("vec_id")).agg(min(col("d")).as("dist"))
+          .orderBy(col("dist").desc, col("vec_id"))
+          .head()
+        picks = picks :+ ((k, winner.getLong(0),
+          Some(math.floor(winner.getDouble(1) * 1e6 + 0.5).toLong)))
+        k += 1
+      }
+      e.unpersist()
+      picks.map { case (r, v, d) => (r, v, d) }
+        .toDF("seed_rank", "vec_id", "dist_micro")
+        .orderBy(col("seed_rank"))
+    },
+    Some(s"""WITH sel1 AS MATERIALIZED (
+               SELECT 1 AS seed_rank, vec_id, embedding,
+                 CAST(NULL AS BIGINT) AS dist_micro
+               FROM embeddings WHERE vec_id = 0),
+             ${(2 to 5).map(seedStepSql).mkString(",\n")}
+             SELECT CAST(seed_rank AS INTEGER) AS seed_rank, vec_id, dist_micro
+             FROM sel5 ORDER BY seed_rank"""))
+
   /** One unrolled MMR selection round for [[annMmrTopK]]'s oracle: from
     * the shortlist minus sel$p, score 0.7·rel − 0.3·max-sim-to-selected
     * and take the per-query argmax (vec_id tie-break). */
@@ -1765,5 +1837,5 @@ object Similarity {
       randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
       normProfile, labelMargin, quantError, embThresholdSweep,
       embThresholdSweepSampled, ivfBalance, semanticDecontam, annMipsTopK,
-      annMmrTopK, annFilteredRecall)
+      annMmrTopK, annFilteredRecall, kmeansSeedFarthest)
 }
