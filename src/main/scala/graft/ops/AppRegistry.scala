@@ -286,6 +286,43 @@ final class AppRegistry(spark: SparkSession) {
       s""""latency":${aggregateLatency.fold("null")(fmtHist)}}"""
   }
 
+  /** Prometheus text exposition (format 0.0.4) of the same engine-wide
+    * rollup [[rollupJson]] serves as JSON — the pull-based scrape surface a
+    * production deployment points its Prometheus/Grafana stack at (the
+    * reference exports the same counters through its Ganglia/Akka metrics
+    * bridge, docs/contents/introduction/gearpump-internals.md metrics
+    * section). Gauge names follow prometheus conventions
+    * (snake_case, unit-suffixed); the latency histogram exports as
+    * quantile-labeled summary gauges off the merged ring. */
+  def prometheusText: String = {
+    val ms = lastSeen.values.map(_._2).toSeq
+    val sb = new StringBuilder
+    def gauge(name: String, help: String, v: String): Unit = {
+      sb.append(s"# HELP $name $help\n# TYPE $name gauge\n$name $v\n")
+    }
+    gauge("graft_queries_active", "Active streaming queries", active.size.toString)
+    gauge("graft_apps_submitted", "Batch apps submitted via REST", submitted.size.toString)
+    gauge("graft_input_rows_per_second", "Summed source ingest rate",
+      f"${ms.map(_.inputRowsPerSecond).sum}%.3f")
+    gauge("graft_processed_rows_per_second", "Summed processing rate",
+      f"${ms.map(_.processedRowsPerSecond).sum}%.3f")
+    gauge("graft_input_rows_total", "Input rows in the latest progress per query",
+      ms.map(_.numInputRows).sum.toString)
+    gauge("graft_state_rows_total", "Rows across all state stores",
+      ms.flatMap(_.stateOps).map(_.rowsTotal).sum.toString)
+    gauge("graft_state_memory_bytes", "State store memory used",
+      ms.flatMap(_.stateOps).map(_.memoryUsedBytes).sum.toString)
+    aggregateLatency.foreach { h =>
+      sb.append("# HELP graft_batch_duration_ms Micro-batch duration summary\n")
+      sb.append("# TYPE graft_batch_duration_ms summary\n")
+      sb.append(s"""graft_batch_duration_ms{quantile="0.5"} ${h.p50Ms}""").append('\n')
+      sb.append(s"""graft_batch_duration_ms{quantile="0.95"} ${h.p95Ms}""").append('\n')
+      sb.append(s"""graft_batch_duration_ms{quantile="0.99"} ${h.p99Ms}""").append('\n')
+      sb.append(s"graft_batch_duration_ms_count ${h.count}").append('\n')
+    }
+    sb.toString
+  }
+
   /** REST `appmaster/<id>/errors` parity (reference:
     * services/jvm/src/main/scala/io/gearpump/services/AppMasterService.scala:93
     * serves the app's lastErrors): a streaming query reports its terminal

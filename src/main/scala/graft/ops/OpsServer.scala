@@ -62,6 +62,16 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
   // the reference ships a full dashboard SPA (services/dashboard/); the
   // library-scale analog is one static page polling the JSON endpoints
   private val dashCtx = server.createContext("/dashboard", (x: HttpExchange) => serveDashboard(x))
+  // Prometheus scrape surface at the conventional bare /metrics: the same
+  // engine-wide rollup master/metrics serves as JSON, in text exposition
+  // 0.0.4 so a stock Prometheus/Grafana stack scrapes it unconfigured
+  private val promCtx = server.createContext("/metrics", (x: HttpExchange) => {
+    val body = registry.prometheusText.getBytes(StandardCharsets.UTF_8)
+    x.getResponseHeaders.set("Content-Type", "text/plain; version=0.0.4; charset=utf-8")
+    x.sendResponseHeaders(200, body.length.toLong)
+    x.getResponseBody.write(body)
+    x.close()
+  })
 
   // MessageDigest.isEqual is constant-time: String == short-circuits at
   // the first differing char, leaking a timing oracle on the password
@@ -159,6 +169,7 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
     }
     apiCtx.setAuthenticator(a)
     dashCtx.setAuthenticator(a)
+    promCtx.setAuthenticator(a)
     // login/logout live OUTSIDE the authenticated contexts: login is the
     // credential exchange itself, logout only ever revokes the caller's
     // own cookie

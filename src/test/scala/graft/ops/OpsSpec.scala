@@ -14,10 +14,11 @@ class OpsSpec extends SparkTestBase {
   /** One HTTP round-trip against an OpsServer port — the single transport
     * helper every test delegates to (each binds it to its own server). */
   private def httpOn(port: Int, method: String, path: String,
-      body: String = null): (Int, String) = {
+      body: String = null, headers: Map[String, String] = Map.empty): (Int, String) = {
     val conn = new java.net.URI(s"http://127.0.0.1:$port$path")
       .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod(method)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     if (body != null) {
       conn.setDoOutput(true)
       val os = conn.getOutputStream
@@ -25,8 +26,10 @@ class OpsSpec extends SparkTestBase {
     }
     val code = conn.getResponseCode
     val is = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val out = new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    is.close()
+    // a bodyless error (e.g. the JDK authenticator's bare 401) has no stream
+    val out = if (is == null) "" else
+      try new String(is.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally is.close()
     (code, out)
   }
 
@@ -632,6 +635,42 @@ class OpsSpec extends SparkTestBase {
       assert(page.contains("drawSpark") && page.contains("<canvas"),
         "dashboard must render the history rings as sparklines")
     } finally { q.stop(); srv.stop(); reg.close() }
+  }
+
+  test("/metrics serves the Prometheus text exposition of the rollup; auth guards it") {
+    import spark.implicits._
+    val reg = new AppRegistry(spark)
+    val srv = new OpsServer(spark, reg, catalog = Map.empty).start()
+    val in = GraftSource.memory[Int](spark)
+    val q = in.toDS().writeStream.format("noop").queryName("ops_prom").start()
+    try {
+      in.addData(1, 2, 3); q.processAllAvailable()
+      in.addData(4); q.processAllAvailable()
+      val (code, body) = httpOn(srv.boundPort, "GET", "/metrics")
+      assert(code === 200, body.take(200))
+      for (g <- Seq("graft_queries_active", "graft_input_rows_total",
+          "graft_state_rows_total", "graft_processed_rows_per_second"))
+        assert(body.contains(s"# TYPE $g gauge") && body.contains(g + " "),
+          s"missing gauge $g in:\n${body.take(600)}")
+      assert(body.contains("graft_queries_active 1"), body.take(400))
+      // the micro-batch summary appears once durations have been recorded
+      assert(body.contains("# TYPE graft_batch_duration_ms summary")
+          && body.contains("""graft_batch_duration_ms{quantile="0.5"}"""),
+        body.take(800))
+    } finally { q.stop(); srv.stop(); reg.close() }
+    // opt-in auth must guard the scrape surface like every other route
+    val reg2 = new AppRegistry(spark)
+    val srv2 = new OpsServer(spark, reg2, catalog = Map.empty,
+      auth = Some(("admin", "secret"))).start()
+    try {
+      val (unauth, _) = httpOn(srv2.boundPort, "GET", "/metrics")
+      assert(unauth === 401, s"unauthenticated scrape must 401, got $unauth")
+      val (ok, text) = httpOn(srv2.boundPort, "GET", "/metrics",
+        headers = Map("Authorization" ->
+          ("Basic " + java.util.Base64.getEncoder.encodeToString(
+            "admin:secret".getBytes("UTF-8")))))
+      assert(ok === 200 && text.contains("graft_queries_active"), text.take(200))
+    } finally { srv2.stop(); reg2.close() }
   }
 
   test("opt-in BasicAuth guards every route; default stays open") {
