@@ -1209,6 +1209,78 @@ object EventOps {
               CAST(sum(1000000 // nt) AS BIGINT) AS credit_micro_total
             FROM touches GROUP BY event_type ORDER BY channel"""))
 
+  /** EXPERIMENT POWER / MDE PLANNING: the one-row table an experimenter
+    * reads BEFORE launching — with the corpus's own baseline conversion
+    * rate and arm sizes ([[abLift]]'s definitions exactly: user_id parity
+    * arms, conversion = above-mean exact-cents spend), the minimum
+    * detectable effect at α=5%/power=80% for the arms as they are, and
+    * the per-arm sample size a 5%-relative-lift detection would need —
+    * "is this experiment even worth running at our traffic". Two-sided
+    * normal approximation: MDE = (z_{.975}+z_{.80})·√(2·p̄(1−p̄)/n),
+    * n_needed = 2·p̄(1−p̄)·(z₁+z₂)²/δ², δ = 0.05·p̄; the z constants are
+    * fixed literals, the square is spelled as self-multiplication (never
+    * pow), p̄ is one division, √ is IEEE-correctly-rounded — the ab_lift
+    * float discipline, floor-scaled to micros. One user-keyed
+    * aggregation + a 1-row broadcast; everything after runs on one row. */
+  val powerAnalysis = GraftQuery(
+    "ev_power_analysis",
+    (s, dir) => {
+      val spend = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(expr("cast(floor(value * 100 + 0.5) as bigint)")).as("cents"))
+      val tot = broadcast(spend.agg(count(lit(1)).as("n_users"),
+        sum(col("cents")).as("tot_cents")))
+      spend.crossJoin(tot)
+        .select((col("user_id") % 2).as("variant"),
+          (col("cents") * col("n_users") > col("tot_cents")).cast("long").as("conv"))
+        .agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(col("conv")).as("n_conv"),
+          count(lit(1)).as("n_users"))
+        .selectExpr("n_a", "n_b", "n_conv",
+          "cast(n_conv * 1000000 div n_users as bigint) as p_bar_micro",
+          """cast(floor((1.959964 + 0.841621)
+               * sqrt(2.0 * (cast(n_conv as double) / n_users)
+                      * (1.0 - cast(n_conv as double) / n_users)
+                      / nullif(least(n_a, n_b), 0))
+               * 1e6 + 0.5) as bigint) as mde_micro""",
+          """cast(ceil(2.0 * (cast(n_conv as double) / n_users)
+               * (1.0 - cast(n_conv as double) / n_users)
+               * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+               / nullif((0.05 * (cast(n_conv as double) / n_users))
+                  * (0.05 * (cast(n_conv as double) / n_users)), 0.0))
+             as bigint) as n_per_arm_for_5pct_lift""")
+    },
+    Some("""WITH sp AS (SELECT user_id,
+                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+              FROM events GROUP BY user_id),
+            tot AS (SELECT count(*) AS n_users,
+                CAST(sum(cents) AS BIGINT) AS tot_cents FROM sp),
+            v AS (SELECT user_id % 2 AS variant,
+                CAST(cents * n_users > tot_cents AS BIGINT) AS conv
+              FROM sp CROSS JOIN tot),
+            agg AS (SELECT
+                CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                CAST(sum(conv) AS BIGINT) AS n_conv,
+                count(*) AS n_users
+              FROM v)
+            SELECT n_a, n_b, n_conv,
+              CAST(n_conv * 1000000 // n_users AS BIGINT) AS p_bar_micro,
+              CAST(floor((1.959964 + 0.841621)
+                * sqrt(2.0 * (CAST(n_conv AS DOUBLE) / n_users)
+                       * (1.0 - CAST(n_conv AS DOUBLE) / n_users)
+                       / nullif(least(n_a, n_b), 0))
+                * 1e6 + 0.5) AS BIGINT) AS mde_micro,
+              CAST(ceil(2.0 * (CAST(n_conv AS DOUBLE) / n_users)
+                * (1.0 - CAST(n_conv AS DOUBLE) / n_users)
+                * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+                / nullif((0.05 * (CAST(n_conv AS DOUBLE) / n_users))
+                   * (0.05 * (CAST(n_conv AS DOUBLE) / n_users)), 0.0))
+              AS BIGINT) AS n_per_arm_for_5pct_lift
+            FROM agg"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1220,7 +1292,7 @@ object EventOps {
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
     survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps,
-    linearAttribution)
+    linearAttribution, powerAnalysis)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast

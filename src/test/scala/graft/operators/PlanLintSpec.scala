@@ -83,7 +83,7 @@ class PlanLintSpec extends SparkTestBase {
     // pair table
     "graph_copurchase_lift",
     // crossJoin of the 1-row (n_users, total-spend) scalar onto user rows
-    "ev_ab_lift",
+    "ev_ab_lift", "ev_power_analysis",
     // crossJoin of the 1-row (vol_hi, reg_lo) threshold scalar onto user rows
     "ev_bot_detection"
   )
