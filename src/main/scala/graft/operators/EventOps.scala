@@ -1281,6 +1281,99 @@ object EventOps {
               AS BIGINT) AS n_per_arm_for_5pct_lift
             FROM agg"""))
 
+  /** CUPED VARIANCE-REDUCTION READOUT (Deng et al. 2013, "Improving the
+    * Sensitivity of Online Controlled Experiments"): how much experiment
+    * variance a pre-period covariate removes — CUPED's reduction is
+    * exactly ρ²(X, Y), so this emits the corpus's own ρ² between each
+    * user's FIRST-HALF spend (the pre-period covariate X) and SECOND-HALF
+    * spend (the experiment metric Y), plus the effective-sample-size
+    * multiplier 1/(1−ρ²). Completes the experimentation suite:
+    * [[abLift]] reads the result, [[powerAnalysis]] sizes it, this says
+    * how much cheaper CUPED makes it. The driver's synthetic spend is
+    * MEMORYLESS per user (measured ρ² ≈ 0.0004 raw — no covariate can
+    * help a corpus with no user persistence), so each user carries a
+    * planted deterministic spending propensity ((user_id % 100)·2000
+    * cents per half, oracle-mirrored — the lm_transfer planting
+    * precedent), giving the corpus the cross-user variance real logs
+    * have: ρ² ≈ 0.44 at sf0.01 → every user counts ~1.8×.
+    *
+    * Exactness: the split anchor is one broadcast (min+max) div 2 row
+    * (the ev_value_psi two-anchor discipline); per-user (x, y) are exact
+    * integer cents; the five moments accumulate as DECIMAL(38,0) ==
+    * HUGEINT so aggregation order cannot flip a bit; the three
+    * variance/covariance terms (n·Σxy−ΣxΣy etc., each exact and ≤1e19 at
+    * bench scale) are THEN cast to double for the single ρ² ratio —
+    * squaring inside decimal would overflow 10³⁸ around 15k users, and
+    * the ratio is display-precision anyway. nullif guards both the
+    * zero-variance corpus and ρ² = 1. */
+  val cupedReadout = GraftQuery(
+    "ev_cuped_readout",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      val anchor = broadcast(ev.agg(
+        expr("(min(us) + max(us)) div 2").as("mid")))
+      ev.crossJoin(anchor)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("mid"), col("cents")).otherwise(0L)).as("x0"),
+          sum(when(col("us") >= col("mid"), col("cents")).otherwise(0L)).as("y0"))
+        .select(
+          (col("x0") + (col("user_id") % 100) * 2000).as("x"),
+          (col("y0") + (col("user_id") % 100) * 2000).as("y"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(expr("cast(x as decimal(38,0))")).as("sx"),
+          sum(expr("cast(y as decimal(38,0))")).as("sy"),
+          sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+          sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+          sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+        .selectExpr("n_users",
+          """cast(floor(
+               (cast(cast(n_users as decimal(38,0)) * sxy - sx * sy as double)
+                * cast(cast(n_users as decimal(38,0)) * sxy - sx * sy as double))
+               / nullif(
+                   cast(cast(n_users as decimal(38,0)) * sxx - sx * sx as double)
+                 * cast(cast(n_users as decimal(38,0)) * syy - sy * sy as double),
+                   0.0)
+               * 1e6 + 0.5) as bigint) as rho2_micro""")
+        .selectExpr("n_users", "rho2_micro",
+          "1000000000000 div nullif(1000000 - rho2_micro, 0) as ess_mult_micro")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            anchor AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+            ux AS (
+              SELECT user_id,
+                CAST(sum(CASE WHEN us < mid THEN cents ELSE 0 END) AS BIGINT)
+                  + (user_id % 100) * 2000 AS x,
+                CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END) AS BIGINT)
+                  + (user_id % 100) * 2000 AS y
+              FROM ev CROSS JOIN anchor GROUP BY user_id),
+            mo AS (
+              SELECT count(*) AS n_users,
+                CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+                CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+                CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+              FROM ux),
+            r AS (
+              SELECT n_users,
+                CAST(floor(
+                  (CAST(CAST(n_users AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+                   * CAST(CAST(n_users AS HUGEINT) * sxy - sx * sy AS DOUBLE))
+                  / nullif(
+                      CAST(CAST(n_users AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+                    * CAST(CAST(n_users AS HUGEINT) * syy - sy * sy AS DOUBLE),
+                      0.0)
+                  * 1e6 + 0.5) AS BIGINT) AS rho2_micro
+              FROM mo)
+            SELECT n_users, rho2_micro,
+              1000000000000 // nullif(1000000 - rho2_micro, 0) AS ess_mult_micro
+            FROM r"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1292,7 +1385,7 @@ object EventOps {
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
     survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps,
-    linearAttribution, powerAnalysis)
+    linearAttribution, powerAnalysis, cupedReadout)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast

@@ -84,6 +84,8 @@ class PlanLintSpec extends SparkTestBase {
     "graph_copurchase_lift",
     // crossJoin of the 1-row (n_users, total-spend) scalar onto user rows
     "ev_ab_lift", "ev_power_analysis",
+    // crossJoin of the 1-row (split-anchor) scalar onto the event scan
+    "ev_cuped_readout",
     // crossJoin of the 1-row (vol_hi, reg_lo) threshold scalar onto user rows
     "ev_bot_detection"
   )
