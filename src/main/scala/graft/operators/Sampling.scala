@@ -703,8 +703,62 @@ object Sampling {
                 // CAST(sum(padded) AS BIGINT) AS BIGINT) AS waste_micro
             FROM p GROUP BY w ORDER BY w"""))
 
+  /** PACKED-SEQUENCE ATTENTION-MASK ACCOUNTING: when [[packSequences]]
+    * packs several documents into one training sequence, attention must be
+    * BLOCK-DIAGONAL (each token attends only within its own document) or
+    * the model trains on cross-document noise — and the mask is also a
+    * FLOPs saving, since masked pairs are never computed. Per packed
+    * sequence: documents packed, tokens, full-causal pair count
+    * T·(T−1)/2, block-diagonal pair count Σ lᵢ·(lᵢ−1)/2, and the saved
+    * share — the table that quantifies both the correctness requirement
+    * and the speedup (the reason sequence packing ships with a mask,
+    * Krell et al. 2021, "Efficient Sequence Packing"). Pure integer
+    * arithmetic over [[prefixSum]]'s assignment; sequence-count-sized
+    * output, one nullif-guarded micro-div per row. */
+  val packAttentionMask = GraftQuery(
+    "pipeline_pack_attention_mask",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      prefixSum(s, docs, "doc_id", "n_tokens", "start_tok")
+        .select((col("start_tok") / 512).cast("long").as("seq_id"), col("n_tokens"))
+        .groupBy(col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(expr("n_tokens * (n_tokens - 1) div 2")).as("pairs_masked"))
+        .withColumn("pairs_full", expr("n_tokens * (n_tokens - 1) div 2"))
+        .select(col("seq_id"), col("n_docs"), col("n_tokens"),
+          col("pairs_full"), col("pairs_masked"),
+          expr("(pairs_full - pairs_masked) * 1000000 div nullif(pairs_full, 0)")
+            .as("saved_micro"))
+        .orderBy(col("seq_id"))
+    },
+    Some("""WITH d AS (
+              SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+              FROM documents),
+            p AS (
+              SELECT n_tokens,
+                CAST(floor(CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  / 512) AS BIGINT) AS seq_id
+              FROM d),
+            g AS (
+              SELECT seq_id, count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                CAST(sum(n_tokens * (n_tokens - 1) // 2) AS BIGINT) AS pairs_masked
+              FROM p GROUP BY seq_id)
+            SELECT seq_id, n_docs, n_tokens,
+              n_tokens * (n_tokens - 1) // 2 AS pairs_full,
+              pairs_masked,
+              (n_tokens * (n_tokens - 1) // 2 - pairs_masked) * 1000000
+                // nullif(n_tokens * (n_tokens - 1) // 2, 0) AS saved_micro
+            FROM g ORDER BY seq_id"""))
+
   val all: Seq[GraftQuery] = Seq(hashSample, hashSplit, packSequences,
     stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources,
     sampleK, epochSchedule, weightedSample, histogram, curriculum,
-    lengthBucketPack, checksum, shardChecksum, lossMask, padWasteSweep)
+    lengthBucketPack, checksum, shardChecksum, lossMask, padWasteSweep,
+    packAttentionMask)
 }
