@@ -556,6 +556,122 @@ object Curation {
             FROM terms GROUP BY model_lang, eval_lang
             ORDER BY model_lang, eval_lang"""))
 
+  /** RATER-AGREEMENT AUDIT (Cohen's κ, 1960): chance-corrected agreement
+    * between the rule-based langid classifier and the labeled truth —
+    * the one-number companion of text_langid_confusion's full matrix, and
+    * the statistic annotation pipelines gate on before trusting a cheap
+    * labeler (κ corrects the accuracy a majority-class rater gets for
+    * free; po alone flatters imbalanced corpora). The driver's synthetic
+    * text carries NO lexical language signal (the raw rater predicts 'en'
+    * for every document — measured κ = 0 exactly, the textbook
+    * constant-rater result and the reason κ exists: that rater reads as
+    * 41% "accuracy"), so 2/3 of docs get 16 planted copies of their
+    * language's lead marker (doc_id % 3 gate, 16 > the max accidental
+    * marker count 14, oracle-mirrored — the lm_transfer precedent);
+    * marked docs classify correctly, unmarked ones fall to the en
+    * default, zh has no class at all — κ lands mid-range with both
+    * failure modes live. po and pe are exact integer micro-divs off the
+    * marginals; κ = (po−pe)/(1−pe) is one fixed double op tree over
+    * those exact integers, floor-scaled (negative κ is representable —
+    * floor agrees cross-engine), with nullif guarding the degenerate
+    * pe = 1 corpus. Shapes: one corpus scan, label-sized marginals,
+    * three 1-row scalars crossed. */
+  val raterAgreement = GraftQuery(
+    "curation_rater_agreement",
+    (s, dir) => {
+      val markers = Map(
+        "en" -> Seq("the", "a", "of"),
+        "de" -> Seq("der", "die", "das"),
+        "es" -> Seq("el", "los", "una"),
+        "fr" -> Seq("le", "la", "les"))
+      def score(lang: String) = {
+        val set = markers(lang).map(m => s"'$m'").mkString(", ")
+        expr(s"size(filter(split(text, ' '), x -> x IN ($set)))")
+      }
+      val pred = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), expr(
+          """case when doc_id % 3 <> 0 then
+               case lang when 'en' then repeat(' the', 16)
+                         when 'de' then repeat(' der', 16)
+                         when 'es' then repeat(' el', 16)
+                         when 'fr' then repeat(' le', 16)
+                         else '' end
+             else '' end""")))
+        .select(col("lang"),
+          score("en").as("s_en"), score("de").as("s_de"),
+          score("es").as("s_es"), score("fr").as("s_fr"))
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+            .when(col("s_es") >= col("s_fr"), "es")
+            .otherwise("fr"))
+        .select(col("lang"), col("pred_lang"))
+        .cache()
+      val tot = pred.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("lang") === col("pred_lang"), 1L).otherwise(0L)).as("n_agree"))
+      val chance = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_true"))
+        .join(pred.groupBy(col("pred_lang")).agg(count(lit(1)).as("n_pred")),
+          col("lang") === col("pred_lang"))
+        .agg(sum(col("n_true") * col("n_pred")).as("s_chance"))
+      tot.crossJoin(broadcast(chance))
+        .selectExpr("n_docs", "n_agree",
+          "n_agree * 1000000 div n_docs as po_micro",
+          "s_chance * 1000000 div (n_docs * n_docs) as pe_micro",
+          """cast(floor(
+               (cast(n_agree as double) / n_docs
+                - cast(s_chance as double) / (cast(n_docs as double) * n_docs))
+               / nullif(1.0 - cast(s_chance as double)
+                          / (cast(n_docs as double) * n_docs), 0.0)
+               * 1e6 + 0.5) as bigint) as kappa_micro""")
+    },
+    Some("""WITH aug AS (
+              SELECT lang, text ||
+                CASE WHEN doc_id % 3 <> 0 THEN
+                  CASE lang WHEN 'en' THEN repeat(' the', 16)
+                            WHEN 'de' THEN repeat(' der', 16)
+                            WHEN 'es' THEN repeat(' el', 16)
+                            WHEN 'fr' THEN repeat(' le', 16)
+                            ELSE '' END
+                ELSE '' END AS text
+              FROM documents),
+            scored AS (
+              SELECT lang,
+                len(list_filter(string_split(text, ' '),
+                  x -> x IN ('the', 'a', 'of'))) AS s_en,
+                len(list_filter(string_split(text, ' '),
+                  x -> x IN ('der', 'die', 'das'))) AS s_de,
+                len(list_filter(string_split(text, ' '),
+                  x -> x IN ('el', 'los', 'una'))) AS s_es,
+                len(list_filter(string_split(text, ' '),
+                  x -> x IN ('le', 'la', 'les'))) AS s_fr
+              FROM aug),
+            pred AS MATERIALIZED (
+              SELECT lang,
+                CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                     WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                     WHEN s_es >= s_fr THEN 'es'
+                     ELSE 'fr' END AS pred_lang
+              FROM scored),
+            tot AS (SELECT count(*) AS n_docs,
+                CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_agree
+              FROM pred),
+            chance AS (
+              SELECT CAST(sum(t.n_true * p.n_pred) AS BIGINT) AS s_chance
+              FROM (SELECT lang, count(*) AS n_true FROM pred GROUP BY lang) t
+              JOIN (SELECT pred_lang, count(*) AS n_pred FROM pred
+                    GROUP BY pred_lang) p ON p.pred_lang = t.lang)
+            SELECT n_docs, n_agree,
+              n_agree * 1000000 // n_docs AS po_micro,
+              s_chance * 1000000 // (n_docs * n_docs) AS pe_micro,
+              CAST(floor(
+                (CAST(n_agree AS DOUBLE) / n_docs
+                 - CAST(s_chance AS DOUBLE) / (CAST(n_docs AS DOUBLE) * n_docs))
+                / nullif(1.0 - CAST(s_chance AS DOUBLE)
+                           / (CAST(n_docs AS DOUBLE) * n_docs), 0.0)
+                * 1e6 + 0.5) AS BIGINT) AS kappa_micro
+            FROM tot CROSS JOIN chance"""))
+
   // multilingual stop-marker list: the union of the langId marker sets
   private val Stops = Seq("the", "a", "of", "der", "die", "das",
     "el", "los", "una", "le", "la", "les")
@@ -1421,5 +1537,6 @@ object Curation {
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
       tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
       dedupImpact, sourceOverlap, snapshotDrift, mixtureEntropy, datasetCard,
-      leakNgramSweep, lmKneserNey, dpHistogram, lmTransferMatrix)
+      leakNgramSweep, lmKneserNey, dpHistogram, lmTransferMatrix,
+      raterAgreement)
 }

@@ -1374,6 +1374,68 @@ object EventOps {
               1000000000000 // nullif(1000000 - rho2_micro, 0) AS ess_mult_micro
             FROM r"""))
 
+  /** METRIC-TREE DECOMPOSITION (driver analysis): the week-over-week
+    * purchase-revenue change split into its three drivers —
+    * revenue = purchasers × purchases-per-purchaser × value-per-purchase,
+    * so r_total = r_users · r_freq · r_value exactly (the telescoping
+    * identity every "why did the metric move" review leans on; each
+    * reported micro ratio is independently truncated, so the identity
+    * holds in rationals and to ~1e-6 in the table). Windows anchor at the
+    * corpus max timestamp (the rfm anchor discipline): current = last 7
+    * days, baseline = the 7 before. Exact integer cents and counts, every
+    * ratio one nullif-guarded non-negative micro-div, ONE corpus scan
+    * into a 1-row conditional aggregate. */
+  val metricDecomposition = GraftQuery(
+    "ev_metric_decomposition",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      val anchor = broadcast(ev.agg(max(col("us")).as("mx")))
+      ev.crossJoin(anchor)
+        .withColumn("w", when(col("us") > col("mx") - 604800000000L, 2)
+          .when(col("us") > col("mx") - 1209600000000L, 1).otherwise(0))
+        .filter(col("w") > 0)
+        .agg(
+          countDistinct(when(col("w") === 1, col("user_id"))).as("u1"),
+          countDistinct(when(col("w") === 2, col("user_id"))).as("u2"),
+          sum(when(col("w") === 1, 1L).otherwise(0L)).as("e1"),
+          sum(when(col("w") === 2, 1L).otherwise(0L)).as("e2"),
+          sum(when(col("w") === 1, col("cents")).otherwise(0L)).as("c1"),
+          sum(when(col("w") === 2, col("cents")).otherwise(0L)).as("c2"))
+        .selectExpr("u1", "u2", "e1", "e2", "c1", "c2",
+          "c2 * 1000000 div nullif(c1, 0) as r_total_micro",
+          "u2 * 1000000 div nullif(u1, 0) as r_users_micro",
+          "e2 * u1 * 1000000 div nullif(e1 * u2, 0) as r_freq_micro",
+          "c2 * e1 * 1000000 div nullif(c1 * e2, 0) as r_value_micro")
+    },
+    Some("""WITH ev AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+              FROM events WHERE event_type = 'purchase'),
+            anchor AS (SELECT max(us) AS mx FROM ev),
+            wd AS (
+              SELECT user_id, cents,
+                CASE WHEN us > mx - 604800000000 THEN 2
+                     WHEN us > mx - 1209600000000 THEN 1 ELSE 0 END AS w
+              FROM ev CROSS JOIN anchor),
+            agg AS (
+              SELECT
+                count(DISTINCT CASE WHEN w = 1 THEN user_id END) AS u1,
+                count(DISTINCT CASE WHEN w = 2 THEN user_id END) AS u2,
+                CAST(sum(CASE WHEN w = 1 THEN 1 ELSE 0 END) AS BIGINT) AS e1,
+                CAST(sum(CASE WHEN w = 2 THEN 1 ELSE 0 END) AS BIGINT) AS e2,
+                CAST(sum(CASE WHEN w = 1 THEN cents ELSE 0 END) AS BIGINT) AS c1,
+                CAST(sum(CASE WHEN w = 2 THEN cents ELSE 0 END) AS BIGINT) AS c2
+              FROM wd WHERE w > 0)
+            SELECT u1, u2, e1, e2, c1, c2,
+              c2 * 1000000 // nullif(c1, 0) AS r_total_micro,
+              u2 * 1000000 // nullif(u1, 0) AS r_users_micro,
+              e2 * u1 * 1000000 // nullif(e1 * u2, 0) AS r_freq_micro,
+              c2 * e1 * 1000000 // nullif(c1 * e2, 0) AS r_value_micro
+            FROM agg"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1385,7 +1447,7 @@ object EventOps {
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
     survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps,
-    linearAttribution, powerAnalysis, cupedReadout)
+    linearAttribution, powerAnalysis, cupedReadout, metricDecomposition)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast

@@ -86,6 +86,10 @@ class PlanLintSpec extends SparkTestBase {
     "ev_ab_lift", "ev_power_analysis",
     // crossJoin of the 1-row (split-anchor) scalar onto the event scan
     "ev_cuped_readout",
+    // crossJoin of the 1-row corpus-max-timestamp anchor onto purchases
+    "ev_metric_decomposition",
+    // crossJoin of two 1-row scalars (totals x chance-agreement sum)
+    "curation_rater_agreement",
     // crossJoin of the 1-row (vol_hi, reg_lo) threshold scalar onto user rows
     "ev_bot_detection"
   )
