@@ -93,5 +93,6 @@ object VectorFunctions {
     registerIfAbsent("graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)))
     registerIfAbsent("graft_l2sq",
       exprs => SubvectorL2Sq(exprs(0), exprs(1), exprs(2), exprs(3)))
+    registerIfAbsent("graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
   }
 }

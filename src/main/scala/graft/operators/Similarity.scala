@@ -1544,13 +1544,17 @@ object Similarity {
   val annMipsTopK = GraftQuery(
     "ann_mips_topk",
     (s, dir) => {
+      // graft_dot: codegen'd native inner product, bit-identical to
+      // dotFold (same accumulation order; VectorFunctionsSpec) and one
+      // third of graft_cosine's work since the norms aren't needed
+      graft.functions.VectorFunctions.ensureRegistered(s)
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val scored = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          round(dotFold("embedding", "q_emb"), 4).as("dot"))
+          round(expr("graft_dot(embedding, q_emb)"), 4).as("dot"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("dot").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, SubvectorL2Sq}
+import graft.functions.{CosineSimilarity, DotProduct, SubvectorL2Sq}
 
 /** Library entry point for Spark's extension mechanism — the Spark-native
   * analog of the reference's jar-level integration (a user adds the engine
@@ -33,7 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[SubvectorL2Sq].getName, "graft_l2sq"),
       (exprs: Seq[Expression]) =>
-        SubvectorL2Sq(exprs(0), exprs(1), exprs(2), exprs(3))))
+        SubvectorL2Sq(exprs(0), exprs(1), exprs(2), exprs(3))),
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach(ext.injectFunction)

@@ -23,6 +23,34 @@ class VectorFunctionsSpec extends SparkTestBase {
     assert(mismatches === 0L)
   }
 
+  test("graft_dot == declarative fold, bit for bit, on the corpus") {
+    VectorFunctions.ensureRegistered(spark)
+    val e = Tables.t(spark, sf, "embeddings")
+    val a = e.select(col("vec_id").as("va"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vb"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("va") < col("vb")).limit(20000)
+      .select(
+        expr("graft_dot(ea, eb)").as("native"),
+        Similarity.dotFold("ea", "eb").as("fold"))
+    val mismatches = pairs.filter(col("native") =!= col("fold")).count()
+    assert(mismatches === 0L)
+  }
+
+  test("graft_dot interpreted path agrees with a hand computation") {
+    import spark.implicits._
+    VectorFunctions.ensureRegistered(spark)
+    val df = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val got = df.select(expr("graft_dot(a, b)")).as[Double].head()
+      assert(got === 32.0) // 4 + 10 + 18
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("interpreted path (eval) agrees with a hand computation") {
     import spark.implicits._
     VectorFunctions.ensureRegistered(spark)
