@@ -51,6 +51,13 @@ class VerifySpec extends SparkTestBase {
     val declared = "(?m)^(\\d+) queries".r.findFirstMatchIn(section).map(_.group(1).toInt)
     assert(declared.contains(names.size),
       s"SURVEY §2.11a declares $declared queries; registry has ${names.size}")
+    // README's Correctness paragraph repeats the count — pin it too (it
+    // drifted 248→272 inside round 12 before this check existed)
+    val readme = java.nio.file.Files.readString(java.nio.file.Paths.get("README.md"))
+    val oracled = SparkEntry.registry.count(_.oracle.isDefined)
+    val want = s"(${oracled} oracled + ${names.size - oracled} rows-only queries = ${names.size}"
+    assert(readme.contains(want),
+      s"README correctness count is stale: expected '$want'")
   }
 
   test("errors.json merges by what ran: fixed queries clear, untouched records survive") {
