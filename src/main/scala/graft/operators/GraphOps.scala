@@ -1155,9 +1155,90 @@ object GraphOps {
           FROM p$step p JOIN nbr n ON n.src = p.cur AND n.idx = p.idx)"""
   }
 
+  /** One synchronous truss-peeling round for [[ktruss]]'s oracle:
+    * enumerate triangles id-oriented (x<y<z, every pair already
+    * canonical), count per-edge support over the three roles, keep edges
+    * with support ≥ 2 (k=4). */
+  private def trussRoundSql(i: Int): String = {
+    val p = i - 1
+    s"""t$i AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+          FROM e$p e1 JOIN e$p e2 ON e2.u = e1.v
+          JOIN e$p e3 ON e3.u = e1.u AND e3.v = e2.v),
+        s$i AS (SELECT u, v, count(*) AS sup FROM (
+              SELECT x AS u, y AS v FROM t$i
+              UNION ALL SELECT x AS u, z AS v FROM t$i
+              UNION ALL SELECT y AS u, z AS v FROM t$i) GROUP BY u, v),
+        e$i AS MATERIALIZED (SELECT s.u, s.v FROM s$i s WHERE s.sup >= 2)"""
+  }
+
+  /** Per-edge triangle support on an undirected u<v half-edge list,
+    * via the degree-oriented wedge machinery (each triangle enumerated
+    * once, Σ C(outdeg,2) wedge work) — every triangle credits its three
+    * edges in canonical (least, greatest) form. */
+  private def edgeSupport(half: DataFrame): DataFrame = {
+    val deg = degrees(half)
+    val o = orient(half, deg)
+    orientedWedges(o)
+      .join(o.as("e3"), col("e3.src") === col("y") && col("e3.dst") === col("z"))
+      .select(col("x"), col("y"), col("z"))
+      .selectExpr("""explode(array(
+          struct(least(x, y) as u, greatest(x, y) as v),
+          struct(least(x, z) as u, greatest(x, z) as v),
+          struct(least(y, z) as u, greatest(y, z) as v))) as e""")
+      .select(col("e.u"), col("e.v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+  }
+
+  /** K-TRUSS (k=4; Cohen 2008): the maximal subgraph where every edge
+    * closes ≥ 2 triangles WITHIN the subgraph — the edge-cohesion ladder's
+    * next rung after [[kcoreQuery]]'s vertex degrees (a 4-clique chain is
+    * a 4-truss; a hub star satisfies any core but no truss), completing
+    * the cohesion family degree → core → truss. Computed as 8 SYNCHRONOUS
+    * peeling rounds (simultaneous removal — deterministic, the kcore
+    * discipline; fixpoint lands by round 4 at every tested SF, and
+    * peeling is idempotent at fixpoint so the capped unrolled oracle is
+    * exact). Each round re-derives per-edge support via the
+    * degree-oriented wedge machinery (Σ C(outdeg,2) work — the bound a
+    * power-law hub demands), shuffles only (edge, support) pairs, never
+    * edges-join-edges beyond the wedge closure. Output: the 4-truss edge
+    * list with final support recomputed ON the truss (a 9th enumeration),
+    * pruned co-purchase graph (every 5th order) so the oracle's
+    * id-oriented re-enumeration stays seconds at sf0.1. */
+  val ktruss = GraftQuery(
+    "graph_ktruss",
+    (s, dir) => {
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_orderkey") % 5 === 0)
+      var half = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct().localCheckpoint(true)
+      var r = 0
+      while (r < 8) {
+        half = half.join(edgeSupport(half), Seq("u", "v"))
+          .filter(col("sup") >= 2).select(col("u"), col("v"))
+          .localCheckpoint(true)
+        r += 1
+      }
+      half.join(edgeSupport(half), Seq("u", "v"), "left")
+        .select(col("u"), col("v"), coalesce(col("sup"), lit(0L)).as("support"))
+        .orderBy(col("u"), col("v"))
+    },
+    Some(s"""WITH e0 AS MATERIALIZED (
+               SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+               FROM lineitem a JOIN lineitem b
+                 ON a.l_orderkey = b.l_orderkey
+                 AND a.l_orderkey % 5 = 0 AND a.l_partkey < b.l_partkey),
+             ${(1 to 9).map(trussRoundSql).mkString(",\n")}
+             SELECT e.u, e.v, CAST(coalesce(s.sup, 0) AS BIGINT) AS support
+             FROM e8 e LEFT JOIN s9 s ON s.u = e.u AND s.v = e.v
+             ORDER BY e.u, e.v"""))
+
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
       ssspQuery, degreeHist, twoHop, commonNeighbors, resourceAlloc,
       jaccardSimilarity, assortativity, copurchaseLift, clusteringCoeff,
-      modularity, louvainMove, randomWalk)
+      modularity, louvainMove, randomWalk, ktruss)
 }
