@@ -1071,9 +1071,47 @@ object TextAnalysis {
             GROUP BY p.phrase, p.n_occ
             ORDER BY score_micro DESC, phrase LIMIT 25"""))
 
+  /** WORD BURSTINESS (Church & Gale 1995): collection frequency over
+    * document frequency per word — a word that appears 40 times in 4
+    * documents (bursty: topical, entity-like) reads very differently from
+    * one appearing 40 times in 40 documents (dispersed: function word),
+    * and the ratio separates them where raw frequency can't. The top-20
+    * bursty table (min support cf ≥ 20) is the topicality panel next to
+    * [[zipfFit]]'s frequency law, [[hapaxRatio]]'s singletons and
+    * [[keywordRake]]'s phrases. Two key-partitioned aggregations over one
+    * exploded scan — (word, doc) dedup for df rides the same shuffle key
+    * as cf — one non-negative integer micro-div, TakeOrderedAndProject
+    * head. */
+  val burstiness = GraftQuery(
+    "text_burstiness",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      val cf = tok.groupBy(col("word")).agg(count(lit(1)).as("cf"))
+      val df = tok.select(col("word"), col("doc_id")).distinct()
+        .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      cf.join(df, "word")
+        .filter(col("cf") >= 20)
+        .select(col("word"), col("cf"), col("df"),
+          expr("cf * 1000000 div df").as("burstiness_micro"))
+        .orderBy(col("burstiness_micro").desc, col("word")).limit(20)
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+            cf AS (SELECT word, count(*) AS cf FROM tok GROUP BY word),
+            df AS (SELECT word, count(*) AS df
+                   FROM (SELECT DISTINCT word, doc_id FROM tok) GROUP BY word)
+            SELECT cf.word, cf.cf, df.df,
+              CAST(cf.cf * 1000000 // df.df AS BIGINT) AS burstiness_micro
+            FROM cf JOIN df ON df.word = cf.word
+            WHERE cf.cf >= 20
+            ORDER BY burstiness_micro DESC, cf.word LIMIT 20"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
       cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit,
       vocabCoverage, bpeFertility, complexity, langIdConfusion,
-      sourceDivergence, vocabGrowth, hapaxRatio, collocations, keywordRake)
+      sourceDivergence, vocabGrowth, hapaxRatio, collocations, keywordRake,
+      burstiness)
 }
