@@ -1436,6 +1436,74 @@ object EventOps {
               c2 * e1 * 1000000 // nullif(c1 * e2, 0) AS r_value_micro
             FROM agg"""))
 
+  /** SEASONALITY STRENGTH: the fraction of hourly-traffic variance the
+    * hour-of-week profile explains — R² of the predictor
+    * ŷ(h) = mean over h's (dow, hour) cell — the ONE number that says
+    * whether [[weeklyPattern]]'s heatmap is signal or wallpaper (and
+    * whether [[seasonalBaseline]]'s same-hour-last-week forecast can work
+    * at all). Read it against the NULL LINE: fitting G=168 cell means to
+    * n observed hours mechanically "explains" ≈ (G−1)/(n−1) of pure noise
+    * (≈0.23 at sf0.1's 720 hours), and this corpus measures 0.217 —
+    * i.e. the synthetic log has NO real weekly cycle, which is the
+    * correct verdict; a production log with genuine diurnal shape reads
+    * far above its null line. Convention: observed hours only (an empty
+    * hour contributes no row — documented, identical in both engines).
+    * Exactness: hourly
+    * counts are exact integers; each cell's SSE term q_g − s_g²/k_g is
+    * one division over exact ints, floor-scaled to micros BEFORE the
+    * cross-cell sum (the dsir discipline — 168 cells, order-proof); SST's
+    * (n·q − S²)/n numerator stays exact in DECIMAL(38,0); the final R² is
+    * one fixed double op tree, floor-scaled, nullif-guarded against a
+    * constant-traffic corpus. One scan → hour rollup → 168-cell rollup →
+    * two 1-row scalars crossed. */
+  val seasonalityStrength = GraftQuery(
+    "ev_seasonality_strength",
+    (s, dir) => {
+      val hourly = t(s, dir, "events")
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("y"))
+        .select(col("h"), col("y"),
+          expr("cast(((h div 24) + 4) % 7 * 24 + h % 24 as int)").as("how"))
+      val sse = hourly.groupBy(col("how"))
+        .agg(count(lit(1)).as("k"), sum(col("y")).as("sg"),
+          sum(col("y") * col("y")).as("qg"))
+        .select(expr(
+          """cast(floor((cast(qg as double) - cast(sg as double) * sg / k)
+               * 1e6 + 0.5) as bigint)""").as("sse_term"))
+        .agg(sum(col("sse_term")).as("sse_micro"))
+      val tot = hourly.agg(count(lit(1)).as("n"),
+        sum(expr("cast(y as decimal(38,0))")).as("s"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("q"))
+      tot.crossJoin(broadcast(sse))
+        .selectExpr("n",
+          """cast(floor((1.0 - (cast(sse_micro as double) / 1e6)
+               / nullif(cast(cast(n as decimal(38,0)) * q - s * s as double)
+                        / n, 0.0))
+               * 1e6 + 0.5) as bigint) as r2_micro""")
+    },
+    Some("""WITH hourly AS (
+              SELECT h, count(*) AS y,
+                CAST(((h // 24) + 4) % 7 * 24 + h % 24 AS INTEGER) AS how
+              FROM (SELECT epoch_us(ts) // 3600000000 AS h FROM events)
+              GROUP BY h),
+            sse AS (
+              SELECT CAST(sum(sse_term) AS BIGINT) AS sse_micro FROM (
+                SELECT CAST(floor((CAST(qg AS DOUBLE) - CAST(sg AS DOUBLE) * sg / k)
+                    * 1e6 + 0.5) AS BIGINT) AS sse_term
+                FROM (SELECT how, count(*) AS k, CAST(sum(y) AS BIGINT) AS sg,
+                        CAST(sum(y * y) AS BIGINT) AS qg
+                      FROM hourly GROUP BY how))),
+            tot AS (
+              SELECT count(*) AS n,
+                CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS s,
+                CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS q
+              FROM hourly)
+            SELECT n,
+              CAST(floor((1.0 - (CAST(sse_micro AS DOUBLE) / 1e6)
+                / nullif(CAST(CAST(n AS HUGEINT) * q - s * s AS DOUBLE) / n, 0.0))
+                * 1e6 + 0.5) AS BIGINT) AS r2_micro
+            FROM tot CROSS JOIN sse"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1447,7 +1515,8 @@ object EventOps {
     errorBudgetBurn, transitionEntropy, sessionDepth, userGini, rfmSegments,
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
     survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps,
-    linearAttribution, powerAnalysis, cupedReadout, metricDecomposition)
+    linearAttribution, powerAnalysis, cupedReadout, metricDecomposition,
+    seasonalityStrength)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast

@@ -91,6 +91,8 @@ class PlanLintSpec extends SparkTestBase {
     "ev_metric_decomposition",
     // crossJoin of two 1-row scalars (totals x chance-agreement sum)
     "curation_rater_agreement",
+    // crossJoin of two 1-row scalars (hour totals x SSE sum)
+    "ev_seasonality_strength",
     // crossJoin of the 1-row doc-count scalar onto the ranked doc table
     "lm_perplexity_yield",
     // crossJoin of the 1-row (vol_hi, reg_lo) threshold scalar onto user rows
