@@ -1504,6 +1504,58 @@ object EventOps {
                 * 1e6 + 0.5) AS BIGINT) AS r2_micro
             FROM tot CROSS JOIN sse"""))
 
+  /** ACTIVITY STREAKS (gaps-and-islands): per user the longest run of
+    * consecutive active days and the streak still alive at the corpus's
+    * last day — the engagement mechanic every consumer product ships and
+    * the canonical gaps-and-islands SQL interview shape, done the
+    * scale-correct way: island id = day − row_number() over the user's
+    * distinct active days (consecutive days share it; both terms exact
+    * integers), so islands fall out of ONE user-keyed window pass with no
+    * self-join and no recursion. "Current" anchors at the corpus max
+    * active day (the rfm anchor discipline, one broadcast row): a user's
+    * current streak is their island that touches the anchor, else 0.
+    * Everything after the distinct-day dedup runs on (user, island)
+    * rows. */
+  val activityStreaks = GraftQuery(
+    "ev_activity_streaks",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val days = t(s, dir, "events")
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val anchor = broadcast(days.agg(max(col("day")).as("maxd")))
+      days
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"), max(col("day")).as("last_day"))
+        .crossJoin(anchor)
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).as("n_active_days"),
+          max(col("len")).as("longest_streak"),
+          max(when(col("last_day") === col("maxd"), col("len")).otherwise(0L))
+            .as("current_streak"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH days AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+              FROM events),
+            anchor AS (SELECT max(day) AS maxd FROM days),
+            isl AS (
+              SELECT user_id,
+                day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp,
+                day
+              FROM days),
+            runs AS (
+              SELECT user_id, grp, count(*) AS len, max(day) AS last_day
+              FROM isl GROUP BY user_id, grp)
+            SELECT user_id,
+              CAST(sum(len) AS BIGINT) AS n_active_days,
+              CAST(max(len) AS BIGINT) AS longest_streak,
+              CAST(max(CASE WHEN last_day = maxd THEN len ELSE 0 END) AS BIGINT)
+                AS current_streak
+            FROM runs CROSS JOIN anchor
+            GROUP BY user_id ORDER BY user_id"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1516,7 +1568,7 @@ object EventOps {
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
     survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps,
     linearAttribution, powerAnalysis, cupedReadout, metricDecomposition,
-    seasonalityStrength)
+    seasonalityStrength, activityStreaks)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast

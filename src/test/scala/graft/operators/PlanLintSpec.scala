@@ -93,6 +93,8 @@ class PlanLintSpec extends SparkTestBase {
     "curation_rater_agreement",
     // crossJoin of two 1-row scalars (hour totals x SSE sum)
     "ev_seasonality_strength",
+    // crossJoin of the 1-row corpus-max-day anchor onto (user, island) rows
+    "ev_activity_streaks",
     // crossJoin of the 1-row doc-count scalar onto the ranked doc table
     "lm_perplexity_yield",
     // crossJoin of the 1-row (vol_hi, reg_lo) threshold scalar onto user rows
