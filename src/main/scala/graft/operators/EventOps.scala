@@ -1556,6 +1556,59 @@ object EventOps {
             FROM runs CROSS JOIN anchor
             GROUP BY user_id ORDER BY user_id"""))
 
+  /** ATTRIBUTION-WINDOW TUNING SWEEP: click→purchase conversion rate at
+    * candidate windows 1 h / 6 h / 24 h from ONE pass — the table that
+    * picks the attribution window [[cartAbandonment]] hard-codes (every
+    * ads and analytics team fights over this constant; the sweep replaces
+    * the fight with the measured curve — the tuning-table family's
+    * event-time member). Each click's NEXT same-user purchase comes from one
+    * forward-looking RANGE frame (the ev_absence spelling, unbounded so
+    * one pass serves every window); the window sweep then explodes 3 rows
+    * per click and aggregates — microsecond-exact gaps, integer
+    * micro-rates. */
+  val conversionWindowSweep = GraftQuery(
+    "ev_conversion_window_sweep",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(1L, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .withColumn("next_p_us",
+          min(when(col("event_type") === "purchase", col("us"))).over(w))
+        .filter(col("event_type") === "click")
+        .select(col("us"), col("next_p_us"),
+          explode(expr("array(1, 6, 24)")).as("window_h"))
+        .groupBy(col("window_h"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("next_p_us").isNotNull &&
+            col("next_p_us") - col("us") <= col("window_h") * 3600000000L, 1L)
+            .otherwise(0L)).as("n_converted"))
+        .select(col("window_h"), col("n_clicks"), col("n_converted"),
+          expr("n_converted * 1000000 div nullif(n_clicks, 0)").as("rate_micro"))
+        .orderBy(col("window_h"))
+    },
+    Some("""WITH ce AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us
+              FROM events WHERE event_type IN ('click', 'purchase')),
+            marked AS (
+              SELECT event_type, us,
+                min(CASE WHEN event_type = 'purchase' THEN us END) OVER (
+                  PARTITION BY user_id ORDER BY us
+                  RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p_us
+              FROM ce),
+            sweep AS (
+              SELECT us, next_p_us, unnest([1, 6, 24]) AS window_h
+              FROM marked WHERE event_type = 'click')
+            SELECT window_h, count(*) AS n_clicks,
+              CAST(sum(CASE WHEN next_p_us IS NOT NULL
+                    AND next_p_us - us <= window_h * 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_converted,
+              CAST(sum(CASE WHEN next_p_us IS NOT NULL
+                    AND next_p_us - us <= window_h * 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) * 1000000 // nullif(count(*), 0) AS rate_micro
+            FROM sweep GROUP BY window_h ORDER BY window_h"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1568,7 +1621,7 @@ object EventOps {
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
     survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps,
     linearAttribution, powerAnalysis, cupedReadout, metricDecomposition,
-    seasonalityStrength, activityStreaks)
+    seasonalityStrength, activityStreaks, conversionWindowSweep)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
