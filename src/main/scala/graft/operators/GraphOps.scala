@@ -1236,9 +1236,66 @@ object GraphOps {
              FROM e8 e LEFT JOIN s9 s ON s.u = e.u AND s.v = e.v
              ORDER BY e.u, e.v"""))
 
+  /** BIPARTITE 4-CYCLE CENSUS: squares are the cohesion signal a
+    * bipartite graph has INSTEAD of triangles (two parts sharing two
+    * suppliers = redundant co-sourcing; Lind et al. 2005's bipartite
+    * clustering is built on them) — the missing cohesion row for the
+    * supplier~part graph, where [[triangleCount]]/[[ktruss]] are
+    * structurally zero. One wedge pass per side (pairs through shared
+    * centers, C(deg,2) per center on the sparse fixture), each pair's
+    * square count is C(n_common, 2) exactly — and the two sides MUST
+    * report the identical square total (every C4 has 2 parts and 2
+    * suppliers), so the 2-row output carries its own cross-check the way
+    * ev_ab_lift carries its A/A. Only (pair, count) rows shuffle. */
+  val bipartiteC4 = GraftQuery(
+    "graph_bipartite_c4",
+    (s, dir) => {
+      val half = Tables.t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_partkey").as("u"), (col("l_suppkey") + SuppOffset).as("v"))
+        .distinct().cache()
+      def census(side: String, center: String, leaf: String) = {
+        val a = half.select(col(center).as("c"), col(leaf).as("a"))
+        val b = half.select(col(center).as("c"), col(leaf).as("b"))
+        a.join(b, "c").filter(col("a") < col("b"))
+          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("n_common") >= 2, 1L).otherwise(0L)).as("n_pairs_multi"),
+            sum(expr("n_common * (n_common - 1) div 2")).as("n_squares"))
+          .select(lit(side).as("side"), col("n_pairs"), col("n_pairs_multi"),
+            col("n_squares"))
+      }
+      val out = census("part_pairs", "v", "u")
+        .union(census("supplier_pairs", "u", "v"))
+        .orderBy(col("side"))
+      out
+    },
+    Some(s"""WITH half AS MATERIALIZED (
+               SELECT DISTINCT l_partkey AS u, l_suppkey + $SuppOffset AS v
+               FROM lineitem WHERE l_orderkey % 50 = 0),
+             pp AS (
+               SELECT a.u AS a, b.u AS b, count(*) AS n_common
+               FROM half a JOIN half b ON a.v = b.v AND a.u < b.u
+               GROUP BY a.u, b.u),
+             sp AS (
+               SELECT a.v AS a, b.v AS b, count(*) AS n_common
+               FROM half a JOIN half b ON a.u = b.u AND a.v < b.v
+               GROUP BY a.v, b.v)
+             SELECT 'part_pairs' AS side, count(*) AS n_pairs,
+               CAST(sum(CASE WHEN n_common >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_pairs_multi,
+               CAST(sum(n_common * (n_common - 1) // 2) AS BIGINT) AS n_squares
+             FROM pp
+             UNION ALL
+             SELECT 'supplier_pairs', count(*),
+               CAST(sum(CASE WHEN n_common >= 2 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(n_common * (n_common - 1) // 2) AS BIGINT)
+             FROM sp
+             ORDER BY side"""))
+
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
       ssspQuery, degreeHist, twoHop, commonNeighbors, resourceAlloc,
       jaccardSimilarity, assortativity, copurchaseLift, clusteringCoeff,
-      modularity, louvainMove, randomWalk, ktruss)
+      modularity, louvainMove, randomWalk, ktruss, bipartiteC4)
 }
