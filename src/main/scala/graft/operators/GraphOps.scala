@@ -1293,9 +1293,87 @@ object GraphOps {
              FROM sp
              ORDER BY side"""))
 
+  /** RICH-CLUB COEFFICIENT curve (Zhou & Mondragón 2004): for each degree
+    * cut k, the edge density among nodes of degree > k — do the
+    * best-connected parts trade preferentially with each other (rich-club
+    * φ rising toward 1) or spread their links (flat/falling)? The
+    * degree-stratified density panel next to [[assortativity]]'s one-row
+    * correlation and [[degreeHist]]'s volumes. Cuts are DATA-DRIVEN
+    * degree quantiles (p50/p75/p90/p99, one broadcast row — the
+    * ev_bot_detection discipline; fixed absolute cuts went vacuous on
+    * this graph, whose min degree is ~40) so the curve stratifies at
+    * every SF. One wedge-free pass: degrees join onto each edge's
+    * endpoints, the cut sweep explodes 4 rows per edge/node, density is
+    * one non-negative integer micro-div — no pairs are ever enumerated,
+    * so the curve costs O(edges), not O(club²). */
+  val richClub = GraftQuery(
+    "graph_rich_club",
+    (s, dir) => {
+      val half = coPurchaseEdges(s, dir).cache()
+      val deg = degrees(half).cache()
+      val qs = broadcast(deg.agg(
+        expr("percentile(deg, 0.5D)").as("p50"),
+        expr("percentile(deg, 0.75D)").as("p75"),
+        expr("percentile(deg, 0.9D)").as("p90"),
+        expr("percentile(deg, 0.99D)").as("p99")))
+      val cutsExpr = """explode(array(
+          struct('p50' as cut, p50 as cutv), struct('p75' as cut, p75 as cutv),
+          struct('p90' as cut, p90 as cutv), struct('p99' as cut, p99 as cutv)
+        )) as c"""
+      val nodes = deg.crossJoin(qs).selectExpr("deg", cutsExpr)
+        .filter(col("deg") > col("c.cutv"))
+        .groupBy(col("c.cut").as("cut")).agg(count(lit(1)).as("n_nodes"))
+      val edges = half
+        .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+        .select(least(col("du"), col("dv")).as("dmin"))
+        .crossJoin(qs).selectExpr("dmin", cutsExpr)
+        .filter(col("dmin") > col("c.cutv"))
+        .groupBy(col("c.cut").as("cut")).agg(count(lit(1)).as("n_edges"))
+      val out = nodes.join(edges, Seq("cut"), "left")
+        .select(col("cut"), col("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          expr("""coalesce(n_edges, 0) * 2000000
+                  div nullif(n_nodes * (n_nodes - 1), 0)""").as("phi_micro"))
+        .orderBy(col("cut"))
+      half.unpersist(); deg.unpersist()
+      out
+    },
+    Some("""WITH e AS MATERIALIZED (
+              SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+            deg AS MATERIALIZED (
+              SELECT node, count(*) AS deg FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY node),
+            qs AS (SELECT quantile_cont(deg, 0.5) AS p50,
+                     quantile_cont(deg, 0.75) AS p75,
+                     quantile_cont(deg, 0.9) AS p90,
+                     quantile_cont(deg, 0.99) AS p99 FROM deg),
+            cuts AS (SELECT 'p50' AS cut, p50 AS cutv FROM qs
+                     UNION ALL SELECT 'p75', p75 FROM qs
+                     UNION ALL SELECT 'p90', p90 FROM qs
+                     UNION ALL SELECT 'p99', p99 FROM qs),
+            nodes AS (
+              SELECT cut, count(*) AS n_nodes
+              FROM deg CROSS JOIN cuts WHERE deg > cutv GROUP BY cut),
+            edges AS (
+              SELECT cut, count(*) AS n_edges
+              FROM (SELECT least(du.deg, dv.deg) AS dmin
+                    FROM e JOIN deg du ON du.node = e.u
+                    JOIN deg dv ON dv.node = e.v) x
+              CROSS JOIN cuts WHERE dmin > cutv GROUP BY cut)
+            SELECT n.cut, n.n_nodes,
+              CAST(coalesce(ed.n_edges, 0) AS BIGINT) AS n_edges,
+              CAST(coalesce(ed.n_edges, 0) * 2000000
+                // nullif(n.n_nodes * (n.n_nodes - 1), 0) AS BIGINT) AS phi_micro
+            FROM nodes n LEFT JOIN edges ed ON ed.cut = n.cut
+            ORDER BY n.cut"""))
+
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
       ssspQuery, degreeHist, twoHop, commonNeighbors, resourceAlloc,
       jaccardSimilarity, assortativity, copurchaseLift, clusteringCoeff,
-      modularity, louvainMove, randomWalk, ktruss, bipartiteC4)
+      modularity, louvainMove, randomWalk, ktruss, bipartiteC4, richClub)
 }

@@ -95,6 +95,8 @@ class PlanLintSpec extends SparkTestBase {
     "ev_seasonality_strength",
     // crossJoin of the 1-row corpus-max-day anchor onto (user, island) rows
     "ev_activity_streaks",
+    // crossJoin of the 1-row degree-quantile anchor onto node/edge rows
+    "graph_rich_club",
     // crossJoin of the 1-row doc-count scalar onto the ranked doc table
     "lm_perplexity_yield",
     // crossJoin of the 1-row (vol_hi, reg_lo) threshold scalar onto user rows
