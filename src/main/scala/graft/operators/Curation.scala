@@ -751,6 +751,50 @@ object Curation {
               min(score) AS score_floor
             FROM ranked GROUP BY decile ORDER BY decile"""))
 
+  /** QUALITY-GATE YIELD/QUALITY TRADEOFF: the Pareto curve behind
+    * [[qualityFilter]]'s hard-coded min-length 10 — at candidate cuts
+    * {5, 10, 20, 40, 80} minimum tokens, the docs and tokens kept AND the
+    * mean lexical diversity (TTR) of what survives, so the cut is chosen
+    * where quality stops improving faster than yield falls (the
+    * lm_perplexity_yield framing applied to the rule-based gate; every
+    * gate constant in this file should have its curve). One corpus scan
+    * explodes 5 cut rows per doc; TTR is floor-scaled to exact integer
+    * micros per doc BEFORE the mean so cross-cut sums are
+    * aggregation-order-proof; means are non-negative integer divs. */
+  val qualityTradeoff = GraftQuery(
+    "curation_quality_tradeoff",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(split(col("text"), " ").as("w"))
+        .select(size(col("w")).cast("long").as("n_tokens"),
+          expr("""cast(floor(cast(size(array_distinct(w)) as double)
+                  / size(w) * 1e6 + 0.5) as bigint)""").as("ttr_micro"))
+        .select(col("n_tokens"), col("ttr_micro"),
+          explode(expr("array(5L, 10L, 20L, 40L, 80L)")).as("min_tokens"))
+        .filter(col("n_tokens") >= col("min_tokens"))
+        .groupBy(col("min_tokens"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens_kept"),
+          sum(col("ttr_micro")).as("ttr_sum"))
+        .select(col("min_tokens"), col("n_docs"), col("n_tokens_kept"),
+          expr("ttr_sum div nullif(n_docs, 0)").as("mean_ttr_micro"))
+        .orderBy(col("min_tokens")),
+    Some("""WITH d AS (
+              SELECT CAST(len(w) AS BIGINT) AS n_tokens,
+                CAST(floor(CAST(len(list_distinct(w)) AS DOUBLE)
+                  / len(w) * 1e6 + 0.5) AS BIGINT) AS ttr_micro
+              FROM (SELECT string_split(text, ' ') AS w FROM documents)),
+            e AS (
+              SELECT n_tokens, ttr_micro,
+                unnest([CAST(5 AS BIGINT), 10, 20, 40, 80]) AS min_tokens
+              FROM d)
+            SELECT min_tokens, count(*) AS n_docs,
+              CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept,
+              CAST(CAST(sum(ttr_micro) AS BIGINT) // nullif(count(*), 0) AS BIGINT)
+                AS mean_ttr_micro
+            FROM e WHERE n_tokens >= min_tokens
+            GROUP BY min_tokens ORDER BY min_tokens"""))
+
   // multilingual stop-marker list: the union of the langId marker sets
   private val Stops = Seq("the", "a", "of", "der", "die", "das",
     "el", "los", "una", "le", "la", "les")
@@ -1617,5 +1661,5 @@ object Curation {
       tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
       dedupImpact, sourceOverlap, snapshotDrift, mixtureEntropy, datasetCard,
       leakNgramSweep, lmKneserNey, dpHistogram, lmTransferMatrix,
-      raterAgreement, perplexityYield)
+      raterAgreement, perplexityYield, qualityTradeoff)
 }
