@@ -567,6 +567,12 @@ object GraphOps {
     * drops under its own name (same listener, same semantics). */
   private[operators] val RaDroppedCentersMetric = "graph_resource_alloc_drops"
 
+  /** [[bipartiteC4]]'s hub-drop metrics — one per part, because a
+    * bipartite wedge pass has centers on BOTH sides and a single count
+    * would hide which part grew the hub. */
+  private[operators] val BipartitePartDropsMetric = "graph_bipartite_c4_part_drops"
+  private[operators] val BipartiteSuppDropsMetric = "graph_bipartite_c4_supp_drops"
+
   private val dropLoggerSessions =
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
@@ -582,7 +588,8 @@ object GraphOps {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             durationNs: Long): Unit =
-          Seq(DroppedCentersMetric, RaDroppedCentersMetric).foreach { m =>
+          Seq(DroppedCentersMetric, RaDroppedCentersMetric,
+              BipartitePartDropsMetric, BipartiteSuppDropsMetric).foreach { m =>
             qe.observedMetrics.get(m).foreach { row =>
               val d = row.getAs[Long]("dropped_centers")
               if (d > 0)
@@ -1067,6 +1074,290 @@ object GraphOps {
                mm.m * 2 - c.degree * c.degj > 0 AS moved
              FROM cand c CROSS JOIN mm WHERE c.rn = 1 ORDER BY node"""))
 
+  /** General synchronous Louvain MOVE PASS on a WEIGHTED graph — the
+    * [[louvainMove]] primitive generalized from singleton-start to any
+    * community assignment (and so reusable after contraction, where the
+    * super-graph carries edge weights and self-loops).
+    *
+    * Exact-integer gain in Q·4m² units (the [[modularity]] scale): moving
+    * node i from community A to B scores
+    * 4m·(w_{i,B} − w_{i,A\i}) − 2k_i·d_B + 2k_i·(d_{A\i}), all BIGINT
+    * (same headroom bound as modularity, m ≲ 1.1·10⁶ before the micro
+    * conversion could overflow — documented there). Every node evaluates
+    * its neighbor communities SYNCHRONOUSLY (argmax by gain, min-community
+    * tie-break) and moves iff gain > 0 — sequential scan order doesn't
+    * exist at cluster scale, so simultaneity is semantics here, exactly as
+    * in [[louvainMove]]. Shapes: w_{i,C} is one (node, community)-keyed
+    * aggregation of the und edge list, d_C one community-keyed aggregation
+    * of (node, k) rows; the argmax is one row_number window per node —
+    * edges never join edges.
+    *
+    * PARITY GATING: a fully simultaneous pass from singletons mass-swaps
+    * (i moves to {j} while j moves to {k} — every gain was computed
+    * against a frozen world that then also moved) and aggregate Q drops,
+    * so the accept-if-improved guard would reject every pass and Louvain
+    * would never move (observed on the fixture: 0 moves at every SF).
+    * The standard distributed fix: each sub-pass lets only HALF the nodes
+    * move (node % 2 == parity, the rest frozen), which breaks the swap
+    * symmetry — the frozen half really is frozen, so gains are honest for
+    * most movers, and the guard still catches residual same-parity
+    * interference. Deterministic and oracle-replayable, unlike the
+    * randomized vertex-coloring schedules in the literature.
+    *
+    * @param und    undirected edge list, both directions, (src, dst, w);
+    *               self-loops EXCLUDED (they are not "weight to other
+    *               members" in the gain formula)
+    * @param k      (node, k) weighted degrees, self-loops counted twice
+    * @param assign (node, c) current communities
+    * @param parity only nodes with node % 2 == parity may move
+    * @return       (node, c) after the gated synchronous move */
+  private[operators] def louvainPass(und: DataFrame, k: DataFrame,
+      assign: DataFrame, m: Long, parity: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wic = und
+      .join(assign.select(col("node").as("dst"), col("c").as("nc")), "dst")
+      .groupBy(col("src"), col("nc")).agg(sum(col("w")).as("wip"))
+      .select(col("src").as("node"), col("nc"), col("wip"))
+    val dc = assign.join(k, "node")
+      .groupBy(col("c")).agg(sum(col("k")).as("d_c"))
+    val cur = assign.join(k, "node")
+      .join(dc.withColumnRenamed("d_c", "d_cur"), "c").as("a")
+      .join(wic.as("w"),
+        col("a.node") === col("w.node") && col("w.nc") === col("a.c"), "left")
+      .select(col("a.node").as("node"), col("a.c").as("cu"), col("a.k").as("k"),
+        coalesce(col("w.wip"), lit(0L)).as("w_cur"), col("a.d_cur").as("d_cur"))
+    val cand = cur.as("c")
+      .filter(col("c.node") % 2 === parity)
+      .join(wic.as("w"),
+        col("w.node") === col("c.node") && col("w.nc") =!= col("c.cu"))
+      .join(dc.as("d"), col("d.c") === col("w.nc"))
+      .select(col("c.node").as("node"), col("w.nc").as("nc"),
+        (lit(4L * m) * (col("w.wip") - col("c.w_cur"))
+          - lit(2L) * col("c.k") * col("d.d_c")
+          + lit(2L) * col("c.k") * (col("c.d_cur") - col("c.k"))).as("gain"))
+    val win = Window.partitionBy(col("node")).orderBy(col("gain").desc, col("nc"))
+    val best = cand.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+    cur.as("c").join(best.as("b"), col("b.node") === col("c.node"), "left")
+      .select(col("c.node").as("node"),
+        when(col("b.gain") > 0, col("b.nc")).otherwise(col("c.cu")).as("c"))
+  }
+
+  /** Exact-integer modularity numerator Q·4m² = Σ_C [4m·W_C − d_C²] for an
+    * assignment over a weighted graph — [[modularity]]'s machinery
+    * factored out so [[louvain]] can guard every pass on it. W_C counts
+    * intra-community half-edge weight plus self-loop weight (a self-loop
+    * is intra by definition, so loops sum globally without a community
+    * join). Three 1-row scalar aggregates — the PageRank n discipline. */
+  private[operators] def louvainQNum(half: DataFrame, loops: Option[DataFrame],
+      k: DataFrame, assign: DataFrame, m: Long): Long = {
+    val intra = half.as("h")
+      .join(assign.select(col("node").as("u"), col("c").as("cu")), "u")
+      .join(assign.select(col("node").as("v"), col("c").as("cv")), "v")
+      .filter(col("cu") === col("cv"))
+      .agg(coalesce(sum(col("w")), lit(0L))).head.getLong(0)
+    val loopW = loops.map(
+      _.agg(coalesce(sum(col("l")), lit(0L))).head.getLong(0)).getOrElse(0L)
+    val sumD2 = assign.join(k, "node")
+      .groupBy(col("c")).agg(sum(col("k")).as("d_c"))
+      .agg(coalesce(sum(col("d_c") * col("d_c")), lit(0L))).head.getLong(0)
+    4L * m * (intra + loopW) - sumD2
+  }
+
+  /** Per-level Louvain summary plus the contraction cross-check: qnum of
+    * the singleton super-node partition must EQUAL level 1's final qnum
+    * (contraction is exactly Q-preserving — the spec pins it). */
+  private[operators] final case class LouvainResult(
+      levels: Seq[(Long, Long, Long, Long)], // (level, n_communities, qnum, q_micro)
+      contractedQNum: Long)
+
+  /** FULL 2-LEVEL LOUVAIN (Blondel et al. 2008): phase 1 = two guarded
+    * synchronous move passes from singletons; phase 2 = contract
+    * communities into a weighted super-node graph (cross-community edge
+    * weights + per-community self-loops) and run the move pass again at
+    * the super level. Every pass is ACCEPT-IF-IMPROVED: the candidate
+    * assignment is adopted only when its exact-integer Q beats the
+    * incumbent — the pass-granular analog of sequential Louvain's per-move
+    * guarantee, which makes modularity non-decrease across levels hold BY
+    * CONSTRUCTION (synchronous simultaneous moves can otherwise oscillate
+    * on symmetric graphs; the guard converts a bad pass into a no-op
+    * instead of a regression). All guard decisions are 1-row scalar
+    * comparisons on BIGINTs, so the DuckDB oracle replays them with CASE
+    * on the identical scalar subqueries — bit-equal by construction.
+    *
+    * Scale shapes: each pass is two key-sized aggregations + one window
+    * (never edges⋈edges); contraction is one edge-list pass; the level-2
+    * graph is communities-sized. Driver state: six scalar Longs. */
+  private[operators] def louvainRun(half0: DataFrame): LouvainResult = {
+    val half = half0.select(col("u"), col("v")).withColumn("w", lit(1L)).cache()
+    val m = half.agg(coalesce(sum(col("w")), lit(0L))).head.getLong(0)
+    require(m > 0, "louvain needs at least one edge")
+    val und = half.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .union(half.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .cache()
+    val k0 = und.groupBy(col("src").as("node")).agg(sum(col("w")).as("k")).cache()
+    val a0 = k0.select(col("node"), col("node").as("c"))
+    def micro(qn: Long): Long =
+      ((BigInt(qn) + BigInt(4) * m * m) * 1000000 / (BigInt(4) * m * m)
+        - 1000000).toLong
+    val q0 = louvainQNum(half, None, k0, a0, m)
+    var a = a0; var q = q0
+    Seq(0, 1, 0, 1).foreach { p =>
+      val cand = louvainPass(und, k0, a, m, p).localCheckpoint(true)
+      val qc = louvainQNum(half, None, k0, cand, m)
+      if (qc > q) { a = cand; q = qc }
+    }
+    val (a1, q1) = (a, q)
+    val nc1 = a1.select(col("c")).distinct().count()
+    // phase 2: contract — communities become weighted super-nodes with
+    // self-loops; total weight m and Q of the partition are preserved
+    val hcc = half.as("h")
+      .join(a1.select(col("node").as("u"), col("c").as("cu")), "u")
+      .join(a1.select(col("node").as("v"), col("c").as("cv")), "v")
+      .select(col("w"), col("cu"), col("cv"))
+    val sHalf = hcc.filter(col("cu") =!= col("cv"))
+      .select(least(col("cu"), col("cv")).as("u"),
+        greatest(col("cu"), col("cv")).as("v"), col("w"))
+      .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w")).cache()
+    val sLoops = hcc.filter(col("cu") === col("cv"))
+      .groupBy(col("cu").as("node")).agg(sum(col("w")).as("l")).cache()
+    val sK = a1.join(k0, "node")
+      .groupBy(col("c")).agg(sum(col("k")).as("k"))
+      .select(col("c").as("node"), col("k")).cache()
+    val sUnd = sHalf.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .union(sHalf.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val a20 = sK.select(col("node"), col("node").as("c"))
+    val q20 = louvainQNum(sHalf, Some(sLoops), sK, a20, m)
+    var a2 = a20; var q2 = q20
+    Seq(0, 1).foreach { p =>
+      val cand2 = louvainPass(sUnd, sK, a2, m, p).localCheckpoint(true)
+      val qc2 = louvainQNum(sHalf, Some(sLoops), sK, cand2, m)
+      if (qc2 > q2) { a2 = cand2; q2 = qc2 }
+    }
+    val nc2 = a2.select(col("c")).distinct().count()
+    val nc0 = k0.count()
+    Seq(half, und, k0, sHalf, sLoops, sK).foreach(_.unpersist())
+    LouvainResult(
+      Seq((0L, nc0, q0, micro(q0)), (1L, nc1, q1, micro(q1)),
+        (2L, nc2, q2, micro(q2))),
+      contractedQNum = q20)
+  }
+
+  private def lvQnumSql(a: String, h: String, l: Option[String],
+      kT: String): String =
+    s"""(SELECT 4 * mm.m * (
+          coalesce((SELECT CAST(sum(h.w) AS BIGINT) FROM $h h
+            JOIN $a au ON au.node = h.u JOIN $a av ON av.node = h.v
+            WHERE au.c = av.c), 0)
+          ${l.map(t => s"+ coalesce((SELECT CAST(sum(l) AS BIGINT) FROM $t), 0)")
+             .getOrElse("")})
+        - (SELECT CAST(sum(d_c * d_c) AS BIGINT)
+           FROM (SELECT CAST(sum(k.k) AS BIGINT) AS d_c
+                 FROM $a a JOIN $kT k ON k.node = a.node GROUP BY a.c) t)
+        FROM mm)"""
+
+  /** One guarded Louvain pass as DuckDB CTEs — the [[louvainPass]] +
+    * accept-if-improved guard, mechanically unrolled (the trussRoundSql
+    * pattern). Emits wic/dc/cur/cand/ac/qc/a/q CTEs suffixed by `s`. */
+  private def lvPassSql(s: Int, aP: String, qP: String, u: String,
+      kT: String, h: String, l: Option[String], parity: Int): String = {
+    val gain = s"""4 * mm.m * (w.wip - c.w_cur) - 2 * c.k * d.d_c
+                   + 2 * c.k * (c.d_cur - c.k)"""
+    s"""wic$s AS (SELECT e.src AS node, a.c AS nc, CAST(sum(e.w) AS BIGINT) AS wip
+           FROM $u e JOIN $aP a ON a.node = e.dst GROUP BY e.src, a.c),
+       dc$s AS (SELECT a.c, CAST(sum(k.k) AS BIGINT) AS d_c
+           FROM $aP a JOIN $kT k ON k.node = a.node GROUP BY a.c),
+       cur$s AS (SELECT a.node, a.c AS cu, k.k,
+             coalesce(w.wip, 0) AS w_cur, d.d_c AS d_cur
+           FROM $aP a JOIN $kT k ON k.node = a.node
+           JOIN dc$s d ON d.c = a.c
+           LEFT JOIN wic$s w ON w.node = a.node AND w.nc = a.c),
+       cand$s AS (SELECT c.node, c.cu, w.nc, $gain AS gain,
+             row_number() OVER (PARTITION BY c.node
+               ORDER BY ($gain) DESC, w.nc) AS rn
+           FROM cur$s c
+           JOIN wic$s w ON w.node = c.node AND w.nc <> c.cu
+           JOIN dc$s d ON d.c = w.nc CROSS JOIN mm
+           WHERE c.node % 2 = $parity),
+       ac$s AS MATERIALIZED (SELECT c.node,
+             CASE WHEN b.gain > 0 THEN b.nc ELSE c.cu END AS c
+           FROM cur$s c
+           LEFT JOIN (SELECT * FROM cand$s WHERE rn = 1) b ON b.node = c.node),
+       qc$s AS (SELECT ${lvQnumSql(s"ac$s", h, l, kT)} AS qn),
+       a$s AS MATERIALIZED (SELECT n.node,
+             CASE WHEN (SELECT qn FROM qc$s) > (SELECT qn FROM $qP)
+                  THEN n.c ELSE o.c END AS c
+           FROM ac$s n JOIN $aP o ON o.node = n.node),
+       q$s AS (SELECT CASE WHEN (SELECT qn FROM qc$s) > (SELECT qn FROM $qP)
+                    THEN (SELECT qn FROM qc$s) ELSE (SELECT qn FROM $qP) END AS qn)"""
+  }
+
+  private val lvMicroSql =
+    "CAST(((qn + 4 * m * m) * 1000000) // (4 * m * m) - 1000000 AS BIGINT)"
+
+  /** The [[louvainRun]] hierarchy as a 3-row per-level panel: community
+    * count and exact-integer modularity (micro) at level 0 (singletons),
+    * level 1 (after two guarded move passes) and level 2 (after
+    * contraction + one guarded super-pass). Same sparse supplier~part
+    * graph as [[modularity]]/[[louvainMove]]. The oracle unrolls the
+    * identical three guarded passes as MATERIALIZED CTEs. */
+  val louvain = GraftQuery(
+    "graph_louvain",
+    (s, dir) => {
+      import s.implicits._
+      val raw = Tables.t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_partkey").as("u"), (col("l_suppkey") + SuppOffset).as("v"))
+        .distinct()
+      louvainRun(raw).levels.map { case (l, nc, _, qm) => (l, nc, qm) }
+        .toDF("level", "n_communities", "q_micro")
+    },
+    Some(s"""WITH half AS MATERIALIZED (
+               SELECT DISTINCT l_partkey AS u, l_suppkey + $SuppOffset AS v,
+                 CAST(1 AS BIGINT) AS w
+               FROM lineitem WHERE l_orderkey % 50 = 0),
+             mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM half),
+             und AS MATERIALIZED (
+               SELECT u AS src, v AS dst, w FROM half
+               UNION ALL SELECT v, u, w FROM half),
+             k0 AS MATERIALIZED (
+               SELECT src AS node, CAST(sum(w) AS BIGINT) AS k
+               FROM und GROUP BY src),
+             a0 AS MATERIALIZED (SELECT node, node AS c FROM k0),
+             q0 AS (SELECT ${lvQnumSql("a0", "half", None, "k0")} AS qn),
+             ${lvPassSql(1, "a0", "q0", "und", "k0", "half", None, 0)},
+             ${lvPassSql(2, "a1", "q1", "und", "k0", "half", None, 1)},
+             ${lvPassSql(3, "a2", "q2", "und", "k0", "half", None, 0)},
+             ${lvPassSql(4, "a3", "q3", "und", "k0", "half", None, 1)},
+             hcc AS (SELECT h.w, cu.c AS cu, cv.c AS cv FROM half h
+               JOIN a4 cu ON cu.node = h.u JOIN a4 cv ON cv.node = h.v),
+             shalf AS MATERIALIZED (
+               SELECT least(cu, cv) AS u, greatest(cu, cv) AS v,
+                 CAST(sum(w) AS BIGINT) AS w
+               FROM hcc WHERE cu <> cv GROUP BY least(cu, cv), greatest(cu, cv)),
+             sloops AS MATERIALIZED (
+               SELECT cu AS node, CAST(sum(w) AS BIGINT) AS l
+               FROM hcc WHERE cu = cv GROUP BY cu),
+             sk AS MATERIALIZED (
+               SELECT a.c AS node, CAST(sum(k.k) AS BIGINT) AS k
+               FROM a4 a JOIN k0 k ON k.node = a.node GROUP BY a.c),
+             sund AS MATERIALIZED (
+               SELECT u AS src, v AS dst, w FROM shalf
+               UNION ALL SELECT v, u, w FROM shalf),
+             a20 AS MATERIALIZED (SELECT node, node AS c FROM sk),
+             q20 AS (SELECT ${lvQnumSql("a20", "shalf", Some("sloops"), "sk")} AS qn),
+             ${lvPassSql(5, "a20", "q20", "sund", "sk", "shalf", Some("sloops"), 0)},
+             ${lvPassSql(6, "a5", "q5", "sund", "sk", "shalf", Some("sloops"), 1)}
+             SELECT CAST(0 AS BIGINT) AS level,
+               (SELECT CAST(count(*) AS BIGINT) FROM a0) AS n_communities,
+               (SELECT $lvMicroSql FROM q0 CROSS JOIN mm) AS q_micro
+             UNION ALL
+             SELECT 1, (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM a4),
+               (SELECT $lvMicroSql FROM q4 CROSS JOIN mm)
+             UNION ALL
+             SELECT 2, (SELECT CAST(count(DISTINCT c) AS BIGINT) FROM a6),
+               (SELECT $lvMicroSql FROM q6 CROSS JOIN mm)
+             ORDER BY level"""))
+
   /** RANDOM-WALK CORPUS GENERATION (DeepWalk, Perozzi et al. 2014 /
     * node2vec p=q=1): 2 walks of 3 hops from every 5th node of the sparse
     * supplier~part graph — the sentence generator graph-embedding training
@@ -1242,37 +1533,76 @@ object GraphOps {
     * clustering is built on them) — the missing cohesion row for the
     * supplier~part graph, where [[triangleCount]]/[[ktruss]] are
     * structurally zero. One wedge pass per side (pairs through shared
-    * centers, C(deg,2) per center on the sparse fixture), each pair's
-    * square count is C(n_common, 2) exactly — and the two sides MUST
-    * report the identical square total (every C4 has 2 parts and 2
-    * suppliers), so the 2-row output carries its own cross-check the way
-    * ev_ab_lift carries its A/A. Only (pair, count) rows shuffle. */
+    * centers, C(deg,2) per center), each pair's square count is
+    * C(n_common, 2) exactly — and the two sides MUST report the identical
+    * square total (every C4 has 2 parts and 2 suppliers), so the 2-row
+    * output carries its own cross-check the way ev_ab_lift carries its
+    * A/A. Only (pair, count) rows shuffle.
+    *
+    * HUB DISCIPLINE ([[WedgeHubCap]], same family contract as
+    * [[commonNeighborCounts]]): a power-law hub on EITHER side — one
+    * degree-10⁶ supplier — would emit C(10⁶,2) ≈ 5·10¹¹ wedge rows from a
+    * single join key, a fan-out AQE cannot split pre-join. Edges incident
+    * to ANY vertex of degree > cap are pruned BEFORE both passes (not per
+    * side: pruning per side would break the two-sided square equality,
+    * because the sides would drop different squares), the per-side dropped
+    * hub counts are surfaced as OBSERVED metrics and warn-logged by
+    * [[ensureDropLogger]], and the oracle applies the identical cap
+    * predicate so capping never diverges the hash. The census is exact on
+    * the cap-pruned graph — the documented trade, per the
+    * graph_common_neighbors precedent. */
+  private[operators] def bipartiteC4Census(pruned: DataFrame): DataFrame = {
+    def census(side: String, center: String, leaf: String) = {
+      val a = pruned.select(col(center).as("c"), col(leaf).as("a"))
+      val b = pruned.select(col(center).as("c"), col(leaf).as("b"))
+      a.join(b, "c").filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("n_common") >= 2, 1L).otherwise(0L)).as("n_pairs_multi"),
+          sum(expr("n_common * (n_common - 1) div 2")).as("n_squares"))
+        .select(lit(side).as("side"), col("n_pairs"), col("n_pairs_multi"),
+          col("n_squares"))
+    }
+    census("part_pairs", "v", "u")
+      .union(census("supplier_pairs", "u", "v"))
+      .orderBy(col("side"))
+  }
+
+  /** Cap-prunes a bipartite (u, v) edge list: drops every edge incident
+    * to a vertex whose degree exceeds hubCap, observing per-side dropped
+    * hub counts under the two bipartite metrics. Exposed so the planted-
+    * hub property spec can drive it with a synthetic degree-(cap+k) hub. */
+  private[operators] def bipartiteCapPrune(raw: DataFrame, hubCap: Int): DataFrame = {
+    val ud = raw.groupBy(col("u")).agg(count(lit(1)).as("udeg"))
+      .observe(BipartitePartDropsMetric,
+        sum(when(col("udeg") > hubCap, 1L).otherwise(0L)).as("dropped_centers"))
+    val vd = raw.groupBy(col("v")).agg(count(lit(1)).as("vdeg"))
+      .observe(BipartiteSuppDropsMetric,
+        sum(when(col("vdeg") > hubCap, 1L).otherwise(0L)).as("dropped_centers"))
+    raw.join(ud, "u").join(vd, "v")
+      .filter(col("udeg") <= hubCap && col("vdeg") <= hubCap)
+      .select(col("u"), col("v"))
+  }
+
   val bipartiteC4 = GraftQuery(
     "graph_bipartite_c4",
     (s, dir) => {
-      val half = Tables.t(s, dir, "lineitem")
+      ensureDropLogger(s)
+      val raw = Tables.t(s, dir, "lineitem")
         .filter(col("l_orderkey") % 50 === 0)
         .select(col("l_partkey").as("u"), (col("l_suppkey") + SuppOffset).as("v"))
-        .distinct().cache()
-      def census(side: String, center: String, leaf: String) = {
-        val a = half.select(col(center).as("c"), col(leaf).as("a"))
-        val b = half.select(col(center).as("c"), col(leaf).as("b"))
-        a.join(b, "c").filter(col("a") < col("b"))
-          .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_common"))
-          .agg(count(lit(1)).as("n_pairs"),
-            sum(when(col("n_common") >= 2, 1L).otherwise(0L)).as("n_pairs_multi"),
-            sum(expr("n_common * (n_common - 1) div 2")).as("n_squares"))
-          .select(lit(side).as("side"), col("n_pairs"), col("n_pairs_multi"),
-            col("n_squares"))
-      }
-      val out = census("part_pairs", "v", "u")
-        .union(census("supplier_pairs", "u", "v"))
-        .orderBy(col("side"))
-      out
+        .distinct()
+      bipartiteC4Census(bipartiteCapPrune(raw, WedgeHubCap).cache())
     },
-    Some(s"""WITH half AS MATERIALIZED (
+    Some(s"""WITH raw AS MATERIALIZED (
                SELECT DISTINCT l_partkey AS u, l_suppkey + $SuppOffset AS v
                FROM lineitem WHERE l_orderkey % 50 = 0),
+             ud AS (SELECT u, count(*) AS d FROM raw GROUP BY u),
+             vd AS (SELECT v, count(*) AS d FROM raw GROUP BY v),
+             half AS MATERIALIZED (
+               SELECT r.u, r.v FROM raw r
+               JOIN ud ON ud.u = r.u JOIN vd ON vd.v = r.v
+               WHERE ud.d <= $WedgeHubCap AND vd.d <= $WedgeHubCap),
              pp AS (
                SELECT a.u AS a, b.u AS b, count(*) AS n_common
                FROM half a JOIN half b ON a.v = b.v AND a.u < b.u
@@ -1375,5 +1705,6 @@ object GraphOps {
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
       ssspQuery, degreeHist, twoHop, commonNeighbors, resourceAlloc,
       jaccardSimilarity, assortativity, copurchaseLift, clusteringCoeff,
-      modularity, louvainMove, randomWalk, ktruss, bipartiteC4, richClub)
+      modularity, louvainMove, louvain, randomWalk, ktruss, bipartiteC4,
+      richClub)
 }

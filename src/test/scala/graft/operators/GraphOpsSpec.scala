@@ -132,6 +132,69 @@ class GraphOpsSpec extends SparkTestBase {
     o.unpersist(); deg.unpersist()
   }
 
+  test("bipartite C4: cap-prune bounds a planted hub and keeps the two-sided equality") {
+    import spark.implicits._
+    // parts 1..50 all sold by hub supplier 100 (degree 50); parts {1,2}
+    // additionally share suppliers {101,102} — one hub-free square
+    val raw = ((1L to 50L).map(u => (u, 100L)) ++
+      Seq((1L, 101L), (1L, 102L), (2L, 101L), (2L, 102L))).toDF("u", "v")
+
+    // uncapped: squares through the hub count — 3 per side, sides equal
+    val open = GraphOps.bipartiteC4Census(
+      GraphOps.bipartiteCapPrune(raw, hubCap = 1000).cache())
+    val openRows = open.as[(String, Long, Long, Long)].collect()
+    assert(openRows.map(_._4).toSet == Set(3L),
+      s"uncapped census must find 3 squares on BOTH sides, got ${openRows.toSeq}")
+    // part side enumerates all C(50,2) hub pairs — the fan-out the cap kills
+    assert(openRows.find(_._1 == "part_pairs").get._2 == 50L * 49 / 2)
+
+    // capped at 10: the degree-50 hub's edges are pruned BEFORE both
+    // passes; the survivor graph is the 2x2 square — 1 square per side,
+    // sides still equal (per-side capping would have broken this), and
+    // the part-side pair count collapses from 1225 to 1
+    val pruned = GraphOps.bipartiteCapPrune(raw, hubCap = 10).cache()
+    assert(pruned.count() == 4, "only the square's 4 edges survive the cap")
+    val capped = GraphOps.bipartiteC4Census(pruned)
+    val cappedRows = capped.as[(String, Long, Long, Long)].collect()
+    assert(cappedRows.map(_._4).toSet == Set(1L),
+      s"capped census: 1 square on both sides, got ${cappedRows.toSeq}")
+    assert(cappedRows.forall(_._2 == 1L))
+
+    // the drop is OBSERVED, not silent: the supplier-side metric reports
+    // exactly the one capped hub; the part side reports zero
+    val obs = capped.queryExecution.observedMetrics
+    assert(obs(GraphOps.BipartiteSuppDropsMetric).getAs[Long]("dropped_centers") == 1L,
+      s"supplier hub drop must be observed, got $obs")
+    assert(obs(GraphOps.BipartitePartDropsMetric).getAs[Long]("dropped_centers") == 0L)
+    pruned.unpersist()
+  }
+
+  test("louvain: Q non-decreasing across levels, contraction Q-preserving, cliques recovered") {
+    import spark.implicits._
+    // two 6-cliques bridged by a single edge — the textbook community
+    // structure Louvain must find (mixed parities inside each clique so
+    // the gated sub-passes have to cooperate)
+    val clique1 = for { i <- 1L to 6L; j <- (i + 1) to 6L } yield (i, j)
+    val clique2 = for { i <- 11L to 16L; j <- (i + 1) to 16L } yield (i, j)
+    val half = (clique1 ++ clique2 ++ Seq((6L, 11L))).toDF("u", "v")
+    val r = GraphOps.louvainRun(half)
+    val Seq((0L, nc0, q0, qm0), (1L, nc1, q1, qm1), (2L, nc2, q2, qm2)) = r.levels
+    assert(nc0 == 12L)
+    // accept-if-improved makes non-decrease a guarantee, not a hope
+    assert(q0 <= q1 && q1 <= q2, s"Q must be monotone: $q0, $q1, $q2")
+    assert(qm0 <= qm1 && qm1 <= qm2)
+    // contraction is exactly Q-preserving: the singleton super-node
+    // partition scores identically to level 1's final partition
+    assert(r.contractedQNum == q1,
+      s"contraction must preserve Q: super ${r.contractedQNum} vs level1 $q1")
+    // the two cliques are the (known) optimal 2-community structure
+    assert(nc2 == 2L, s"two bridged cliques must resolve to 2 communities, got $nc2")
+    assert(nc1 <= nc0 && nc2 <= nc1)
+    // and moves genuinely happened at level 1 (the r12 all-swaps failure
+    // mode left everything singleton; parity gating fixes it)
+    assert(nc1 < nc0, "level 1 must merge something")
+  }
+
   test("oriented wedge decomposition equals brute force on random graphs") {
     import spark.implicits._
     // the in-in/in-out/out-out split must count every unordered wedge
