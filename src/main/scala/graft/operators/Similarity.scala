@@ -903,6 +903,207 @@ object Similarity {
              FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
              GROUP BY e.q_id ORDER BY e.q_id"""))
 
+  // ---------------------------------------------------------------------
+  // Graph-based ANN (NSW/HNSW-shaped retrieval over the kNN graph)
+  // ---------------------------------------------------------------------
+
+  /** Beam width, hop count and entry-point count for [[annGraphTopK]] —
+    * the three knobs of graph-ANN serving (HNSW's ef/efConstruction
+    * analog). Fixed and oracle-mirrored so the unrolled search is
+    * deterministic. */
+  private val BeamWidth = 16
+  private val BeamHops = 5
+  private val BeamEntries = 8
+
+  /** Long-range links per node. A bare kNN graph is NOT navigable — the
+    * founding NSW observation (Malkov et al. 2014): greedy search needs
+    * long links to cross the space (measured here: recall@10 fell to 0.09
+    * at sf0.1 without them). Each node gets [[LongLinks]] extra edges to
+    * hash-derived targets (hash48('lnk:j:id') mod n over the dense id
+    * ranking) — the derandomized analog of NSW's random insertion links,
+    * identical in both engines. */
+  private val LongLinks = 2
+
+  /** The DuckDB twin of the beam search: kNN edges → symmetrized
+    * adjacency → content-hash entry points → [[BeamHops]] unrolled
+    * expand-score-prune rounds. Shared by [[annGraphTopK]] and
+    * [[annGraphRecall]] so the two oracles can never drift. */
+  private def beamCtes: String = {
+    val hops = (1 to BeamHops).map { i =>
+      s"""n$i AS (SELECT DISTINCT b.q_id, a.vec_b AS vec_id
+             FROM b${i - 1} b JOIN adj a ON a.vec_a = b.vec_id),
+         s$i AS (SELECT n.q_id, n.vec_id,
+               round(${sqlCos("e.embedding", "q.q_emb")}, 4) AS cos_sim
+             FROM n$i n JOIN embeddings e ON e.vec_id = n.vec_id
+             JOIN q ON q.q_id = n.q_id
+             UNION SELECT q_id, vec_id, cos_sim FROM b${i - 1}),
+         b$i AS MATERIALIZED (SELECT q_id, vec_id, cos_sim FROM (
+               SELECT q_id, vec_id, cos_sim, row_number() OVER (
+                 PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+               FROM s$i) WHERE rn <= $BeamWidth)"""
+    }.mkString(",\n         ")
+    s"""scored_knn AS (
+           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(${sqlCos("a.embedding", "b.embedding")}, 4) DESC,
+                        b.vec_id) AS rank
+           FROM embeddings a JOIN embeddings b ON a.label = b.label
+           WHERE a.vec_id <> b.vec_id),
+         knn AS MATERIALIZED (SELECT vec_a, vec_b FROM scored_knn WHERE rank <= 3),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+         ordn AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS pos
+                  FROM embeddings),
+         lnk AS (SELECT o.vec_id AS vec_a, o2.vec_id AS vec_b
+           FROM (SELECT vec_id,
+                   CAST(('0x' || substring(md5('lnk:' || CAST(g.j AS VARCHAR)
+                     || ':' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                     % (SELECT n FROM nn) AS tgt
+                 FROM embeddings
+                 CROSS JOIN (SELECT unnest(generate_series(1, $LongLinks)) AS j) g) o
+           JOIN ordn o2 ON o2.pos = o.tgt
+           WHERE o.vec_id <> o2.vec_id),
+         adj AS MATERIALIZED (
+           SELECT vec_a, vec_b FROM knn
+           UNION SELECT vec_b AS vec_a, vec_a AS vec_b FROM knn
+           UNION SELECT vec_a, vec_b FROM lnk
+           UNION SELECT vec_b AS vec_a, vec_a AS vec_b FROM lnk),
+         ent AS (SELECT vec_id FROM (
+             SELECT vec_id, row_number() OVER (
+               ORDER BY md5(concat('gent:', CAST(vec_id AS VARCHAR))), vec_id) AS rn
+             FROM embeddings) WHERE rn <= $BeamEntries),
+         q AS (SELECT vec_id AS q_id, embedding AS q_emb
+               FROM embeddings WHERE vec_id < 8),
+         s0 AS (SELECT q.q_id, e.vec_id,
+               round(${sqlCos("e.embedding", "q.q_emb")}, 4) AS cos_sim
+             FROM q CROSS JOIN ent JOIN embeddings e ON e.vec_id = ent.vec_id),
+         b0 AS MATERIALIZED (SELECT q_id, vec_id, cos_sim FROM (
+               SELECT q_id, vec_id, cos_sim, row_number() OVER (
+                 PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+               FROM s0) WHERE rn <= $BeamWidth),
+         $hops,
+         beam_out AS (SELECT q_id, vec_id, cos_sim, rank FROM (
+               SELECT q_id, vec_id, cos_sim, row_number() OVER (
+                 PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rank
+               FROM b$BeamHops WHERE vec_id <> q_id) WHERE rank <= 10)"""
+  }
+
+  /** The Spark beam search shared by [[annGraphTopK]] and
+    * [[annGraphRecall]]: returns the final (q_id, vec_id, cos_sim, rank)
+    * top-10 per query. */
+  private def beamSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val knn = annKnnGraph.run(s, dir).select(col("vec_a"), col("vec_b"))
+    // long-range links: hash48('lnk:j:id') mod n over the dense id ranking
+    // (id-sized single-partition window — at scale ids would be dense by
+    // construction; the corpus vectors never enter this enumeration)
+    val n = e.count()
+    val ordn = e.select(col("vec_id"))
+      .withColumn("pos", row_number().over(Window.orderBy(col("vec_id"))) - 1)
+    val lnk = (1 to LongLinks).map { j =>
+      e.select(col("vec_id").as("vec_a"),
+        expr(s"""cast(conv(substring(md5(concat('lnk:$j:',
+            cast(vec_id as string))), 1, 12), 16, 10) as bigint) % ${n}L""")
+          .as("tgt"))
+    }.reduce(_ union _)
+      .join(ordn.select(col("pos").as("tgt"), col("vec_id").as("vec_b")), "tgt")
+      .select(col("vec_a"), col("vec_b"))
+      .filter(col("vec_a") =!= col("vec_b"))
+    val halfAdj = knn.union(lnk)
+    val adj = halfAdj
+      .union(halfAdj.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+      .distinct().localCheckpoint(true)
+    val ent = e.select(col("vec_id"))
+      .withColumn("h", md5(concat(lit("gent:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(BeamEntries)
+      .select(col("vec_id"))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def score(cands: DataFrame): DataFrame = cands
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(cosine(s, "embedding", "q_emb"), 4).as("cos_sim"))
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    def prune(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(wB)).filter(col("rn") <= BeamWidth)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"))
+      .localCheckpoint(true)
+    var beam = prune(score(q.select(col("q_id")).crossJoin(ent)))
+    (1 to BeamHops).foreach { _ =>
+      val nbrs = beam.select(col("q_id"), col("vec_id").as("vec_a"))
+        .join(adj, "vec_a")
+        .select(col("q_id"), col("vec_b").as("vec_id")).distinct()
+      beam = prune(score(nbrs).union(beam).distinct())
+    }
+    beam.filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(wB))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** GRAPH-BASED ANN TOP-K — greedy beam search over the [[annKnnGraph]]
+    * neighborhood graph (the NSW/HNSW retrieval shape, Malkov & Yashunin
+    * 2018, derandomized): [[BeamEntries]] content-hash entry points, then
+    * [[BeamHops]] synchronous expand-score-prune rounds keeping the
+    * [[BeamWidth]] best candidates per query by (cosine desc, vec_id) —
+    * a total order, so the whole search unrolls into exact CTEs. The
+    * candidate set is monotone in quality (each round keeps the union's
+    * best, so a round can only improve the beam), the classic guarantee
+    * beam search gives without a visited set.
+    *
+    * 100 TB shape: beam state is queries × [[BeamWidth]] rows regardless
+    * of corpus size; each hop is two key-lookup joins (adjacency by node,
+    * vectors by id — both broadcast-able for a query batch) and one
+    * beam-sized window; the corpus is never shuffled and only touched by
+    * point lookups — the property that makes graph ANN the serving-side
+    * winner over scan-everything IVF when queries are selective. */
+  val annGraphTopK = GraftQuery(
+    "ann_graph_topk",
+    (s, dir) => beamSearch(s, dir).orderBy(col("q_id"), col("rank")),
+    Some(s"""WITH $beamCtes
+             SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+             FROM beam_out ORDER BY q_id, rank"""))
+
+  /** Recall@10 of [[annGraphTopK]] against the exact brute-force top-10 —
+    * the [[annRecallEval]] panel for the graph index, completing the
+    * tuning table trio (IVF recall, probe sweep, graph recall). Only the
+    * two top-10 lists move; n_hit is an exact integer. */
+  val annGraphRecall = GraftQuery(
+    "ann_graph_recall",
+    (s, dir) => {
+      val exact = annBruteTopK.run(s, dir).select(col("q_id"), col("vec_id"))
+      val g = beamSearch(s, dir).select(col("q_id"), col("vec_id"))
+      val hits = exact.join(g, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(10.0))
+            .as("recall_at_10"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH $beamCtes,
+             exact AS (
+               SELECT q_id, vec_id FROM (
+                 SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY round(${sqlCos("e.embedding", "q.q_emb")}, 4) DESC,
+                              e.vec_id) AS rank
+                 FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+               WHERE rank <= 10),
+             hits AS (
+               SELECT e.q_id, count(*) AS n_hit
+               FROM exact e JOIN beam_out g
+                 ON g.q_id = e.q_id AND g.vec_id = e.vec_id
+               GROUP BY e.q_id)
+             SELECT e.q_id, count(*) AS n_exact,
+               coalesce(any_value(h.n_hit), 0) AS n_hit,
+               CAST(coalesce(any_value(h.n_hit), 0) AS DOUBLE) / 10.0 AS recall_at_10
+             FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
+             GROUP BY e.q_id ORDER BY e.q_id"""))
+
   /** EMBEDDING-SPACE OUTLIER SCORING (OOD data cleaning): distance of each
     * vector to its label's centroid, z-scored within the label — the
     * "drop the weird samples" gate embedding pipelines run before
@@ -1933,7 +2134,8 @@ object Similarity {
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
-      randomProjection, annRecallEval, oodScore, dimTruncationEval, probeSweep,
+      randomProjection, annRecallEval, annGraphTopK, annGraphRecall, oodScore,
+      dimTruncationEval, probeSweep,
       normProfile, labelMargin, quantError, embThresholdSweep,
       embThresholdSweepSampled, ivfBalance, semanticDecontam, annMipsTopK,
       annMmrTopK, annFilteredRecall, kmeansSeedFarthest, silhouette)

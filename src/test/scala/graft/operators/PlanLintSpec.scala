@@ -24,6 +24,9 @@ class PlanLintSpec extends SparkTestBase {
     "ann_cosine_topk", "ann_range_search", "ann_recall_eval",
     "ann_dim_truncation_eval", "ann_mips_topk", "ann_mmr_topk",
     "ann_filtered_recall",
+    // composes ann_cosine_topk (the 8-query broadcast above) as its exact
+    // truth side; the beam itself crossJoins only 8 queries x 8 entries
+    "ann_graph_recall",
     // documented all-pairs correctness baseline
     "dedup_embedding", "emb_threshold_sweep",
     // all-pairs on a deterministic 1/16 hash-sample (1/256 of the pairs):
