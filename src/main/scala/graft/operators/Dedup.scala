@@ -625,12 +625,26 @@ object Dedup {
             ORDER BY doc_id"""))
 
   /** Bloom sizing for [[ingestDeltaBloom]]: ~7.3 bits/item ≈ 3% false
-    * positives at capacity. At 100 TB these are the two knobs: estimate
-    * the snapshot's digest count, size bits for the FP budget you'll pay
-    * as residual anti-join traffic (the filter itself stays
-    * bits/8 bytes ≈ 91 KB here — KB-to-MB at any realistic snapshot). */
-  private[graft] val IngestBloomEstItems = 100000L
-  private[graft] val IngestBloomNumBits = 730000L
+    * positives AT capacity. The bits-per-item ratio is the one tuning
+    * knob (FP budget paid as residual anti-join traffic); the item count
+    * is NOT a constant — it is derived from the actual snapshot at plan
+    * time ([[ingestBloomSizing]]), because a fixed estimate saturates
+    * silently when the snapshot outgrows it: at 100× a 100 k guess the
+    * filter's FP rate drifts toward 1 and the gate degrades to "everything
+    * reaches the exact anti-join" — still correct (the oracle equality is
+    * FP-immune), but no longer cheap. Deriving from the count keeps the
+    * filter at bits/8 bytes ≈ 0.9 MB per million snapshot digests —
+    * broadcast-friendly at any realistic snapshot. */
+  private[graft] val IngestBloomBitsPerItemX10 = 73L
+
+  /** (estimated items, bits) for a snapshot of `snapCount` digests —
+    * one driver-side scalar count (the PageRank n discipline) feeding
+    * Spark's BloomFilterAggregate, whose sizing args must be foldable
+    * literals and so cannot be a scalar subquery. */
+  private[graft] def ingestBloomSizing(snapCount: Long): (Long, Long) = {
+    val est = math.max(snapCount, 1L)
+    (est, math.max(est * IngestBloomBitsPerItemX10 / 10L, 64L))
+  }
 
   /** BLOOM-GATED INGEST DELTA — the 100 TB scale twin of [[ingestDelta]].
     * The exact formulation anti-joins every incoming digest against the
@@ -657,16 +671,20 @@ object Dedup {
       graft.functions.BloomFunctions.ensureRegistered(s)
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), md5(col("text")).as("h"))
-      docs.filter(col("doc_id") % 7 === 0).select(col("h"))
-        .createOrReplaceTempView("graft_ingest_snapshot")
+      val snapshot = docs.filter(col("doc_id") % 7 === 0).select(col("h"))
+      snapshot.createOrReplaceTempView("graft_ingest_snapshot")
       docs.filter(col("doc_id") % 7 =!= 0)
         .createOrReplaceTempView("graft_ingest_incoming")
+      // sizing derived from the snapshot itself (one count-star scan of
+      // the digest projection) — never a fixture constant; see
+      // ingestBloomSizing for the saturation rationale
+      val (estItems, numBits) = ingestBloomSizing(snapshot.count())
       s.sql(s"""
         WITH scored AS (
           SELECT doc_id, h,
             graft_might_contain(
               (SELECT graft_bloom_agg(xxhash64(h),
-                        ${IngestBloomEstItems}L, ${IngestBloomNumBits}L)
+                        ${estItems}L, ${numBits}L)
                FROM graft_ingest_snapshot),
               xxhash64(h)) AS maybe_dup
           FROM graft_ingest_incoming)
