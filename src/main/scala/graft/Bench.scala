@@ -49,8 +49,15 @@ object Bench {
     // still honest (every rep runs the full physical plan at sfDir) and
     // r6->r7 showed 10-20% swings on sub-second queries with min-of-2 —
     // one more rep costs ~7 s and roughly halves that spread.
+    // When the box is ALREADY loaded at bench start (r10→r12 showed
+    // load_avg climbing 3.0→5.5 with two-sided ±40% swings on untouched
+    // plans), even the min of 3 gets inflated — take 5 reps instead so the
+    // min has more chances to land in a quiet scheduling window, and stamp
+    // the JSON with a noise note so the round-over-round reader knows.
+    val loaded = loadStart > 3.0
+    val nReps = if (loaded) 5 else 3
     val results = headline.map { q =>
-      val reps = (1 to 3).map { _ =>
+      val reps = (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
         val ok =
           try { q.run(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -82,8 +89,12 @@ object Bench {
       .getOrElse(Runtime.getRuntime.availableProcessors)
     val load =
       f""","load_avg_start":$loadStart%.1f,"load_avg_end":$loadEnd%.1f,"cpus":$cpusNum"""
+    val noise =
+      if (loaded)
+        f""","noise_note":"load_avg $loadStart%.1f at start: shared-box contention; per-query times are min-of-$nReps but may still be inflated — compare totals across rounds with the load column, not at face value""""
+      else ""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f$lat$load,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f$lat$load$noise,"sf":"$sfDir"}"""
     // Evidence must be unlosable (round-2 lesson: the TaskKilled WARN flood
     // after solThroughput's q.stop() pushed the metric line out of the
     // harness's captured log tail). So: persist to a file FIRST, then stop

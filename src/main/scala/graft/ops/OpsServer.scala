@@ -37,6 +37,8 @@ import org.apache.spark.sql.SparkSession
   *  - GET    /api/v1.0/appmaster/<id>/metrics         — last progress
   *  - GET    /api/v1.0/appmaster/<id>/errors          — terminal error capture
   *  - GET    /api/v1.0/appmaster/<id>/stallingtasks   — ?threshold=ms
+  *  - GET    /api/v1.0/appmaster/<id>/executor/<eid>  — app-scoped executor detail
+  *  - GET    /api/v1.0/appmaster/<id>/executor/<eid>/config
   *  - DELETE /api/v1.0/appmaster/<id>                 — stop/kill the query or app
   *
   * `submitapp` parity (reference: MasterService.scala:109 accepts a jar
@@ -342,6 +344,25 @@ final class OpsServer(spark: SparkSession, registry: AppRegistry, port: Int = 0,
             case Some(json) => respond(x, 200, json)
             case None => respond(x, 404, s"""{"error":"no query or app $id"}""")
           })
+        case ("GET", "appmaster" :: id :: "executor" :: eid :: rest)
+            if rest.isEmpty || rest == List("config") =>
+          // reference AppMasterService.scala:119-133 serves the app-scoped
+          // executor detail + config; the Spark analog scopes one status-
+          // tracker executor to the app — 404s on unknown app OR executor
+          withId(x, id) { uuid =>
+            registry.appDetail(uuid).orElse(registry.submittedDetail(uuid)) match {
+              case None => respond(x, 404, s"""{"error":"no active query $id"}""")
+              case Some(_) => workerInfo(eid) match {
+                case None =>
+                  respond(x, 404, s"""{"error":"no executor $eid for app $id"}""")
+                case Some(json) if rest.isEmpty =>
+                  respond(x, 200, s"""{"appId":"$uuid","executor":$json}""")
+                case Some(_) =>
+                  respond(x, 200,
+                    s"""{"appId":"$uuid","executorId":$eid,"config":${workerConfig(eid)}}""")
+              }
+            }
+          }
         case ("GET", "appmaster" :: id :: "stallingtasks" :: Nil) =>
           withId(x, id) { uuid =>
             val threshold = query(x, "threshold").map(_.toLong).getOrElse(60000L)

@@ -30,9 +30,19 @@ class ScaleStressSpec extends SparkTestBase {
   // times — adversarial for the digest groupBy), graph_hits (iterative
   // tick loop re-scans the 10x edge fact per round), ann_mmr_topk (stage-1
   // corpus scan is 10x; the MMR rounds must stay shortlist-sized)
+  // round-13 additions: dedup_exact_substring (stride-1 digest volume is
+  // corpus-token-sized — THE thing to watch at 10x), graph_ktruss (9 wedge
+  // enumerations per run over the 10x co-purchase graph),
+  // lm_transfer_matrix (per-language models crossed onto 10x eval bigrams),
+  // graph_bipartite_c4 (the freshly hub-capped wedge passes),
+  // graph_louvain (6 guarded passes + contraction over the 10x graph),
+  // ann_graph_topk (beam state must stay queries x 16 while the corpus
+  // and its kNN build grow 10x)
   private val Heavy = Seq("dedup_minhash", "dedup_rewrite", "q43_join_six",
     "ann_ivfpq_topk", "pipeline_tokenize_pack", "dedup_cdc_chunks",
-    "graph_hits", "ann_mmr_topk")
+    "graph_hits", "ann_mmr_topk", "dedup_exact_substring", "graph_ktruss",
+    "lm_transfer_matrix", "graph_bipartite_c4", "graph_louvain",
+    "ann_graph_topk")
 
   /** Fact replicas get shifted surrogate keys; joins fan the extra volume
     * onto the SAME dimension rows — the realistic 10x growth shape (more

@@ -138,6 +138,19 @@ class OpsSpec extends SparkTestBase {
       assert(get(s"/api/v1.0/appmaster/not-a-uuid")._1 === 400)
       assert(get(s"/api/v1.0/appmaster/${java.util.UUID.randomUUID()}")._1 === 404)
 
+      // app-scoped executor noun (reference AppMasterService executor/<eid>)
+      val (ec, exec) = get(s"/api/v1.0/appmaster/${q.id}/executor/0")
+      assert(ec === 200 && exec.contains(s""""appId":"${q.id}"""") &&
+        exec.contains("\"numRunningTasks\""), exec)
+      val (ecc, execConf) = get(s"/api/v1.0/appmaster/${q.id}/executor/0/config")
+      assert(ecc === 200 && execConf.contains("\"executorId\":0") &&
+        execConf.contains("\"config\""), execConf)
+      // 404 arms: unknown executor on a live app; live executor on an
+      // unknown app
+      assert(get(s"/api/v1.0/appmaster/${q.id}/executor/999")._1 === 404)
+      assert(get(
+        s"/api/v1.0/appmaster/${java.util.UUID.randomUUID()}/executor/0")._1 === 404)
+
       // DELETE = the reference's kill-app
       val del = new java.net.URI(s"http://127.0.0.1:${srv.boundPort}/api/v1.0/appmaster/${q.id}")
         .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
