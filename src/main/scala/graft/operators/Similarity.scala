@@ -1981,6 +1981,45 @@ object Similarity {
     * tie-breaks make every argmax total — the selection is deterministic
     * cross-engine even at score ties. max-over-empty is defined as 0 (the
     * first pick scores 0.7·rel − 0.3·0), identically in the oracle. */
+  /** The MMR greedy selection (5 picks, λ=0.7) over a shortlist frame of
+    * (q_id, vec_id, embedding, rel) — factored out of [[annMmrTopK]] so
+    * the streaming twin (graft.streaming.StreamingMmrTracker) runs the
+    * IDENTICAL selection over its incrementally-maintained shortlist:
+    * stream == batch is structural, not re-implemented arithmetic. Every
+    * frame in the loop is shortlist-sized (≤ 20 rows/query), so the cost
+    * is corpus-independent. */
+  private[graft] def mmrSelect(s: SparkSession, shortlist: DataFrame): DataFrame = {
+    val wr = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("vec_id"))
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    var selected = shortlist
+      .withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("rel"),
+        lit(1).as("pick"), expr("0.7 * rel - 0.3 * 0.0").as("score"))
+      .localCheckpoint(true)
+    var k = 2
+    while (k <= 5) {
+      graft.functions.VectorFunctions.ensureRegistered(s)
+      val cand = shortlist
+        .join(selected.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
+      val scoredK = cand
+        .join(selected.select(col("q_id"), col("embedding").as("s_emb")), Seq("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(first(col("embedding")).as("embedding"), first(col("rel")).as("rel"),
+          max(round(expr("graft_cosine(embedding, s_emb)"), 4)).as("msim"))
+        .withColumn("score", expr("0.7 * rel - 0.3 * msim"))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("rel"),
+          lit(k).as("pick"), col("score"))
+      selected = selected.union(scoredK).localCheckpoint(true)
+      k += 1
+    }
+    selected.select(col("q_id"), col("pick"), col("vec_id"), col("rel"), col("score"))
+  }
+
   val annMmrTopK = GraftQuery(
     "ann_mmr_topk",
     (s, dir) => {
@@ -1997,35 +2036,9 @@ object Similarity {
         .filter(col("rn") <= 20)
         .select(col("q_id"), col("vec_id"), col("embedding"), col("rel"))
         .cache()
-      val wp = Window.partitionBy(col("q_id"))
-        .orderBy(col("score").desc, col("vec_id"))
-      var selected = shortlist
-        .withColumn("rn", row_number().over(wr))
-        .filter(col("rn") === 1)
-        .select(col("q_id"), col("vec_id"), col("embedding"), col("rel"),
-          lit(1).as("pick"), expr("0.7 * rel - 0.3 * 0.0").as("score"))
-        .localCheckpoint(true)
-      var k = 2
-      while (k <= 5) {
-        graft.functions.VectorFunctions.ensureRegistered(s)
-        val cand = shortlist
-          .join(selected.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"), "left_anti")
-        val scoredK = cand
-          .join(selected.select(col("q_id"), col("embedding").as("s_emb")), Seq("q_id"))
-          .groupBy(col("q_id"), col("vec_id"))
-          .agg(first(col("embedding")).as("embedding"), first(col("rel")).as("rel"),
-            max(round(expr("graft_cosine(embedding, s_emb)"), 4)).as("msim"))
-          .withColumn("score", expr("0.7 * rel - 0.3 * msim"))
-          .withColumn("rn", row_number().over(wp))
-          .filter(col("rn") === 1)
-          .select(col("q_id"), col("vec_id"), col("embedding"), col("rel"),
-            lit(k).as("pick"), col("score"))
-        selected = selected.union(scoredK).localCheckpoint(true)
-        k += 1
-      }
+      val out = mmrSelect(s, shortlist).orderBy(col("q_id"), col("pick"))
       shortlist.unpersist()
-      selected.select(col("q_id"), col("pick"), col("vec_id"), col("rel"), col("score"))
-        .orderBy(col("q_id"), col("pick"))
+      out
     },
     Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb
                         FROM embeddings WHERE vec_id < 8),
