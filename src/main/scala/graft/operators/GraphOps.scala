@@ -1701,10 +1701,253 @@ object GraphOps {
             FROM nodes n LEFT JOIN edges ed ON ed.cut = n.cut
             ORDER BY n.cut"""))
 
+  // ---------------------------------------------------------------------
+  // Sampled Brandes centralities (betweenness + harmonic closeness)
+  // ---------------------------------------------------------------------
+
+  /** Source-sample size and hop bound for [[betweenness]]/[[harmonic]] —
+    * the two knobs of k-source approximate centrality (Brandes & Pich
+    * 2007: exact Brandes from a uniform source sample estimates BC with
+    * error O(1/√k); the hop bound additionally truncates to the local
+    * neighborhood, the standard web-scale concession). Sources are
+    * content-hash-ranked so both engines (and any two cluster runs) pick
+    * the identical sample. */
+  private[operators] val BrandesSources = 4
+  private[operators] val BrandesHops = 3
+
+  /** Shortest-path counts within [[BrandesHops]] of every seed: BFS
+    * frontier expansion where each new node's σ is the sum of its
+    * predecessors' σ (Brandes 2001's forward pass), all (seed, node)-keyed
+    * — state is seeds × reach rows, each hop one equi-join + one keyed sum
+    * + one anti-join, edges never join edges.
+    * @return (s, v, dist, sigma) for every node within hops of seed s
+    * @note seeds arrive as a collected Seq (source-sample-sized, the
+    *       PageRank n discipline) and the level-0 frame is built from
+    *       literal rows — deriving v as an alias OF s plants an s=v
+    *       equality constraint that Spark's Union.rewriteConstraints
+    *       fails to rebind across localCheckpoint boundaries
+    *       (NoSuchElementException on the stale attribute id). */
+  private[operators] def brandesForward(und: DataFrame, seeds: Seq[Long],
+      hops: Int): DataFrame = {
+    val sess = und.sparkSession
+    import sess.implicits._
+    var visited = seeds.map(x => (x, x, 0, 1L))
+      .toDF("s", "v", "dist", "sigma")
+      .localCheckpoint(true)
+    var frontier = visited
+    (1 to hops).foreach { h =>
+      val expand = frontier.as("f")
+        .join(und.as("e"), col("f.v") === col("e.src"))
+        .groupBy(col("f.s").as("s"), col("e.dst").as("v"))
+        .agg(sum(col("f.sigma")).as("sigma"))
+      val news = expand
+        .join(visited.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(h).as("dist"), col("sigma"))
+      visited = visited.union(news).localCheckpoint(true)
+      frontier = visited.filter(col("dist") === h)
+    }
+    visited
+  }
+
+  /** Brandes' backward dependency accumulation in exact integer micros:
+    * processing levels deepest-first, each node w at level d publishes
+    * r(w) = (1e6 + δ(w)) div σ(w) ONCE (floor-per-node, the
+    * resource_alloc 1e6-div-deg discipline — deterministic under any
+    * aggregation order), and each predecessor v at d−1 accumulates
+    * δ(v) = Σ_w σ(v)·r(w). In BFS every edge from level d−1 to level d is
+    * a shortest-path edge, so predecessor discovery is one equi-join.
+    * @return (s, v, dist, sigma, delta) over the forward pass's rows */
+  private[operators] def brandesDelta(und: DataFrame, visited: DataFrame,
+      hops: Int): DataFrame = {
+    val vis = visited.cache()
+    var out = vis.filter(col("dist") === hops)
+      .select(col("s"), col("v"), col("dist"), col("sigma"), lit(0L).as("delta"))
+      .localCheckpoint(true)
+    (hops to 1 by -1).foreach { lvl =>
+      val rw = out.filter(col("dist") === lvl)
+        .select(col("s"), col("v").as("w"),
+          expr("(1000000L + delta) div sigma").as("r"))
+      val terms = vis.filter(col("dist") === lvl - 1).as("p")
+        .join(und.as("e"), col("p.v") === col("e.src"))
+        .join(rw.as("t"), col("t.s") === col("p.s") && col("t.w") === col("e.dst"))
+        .groupBy(col("p.s").as("s"), col("p.v").as("v"))
+        .agg(sum(col("p.sigma") * col("t.r")).as("delta"))
+      val lvlRows = vis.filter(col("dist") === lvl - 1)
+        .join(terms, Seq("s", "v"), "left")
+        .select(col("s"), col("v"), col("dist"), col("sigma"),
+          coalesce(col("delta"), lit(0L)).as("delta"))
+      out = out.union(lvlRows).localCheckpoint(true)
+    }
+    vis.unpersist()
+    out
+  }
+
+  /** σ headroom guard: with σ ≤ 1e6 and δ ≤ reach·(1e6+δ_next) the
+    * backward products stay far under int64 — a pathological graph that
+    * explodes path counts fails LOUDLY here instead of overflowing. */
+  private[operators] val BrandesSigmaCap = 1000000L
+
+  private def brandesVisited(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .filter(col("l_orderkey") % 5 === 0)
+    val half = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+      .distinct()
+    val und = half.select(col("u").as("src"), col("v").as("dst"))
+      .union(half.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    import org.apache.spark.sql.expressions.Window
+    val seeds = und.select(col("src").as("node")).distinct()
+      .withColumn("h", md5(concat(lit("btw:"), col("node").cast("string"))))
+      .withColumn("rn", row_number().over(Window.orderBy(col("h"), col("node"))))
+      .filter(col("rn") <= BrandesSources).select(col("node"))
+      .collect().map(_.getLong(0)).toSeq
+    val visited = brandesForward(und, seeds, BrandesHops)
+    val maxSigma = visited.agg(max(col("sigma"))).head.getLong(0)
+    require(maxSigma <= BrandesSigmaCap,
+      s"path-count sigma $maxSigma exceeds the $BrandesSigmaCap headroom cap")
+    visited
+  }
+
+  private def brandesUndSql =
+    s"""bhalf AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey
+            AND a.l_orderkey % 5 = 0 AND a.l_partkey < b.l_partkey),
+        bund AS MATERIALIZED (
+          SELECT u AS src, v AS dst FROM bhalf
+          UNION ALL SELECT v, u FROM bhalf),
+        bseeds AS MATERIALIZED (SELECT node AS s FROM (
+            SELECT node, row_number() OVER (
+              ORDER BY md5(concat('btw:', CAST(node AS VARCHAR))), node) AS rn
+            FROM (SELECT DISTINCT src AS node FROM bund))
+          WHERE rn <= $BrandesSources),
+        vis0 AS (SELECT s, s AS v, 0 AS dist, CAST(1 AS BIGINT) AS sigma
+                 FROM bseeds),
+        ${(1 to BrandesHops).map { h =>
+          s"""exp$h AS (SELECT f.s, e.dst AS v, CAST(sum(f.sigma) AS BIGINT) AS sigma
+                FROM vis${h - 1} f JOIN bund e ON e.src = f.v
+                WHERE f.dist = ${h - 1} GROUP BY f.s, e.dst),
+              new$h AS (SELECT x.s, x.v, $h AS dist, x.sigma FROM exp$h x
+                WHERE NOT EXISTS (SELECT 1 FROM vis${h - 1} o
+                                  WHERE o.s = x.s AND o.v = x.v)),
+              vis$h AS MATERIALIZED (
+                SELECT * FROM vis${h - 1} UNION ALL SELECT * FROM new$h)"""
+        }.mkString(",\n        ")}"""
+
+  private def brandesDeltaSql = {
+    val H = BrandesHops
+    s"""d$H AS (SELECT s, v, dist, sigma, CAST(0 AS BIGINT) AS delta
+          FROM vis$H WHERE dist = $H),
+        ${(H to 1 by -1).map { lvl =>
+          s"""r$lvl AS (SELECT s, v AS w, (1000000 + delta) // sigma AS r
+                FROM d$lvl),
+              t${lvl - 1} AS (SELECT p.s, p.v,
+                  CAST(sum(p.sigma * r.r) AS BIGINT) AS delta
+                FROM vis$H p JOIN bund e ON e.src = p.v
+                JOIN r$lvl r ON r.s = p.s AND r.w = e.dst
+                WHERE p.dist = ${lvl - 1} GROUP BY p.s, p.v),
+              d${lvl - 1} AS (SELECT p.s, p.v, p.dist, p.sigma,
+                  coalesce(t.delta, 0) AS delta
+                FROM vis$H p LEFT JOIN t${lvl - 1} t
+                  ON t.s = p.s AND t.v = p.v
+                WHERE p.dist = ${lvl - 1})"""
+        }.mkString(",\n        ")},
+        alldelta AS (${(0 to H).map(l => s"SELECT * FROM d$l").mkString(" UNION ALL ")})"""
+  }
+
+  /** SAMPLED BETWEENNESS CENTRALITY (Brandes 2001 via the Brandes & Pich
+    * 2007 k-source estimator, hop-bounded): top-20 broker nodes of the
+    * pruned co-purchase graph by accumulated shortest-path dependency from
+    * [[BrandesSources]] content-hash sources within [[BrandesHops]] hops.
+    * The dependency recursion δ(v) = Σ_w (σ_v/σ_w)(1 + δ(w)) runs in
+    * exact integer micros with the ratio FLOORED ONCE PER SUCCESSOR
+    * (r(w) = (1e6+δ(w)) div σ(w), then δ(v) = Σ σ_v·r(w)) — deterministic
+    * under any aggregation order, mirrored verbatim in the oracle.
+    *
+    * 100 TB shape: state is sources × reach rows (never graph-sized per
+    * source pair — the reason sampled Brandes replaced all-pairs in every
+    * production graph stack); each hop and each backward level is one
+    * equi-join + one keyed sum. σ is capped loudly at [[BrandesSigmaCap]]
+    * so the int64 headroom proof survives adversarial graphs. */
+  val betweenness = GraftQuery(
+    "graph_betweenness",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .filter(col("l_orderkey") % 5 === 0)
+      val half = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
+        .distinct()
+      val und = half.select(col("u").as("src"), col("v").as("dst"))
+        .union(half.select(col("v").as("src"), col("u").as("dst")))
+        .localCheckpoint(true)
+      val visited = brandesVisited(s, dir)
+      val deltas = brandesDelta(und, visited, BrandesHops)
+      val w = Window.orderBy(col("btw_micro").desc, col("node"))
+      deltas.filter(col("v") =!= col("s"))
+        .groupBy(col("v").as("node"))
+        .agg(sum(col("delta")).as("btw_micro"),
+          count(lit(1)).as("n_sources"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("node"), col("btw_micro"), col("n_sources"))
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH $brandesUndSql,
+             $brandesDeltaSql
+             SELECT CAST(rank AS INTEGER) AS rank, node, btw_micro, n_sources
+             FROM (SELECT v AS node, CAST(sum(delta) AS BIGINT) AS btw_micro,
+                     count(*) AS n_sources,
+                     row_number() OVER (ORDER BY CAST(sum(delta) AS BIGINT) DESC,
+                                        v) AS rank
+                   FROM alldelta WHERE v <> s GROUP BY v)
+             WHERE rank <= 20 ORDER BY rank"""))
+
+  /** SAMPLED HARMONIC CLOSENESS (Boldi & Vigna 2014's centrality of
+    * choice for disconnected graphs): top-20 nodes by Σ_s 1/d(s,v) over
+    * the same [[BrandesSources]] sources within [[BrandesHops]] hops —
+    * rides [[brandesForward]]'s BFS verbatim (undirected distances are
+    * symmetric, so source-sampled sums estimate every node's centrality),
+    * each 1/d term exact as 1e6 div d. The who-is-CLOSE panel next to
+    * [[betweenness]]'s who-BROKERS. */
+  val harmonic = GraftQuery(
+    "graph_harmonic",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val visited = brandesVisited(s, dir)
+      val w = Window.orderBy(col("harm_micro").desc, col("node"))
+      visited.filter(col("dist") >= 1)
+        .groupBy(col("v").as("node"))
+        .agg(sum(expr("1000000 div dist")).as("harm_micro"),
+          count(lit(1)).as("n_sources"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("node"), col("harm_micro"), col("n_sources"))
+        .orderBy(col("rank"))
+    },
+    Some(s"""WITH $brandesUndSql
+             SELECT CAST(rank AS INTEGER) AS rank, node, harm_micro, n_sources
+             FROM (SELECT v AS node,
+                     CAST(sum(1000000 // dist) AS BIGINT) AS harm_micro,
+                     count(*) AS n_sources,
+                     row_number() OVER (
+                       ORDER BY CAST(sum(1000000 // dist) AS BIGINT) DESC,
+                       v) AS rank
+                   FROM vis$BrandesHops WHERE dist >= 1 GROUP BY v)
+             WHERE rank <= 20 ORDER BY rank"""))
+
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
       ssspQuery, degreeHist, twoHop, commonNeighbors, resourceAlloc,
       jaccardSimilarity, assortativity, copurchaseLift, clusteringCoeff,
       modularity, louvainMove, louvain, randomWalk, ktruss, bipartiteC4,
-      richClub)
+      richClub, betweenness, harmonic)
 }

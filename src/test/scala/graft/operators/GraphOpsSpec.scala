@@ -195,6 +195,36 @@ class GraphOpsSpec extends SparkTestBase {
     assert(nc1 < nc0, "level 1 must merge something")
   }
 
+  test("brandes: sigma counts shortest paths, delta matches the hand-computed dependency") {
+    import spark.implicits._
+    // diamond: 1-2, 1-3, 2-4, 3-4 plus a tail 4-5. From source 1:
+    // sigma(4) = 2 (two shortest paths), sigma(5) = 2, dist(5) = 3
+    val half = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val und = half.select(col("u").as("src"), col("v").as("dst"))
+      .union(half.select(col("v").as("src"), col("u").as("dst"))).cache()
+    val vis = GraphOps.brandesForward(und, Seq(1L), hops = 3)
+      .as[(Long, Long, Int, Long)].collect()
+      .map { case (_, v, d, g) => v -> ((d, g)) }.toMap
+    assert(vis(1L) == ((0, 1L)) && vis(2L) == ((1, 1L)) && vis(3L) == ((1, 1L)))
+    assert(vis(4L) == ((2, 2L)), s"diamond top must have sigma 2, got ${vis(4L)}")
+    assert(vis(5L) == ((3, 2L)), "sigma propagates through the merge point")
+
+    // backward pass, hand-computed in micros (floor-per-successor ratios):
+    // r(5) = 1e6 div 2 = 500000, delta(4) = sigma(4)*r(5) = 2*500000 = 1e6
+    // r(4) = (1e6 + 1e6) div 2 = 1e6; delta(2) = delta(3) = 1*1e6 = 1e6
+    val visDf = GraphOps.brandesForward(und, Seq(1L), hops = 3)
+    val deltas = GraphOps.brandesDelta(und, visDf, hops = 3)
+      .as[(Long, Long, Int, Long, Long)].collect()
+      .map { case (_, v, _, _, dl) => v -> dl }.toMap
+    assert(deltas(5L) == 0L)
+    assert(deltas(4L) == 1000000L, s"delta(4) = ${deltas(4L)}")
+    assert(deltas(2L) == 1000000L && deltas(3L) == 1000000L,
+      "both diamond flanks carry half the paths each: sigma_v * r(4) = 1e6")
+    // classic Brandes from source 1: delta(2) = delta(3) = 1.0 exactly
+    // (0.5 through to 4, plus 0.5 of the pair (1,5)); micros agree
+    und.unpersist()
+  }
+
   test("oriented wedge decomposition equals brute force on random graphs") {
     import spark.implicits._
     // the in-in/in-out/out-out split must count every unordered wedge
