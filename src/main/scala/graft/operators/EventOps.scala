@@ -1609,6 +1609,90 @@ object EventOps {
                 AS BIGINT) * 1000000 // nullif(count(*), 0) AS rate_micro
             FROM sweep GROUP BY window_h ORDER BY window_h"""))
 
+  /** MARKOV STEADY-STATE (power iteration on the behavior chain): where
+    * does user attention settle if the [[transitionMatrix]] dynamics run
+    * forward? π₀ uniform, then four unrolled ticks of
+    * π_{t+1}(j) = Σ_i π_t(i)·p(i,j) — the equilibrium panel completing
+    * the Markov trio (transition counts → per-state entropy → stationary
+    * distribution), and the same driver-side-unrolled power-iteration
+    * protocol as PageRank/HITS mapped onto a states-sized chain.
+    *
+    * Exact-integer discipline: p(i,j) = n·1e6 div tot(i), each tick's
+    * term π(i)·p(i,j) div 1e6 floors PER TERM before the keyed sum —
+    * deterministic under any aggregation order, oracle-mirrored. Floor
+    * truncation leaks a few micros of mass per tick (documented; both
+    * engines leak identically). π₀/π₂/π₄ are emitted side by side so the
+    * row shows convergence, not just the endpoint.
+    *
+    * 100 TB shape: ONE corpus scan (the lead() pass shared with
+    * [[transitionMatrix]]) reduces to ≤|types|² rows; every tick after is
+    * arithmetic on states-sized frames. */
+  val markovSteadyState = GraftQuery(
+    "ev_markov_steady_state",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val hop = t(s, dir, "events")
+        .withColumn("j", lead(col("event_type"), 1).over(w))
+        .filter(col("j").isNotNull)
+        .select(col("event_type").as("i"), col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n"))
+      val tot = hop.groupBy(col("i")).agg(sum(col("n")).as("tot"))
+      val p = hop.join(tot, "i")
+        .select(col("i"), col("j"), expr("n * 1000000L div tot").as("p_micro"))
+        .localCheckpoint(true)
+      val states = p.select(col("i").as("state"))
+        .union(p.select(col("j").as("state"))).distinct().localCheckpoint(true)
+      val k = states.count()
+      val pi0 = states.select(col("state"), lit(1000000L / k).as("pi"))
+      var pi = pi0
+      val snaps = collection.mutable.Map[Int, DataFrame](0 -> pi0)
+      (1 to 4).foreach { tck =>
+        val next = pi.as("x").join(p.as("p"), col("p.i") === col("x.state"))
+          .groupBy(col("p.j").as("state"))
+          .agg(sum(expr("pi * p_micro div 1000000")).as("pi"))
+        pi = states.join(next, Seq("state"), "left")
+          .select(col("state"), coalesce(col("pi"), lit(0L)).as("pi"))
+          .localCheckpoint(true)
+        snaps(tck) = pi
+      }
+      states
+        .join(snaps(0).withColumnRenamed("pi", "pi0_micro"), "state")
+        .join(snaps(2).withColumnRenamed("pi", "pi2_micro"), "state")
+        .join(snaps(4).withColumnRenamed("pi", "pi4_micro"), "state")
+        .orderBy(col("state"))
+    },
+    Some(s"""WITH hop AS (
+               SELECT i, j, count(*) AS n FROM (
+                 SELECT event_type AS i,
+                   lead(event_type, 1) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS j
+                 FROM events)
+               WHERE j IS NOT NULL GROUP BY i, j),
+             tot AS (SELECT i, CAST(sum(n) AS BIGINT) AS tot FROM hop GROUP BY i),
+             p AS MATERIALIZED (
+               SELECT h.i, h.j, CAST(h.n * 1000000 // t.tot AS BIGINT) AS p_micro
+               FROM hop h JOIN tot t ON t.i = h.i),
+             states AS MATERIALIZED (
+               SELECT i AS state FROM p UNION SELECT j FROM p),
+             ns AS (SELECT count(*) AS k FROM states),
+             pi0 AS (SELECT state, CAST(1000000 // k AS BIGINT) AS pi
+                     FROM states CROSS JOIN ns),
+             ${(1 to 4).map { tk =>
+               s"""pit$tk AS (SELECT p.j AS state,
+                     CAST(sum(x.pi * p.p_micro // 1000000) AS BIGINT) AS pi
+                   FROM pi${tk - 1} x JOIN p ON p.i = x.state GROUP BY p.j),
+                 pi$tk AS (SELECT s.state, coalesce(t.pi, 0) AS pi
+                   FROM states s LEFT JOIN pit$tk t ON t.state = s.state)"""
+             }.mkString(",\n             ")}
+             SELECT s.state, p0.pi AS pi0_micro, p2.pi AS pi2_micro,
+               p4.pi AS pi4_micro
+             FROM states s
+             JOIN pi0 p0 ON p0.state = s.state
+             JOIN pi2 p2 ON p2.state = s.state
+             JOIN pi4 p4 ON p4.state = s.state
+             ORDER BY s.state"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1621,7 +1705,8 @@ object EventOps {
     scd2History, valueQuantileSketch, pointInTimeJoin, hllRollup,
     survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps,
     linearAttribution, powerAnalysis, cupedReadout, metricDecomposition,
-    seasonalityStrength, activityStreaks, conversionWindowSweep)
+    seasonalityStrength, activityStreaks, conversionWindowSweep,
+    markovSteadyState)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
