@@ -447,6 +447,69 @@ object Multimodal {
           FROM placed GROUP BY group_id ORDER BY group_id"""
     })
 
+  /** PERCEPTUAL-HASH NEAR-DUP (dHash, the difference hash behind every
+    * image-dedup pipeline): a 60-bit gradient signature — bit i set iff
+    * intensity(i) > intensity(i+1) — bucketed by 4×15-bit LSH bands, then
+    * candidate pairs verified by Hamming distance ≤ 6 via
+    * bit_count(xor). The STUB boundary is the intensity read: a real
+    * pipeline decodes pixels and averages 8×8 blocks; here intensity(i)
+    * is the payload's i-th code point (deterministic in the bytes, the
+    * mm_decode_features convention) — the banding, verify and pair
+    * plumbing are exactly what the pixel version ships.
+    *
+    * 100 TB shape: the signature is one map-side scan expression (64
+    * ascii reads folded into one BIGINT); only (band, hash) keys shuffle;
+    * banding bounds candidate generation the minhash-LSH way — at
+    * hamming ≤ 6 of 60 bits, any true near-dup pair collides on ≥ 1 of
+    * the 4 bands whenever its 6 flipped bits avoid one band (the
+    * standard LSH recall argument), while random pairs collide at
+    * ~4/2¹⁵. */
+  val phashDedup = GraftQuery(
+    "mm_phash_dedup",
+    (s, dir) => {
+      val sig = t(s, dir, "documents")
+        .select(col("doc_id"), expr(
+          """aggregate(transform(sequence(1, 60),
+               i -> CASE WHEN ascii(substring(text, i, 1)) >
+                          ascii(substring(text, i + 1, 1))
+                    THEN shiftleft(cast(1 as bigint), i - 1)
+                    ELSE cast(0 as bigint) END),
+             cast(0 as bigint), (acc, v) -> acc + v)""").as("dhash"))
+      val banded = sig.select(col("doc_id"), col("dhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("bkey",
+          expr("shiftrightunsigned(dhash, band * 15) & 32767"))
+      val a = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_a"), col("dhash").as("ha"))
+      val b = banded.select(col("band"), col("bkey"),
+        col("doc_id").as("doc_b"), col("dhash").as("hb"))
+      a.join(b, Seq("band", "bkey"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(ha ^ hb)").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .distinct()
+        .orderBy(col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH sig AS MATERIALIZED (
+              SELECT doc_id,
+                CAST(list_sum(list_transform(generate_series(1, 60),
+                  i -> CASE WHEN ascii(substring(text, i, 1)) >
+                             ascii(substring(text, i + 1, 1))
+                       THEN (CAST(1 AS BIGINT) << (i - 1))
+                       ELSE 0 END)) AS BIGINT) AS dhash
+              FROM documents),
+            banded AS MATERIALIZED (
+              SELECT doc_id, dhash, g.band, (dhash >> (g.band * 15)) & 32767 AS bkey
+              FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) g)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+            ORDER BY doc_a, doc_b"""))
+
   val all: Seq[GraftQuery] = Seq(meta, decodeFeatures, frameSample, resizePlan,
-    captionPairs, audioWindows, shardManifest, patchGrid, seqBudget, sceneCuts)
+    captionPairs, audioWindows, shardManifest, patchGrid, seqBudget, sceneCuts,
+    phashDedup)
 }
