@@ -1693,6 +1693,181 @@ object EventOps {
              JOIN pi4 p4 ON p4.state = s.state
              ORDER BY s.state"""))
 
+  /** KMV / THETA-SKETCH SET ALGEBRA (Bar-Yossef et al. 2002; the
+    * DataSketches theta family): distinct-count estimates for two user
+    * segments, their UNION, and — the thing [[hllRollup]]'s HLL
+    * structurally cannot do — their INTERSECTION (audience overlap), from
+    * K=64-minimum-value sketches. Fourth sketch in the family: Count-Min
+    * (counts), HLL (distinct ∪), QuantileSketch (quantiles), KMV (set
+    * algebra).
+    *
+    * DERANDOMIZED: h = hash48('kmv:'||user) (the randomWalk md5 trick),
+    * so both engines build bit-identical sketches and the row is fully
+    * DuckDB-oracled — unlike approx sketches with engine-private RNG.
+    * Estimates: |S| ≈ (K−1)·2⁴⁸/h_K when the sketch saturates (else the
+    * sketch IS the set, exact); A∩B ≈ |{common sketch hashes < θ}|·2⁴⁸/θ
+    * with θ = min(h_K^A, h_K^B). Each estimate is ONE double multiply +
+    * divide of exactly-agreed int64s (rounded 2dp), so the compare is
+    * exact. Exact truths sit beside the estimates — the row carries its
+    * own error audit, the ev_ab_lift A/A discipline.
+    *
+    * 100 TB shape: the K-set build is the real TWO-PHASE top-K — rank ≤ K
+    * within (segment, h mod 64) partial buckets first (≤ 64·K rows per
+    * segment survive), then rank ≤ K per segment — so no single reducer
+    * ever sees a segment's full user set; a production variant packages
+    * the same merge as a typed Aggregator (the QuantileSketch shape). */
+  val kmvOverlap = GraftQuery(
+    "ev_kmv_overlap",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 64
+      // segments over ORDERS, not events: the synthetic event log has a
+      // handful of users each with hundreds of events, so every time
+      // slice saturates to the same full set; orders are per-customer
+      // sparse, so early-period vs late-period BUYERS overlap partially —
+      // their intersection is the returning-customer count, the
+      // audience-overlap number this sketch exists to estimate
+      val ev = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          datediff(col("o_orderdate"), lit("1970-01-01")).as("us"))
+      val mid = broadcast(ev.agg(
+        ((min(col("us")) + max(col("us"))) / 2).cast("long").as("mid")))
+      def seg(name: String, firstHalf: Boolean): DataFrame = ev
+        .crossJoin(mid)
+        .filter(if (firstHalf) col("us") < col("mid") else col("us") >= col("mid"))
+        .select(lit(name).as("seg"), col("user_id")).distinct()
+      val both = seg("a_first_half", firstHalf = true)
+        .union(seg("b_second_half", firstHalf = false))
+        .withColumn("h", expr(
+          """cast(conv(substring(md5(concat('kmv:', cast(user_id as string))),
+             1, 12), 16, 10) as bigint)"""))
+        .localCheckpoint(true)
+      val exact = both.groupBy(col("seg")).agg(count(lit(1)).as("exact_distinct"))
+      // two-phase K-minimum-values: partial top-K per (seg, h mod 64) bucket,
+      // then final top-K per segment
+      val w1 = Window.partitionBy(col("seg"), pmod(col("h"), lit(64L)))
+        .orderBy(col("h"))
+      val w2 = Window.partitionBy(col("seg")).orderBy(col("h"))
+      val kset = both.select(col("seg"), col("h"))
+        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= K)
+        .withColumn("r2", row_number().over(w2)).filter(col("r2") <= K)
+        .select(col("seg"), col("h"), col("r2")).localCheckpoint(true)
+      val R = lit(281474976710656.0) // 2^48 as double, exact
+      def estRow(src: DataFrame, name: String, exactDf: DataFrame): DataFrame = {
+        val agg = src.agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+        agg.crossJoin(exactDf)
+          .select(lit(name).as("set_name"), col("n_sketch"), col("kth_hash"),
+            round(when(col("n_sketch") < K, col("n_sketch").cast("double"))
+              .otherwise(lit((K - 1).toDouble) * R / col("kth_hash").cast("double")), 2)
+              .as("est_distinct"),
+            col("exact_distinct"))
+      }
+      val aset = kset.filter(col("seg") === "a_first_half")
+      val bset = kset.filter(col("seg") === "b_second_half")
+      val aRow = estRow(aset, "a_first_half",
+        exact.filter(col("seg") === "a_first_half").select(col("exact_distinct")))
+      val bRow = estRow(bset, "b_second_half",
+        exact.filter(col("seg") === "b_second_half").select(col("exact_distinct")))
+      // union sketch: K smallest of the merged K-sets (the mergeability
+      // that makes KMV a sketch, not a sample)
+      val wu = Window.orderBy(col("h"))
+      val uset = aset.select(col("h")).union(bset.select(col("h"))).distinct()
+        .withColumn("r", row_number().over(wu)).filter(col("r") <= K)
+      val uExact = both.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("exact_distinct"))
+      val uRow = estRow(uset, "union", uExact)
+      // intersection: common sketch hashes below theta = min of the two kths
+      val thetaDf = aset.agg(max(col("h")).as("ka"))
+        .crossJoin(bset.agg(max(col("h")).as("kb")))
+        .select(least(col("ka"), col("kb")).as("theta"))
+      val common = aset.select(col("h")).join(bset.select(col("h")), "h")
+      val iExact = seg("a", firstHalf = true).select(col("user_id"))
+        .join(seg("b", firstHalf = false).select(col("user_id")), "user_id")
+        .agg(count(lit(1)).as("exact_distinct"))
+      val iRow = common.crossJoin(thetaDf)
+        .filter(col("h") <= col("theta"))
+        .agg(count(lit(1)).as("n_sketch"), coalesce(max(col("h")), lit(0L)).as("kth_hash"),
+          first(col("theta")).as("theta"))
+        .crossJoin(iExact)
+        .select(lit("intersection").as("set_name"), col("n_sketch"), col("kth_hash"),
+          round(col("n_sketch").cast("double") * R / col("theta").cast("double"), 2)
+            .as("est_distinct"),
+          col("exact_distinct"))
+      aRow.unionByName(bRow).unionByName(uRow).unionByName(iRow)
+        .orderBy(col("set_name"))
+    },
+    Some("""WITH ords AS (
+              SELECT o_custkey AS user_id,
+                CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS us
+              FROM orders),
+            mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ords),
+            segs AS MATERIALIZED (
+              SELECT DISTINCT 'a_first_half' AS seg, user_id
+              FROM ords CROSS JOIN mid WHERE us < mid.mid
+              UNION
+              SELECT DISTINCT 'b_second_half', user_id
+              FROM ords CROSS JOIN mid WHERE us >= mid.mid),
+            hashed AS MATERIALIZED (
+              SELECT seg, user_id,
+                CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                  1, 12)) AS BIGINT) AS h
+              FROM segs),
+            exact AS (SELECT seg, count(*) AS exact_distinct
+                      FROM hashed GROUP BY seg),
+            phase1 AS (SELECT seg, h, row_number() OVER (
+                PARTITION BY seg, h % 64 ORDER BY h) AS r1 FROM hashed),
+            kset AS MATERIALIZED (SELECT seg, h FROM (
+                SELECT seg, h, row_number() OVER (
+                  PARTITION BY seg ORDER BY h) AS r2
+                FROM phase1 WHERE r1 <= 64)
+              WHERE r2 <= 64),
+            arow AS (SELECT 'a_first_half' AS set_name, count(*) AS n_sketch,
+                CAST(max(h) AS BIGINT) AS kth_hash,
+                round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63e0 * 2.81474976710656e14 / CAST(max(h) AS DOUBLE) END, 2)
+                  AS est_distinct,
+                (SELECT exact_distinct FROM exact WHERE seg = 'a_first_half')
+                  AS exact_distinct
+              FROM kset WHERE seg = 'a_first_half'),
+            brow AS (SELECT 'b_second_half', count(*),
+                CAST(max(h) AS BIGINT),
+                round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63e0 * 2.81474976710656e14 / CAST(max(h) AS DOUBLE) END, 2),
+                (SELECT exact_distinct FROM exact WHERE seg = 'b_second_half')
+              FROM kset WHERE seg = 'b_second_half'),
+            uset AS (SELECT h FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS r
+                FROM (SELECT DISTINCT h FROM kset))
+              WHERE r <= 64),
+            urow AS (SELECT 'union', count(*),
+                CAST(max(h) AS BIGINT),
+                round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                  ELSE 63e0 * 2.81474976710656e14 / CAST(max(h) AS DOUBLE) END, 2),
+                (SELECT count(DISTINCT user_id) FROM hashed)
+              FROM uset),
+            theta AS (SELECT least(
+                (SELECT max(h) FROM kset WHERE seg = 'a_first_half'),
+                (SELECT max(h) FROM kset WHERE seg = 'b_second_half')) AS th),
+            common AS (SELECT a.h FROM kset a JOIN kset b
+                ON b.h = a.h AND a.seg = 'a_first_half' AND b.seg = 'b_second_half'
+              CROSS JOIN theta WHERE a.h <= theta.th),
+            irow AS (SELECT 'intersection', count(*),
+                CAST(coalesce(max(h), 0) AS BIGINT),
+                round(CAST(count(*) AS DOUBLE) * 2.81474976710656e14
+                  / CAST((SELECT th FROM theta) AS DOUBLE), 2),
+                (SELECT count(*) FROM
+                  (SELECT DISTINCT user_id FROM segs WHERE seg = 'a_first_half')
+                  JOIN
+                  (SELECT DISTINCT user_id FROM segs WHERE seg = 'b_second_half')
+                  USING (user_id))
+              FROM common)
+            SELECT set_name, CAST(n_sketch AS BIGINT) AS n_sketch, kth_hash,
+              est_distinct, CAST(exact_distinct AS BIGINT) AS exact_distinct
+            FROM (SELECT * FROM arow UNION ALL SELECT * FROM brow
+                  UNION ALL SELECT * FROM urow UNION ALL SELECT * FROM irow)
+              t(set_name, n_sketch, kth_hash, est_distinct, exact_distinct)
+            ORDER BY set_name"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1706,7 +1881,7 @@ object EventOps {
     survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps,
     linearAttribution, powerAnalysis, cupedReadout, metricDecomposition,
     seasonalityStrength, activityStreaks, conversionWindowSweep,
-    markovSteadyState)
+    markovSteadyState, kmvOverlap)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast

@@ -56,6 +56,9 @@ class PlanLintSpec extends SparkTestBase {
     "dedup_threshold_sweep",
     // crossJoin of the 1-row purchase-total scalar onto 5 channel rows
     "ev_first_touch_attribution",
+    // crossJoins of 1-row anchors (date midpoint, theta, per-set kth/exact
+    // scalars) onto K=64-bounded sketch rows — every side constant-bounded
+    "ev_kmv_overlap",
     // crossJoin of the 1-row corpus-total scalar onto 20 source rows
     "curation_mixture_entropy",
     // crossJoin of two 1-row aggregates (corpus totals x top-language row)
