@@ -1108,10 +1108,101 @@ object TextAnalysis {
             WHERE cf.cf >= 20
             ORDER BY burstiness_micro DESC, cf.word LIMIT 20"""))
 
+  /** GOPHER QUALITY FILTER PANEL (Rae et al. 2021, table A1 — the rule
+    * set most large-scale text pipelines start from): per-rule pass
+    * counts over the corpus for the five document-level rules this
+    * single-line fixture can express — word-count bounds [50, 100 k],
+    * mean word length [3, 10], symbol-to-word ratio ≤ 0.1 (#/…),
+    * alphabetic-word fraction ≥ 0.8, and ≥ 2 distinct required stop
+    * words — plus the all-rules conjunction row (the actual keep rate).
+    * The two line-shape rules (bullet/ellipsis line fractions) need
+    * multi-line documents and are documented out.
+    *
+    * Every rule is an INTEGER comparison (mean word length as
+    * chars·1e6 div words, ratios cross-multiplied — n_sym·10 ≤ n_words,
+    * n_alpha·5 ≥ n_words·4), so no float ever decides a verdict. One
+    * corpus scan; the panel is 6 aggregated rows.
+    *
+    * Fixture note: the synthetic corpus legitimately FAILS rule 5 on
+    * every document (its technical-vocabulary word pool contains at most
+    * one of the canonical stop words) — the panel correctly diagnosing
+    * "this is not natural English prose" is the demo working, and is why
+    * the thresholds are kept canonical rather than tuned to pass. */
+  val gopherFilters = GraftQuery(
+    "text_gopher_filters",
+    (s, dir) => {
+      val stops = "'the','be','to','of','and','that','have','with'"
+      val m = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          size(col("w")).as("n_words"),
+          expr("aggregate(w, 0, (acc, x) -> acc + length(x))").as("n_wchars"),
+          expr("size(filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))").as("n_sym"),
+          expr("size(filter(w, x -> x RLIKE '[a-zA-Z]'))").as("n_alpha"),
+          expr(s"size(array_intersect(array_distinct(w), array($stops)))")
+            .as("n_stopkinds"))
+        .select(col("doc_id"), col("n_words"),
+          (col("n_words") >= 50 && col("n_words") <= 100000).as("r_words"),
+          expr("n_wchars * 1000000L div n_words BETWEEN 3000000 AND 10000000")
+            .as("r_mwl"),
+          expr("n_sym * 10 <= n_words").as("r_sym"),
+          expr("n_alpha * 5 >= n_words * 4").as("r_alpha"),
+          (col("n_stopkinds") >= 2).as("r_stop"))
+        .withColumn("r_all",
+          col("r_words") && col("r_mwl") && col("r_sym") && col("r_alpha") &&
+            col("r_stop"))
+      m.select(expr(
+        """stack(6,
+           '1_word_count_50_100k', r_words,
+           '2_mean_word_len_3_10', r_mwl,
+           '3_symbol_ratio_le_10pct', r_sym,
+           '4_alpha_words_ge_80pct', r_alpha,
+           '5_stop_words_ge_2', r_stop,
+           '6_all_rules', r_all)""").as(Seq("rule", "pass")))
+        .groupBy(col("rule"))
+        .agg(sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          count(lit(1)).as("n_docs"))
+        .select(col("rule"), col("n_pass"), col("n_docs"),
+          expr("n_pass * 1000000 div n_docs").as("pass_micro"))
+        .orderBy(col("rule"))
+    },
+    Some("""WITH m AS MATERIALIZED (
+              SELECT doc_id, len(w) AS n_words,
+                list_sum(list_transform(w, x -> length(x))) AS n_wchars,
+                len(list_filter(w, x -> x LIKE '%#%' OR x LIKE '%...%')) AS n_sym,
+                len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) AS n_alpha,
+                len(list_intersect(list_distinct(w),
+                  ['the','be','to','of','and','that','have','with'])) AS n_stopkinds
+              FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+            r AS (
+              SELECT doc_id,
+                n_words >= 50 AND n_words <= 100000 AS r_words,
+                n_wchars * 1000000 // n_words BETWEEN 3000000 AND 10000000 AS r_mwl,
+                n_sym * 10 <= n_words AS r_sym,
+                n_alpha * 5 >= n_words * 4 AS r_alpha,
+                n_stopkinds >= 2 AS r_stop
+              FROM m),
+            ra AS (SELECT *,
+                r_words AND r_mwl AND r_sym AND r_alpha AND r_stop AS r_all
+              FROM r),
+            u AS (
+              SELECT '1_word_count_50_100k' AS rule, r_words AS pass FROM ra
+              UNION ALL SELECT '2_mean_word_len_3_10', r_mwl FROM ra
+              UNION ALL SELECT '3_symbol_ratio_le_10pct', r_sym FROM ra
+              UNION ALL SELECT '4_alpha_words_ge_80pct', r_alpha FROM ra
+              UNION ALL SELECT '5_stop_words_ge_2', r_stop FROM ra
+              UNION ALL SELECT '6_all_rules', r_all FROM ra)
+            SELECT rule,
+              CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+              count(*) AS n_docs,
+              CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS pass_micro
+            FROM u GROUP BY rule ORDER BY rule"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
       cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit,
       vocabCoverage, bpeFertility, complexity, langIdConfusion,
       sourceDivergence, vocabGrowth, hapaxRatio, collocations, keywordRake,
-      burstiness)
+      burstiness, gopherFilters)
 }
