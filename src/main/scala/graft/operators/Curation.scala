@@ -1655,11 +1655,90 @@ object Curation {
                 AS dup_rate_micro
             FROM base CROSS JOIN top_lang"""))
 
+  /** PREFERENCE-PAIR MINING (DPO/RLHF data prep, Rafailov et al. 2023's
+    * input shape): within each (source, lang) group — the prompt proxy of
+    * this corpus — pair the BEST-quality document against the WORST as
+    * (chosen, rejected), the contrastive pair a preference-tuning run
+    * consumes. Quality is the text_quality composite in exact micros
+    * (floored-6dp ttr/stop-ratio, the house float discipline), argmax and
+    * argmin are total orders (score, then doc_id — opposite id tie-break
+    * directions so a 2-doc all-tied group still yields a distinct pair),
+    * and only groups with ≥ 2 documents emit. gap_micro quantifies pair
+    * strength — downstream curricula sort by it.
+    *
+    * 100 TB shape: one corpus scan computes scores map-side; the two
+    * argmax windows share one (source, lang)-keyed shuffle; output is
+    * groups-sized. */
+  val preferencePairs = GraftQuery(
+    "pipeline_preference_pairs",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stopSet = Stops.map(m => s"'$m'").mkString(", ")
+      val scored = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"),
+          split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          size(col("w")).as("n_tokens"),
+          expr("floor(cast(size(array_distinct(w)) as double) / size(w) * 1e6 + 0.5) / 1e6")
+            .as("ttr"),
+          expr(s"floor(cast(size(filter(w, x -> x IN ($stopSet))) as double) / size(w) * 1e6 + 0.5) / 1e6")
+            .as("stop_ratio"))
+        .select(col("doc_id"), col("source"), col("lang"),
+          expr("""cast(floor(least(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio)
+                  * ttr * 1e6 + 0.5) as bigint)""").as("score_micro"))
+      val grp = Window.partitionBy(col("source"), col("lang"))
+      val wTop = grp.orderBy(col("score_micro").desc, col("doc_id"))
+      val wBot = grp.orderBy(col("score_micro"), col("doc_id").desc)
+      val ranked = scored
+        .withColumn("rt", row_number().over(wTop))
+        .withColumn("rb", row_number().over(wBot))
+        .withColumn("n", count(lit(1)).over(grp))
+        .filter(col("n") >= 2)
+      val chosen = ranked.filter(col("rt") === 1)
+        .select(col("source"), col("lang"), col("doc_id").as("chosen_id"),
+          col("score_micro").as("chosen_micro"))
+      val rejected = ranked.filter(col("rb") === 1)
+        .select(col("source"), col("lang"), col("doc_id").as("rejected_id"),
+          col("score_micro").as("rejected_micro"))
+      chosen.join(rejected, Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("chosen_id"), col("rejected_id"),
+          col("chosen_micro"), col("rejected_micro"),
+          (col("chosen_micro") - col("rejected_micro")).as("gap_micro"))
+        .orderBy(col("source"), col("lang"))
+    },
+    Some(s"""WITH scored AS MATERIALIZED (
+               SELECT doc_id, source, lang,
+                 CAST(floor(least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+                   * (1.0 - floor(CAST(len(list_filter(w, x -> x IN
+                       (${Stops.map(m => s"'$m'").mkString(", ")})))
+                       AS DOUBLE) / len(w) * 1e6 + 0.5) / 1e6)
+                   * (floor(CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                       * 1e6 + 0.5) / 1e6)
+                   * 1e6 + 0.5) AS BIGINT) AS score_micro
+               FROM (SELECT doc_id, source, lang, string_split(text, ' ') AS w
+                     FROM documents)),
+             ranked AS (
+               SELECT *,
+                 row_number() OVER (PARTITION BY source, lang
+                   ORDER BY score_micro DESC, doc_id) AS rt,
+                 row_number() OVER (PARTITION BY source, lang
+                   ORDER BY score_micro, doc_id DESC) AS rb,
+                 count(*) OVER (PARTITION BY source, lang) AS n
+               FROM scored)
+             SELECT c.source, c.lang, c.doc_id AS chosen_id,
+               r.doc_id AS rejected_id,
+               c.score_micro AS chosen_micro, r.score_micro AS rejected_micro,
+               c.score_micro - r.score_micro AS gap_micro
+             FROM (SELECT * FROM ranked WHERE rt = 1 AND n >= 2) c
+             JOIN (SELECT * FROM ranked WHERE rb = 1 AND n >= 2) r
+               ON r.source = c.source AND r.lang = c.lang
+             ORDER BY c.source, c.lang"""))
+
   val all: Seq[GraftQuery] =
     Seq(repetition, piiScrub, lmBigramScore, qualityFilter, decontaminate,
       mixtureQuota, temperatureSample, profile, endToEnd, dsirWeights,
       tokenBudget, lmBackoffScore, kAnonymity, tokenizePack, qualityAblation,
       dedupImpact, sourceOverlap, snapshotDrift, mixtureEntropy, datasetCard,
       leakNgramSweep, lmKneserNey, dpHistogram, lmTransferMatrix,
-      raterAgreement, perplexityYield, qualityTradeoff)
+      raterAgreement, perplexityYield, qualityTradeoff, preferencePairs)
 }
