@@ -1944,10 +1944,34 @@ object GraphOps {
                    FROM vis$BrandesHops WHERE dist >= 1 GROUP BY v)
              WHERE rank <= 20 ORDER BY rank"""))
 
+  /** SAMPLED ECCENTRICITY / DIAMETER BOUND: per sampled source, the
+    * farthest-reached distance within [[BrandesHops]] hops and the reach
+    * count — rides [[brandesForward]]'s BFS verbatim (the betweenness /
+    * harmonic forward pass, third rider on one machine). max(ecc) over
+    * the sample is a DIAMETER LOWER BOUND, the number capacity planners
+    * check before picking an iteration budget for BFS-family jobs (a
+    * 100 TB graph whose sampled eccentricity already hits the hop bound
+    * needs more rounds; one that plateaus early doesn't — the iFUB
+    * estimation insight, Crescenzi et al. 2013). Output is
+    * sources-sized. */
+  val eccentricity = GraftQuery(
+    "graph_eccentricity",
+    (s, dir) => {
+      val visited = brandesVisited(s, dir)
+      visited.groupBy(col("s"))
+        .agg(count(lit(1)).as("n_reached"), max(col("dist")).as("ecc_bound"))
+        .select(col("s").as("source"), col("n_reached"), col("ecc_bound"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH $brandesUndSql
+             SELECT s AS source, count(*) AS n_reached,
+               CAST(max(dist) AS INTEGER) AS ecc_bound
+             FROM vis$BrandesHops GROUP BY s ORDER BY source"""))
+
   val all: Seq[GraftQuery] =
     Seq(connectedComponents, triangleCount, labelPropagation, kcoreQuery,
       ssspQuery, degreeHist, twoHop, commonNeighbors, resourceAlloc,
       jaccardSimilarity, assortativity, copurchaseLift, clusteringCoeff,
       modularity, louvainMove, louvain, randomWalk, ktruss, bipartiteC4,
-      richClub, betweenness, harmonic)
+      richClub, betweenness, harmonic, eccentricity)
 }

@@ -1589,6 +1589,98 @@ object Similarity {
                    JOIN n nb ON nb.label = p.label_b
             ORDER BY label_a, label_b"""))
 
+  /** EMBEDDING CENTROID DRIFT — the embedding-space analog of
+    * ev_value_psi's feature-drift gate: per label (plus an _overall row),
+    * the cosine between the centroid of the even-vec_id slice and the
+    * odd-vec_id slice (the deterministic stand-in for two ingestion
+    * snapshots). A healthy stable corpus reads ≈ 1.0 everywhere; a
+    * drifting encoder or source mix pulls a label's row down — the check
+    * every embedding pipeline should run before trusting cached ANN
+    * indexes across re-embeds. Same exact-integer discipline as
+    * [[labelMargin]]: 1e6 fixed-point components, the centroid divisor
+    * shifted non-negative so truncating and flooring div agree, cosine's
+    * slice-count divisors cancel, one double division at the end floored
+    * to 6 dp. Two (label, slice, dim)-keyed shuffles; centroids are
+    * labels × 2 × dim rows.
+    *
+    * Fixture readout: this corpus's label centroids are near zero
+    * (random directions), so per-label drift_cos is noise around 0 —
+    * agreeing with [[silhouette]]'s −0.11 verdict that `label` is
+    * metadata, not geometry. A production monitor alarms on a DROP from
+    * an established high baseline; a baseline that was never high is
+    * itself the finding. */
+  val centroidDrift = GraftQuery(
+    "emb_centroid_drift",
+    (s, dir) => {
+      val base = t(s, dir, "embeddings")
+        .select(col("label").cast("string").as("label"),
+          (col("vec_id") % 2).cast("int").as("slice"), col("embedding"))
+      val all = base.union(
+        base.select(lit("_overall").as("label"), col("slice"), col("embedding")))
+      val cent = all
+        .select(col("label"), col("slice"),
+          posexplode(col("embedding")).as(Seq("d", "x")))
+        .groupBy(col("label"), col("slice"), col("d"))
+        .agg(sum(expr("cast(floor(cast(x as double) * 1e6 + 0.5) as bigint)")).as("sx"),
+          count(lit(1)).as("n"))
+        .select(col("label"), col("slice"), col("d"),
+          (expr("(sx + n * 2000000) div n") - 2000000L).as("c"))
+      val norms = cent.groupBy(col("label"), col("slice"))
+        .agg(sum(col("c") * col("c")).as("nsq"))
+      val counts = all.groupBy(col("label"), col("slice"))
+        .agg(count(lit(1)).as("n"))
+      val a = cent.filter(col("slice") === 0)
+        .select(col("label"), col("d"), col("c").as("ca"))
+      val b = cent.filter(col("slice") === 1)
+        .select(col("label"), col("d"), col("c").as("cb"))
+      a.join(b, Seq("label", "d"))
+        .groupBy(col("label"))
+        .agg(sum(col("ca") * col("cb")).as("dot"))
+        .join(broadcast(norms.filter(col("slice") === 0)
+          .select(col("label"), col("nsq").as("nsq_a"))), "label")
+        .join(broadcast(norms.filter(col("slice") === 1)
+          .select(col("label"), col("nsq").as("nsq_b"))), "label")
+        .join(broadcast(counts.filter(col("slice") === 0)
+          .select(col("label"), col("n").as("n_even"))), "label")
+        .join(broadcast(counts.filter(col("slice") === 1)
+          .select(col("label"), col("n").as("n_odd"))), "label")
+        .select(col("label"), col("n_even"), col("n_odd"), col("dot"),
+          expr("floor(dot / (sqrt(cast(nsq_a as double)) * sqrt(cast(nsq_b as double))) * 1e6 + 0.5) / 1e6")
+            .as("drift_cos"))
+        .orderBy(col("label"))
+    },
+    Some("""WITH base AS (
+              SELECT CAST(label AS VARCHAR) AS label,
+                CAST(vec_id % 2 AS INTEGER) AS slice, embedding
+              FROM embeddings
+              UNION ALL
+              SELECT '_overall', CAST(vec_id % 2 AS INTEGER), embedding
+              FROM embeddings),
+            ex AS (
+              SELECT label, slice, g.d AS d,
+                CAST(floor(CAST(embedding[g.d] AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS xm
+              FROM base CROSS JOIN
+                (SELECT unnest(generate_series(1, 64)) AS d) g),
+            c AS (SELECT label, slice, d,
+                    CAST((CAST(sum(xm) AS BIGINT) + count(*) * 2000000) // count(*)
+                      AS BIGINT) - 2000000 AS c
+                  FROM ex GROUP BY label, slice, d),
+            n AS (SELECT label, slice, CAST(sum(c * c) AS BIGINT) AS nsq
+                  FROM c GROUP BY label, slice),
+            cnt AS (SELECT label, slice, count(*) AS n FROM base GROUP BY label, slice),
+            p AS (SELECT a.label, CAST(sum(a.c * b.c) AS BIGINT) AS dot
+                  FROM c a JOIN c b ON b.label = a.label AND b.d = a.d
+                    AND a.slice = 0 AND b.slice = 1
+                  GROUP BY a.label)
+            SELECT p.label, ce.n AS n_even, co.n AS n_odd, p.dot,
+              floor(p.dot / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+                * 1e6 + 0.5) / 1e6 AS drift_cos
+            FROM p JOIN n na ON na.label = p.label AND na.slice = 0
+                   JOIN n nb ON nb.label = p.label AND nb.slice = 1
+                   JOIN cnt ce ON ce.label = p.label AND ce.slice = 0
+                   JOIN cnt co ON co.label = p.label AND co.slice = 1
+            ORDER BY p.label"""))
+
   /** INT8 QUANTIZATION ERROR BUDGET per label: the reconstruction-error
     * report that decides whether [[quantizeInt8]]'s 4x storage saving is
     * safe for a given slice — mean and max squared reconstruction error
@@ -2148,7 +2240,7 @@ object Similarity {
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
       randomProjection, annRecallEval, annGraphTopK, annGraphRecall, oodScore,
-      dimTruncationEval, probeSweep,
+      centroidDrift, dimTruncationEval, probeSweep,
       normProfile, labelMargin, quantError, embThresholdSweep,
       embThresholdSweepSampled, ivfBalance, semanticDecontam, annMipsTopK,
       annMmrTopK, annFilteredRecall, kmeansSeedFarthest, silhouette)
