@@ -1104,6 +1104,123 @@ object Similarity {
              FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
              GROUP BY e.q_id ORDER BY e.q_id"""))
 
+  /** TRAINED-CELL IVF top-k: the [[annIvf]] shape with the coarse
+    * quantizer REPLACED by the k-means assignment ([[kmeansAssign]]'s
+    * nearest-of-8-seeds cells) — the difference between "partition by
+    * whatever metadata column happened to exist" and "partition by the
+    * geometry", which is what a real IVF build does (train cells, then
+    * invert). On this corpus the metadata labels are NOT geometric
+    * (emb_silhouette ≈ −0.11), so label-IVF recall sits at 0.125 while
+    * the trained cells recover actual neighborhoods —
+    * [[annIvfTrainedRecall]] measures the gap side by side. Same 100 TB
+    * shape as annIvf: centroids broadcast, scoring map-side within the
+    * query's cell, one candidate shuffle. */
+  val annIvfTrained = GraftQuery(
+    "ann_ivf_trained_topk",
+    (s, dir) => {
+      val m = kmeansAssign(s, t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("cluster"), col("embedding")).cache()
+      val q = m.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("cluster"))
+      val scored = m.join(broadcast(q), Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(s, "embedding", "q_emb"), 4).as("cos_sim"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""WITH $sqlAssign,
+             mm AS (SELECT a.vec_id, a.cluster, e.embedding
+                    FROM assign a JOIN embeddings e USING (vec_id)),
+             qq AS (SELECT vec_id AS q_id, embedding AS q_emb, cluster
+                    FROM mm WHERE vec_id < 8),
+             scored AS (SELECT q.q_id, m.vec_id,
+                 round(${sqlCos("m.embedding", "q.q_emb")}, 4) AS cos_sim
+               FROM mm m JOIN qq q ON q.cluster = m.cluster
+               WHERE m.vec_id <> q.q_id),
+             ranked AS (SELECT q_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, vec_id) AS rank
+               FROM scored)
+             SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+             FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""))
+
+  /** Label-IVF vs trained-IVF vs brute, per query — the one-table answer
+    * to "does training the coarse quantizer pay on this corpus": both
+    * index routes' recall@10 against the exact top-10, side by side. */
+  val annIvfTrainedRecall = GraftQuery(
+    "ann_ivf_trained_recall",
+    (s, dir) => {
+      val exact = annBruteTopK.run(s, dir).select(col("q_id"), col("vec_id"))
+      def hits(cand: DataFrame, name: String): DataFrame = exact
+        .join(cand.select(col("q_id"), col("vec_id")), Seq("q_id", "vec_id"),
+          "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as(name))
+      exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits(annIvf.run(s, dir), "n_hit_label"), Seq("q_id"), "left")
+        .join(hits(annIvfTrained.run(s, dir), "n_hit_trained"), Seq("q_id"), "left")
+        .select(col("q_id"), col("n_exact"),
+          coalesce(col("n_hit_label"), lit(0L)).as("n_hit_label"),
+          coalesce(col("n_hit_trained"), lit(0L)).as("n_hit_trained"),
+          expr("coalesce(n_hit_label, 0) * 1000000 div 10").as("recall_label_micro"),
+          expr("coalesce(n_hit_trained, 0) * 1000000 div 10").as("recall_trained_micro"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH $sqlAssign,
+             mm AS (SELECT a.vec_id, a.cluster, e.embedding
+                    FROM assign a JOIN embeddings e USING (vec_id)),
+             q AS (SELECT vec_id AS q_id, embedding AS q_emb, label
+                   FROM embeddings WHERE vec_id < 8),
+             qq AS (SELECT vec_id AS q_id, embedding AS q_emb, cluster
+                    FROM mm WHERE vec_id < 8),
+             exact AS (
+               SELECT q_id, vec_id FROM (
+                 SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY round(${sqlCos("e.embedding", "q.q_emb")}, 4) DESC,
+                              e.vec_id) AS rank
+                 FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+               WHERE rank <= 10),
+             lab AS (
+               SELECT q_id, vec_id FROM (
+                 SELECT q.q_id, e.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY round(${sqlCos("e.embedding", "q.q_emb")}, 4) DESC,
+                              e.vec_id) AS rank
+                 FROM embeddings e JOIN q ON e.label = q.label
+                 WHERE e.vec_id <> q.q_id)
+               WHERE rank <= 10),
+             trn AS (
+               SELECT q_id, vec_id FROM (
+                 SELECT q.q_id, m.vec_id,
+                   row_number() OVER (PARTITION BY q.q_id
+                     ORDER BY round(${sqlCos("m.embedding", "q.q_emb")}, 4) DESC,
+                              m.vec_id) AS rank
+                 FROM mm m JOIN qq q ON q.cluster = m.cluster
+                 WHERE m.vec_id <> q.q_id)
+               WHERE rank <= 10),
+             hl AS (SELECT e.q_id, count(*) AS n FROM exact e
+                    JOIN lab l ON l.q_id = e.q_id AND l.vec_id = e.vec_id
+                    GROUP BY e.q_id),
+             ht AS (SELECT e.q_id, count(*) AS n FROM exact e
+                    JOIN trn t ON t.q_id = e.q_id AND t.vec_id = e.vec_id
+                    GROUP BY e.q_id)
+             SELECT e.q_id, count(*) AS n_exact,
+               coalesce(any_value(hl.n), 0) AS n_hit_label,
+               coalesce(any_value(ht.n), 0) AS n_hit_trained,
+               CAST(coalesce(any_value(hl.n), 0) * 1000000 // 10 AS BIGINT)
+                 AS recall_label_micro,
+               CAST(coalesce(any_value(ht.n), 0) * 1000000 // 10 AS BIGINT)
+                 AS recall_trained_micro
+             FROM exact e
+             LEFT JOIN hl ON hl.q_id = e.q_id
+             LEFT JOIN ht ON ht.q_id = e.q_id
+             GROUP BY e.q_id ORDER BY e.q_id"""))
+
   /** EMBEDDING-SPACE OUTLIER SCORING (OOD data cleaning): distance of each
     * vector to its label's centroid, z-scored within the label — the
     * "drop the weird samples" gate embedding pipelines run before
@@ -2239,7 +2356,8 @@ object Similarity {
     Seq(annBruteTopK, annIvf, embNearDup, embNearDupLsh, lshBuckets,
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
-      randomProjection, annRecallEval, annGraphTopK, annGraphRecall, oodScore,
+      randomProjection, annRecallEval, annGraphTopK, annGraphRecall,
+      annIvfTrained, annIvfTrainedRecall, oodScore,
       centroidDrift, dimTruncationEval, probeSweep,
       normProfile, labelMargin, quantError, embThresholdSweep,
       embThresholdSweepSampled, ivfBalance, semanticDecontam, annMipsTopK,

@@ -35,6 +35,10 @@ class PlanLintSpec extends SparkTestBase {
     // crossJoin(broadcast(k centroids / seed set)) — nearest-seed assignment
     "emb_kmeans_assign", "emb_kmeans_update", "dedup_semantic",
     "emb_silhouette",
+    // inherit kmeansAssign's 8-seed crossJoin (trained coarse quantizer),
+    // and the recall panel additionally composes ann_cosine_topk's 8-query
+    // broadcast — every broadcast side constant-bounded
+    "ann_ivf_trained_topk", "ann_ivf_trained_recall",
     // crossJoin(broadcast(codebook / per-query ADC lookup tables))
     "emb_pq_assign", "ann_pq_topk", "ann_pq_rerank", "ann_ivfpq_topk",
     "ann_probe_sweep",
