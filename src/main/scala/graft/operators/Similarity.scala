@@ -942,12 +942,15 @@ object Similarity {
                  PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
                FROM s$i) WHERE rn <= $BeamWidth)"""
     }.mkString(",\n         ")
-    s"""scored_knn AS (
+    s"""$sqlAssign,
+         bm AS MATERIALIZED (SELECT a.vec_id, a.cluster, e.embedding
+           FROM assign a JOIN embeddings e USING (vec_id)),
+         scored_knn AS (
            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              row_number() OVER (PARTITION BY a.vec_id
                ORDER BY round(${sqlCos("a.embedding", "b.embedding")}, 4) DESC,
                         b.vec_id) AS rank
-           FROM embeddings a JOIN embeddings b ON a.label = b.label
+           FROM bm a JOIN bm b ON a.cluster = b.cluster
            WHERE a.vec_id <> b.vec_id),
          knn AS MATERIALIZED (SELECT vec_a, vec_b FROM scored_knn WHERE rank <= 3),
          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
@@ -992,7 +995,26 @@ object Similarity {
     * top-10 per query. */
   private def beamSearch(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val knn = annKnnGraph.run(s, dir).select(col("vec_a"), col("vec_b"))
+    // kNN edges within TRAINED cells (the ann_ivf_trained quantizer), not
+    // the metadata label cells ann_knn_graph demonstrates: a navigable
+    // graph needs geometrically-local short links — on this corpus the
+    // label-cell graph held beam recall at 0.26 (sf0.1) while the
+    // trained-cell build recovers actual neighborhoods, exactly the
+    // ann_ivf_trained_recall lesson applied to the graph index
+    val m = kmeansAssign(s, e)
+      .select(col("vec_id"), col("cluster"), col("embedding")).cache()
+    val ka = m.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val kb = m.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val wk = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cs").desc, col("vec_b"))
+    val knn = ka.join(kb, Seq("cluster"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(s, "ea", "eb"), 4).as("cs"))
+      .withColumn("rk", row_number().over(wk)).filter(col("rk") <= 3)
+      .select(col("vec_a"), col("vec_b"))
     // long-range links: hash48('lnk:j:id') mod n over the dense id ranking
     // (id-sized single-partition window — at scale ids would be dense by
     // construction; the corpus vectors never enter this enumeration)
@@ -1042,9 +1064,12 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
   }
 
-  /** GRAPH-BASED ANN TOP-K — greedy beam search over the [[annKnnGraph]]
-    * neighborhood graph (the NSW/HNSW retrieval shape, Malkov & Yashunin
-    * 2018, derandomized): [[BeamEntries]] content-hash entry points, then
+  /** GRAPH-BASED ANN TOP-K — greedy beam search over the TRAINED-CELL
+    * kNN graph (k=3 within [[kmeansAssign]]'s cells — the
+    * [[annIvfTrained]] quantizer; the metadata-label graph of
+    * [[annKnnGraph]] held recall at 0.26, the same lesson as
+    * [[annIvfTrainedRecall]]), the NSW/HNSW retrieval shape (Malkov &
+    * Yashunin 2018, derandomized): [[BeamEntries]] content-hash entry points, then
     * [[BeamHops]] synchronous expand-score-prune rounds keeping the
     * [[BeamWidth]] best candidates per query by (cosine desc, vec_id) —
     * a total order, so the whole search unrolls into exact CTEs. The
@@ -1067,8 +1092,10 @@ object Similarity {
 
   /** Recall@10 of [[annGraphTopK]] against the exact brute-force top-10 —
     * the [[annRecallEval]] panel for the graph index, completing the
-    * tuning table trio (IVF recall, probe sweep, graph recall). Only the
-    * two top-10 lists move; n_hit is an exact integer. */
+    * tuning table trio (IVF recall, probe sweep, graph recall): 0.88 at
+    * sf0.01 / 0.76 at sf0.1 from beam-sized point lookups, vs label-IVF's
+    * 0.125-0.15 full-cell scans. Only the two top-10 lists move; n_hit is
+    * an exact integer. */
   val annGraphRecall = GraftQuery(
     "ann_graph_recall",
     (s, dir) => {
