@@ -1,0 +1,79 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.GraphOps
+
+/** PUBLIC graph-algorithm facade over arbitrary edge DataFrames — the
+  * library surface for the engine's graph family (the registry's graph_*
+  * queries demonstrate the same algorithms on the TPC-H-derived fixture;
+  * this object is what a user who "switches to this library" calls on
+  * their own edges, the reference's user-facing iterative-computation
+  * role per SURVEY §2.1 #22).
+  *
+  * Input conventions: undirected graphs arrive as a two-column pair list
+  * (each edge once, any column names unless stated); ids are integral.
+  * Every algorithm keeps the registry's scale shapes — key-sized
+  * shuffles, pointer-jumping/localCheckpoint loops, hub caps where wedges
+  * fan out — because it IS the same code (`GraphOps`), re-exported with
+  * public contracts. Determinism guarantees (total-order tie-breaks,
+  * exact-integer scores) carry over unchanged. */
+object GraphAlgorithms {
+
+  /** Connected components by min-label propagation with pointer jumping —
+    * O(log diameter) synchronous ticks.
+    * @param pairs undirected edges, two columns
+    * @return (node, label) where label = min reachable node id */
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    GraphOps.components(pairs)
+
+  /** The k-core: iterative peel-to-fixpoint of nodes with degree < k.
+    * @return (node, deg) of the surviving subgraph's degrees */
+  def kCore(pairs: DataFrame, k: Int): DataFrame =
+    GraphOps.kcore(pairs, k)._1
+
+  /** Hop-bounded single/multi-source shortest paths (Bellman-Ford frontier
+    * relaxation; exact integral weights).
+    * @param edges   directed (src, dst, w) — pass both directions for
+    *                undirected graphs
+    * @param sources (node, dist) seed rows, usually dist = 0
+    * @return (node, dist) minimum distance within maxHops */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame =
+    GraphOps.sssp(edges, sources, maxHops)
+
+  /** Full 2-level Louvain community detection (parity-gated synchronous
+    * move passes, accept-if-improved on exact-integer modularity,
+    * Q-preserving contraction).
+    * @param pairs undirected edges with columns (u, v)
+    * @return per-level (level, n_communities, q_num, q_micro) rows —
+    *         modularity is non-decreasing across levels by construction */
+  def louvain(pairs: DataFrame): Seq[(Long, Long, Long, Long)] =
+    GraphOps.louvainRun(pairs).levels
+
+  /** Sampled-source Brandes betweenness (hop-bounded, exact-integer
+    * dependency micros; Brandes & Pich 2007 estimator).
+    * @param und   undirected edges, both directions, (src, dst)
+    * @param seeds source sample (collected ids — source-sample-sized)
+    * @return (s, v, dist, sigma, delta) per (source, reached node) */
+  def betweennessDeltas(und: DataFrame, seeds: Seq[Long], hops: Int): DataFrame =
+    GraphOps.brandesDelta(und, GraphOps.brandesForward(und, seeds, hops), hops)
+
+  /** Sampled harmonic closeness: Σ_s 1e6 div d(s,v) over the seed sample.
+    * @return (node, harm_micro, n_sources) */
+  def harmonicCloseness(und: DataFrame, seeds: Seq[Long], hops: Int): DataFrame =
+    GraphOps.brandesForward(und, seeds, hops)
+      .filter(col("dist") >= 1)
+      .groupBy(col("v").as("node"))
+      .agg(sum(expr("1000000 div dist")).as("harm_micro"),
+        count(lit(1)).as("n_sources"))
+
+  /** Once-each common-neighbor counts along the (degree, id) orientation
+    * with wedge centers capped at `hubCap` (drops are the caller's
+    * contract — a power-law hub center would fan out C(deg, 2) rows).
+    * @param half undirected edges once, columns (u, v)
+    * @return (a, b, n_common, ra_micro) per candidate pair */
+  def commonNeighbors(half: DataFrame, hubCap: Int = 1024): DataFrame = {
+    val h = half.toDF("u", "v")
+    GraphOps.commonNeighborCounts(h, GraphOps.degrees(h), hubCap)
+  }
+}

@@ -523,7 +523,7 @@ object GraphOps {
     * 1e6 div deg(c) into `ra_micro` (Zhou et al. 2009) — the
     * center-degree down-weighting [[resourceAlloc]] ranks by; the extra
     * column rides the existing wedge pass for free. */
-  private[operators] def commonNeighborCounts(
+  private[graft] def commonNeighborCounts(
       half: DataFrame, deg: DataFrame, hubCap: Int): DataFrame = {
     val o = orient(half, deg)
     // neighbor lists keyed by the wedge CENTER c, carrying the center's
@@ -1166,7 +1166,7 @@ object GraphOps {
   /** Per-level Louvain summary plus the contraction cross-check: qnum of
     * the singleton super-node partition must EQUAL level 1's final qnum
     * (contraction is exactly Q-preserving — the spec pins it). */
-  private[operators] final case class LouvainResult(
+  private[graft] final case class LouvainResult(
       levels: Seq[(Long, Long, Long, Long)], // (level, n_communities, qnum, q_micro)
       contractedQNum: Long)
 
@@ -1187,7 +1187,7 @@ object GraphOps {
     * Scale shapes: each pass is two key-sized aggregations + one window
     * (never edges⋈edges); contraction is one edge-list pass; the level-2
     * graph is communities-sized. Driver state: six scalar Longs. */
-  private[operators] def louvainRun(half0: DataFrame): LouvainResult = {
+  private[graft] def louvainRun(half0: DataFrame): LouvainResult = {
     val half = half0.select(col("u"), col("v")).withColumn("w", lit(1L)).cache()
     val m = half.agg(coalesce(sum(col("w")), lit(0L))).head.getLong(0)
     require(m > 0, "louvain needs at least one edge")
@@ -1727,7 +1727,7 @@ object GraphOps {
     *       equality constraint that Spark's Union.rewriteConstraints
     *       fails to rebind across localCheckpoint boundaries
     *       (NoSuchElementException on the stale attribute id). */
-  private[operators] def brandesForward(und: DataFrame, seeds: Seq[Long],
+  private[graft] def brandesForward(und: DataFrame, seeds: Seq[Long],
       hops: Int): DataFrame = {
     val sess = und.sparkSession
     import sess.implicits._
@@ -1757,7 +1757,7 @@ object GraphOps {
     * δ(v) = Σ_w σ(v)·r(w). In BFS every edge from level d−1 to level d is
     * a shortest-path edge, so predecessor discovery is one equi-join.
     * @return (s, v, dist, sigma, delta) over the forward pass's rows */
-  private[operators] def brandesDelta(und: DataFrame, visited: DataFrame,
+  private[graft] def brandesDelta(und: DataFrame, visited: DataFrame,
       hops: Int): DataFrame = {
     val vis = visited.cache()
     var out = vis.filter(col("dist") === hops)

@@ -1,0 +1,60 @@
+package graft.api
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The public graph facade must work on user-supplied edges (arbitrary
+  * column names, graphs the fixture never shaped) — the "switch to this
+  * library" contract, exercised end to end per algorithm. */
+class GraphAlgorithmsSpec extends SparkTestBase {
+
+  test("public facade runs every algorithm on a user graph") {
+    import spark.implicits._
+    // two triangles bridged by a path: 1-2-3 (tri), 3-4, 4-5, 5-6-7 (tri)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L)).toDF("from", "to")
+
+    val cc = GraphAlgorithms.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc.size == 7 && cc.values.toSet == Set(1L))
+
+    // with a pendant 8 hung off 4, the 2-core peels exactly the pendant
+    val withPendant = pairs.union(Seq((4L, 8L)).toDF("from", "to"))
+    val core = GraphAlgorithms.kCore(withPendant, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(core.keySet == (1L to 7L).toSet,
+      s"2-core peels the pendant, keeps the bridged triangles: $core")
+
+    val und = pairs.select(col("from").as("src"), col("to").as("dst"), lit(1L).as("w"))
+      .union(pairs.select(col("to").as("src"), col("from").as("dst"), lit(1L).as("w")))
+    val sp = GraphAlgorithms.shortestPaths(
+      und, Seq((1L, 0L)).toDF("node", "dist"), maxHops = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(sp(7L) == 4L && sp(4L) == 2L, s"hop distances: $sp")
+
+    val lv = GraphAlgorithms.louvain(pairs.toDF("u", "v"))
+    assert(lv.map(_._3).sliding(2).forall(p => p.head <= p.last),
+      s"Q must be non-decreasing: $lv")
+    assert(lv.last._2 <= 3, s"two bridged triangles resolve to few communities: $lv")
+
+    val undNoW = und.select(col("src"), col("dst"))
+    val btw = GraphAlgorithms.betweennessDeltas(undNoW, Seq(1L, 7L), hops = 4)
+      .groupBy(col("v")).agg(sum(col("delta")).as("d"))
+      .as[(Long, Long)].collect().toMap
+    // the bridge nodes 3/4/5 carry the cross-triangle dependency
+    assert(btw(4L) > btw(2L), s"bridge must out-broker a triangle flank: $btw")
+
+    val harm = GraphAlgorithms.harmonicCloseness(undNoW, Seq(1L, 7L), hops = 4)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    // hand-computed: 3 and 5 sit at dist 1 from one seed, 3 from the other
+    // (1e6 + 333333); seed-adjacent flanks score 1e6 + 250000; the exact
+    // integer micros pin the 1e6-div-dist arithmetic through the facade
+    assert(harm(3L) == 1333333L && harm(5L) == 1333333L, s"harmonic: $harm")
+    assert(harm(2L) == 1250000L && harm(4L) == 1000000L, s"harmonic: $harm")
+
+    val cn = GraphAlgorithms.commonNeighbors(pairs)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (a, b, n, _) => (a, b) -> n }.toMap
+    assert(cn((1L, 3L)) == 1L && cn((4L, 6L)) == 1L, s"wedges: $cn")
+  }
+}
