@@ -1,0 +1,62 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** PUBLIC deduplication facade over arbitrary document DataFrames — the
+  * library surface for the engine's dedup family (the registry's dedup_*
+  * queries demonstrate the same algorithms on the fixture corpus; this is
+  * what a user running their own corpus calls). Every function takes a
+  * two-column frame of (id, text) — any column names — and keeps the
+  * registry's scale shapes: digest-only shuffles, LSH-banded candidate
+  * bounds, pointer-jumping clustering. Same code as the registry queries
+  * (`Dedup`'s helpers), re-exported with public contracts. */
+object DedupAlgorithms {
+
+  private def docs(df: DataFrame): DataFrame = df.toDF("doc_id", "text")
+
+  /** Exact duplicate groups by content digest — the shuffle moves 16-byte
+    * digests, never text.
+    * @return (keep_id, digest, n_copies) one row per distinct content,
+    *         keep_id = lowest id of the group */
+  def exactDuplicates(df: DataFrame): DataFrame =
+    docs(df).select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("h").as("digest"), col("n_copies"))
+
+  /** MinHash+LSH near-duplicate pairs at estimated Jaccard ≥ 0.5 over
+    * 3-word shingles (16 permutations, 8×2 banding — recall ≈ 0.9997 at
+    * J = 0.8; documents under 3 words have no shingles and never pair).
+    * Candidate generation is band-bounded, never all-pairs.
+    * @return (doc_a, doc_b, n_eq) with doc_a < doc_b, n_eq of 16 */
+  def nearDupPairs(df: DataFrame): DataFrame = {
+    val sig = Dedup.perRowSigFast(docs(df)).cache()
+    Dedup.verifiedPairs(Dedup.bandedSig(sig, Dedup.xxBand))
+  }
+
+  /** Near-duplicate CLUSTERS: [[nearDupPairs]] closed into connected
+    * components by min-label + pointer jumping (O(log diameter) ticks).
+    * @return (doc_id, cluster_id) for every document that paired */
+  def nearDupClusters(df: DataFrame): DataFrame =
+    Dedup.connectedComponents(nearDupPairs(df))
+
+  /** Exact-substring duplication flags (Lee et al. 2022's any-alignment
+    * gate): a document is flagged when ANY stride-1 `window`-token span
+    * also appears in another document. Only span digests shuffle.
+    * @return (doc_id, n_windows, n_dup_windows, is_dup) */
+  def exactSubstringFlags(df: DataFrame, window: Int = 50): DataFrame =
+    Dedup.exactSubstringVerdicts(docs(df), window)
+
+  /** Incremental ingest delta: incoming documents whose content digest is
+    * absent from the snapshot — the "don't re-ingest the last crawl"
+    * gate. Both sides project to digests before the anti-join.
+    * @return (doc_id, digest) of the genuinely-new incoming docs */
+  def ingestDelta(incoming: DataFrame, snapshot: DataFrame): DataFrame = {
+    val snap = snapshot.toDF("doc_id", "text").select(md5(col("text")).as("h"))
+    docs(incoming).select(col("doc_id"), md5(col("text")).as("h"))
+      .join(snap, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("h").as("digest"))
+  }
+}

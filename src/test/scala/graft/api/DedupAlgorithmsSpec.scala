@@ -1,0 +1,54 @@
+package graft.api
+
+import graft.SparkTestBase
+
+/** The public dedup facade must work on user-supplied documents with
+  * planted duplicate structure — exact copies, a one-word near-dup, a
+  * shared 50-token span, and an ingest overlap — each caught by the right
+  * function and nothing else flagged. */
+class DedupAlgorithmsSpec extends SparkTestBase {
+
+  private val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+
+  test("planted duplicates route to the right detector") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> base, // original
+      2L -> base, // exact copy of 1
+      3L -> base.replace("tok30", "CHANGED"), // near-dup of 1 (59/60 shared)
+      4L -> ((1 to 60).map(i => s"zzz$i").mkString(" ")), // unrelated
+      5L -> (base + " " + (1 to 20).map(i => s"tail$i").mkString(" "))
+    ).toDF("id", "body")
+
+    val exact = DedupAlgorithms.exactDuplicates(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(exact.toMap.apply(1L) == 2L, "docs 1+2 share a digest group")
+    assert(exact.length == 4, "four distinct contents")
+
+    val pairs = DedupAlgorithms.nearDupPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)),
+      s"exact copy AND one-word variant must pair: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"the unrelated doc must not pair: $pairs")
+
+    val clusters = DedupAlgorithms.nearDupClusters(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters(1L) == clusters(2L) && clusters(2L) == clusters(3L),
+      s"1/2/3 form one near-dup cluster: $clusters")
+
+    // doc 5 embeds doc 1's full text: every 50-token window of doc 1
+    // appears in doc 5 — the substring gate catches what whole-doc
+    // minhash may or may not (5 is 80 tokens, J(1,5) = 60/80)
+    val sub = DedupAlgorithms.exactSubstringFlags(corpus, window = 50)
+      .collect().map(r => (r.getLong(0), r.getBoolean(3))).toMap
+    assert(sub(1L) && sub(2L) && sub(5L), s"span sharers flagged: $sub")
+    assert(!sub(4L), "unrelated doc carries no shared span")
+
+    val delta = DedupAlgorithms.ingestDelta(
+      incoming = Seq(10L -> base, 11L -> "fresh new content").toDF("id", "body"),
+      snapshot = Seq(1L -> base).toDF("id", "body"))
+      .collect().map(_.getLong(0)).toSet
+    assert(delta == Set(11L), s"only the unseen doc is new: $delta")
+  }
+}
