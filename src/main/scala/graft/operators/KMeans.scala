@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * [[PageRank.runUntilConverged]].
   */
 object KMeans {
-  private val Dim = 64
+  private val DefaultDim = 64 // the fixture's width; train() infers per corpus
 
   /** @return (centroids after training, iterations run, objective history —
     *         summed best cosine per iteration). */
@@ -36,6 +36,9 @@ object KMeans {
     // deterministic seeds: the first k vectors by vec_id
     var centroids: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // dimension inferred from the data, not assumed: the public facade
+    // (api.SimilaritySearch) trains on arbitrary-width embeddings
+    val Dim = centroids.headOption.map(_.length).getOrElse(DefaultDim)
     var it = 0
     var moved = Double.MaxValue
     val objective = Seq.newBuilder[Double]

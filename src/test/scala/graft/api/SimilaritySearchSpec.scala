@@ -1,0 +1,52 @@
+package graft.api
+
+import graft.SparkTestBase
+
+/** The public similarity facade must work on user-supplied embeddings of
+  * ANY dimension with planted geometric structure: two well-separated
+  * clusters in 4-d, a near-duplicate twin, and per-cluster queries. */
+class SimilaritySearchSpec extends SparkTestBase {
+
+  // cluster A hugs e1, cluster B hugs e2; ids < 100 are A
+  private def corpus(): Seq[(Long, Seq[Float])] = {
+    def a(i: Int) = (10L + i, Seq(1f, 0.05f * i, 0f, 0f))
+    def b(i: Int) = (100L + i, Seq(0.05f * i, 1f, 0f, 0f))
+    (1 to 8).map(a) ++ (1 to 8).map(b) :+ (999L, Seq(1f, 0.05f, 0f, 0f))
+    // 999 is a near-twin of vector 11 (= a(1))
+  }
+
+  test("topK, MMR, k-means and near-dup pairs on 4-d user embeddings") {
+    import spark.implicits._
+    val c = corpus().toDF("id", "vec")
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("qid", "qvec")
+
+    val top = SimilaritySearch.topK(spark, c, q, k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    // every top-8 hit for query 0 is an A-side id (or the twin), none from B
+    assert(top(0L).map(_._2).forall(id => id < 100L || id == 999L),
+      s"query 0 must retrieve cluster A: ${top(0L).toSeq}")
+    assert(top(1L).map(_._2).forall(id => id >= 100L && id < 999L),
+      s"query 1 must retrieve cluster B: ${top(1L).toSeq}")
+
+    val mmr = SimilaritySearch.mmrTopK(spark, c, q)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(mmr.count(_._1 == 0L) == 5 && mmr.count(_._1 == 1L) == 5,
+      "5 MMR picks per query")
+
+    val (cents, iters, obj) = SimilaritySearch.kMeansTrain(spark, c, k = 2)
+    assert(cents.length == 2 && iters >= 1)
+    assert(obj.sliding(2).forall(p => p.last >= p.head - 1e-9),
+      s"spherical objective must be monotone: $obj")
+    // the two trained centroids separate along dims 0 and 1
+    val byDim0 = cents.sortBy(-_.head)
+    assert(byDim0.head(0) > byDim0.last(0) && byDim0.last(1) > byDim0.head(1),
+      s"centroids must split the planted clusters: ${cents.map(_.take(2).toSeq).toSeq}")
+
+    val dups = SimilaritySearch.nearDupPairs(spark, c, minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((11L, 999L)), s"the planted twin must pair: $dups")
+    assert(!dups.exists(p => p._1 < 100L && p._2 >= 100L && p._2 != 999L),
+      s"no cross-cluster pair at 0.999: $dups")
+  }
+}
