@@ -30,9 +30,15 @@ object DedupAlgorithms {
     * 3-word shingles (16 permutations, 8×2 banding — recall ≈ 0.9997 at
     * J = 0.8; documents under 3 words have no shingles and never pair).
     * Candidate generation is band-bounded, never all-pairs.
+    *
+    * Eagerly materializes the signature frame via localCheckpoint so the
+    * 16-permutation minhash runs once (banding and verification both read
+    * it); the checkpoint blocks are reclaimed by Spark's ContextCleaner
+    * once the result is dereferenced — unlike cache(), nothing accumulates
+    * across repeated library calls.
     * @return (doc_a, doc_b, n_eq) with doc_a < doc_b, n_eq of 16 */
   def nearDupPairs(df: DataFrame): DataFrame = {
-    val sig = Dedup.perRowSigFast(docs(df)).cache()
+    val sig = Dedup.perRowSigFast(docs(df)).localCheckpoint(true)
     Dedup.verifiedPairs(Dedup.bandedSig(sig, Dedup.xxBand))
   }
 

@@ -1784,13 +1784,18 @@ object EventOps {
       val iExact = seg("a", firstHalf = true).select(col("user_id"))
         .join(seg("b", firstHalf = false).select(col("user_id")), "user_id")
         .agg(count(lit(1)).as("exact_distinct"))
+      // theta rides an independent crossJoin AFTER the aggregate (never
+      // first() over an empty-able group), and an empty sketch
+      // intersection is pinned to 0.0 in BOTH engines — a disjoint corpus
+      // must not diverge into Spark-NULL vs DuckDB-0.0
       val iRow = common.crossJoin(thetaDf)
         .filter(col("h") <= col("theta"))
-        .agg(count(lit(1)).as("n_sketch"), coalesce(max(col("h")), lit(0L)).as("kth_hash"),
-          first(col("theta")).as("theta"))
+        .agg(count(lit(1)).as("n_sketch"), coalesce(max(col("h")), lit(0L)).as("kth_hash"))
+        .crossJoin(thetaDf)
         .crossJoin(iExact)
         .select(lit("intersection").as("set_name"), col("n_sketch"), col("kth_hash"),
-          round(col("n_sketch").cast("double") * R / col("theta").cast("double"), 2)
+          when(col("n_sketch") === 0L, lit(0.0)).otherwise(
+            round(col("n_sketch").cast("double") * R / col("theta").cast("double"), 2))
             .as("est_distinct"),
           col("exact_distinct"))
       aRow.unionByName(bRow).unionByName(uRow).unionByName(iRow)
@@ -1853,8 +1858,9 @@ object EventOps {
               CROSS JOIN theta WHERE a.h <= theta.th),
             irow AS (SELECT 'intersection', count(*),
                 CAST(coalesce(max(h), 0) AS BIGINT),
-                round(CAST(count(*) AS DOUBLE) * 2.81474976710656e14
-                  / CAST((SELECT th FROM theta) AS DOUBLE), 2),
+                CASE WHEN count(*) = 0 THEN 0.0
+                  ELSE round(CAST(count(*) AS DOUBLE) * 2.81474976710656e14
+                    / CAST((SELECT th FROM theta) AS DOUBLE), 2) END,
                 (SELECT count(*) FROM
                   (SELECT DISTINCT user_id FROM segs WHERE seg = 'a_first_half')
                   JOIN

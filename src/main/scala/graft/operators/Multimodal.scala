@@ -467,11 +467,15 @@ object Multimodal {
   val phashDedup = GraftQuery(
     "mm_phash_dedup",
     (s, dir) => {
+      // i + 1 <= length(text) guard: a bit only exists when BOTH its
+      // intensity reads are in-range, so short documents never lean on
+      // engine-specific out-of-range substring/ascii semantics
       val sig = t(s, dir, "documents")
         .select(col("doc_id"), expr(
           """aggregate(transform(sequence(1, 60),
-               i -> CASE WHEN ascii(substring(text, i, 1)) >
-                          ascii(substring(text, i + 1, 1))
+               i -> CASE WHEN i + 1 <= length(text)
+                          AND ascii(substring(text, i, 1)) >
+                              ascii(substring(text, i + 1, 1))
                     THEN shiftleft(cast(1 as bigint), i - 1)
                     ELSE cast(0 as bigint) END),
              cast(0 as bigint), (acc, v) -> acc + v)""").as("dhash"))
@@ -494,8 +498,9 @@ object Multimodal {
     Some("""WITH sig AS MATERIALIZED (
               SELECT doc_id,
                 CAST(list_sum(list_transform(generate_series(1, 60),
-                  i -> CASE WHEN ascii(substring(text, i, 1)) >
-                             ascii(substring(text, i + 1, 1))
+                  i -> CASE WHEN i + 1 <= length(text)
+                             AND ascii(substring(text, i, 1)) >
+                                 ascii(substring(text, i + 1, 1))
                        THEN (CAST(1 AS BIGINT) << (i - 1))
                        ELSE 0 END)) AS BIGINT) AS dhash
               FROM documents),

@@ -29,15 +29,32 @@ final class StreamingKmvTracker(spark: SparkSession, k: Int = 64) {
   @volatile private var kset: Array[Long] = Array.empty
 
   /** Fold one micro-batch of single-column keys into the K-set.
-    * Idempotent under replay (duplicate hashes dedup in the merge). */
+    * Idempotent under replay (duplicate hashes dedup in the merge).
+    *
+    * SHUFFLE-FREE by construction: the first column is referenced
+    * positionally (any column name works — no SQL-string splicing), and
+    * each partition folds its keys through a size-K ordered set (the
+    * classic KMV update loop: insert iff below the current kth minimum,
+    * evict the max), so at most K distinct longs per partition reach the
+    * driver — no distinct() exchange, no global sort, ever. */
   def update(batch: DataFrame): Unit = synchronized {
-    val col0 = batch.columns.head
-    val hashed = batch.select(expr(
-      s"""cast(conv(substring(md5(concat('kmv:', cast($col0 as string))),
-          1, 12), 16, 10) as bigint)""").as("h"))
-    // map-side reduction: the batch's own K smallest distinct hashes
-    val batchK = hashed.distinct().orderBy(col("h")).limit(k)
-      .as[Long].collect()
+    val kk = k
+    val hashed = batch
+      .toDF("key") // positional rename: any input column name works
+      .select(col("key").cast("string").as("key"))
+      .select(conv(substring(md5(concat(lit("kmv:"), col("key"))
+        .cast("binary")), 1, 12), 16, 10).cast("long").as("h"))
+      .as[Long]
+    val batchK = hashed.mapPartitions { it =>
+      val set = scala.collection.mutable.TreeSet.empty[Long]
+      it.foreach { h =>
+        if (set.size < kk) set += h
+        else if (h < set.lastKey && !set.contains(h)) {
+          set += h; set -= set.lastKey
+        }
+      }
+      set.iterator
+    }.collect()
     kset = (kset ++ batchK).distinct.sorted.take(k)
   }
 

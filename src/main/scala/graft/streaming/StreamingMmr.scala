@@ -31,10 +31,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * reduced to ≤ queries × 20 rows before anything reaches the driver; the
   * MMR rounds then cost the same shortlist-sized work as the batch
   * operator. Nothing data-sized is ever collected or retained. */
+/** @param excludeSelf when true (default, the batch-twin behavior where
+  *   queries are drawn FROM the corpus and share its id space), a corpus
+  *   vector whose vec_id equals a q_id is excluded from that query's
+  *   shortlist. Pass false when query ids and corpus ids are disjoint
+  *   user spaces — otherwise an accidental id collision would silently
+  *   drop a legitimate corpus vector. */
 final class StreamingMmrTracker(
     spark: SparkSession,
     queries: DataFrame, // (q_id, q_emb) — the static query set
-    shortlistK: Int = 20) {
+    shortlistK: Int = 20,
+    excludeSelf: Boolean = true) {
   import spark.implicits._
 
   // bounded state: the running per-query shortlist, queries × shortlistK
@@ -48,9 +55,10 @@ final class StreamingMmrTracker(
     * running shortlists. Idempotent under replay. */
   def update(batch: DataFrame): Unit = synchronized {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    val scored = batch.select(col("vec_id"), col("embedding"))
+    val scoredAll = batch.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(queries.select(col("q_id"), col("q_emb"))))
-      .filter(col("vec_id") =!= col("q_id"))
+    val scored = (if (excludeSelf) scoredAll.filter(col("vec_id") =!= col("q_id"))
+                  else scoredAll)
       .select(col("q_id"), col("vec_id"), col("embedding"),
         round(expr("graft_cosine(embedding, q_emb)"), 4).as("rel"))
     val w = Window.partitionBy(col("q_id"))

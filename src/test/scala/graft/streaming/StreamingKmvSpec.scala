@@ -53,4 +53,36 @@ class StreamingKmvSpec extends SparkTestBase {
     keys.reverse.grouped(300).foreach(c => t2.update(c.toDF("user_id")))
     assert(t1.sketch == t2.sketch && t1.estimate == t2.estimate)
   }
+
+  test("per-batch fold is exchange-free: no shuffle, no global sort in the update plan") {
+    import spark.implicits._
+    val keys = (1L to 5000L).map(i => i * 7919 % 10007)
+    val df = keys.toDF("user_id").repartition(8)
+    // mirror the tracker's internal plan shape and assert it never exchanges
+    val plan = df.select(col(df.columns.head).cast("string").as("key"))
+      .select(conv(substring(md5(concat(lit("kmv:"), col("key"))
+        .cast("binary")), 1, 12), 16, 10).cast("long").as("h"))
+      .as[Long]
+      .mapPartitions(it => it.take(64))
+      .queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.Exchange => e
+    }
+    assert(exchanges.isEmpty, s"KMV fold must not exchange:\n$plan")
+
+    // and the tracker over the same 8-partition frame still matches batch
+    val t = new StreamingKmvTracker(spark, k = 64)
+    t.update(df)
+    val truth = batchKset(keys, 64)
+    assert(t.sketch == ((truth.length, truth.last)))
+  }
+
+  test("column names needing backticks (spaces, dots) are handled positionally") {
+    import spark.implicits._
+    val keys = (1L to 500L).map(i => i * 31 % 977)
+    val truth = batchKset(keys, 64)
+    val t = new StreamingKmvTracker(spark, k = 64)
+    t.update(keys.toDF("user id.with dots-and-hyphens"))
+    assert(t.sketch == ((truth.length, truth.last)))
+  }
 }

@@ -64,4 +64,26 @@ class StreamingMmrSpec extends SparkTestBase {
       .foreach(c => t2.update(c.toDF("vec_id", "embedding")))
     assert(selRows(t2.selection()) == oneShot)
   }
+
+  test("excludeSelf=false keeps corpus vectors whose ids collide with query ids") {
+    import spark.implicits._
+    // disjoint USER id spaces that happen to collide numerically:
+    // query 3 and corpus vector 3 are different objects
+    val queries = Seq((3L, Seq(1f, 0f))).toDF("q_id", "q_emb")
+    val batch = Seq(
+      (3L, Seq(1f, 0f)),   // id-collides with the query; must still rank
+      (7L, Seq(0.6f, 0.8f))).toDF("vec_id", "embedding")
+
+    val incl = new StreamingMmrTracker(spark, queries, excludeSelf = false)
+    incl.update(batch)
+    val inclIds = selRows(incl.selection()).map(_._3).toSet
+    assert(inclIds == Set(3L, 7L),
+      s"excludeSelf=false must keep the colliding id: $inclIds")
+
+    val excl = new StreamingMmrTracker(spark, queries) // default: batch twin
+    excl.update(batch)
+    val exclIds = selRows(excl.selection()).map(_._3).toSet
+    assert(exclIds == Set(7L),
+      s"default self-exclusion must drop vec_id == q_id: $exclIds")
+  }
 }
