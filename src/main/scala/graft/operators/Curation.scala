@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data curation operators beyond the reference's surface (SURVEY
@@ -859,30 +859,46 @@ object Curation {
     * cap (reproduced in the oracle via DuckDB error()), so the broadcast
     * cannot silently scale with the corpus; the corpus then streams
     * map-side — zero corpus shuffle before the per-pair count. */
+  /** Distinct 3-gram shingles of a (doc_id, text) frame, id aliased to
+    * `idAs` — the decontamination unit. */
+  private def shingles3(docs: DataFrame, idAs: String): DataFrame = docs
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .filter(size(col("w")) >= 3)
+    .select(col("doc_id").as(idAs), explode(expr(
+      "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("s"))
+
+  /** Train-vs-benchmark overlap pairs over two (doc_id, text) frames:
+    * (train_doc, bench_doc, n_shared) for every pair sharing >=
+    * `minShared` distinct 3-grams. The benchmark n-gram index must stay
+    * EVAL-SET-sized — an assert-then-broadcast [[BenchGramCap]] gate
+    * raise_errors past the cap rather than silently broadcasting a
+    * corpus-sized side. Shared by pipeline_decontaminate and
+    * [[graft.api.CorpusPipeline.decontaminate]]. */
+  private[graft] def decontaminatePairs(train: DataFrame, benchmark: DataFrame,
+      minShared: Int = 2): DataFrame = {
+    val benchRaw = shingles3(benchmark, "bench_doc")
+    val nBench = broadcast(benchRaw.agg(count(lit(1)).as("n_bench")))
+    val bench = benchRaw.crossJoin(nBench)
+      .filter(when(col("n_bench") > lit(BenchGramCap),
+        expr(s"raise_error('pipeline_decontaminate: benchmark index " +
+          s"exceeds BenchGramCap=$BenchGramCap n-grams - refusing to " +
+          s"broadcast a corpus-sized side')").cast("boolean"))
+        .otherwise(lit(true)))
+      .select(col("bench_doc"), col("s"))
+    shingles3(train, "train_doc")
+      .join(broadcast(bench), "s")
+      .groupBy(col("train_doc"), col("bench_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   val decontaminate = GraftQuery(
     "pipeline_decontaminate",
     (s, dir) => {
-      val sh = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))")).as("s"))
-      val benchRaw = sh.filter(col("doc_id") % 97 === 0)
-        .select(col("doc_id").as("bench_doc"), col("s"))
-      val nBench = broadcast(benchRaw.agg(count(lit(1)).as("n_bench")))
-      val bench = benchRaw.crossJoin(nBench)
-        .filter(when(col("n_bench") > lit(BenchGramCap),
-          expr(s"raise_error('pipeline_decontaminate: benchmark index " +
-            s"exceeds BenchGramCap=$BenchGramCap n-grams - refusing to " +
-            s"broadcast a corpus-sized side')").cast("boolean"))
-          .otherwise(lit(true)))
-        .select(col("bench_doc"), col("s"))
-      val train = sh.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id").as("train_doc"), col("s"))
-      train.join(broadcast(bench), "s")
-        .groupBy(col("train_doc"), col("bench_doc"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      decontaminatePairs(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0))
         .orderBy(col("train_doc"), col("bench_doc"))
     },
     Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
@@ -1217,32 +1233,47 @@ object Curation {
     * everything after runs on G rows (G = source/domain count — dozens, not
     * documents), so the single-partition ordered window is driver-tiny by
     * construction. */
+  /** Water-filling token-budget allocation over a (source, n_tokens)
+    * per-group frame: allocate `budgetNum/budgetDen` of the total tokens
+    * across groups by raising a common water level — small groups keep
+    * everything, large groups are capped equally. Group count rows come to
+    * the driver never; all scalars broadcast. Shared by
+    * curation_token_budget and [[graft.api.CorpusPipeline.tokenBudget]]. */
+  private[graft] def waterFillBudget(perGroup: DataFrame,
+      budgetNum: Long = 1, budgetDen: Long = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetNum >= 0 && budgetDen >= 1,
+      s"waterFillBudget needs budgetNum >= 0 and budgetDen >= 1, " +
+        s"got $budgetNum/$budgetDen")
+    val perSrc = perGroup.toDF("source", "n_tokens")
+    val scalars = broadcast(perSrc.agg(
+      expr(s"sum(n_tokens) * $budgetNum div $budgetDen").as("budget"),
+      count(lit(1)).as("g")))
+    val w = Window.orderBy(col("n_tokens"), col("source"))
+    val ranked = perSrc.crossJoin(scalars)
+      .withColumn("i", row_number().over(w))
+      .withColumn("cum_prev", coalesce(
+        sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("cand", expr("(budget - cum_prev) div (g - i + 1)"))
+    val level = broadcast(ranked.filter(col("cand") < col("n_tokens"))
+      .agg(min_by(col("cand"), col("i")).as("water_level")))
+    ranked.crossJoin(level)
+      .select(col("source"), col("n_tokens"),
+        least(col("n_tokens"), coalesce(col("water_level"), col("n_tokens")))
+          .as("alloc_tokens"),
+        col("water_level"),
+        expr("""cast(least(n_tokens, coalesce(water_level, n_tokens)) * 1000000
+                     div n_tokens as double) / 1e6""").as("kept_frac"))
+  }
+
   val tokenBudget = GraftQuery(
     "curation_token_budget",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val perSrc = t(s, dir, "documents")
         .groupBy(col("source"))
         .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
-      val scalars = broadcast(perSrc.agg(
-        expr("sum(n_tokens) div 2").as("budget"), count(lit(1)).as("g")))
-      val w = Window.orderBy(col("n_tokens"), col("source"))
-      val ranked = perSrc.crossJoin(scalars)
-        .withColumn("i", row_number().over(w))
-        .withColumn("cum_prev", coalesce(
-          sum(col("n_tokens")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0L)))
-        .withColumn("cand", expr("(budget - cum_prev) div (g - i + 1)"))
-      val level = broadcast(ranked.filter(col("cand") < col("n_tokens"))
-        .agg(min_by(col("cand"), col("i")).as("water_level")))
-      ranked.crossJoin(level)
-        .select(col("source"), col("n_tokens"),
-          least(col("n_tokens"), coalesce(col("water_level"), col("n_tokens")))
-            .as("alloc_tokens"),
-          col("water_level"),
-          expr("""cast(least(n_tokens, coalesce(water_level, n_tokens)) * 1000000
-                       div n_tokens as double) / 1e6""").as("kept_frac"))
-        .orderBy(col("source"))
+      waterFillBudget(perSrc).orderBy(col("source"))
     },
     Some("""WITH c AS (SELECT source,
                  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

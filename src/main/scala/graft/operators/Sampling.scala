@@ -19,8 +19,38 @@ import org.apache.spark.sql.functions._
 object Sampling {
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
 
-  private def bucket = // 0..99, deterministic in the document text
-    (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100).as("bucket")
+  // 0..99, deterministic in the document text — shared by the registry's
+  // pipeline_hash_sample/split and graft.api.CorpusPipeline
+  private[graft] def contentBucket: Column =
+    (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
+
+  private def bucket = contentBucket.as("bucket")
+
+  /** Per-document 80/10/10 split label over a (doc_id, text) frame — a pure
+    * function of content, so no shard/engine/re-run ever disagrees. Shared
+    * by pipeline_hash_split and [[graft.api.CorpusPipeline.splitLabels]]. */
+  private[graft] def splitLabelsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), bucket)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+
+  /** Per-document shard + deterministic shuffle position over a
+    * (doc_id, text-free) frame: shard = content-hash of the id mod
+    * `nShards`, pos = rank by a reshuffle hash within the shard. Shared by
+    * pipeline_shard_assign and [[graft.api.CorpusPipeline.shardAssign]]. */
+  private[graft] def shardAssignOf(ids: DataFrame, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards >= 1, s"shardAssignOf needs nShards >= 1, got $nShards")
+    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % nShards).as("shard")
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    ids.select(col("doc_id"), shard,
+      md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("pos", row_number().over(w))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
 
   private val BucketSql =
     "CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) % 100"
@@ -43,12 +73,7 @@ object Sampling {
   val hashSplit = GraftQuery(
     "pipeline_hash_split",
     (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), bucket)
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val")
-            .otherwise("test"))
+      splitLabelsOf(t(s, dir, "documents"))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
@@ -105,18 +130,27 @@ object Sampling {
     * deterministic doc_id order — each doc's sequence is decided by its
     * start offset, the standard greedy-by-position packing. The global
     * running count is [[prefixSum]]. */
+  /** Greedy-by-position sequence packing of a (doc_id, text) frame into
+    * fixed-token-budget training sequences: each doc's sequence is decided
+    * by its running-start offset in doc_id order ([[prefixSum]], the
+    * two-phase distributed shape). Shared by pipeline_pack_sequences and
+    * [[graft.api.CorpusPipeline.packSequences]]. */
+  private[graft] def packByBudget(s: SparkSession, docsFrame: DataFrame,
+      budget: Int): DataFrame = {
+    require(budget >= 1, s"packByBudget needs budget >= 1, got $budget")
+    val docs = docsFrame
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    prefixSum(s, docs, "doc_id", "n_tokens", "start_tok")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("start_tok") / budget).cast("long").as("seq_id"),
+        (col("start_tok") % budget).as("seq_offset"))
+  }
+
   val packSequences = GraftQuery(
     "pipeline_pack_sequences",
-    (s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id"),
-          size(split(col("text"), " ")).as("n_tokens"))
-      prefixSum(s, docs, "doc_id", "n_tokens", "start_tok")
-        .select(col("doc_id"), col("n_tokens"),
-          (col("start_tok") / 512).cast("long").as("seq_id"),
-          (col("start_tok") % 512).as("seq_offset"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => packByBudget(s, t(s, dir, "documents"), 512)
+      .orderBy(col("doc_id")),
     Some("""SELECT doc_id, n_tokens,
               CAST(floor(start_tok / 512) AS BIGINT) AS seq_id,
               start_tok % 512 AS seq_offset
@@ -169,18 +203,8 @@ object Sampling {
     * repartition-and-sort a distributed shard writer performs. */
   val shardAssign = GraftQuery(
     "pipeline_shard_assign",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long") % 16).as("shard")
-      val w = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), shard,
-          md5(concat(lit("shuf:"), col("doc_id").cast("string"))).as("h"))
-        .withColumn("pos", row_number().over(w))
-        .select(col("doc_id"), col("shard"), col("pos"))
-        .orderBy(col("shard"), col("pos"))
-    },
+    (s, dir) => shardAssignOf(t(s, dir, "documents"), 16)
+      .orderBy(col("shard"), col("pos")),
     Some("""SELECT doc_id, shard, CAST(row_number() OVER
               (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
             FROM (SELECT doc_id,

@@ -13,35 +13,42 @@ import org.apache.spark.sql.functions._
 object TextAnalysis {
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
 
+  /** Appends a `pred_lang` column — the marker-word language-ID heuristic
+    * (count hits from per-language marker sets, argmax with a fixed tie
+    * order) — preserving every input column. Shared by the registry's
+    * text_langid and the public [[graft.api.TextAnalytics.languageId]]. */
+  private[graft] def withLangPred(docs: DataFrame): DataFrame = {
+    val markers = Map(
+      "en" -> Seq("the", "a", "of"),
+      "de" -> Seq("der", "die", "das"),
+      "es" -> Seq("el", "los", "una"),
+      "fr" -> Seq("le", "la", "les"))
+    def score(lang: String) = {
+      val set = markers(lang).map(m => s"'$m'").mkString(", ")
+      expr(s"size(filter(split(text, ' '), x -> x IN ($set)))")
+    }
+    docs
+      .withColumn("s_en", score("en")).withColumn("s_de", score("de"))
+      .withColumn("s_es", score("es")).withColumn("s_fr", score("fr"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
+          .when(col("s_es") >= col("s_fr"), "es")
+          .otherwise("fr"))
+      .drop("s_en", "s_de", "s_es", "s_fr")
+  }
+
   /** Marker-word language-ID heuristic: count hits from per-language marker
     * sets, argmax with a fixed tie order. (A real model would be a fastText
     * UDF; the engine-side mechanics — tokenize, score, argmax — are what
     * this operator pins down.) */
   val langId = GraftQuery(
     "text_langid",
-    (s, dir) => {
-      val markers = Map(
-        "en" -> Seq("the", "a", "of"),
-        "de" -> Seq("der", "die", "das"),
-        "es" -> Seq("el", "los", "una"),
-        "fr" -> Seq("le", "la", "les"))
-      def score(lang: String) = {
-        val set = markers(lang).map(m => s"'$m'").mkString(", ")
-        expr(s"size(filter(split(text, ' '), x -> x IN ($set)))")
-      }
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          score("en").as("s_en"), score("de").as("s_de"),
-          score("es").as("s_es"), score("fr").as("s_fr"))
-        .withColumn("pred_lang",
-          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr"), "en")
-            .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr"), "de")
-            .when(col("s_es") >= col("s_fr"), "es")
-            .otherwise("fr"))
+    (s, dir) =>
+      withLangPred(t(s, dir, "documents"))
         .select(col("doc_id"), col("pred_lang"),
           (col("pred_lang") === col("lang")).as("is_correct"))
-        .orderBy(col("doc_id"))
-    },
+        .orderBy(col("doc_id")),
     Some("""WITH scored AS (
               SELECT doc_id, lang,
                 len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a', 'of'))) AS s_en,
@@ -60,29 +67,36 @@ object TextAnalysis {
                     ELSE 'fr' END) = lang AS is_correct
             FROM scored ORDER BY doc_id"""))
 
+  /** Per-document quality composite over a (doc_id, text) frame: token
+    * count, type-token ratio, stopword ratio, composite score and bucket.
+    * Shared by the registry's text_quality and the public
+    * [[graft.api.TextAnalytics.qualityScores]]. */
+  private[graft] def qualityOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        size(array_distinct(col("w"))).as("n_uniq"),
+        expr("size(filter(w, x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is')))").as("n_stop"))
+      // explicit half-up via floor: Spark's round is HALF_UP but DuckDB's
+      // is half-even on doubles, and composite scores land on exact .5
+      // ties at the 6th decimal (first seen at sf0.1) — floor(x*1e6+0.5)
+      // is bit-deterministic for the same IEEE double on both engines
+      .withColumn("ttr", expr("floor(n_uniq / n_tokens * 1e6 + 0.5) / 1e6"))
+      .withColumn("stop_ratio", expr("floor(n_stop / n_tokens * 1e6 + 0.5) / 1e6"))
+      .withColumn("score", expr(
+        "floor(least(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * ttr * 1e6 + 0.5) / 1e6"))
+      .withColumn("bucket",
+        when(col("score") >= 0.3, "high").when(col("score") >= 0.15, "medium").otherwise("low"))
+
   /** Quality scoring: token count, type-token ratio, stopword ratio and a
     * composite score with bucketing — the standard cheap pre-filter before
     * expensive model-based quality classifiers. */
   val quality = GraftQuery(
     "text_quality",
     (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("w"))
-        .select(
-          col("doc_id"), col("n_chars"),
-          size(col("w")).as("n_tokens"),
-          size(array_distinct(col("w"))).as("n_uniq"),
-          expr("size(filter(w, x -> x IN ('the', 'a', 'of', 'to', 'and', 'in', 'is')))").as("n_stop"))
-        // explicit half-up via floor: Spark's round is HALF_UP but DuckDB's
-        // is half-even on doubles, and composite scores land on exact .5
-        // ties at the 6th decimal (first seen at sf0.1) — floor(x*1e6+0.5)
-        // is bit-deterministic for the same IEEE double on both engines
-        .withColumn("ttr", expr("floor(n_uniq / n_tokens * 1e6 + 0.5) / 1e6"))
-        .withColumn("stop_ratio", expr("floor(n_stop / n_tokens * 1e6 + 0.5) / 1e6"))
-        .withColumn("score", expr(
-          "floor(least(n_tokens / 100.0, 1.0) * (1.0 - stop_ratio) * ttr * 1e6 + 0.5) / 1e6"))
-        .withColumn("bucket",
-          when(col("score") >= 0.3, "high").when(col("score") >= 0.15, "medium").otherwise("low"))
+      qualityOf(t(s, dir, "documents"))
         .select(col("doc_id"), col("n_tokens"), col("n_uniq"), col("n_stop"),
           col("ttr"), col("stop_ratio"), col("score"), col("bucket"))
         .orderBy(col("doc_id")),
@@ -112,15 +126,18 @@ object TextAnalysis {
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single non-alnum), the cheap proxy for
     * "how many tokens will the tokenizer emit". */
+  /** Per-document token counts over a (doc_id, text) frame: whitespace
+    * tokens, BPE-ish regex segments, characters. Shared by
+    * text_token_count and [[graft.api.TextAnalytics.tokenCounts]]. */
+  private[graft] def tokenCountsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).as("n_ws_tokens"),
+      size(expr("""regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)""")).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars"))
+
   val tokenCount = GraftQuery(
     "text_token_count",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).as("n_ws_tokens"),
-          size(expr("""regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)""")).as("n_bpe_tokens"),
-          length(col("text")).as("n_chars"))
-        .orderBy(col("doc_id")),
+    (s, dir) => tokenCountsOf(t(s, dir, "documents")).orderBy(col("doc_id")),
     Some("""SELECT doc_id,
               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
               CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INTEGER) AS n_bpe_tokens,
@@ -303,6 +320,27 @@ object TextAnalysis {
             SELECT pair, count(*) AS cnt FROM pairs
             GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20"""))
 
+  /** Overlapping stride chunks of a (doc_id, text) frame: `window`-token
+    * windows advancing by `stride`, emitting (doc_id, chunk_idx, tok_start,
+    * tok_len, chunk). Chunk starts are every stride multiple < n_tokens, so
+    * every token lands in >= 1 chunk and short documents yield exactly one.
+    * Shared by text_chunk_stride and [[graft.api.TextAnalytics.chunk]]. */
+  private[graft] def chunksOf(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"chunksOf needs 1 <= stride <= window, got window=$window stride=$stride")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("n_tokens"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(floor((size(w)-1)/$stride) as int)),
+               c -> concat_ws(' ', slice(w, c*$stride+1, $window)))"""))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("tok_start"),
+        least(lit(window), col("n_tokens") - col("chunk_idx") * stride).as("tok_len"),
+        col("chunk"))
+  }
+
   /** OVERLAPPING STRIDE CHUNKING (RAG/embedding ingestion): split each
     * document into 50-token windows advancing by 25 (50% overlap, so no
     * boundary sentence is ever cut from both sides), emitting the chunk
@@ -313,19 +351,10 @@ object TextAnalysis {
     * discipline): nothing shuffles but the output sort. */
   val chunkStride = GraftQuery(
     "text_chunk_stride",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"), size(col("w")).as("n_tokens"),
-          posexplode(expr(
-            """transform(sequence(0, cast(floor((size(w)-1)/25) as int)),
-                 c -> concat_ws(' ', slice(w, c*25+1, 50)))"""))
-            .as(Seq("chunk_idx", "chunk")))
-        .select(col("doc_id"), col("chunk_idx"),
-          (col("chunk_idx") * 25).as("tok_start"),
-          least(lit(50), col("n_tokens") - col("chunk_idx") * 25).as("tok_len"),
-          md5(col("chunk")).as("chunk_digest"))
-        .orderBy(col("doc_id"), col("chunk_idx")),
+    (s, dir) => chunksOf(t(s, dir, "documents"), 50, 25)
+      .select(col("doc_id"), col("chunk_idx"), col("tok_start"), col("tok_len"),
+        md5(col("chunk")).as("chunk_digest"))
+      .orderBy(col("doc_id"), col("chunk_idx")),
     Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
             SELECT doc_id, CAST(g.c AS INTEGER) AS chunk_idx,
               CAST(g.c * 25 AS INTEGER) AS tok_start,
@@ -381,9 +410,20 @@ object TextAnalysis {
   }
 
   private def bpeTrainStateImpl(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeTrainOn(t(s, dir, "documents"))
+
+  /** The BPE merge-training loop over an arbitrary (doc_id, text) frame:
+    * learns `rounds` greedy merges (most frequent adjacent symbol pair,
+    * count-desc then lexicographic tie-break) over the distinct-word
+    * dictionary and returns (merges, final vocabulary state (w, freq,
+    * toks)). The state is localCheckpoint'ed — vocabulary-sized, safe to
+    * broadcast. Shared by text_bpe_train/text_bpe_encode and
+    * [[graft.api.TextAnalytics]]'s BPE surface. */
+  private[graft] def bpeTrainOn(docs: DataFrame, rounds: Int = 10)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     def sqlLit(x: String) = "'" + x.replace("'", "''") + "'"
-    val vocab = t(s, dir, "documents")
+    val vocab = docs
       .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy("w").agg(count(lit(1)).as("freq"))
@@ -392,7 +432,7 @@ object TextAnalysis {
     var state = vocab.localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
-    for (r <- 1 to 10 if !exhausted) {
+    for (r <- 1 to rounds if !exhausted) {
       // words collapsed to a single token have no pairs and MUST be
       // filtered first: sequence(1, 0) evaluates to the descending array
       // [1, 0] in Spark, and element_at(toks, 0) throws
@@ -506,18 +546,25 @@ object TextAnalysis {
         dict AS (SELECT w, len(string_split(trim(s), '  ')) AS ntok FROM state_10)"""
   }
 
+  /** Encode a (doc_id, text) frame under a trained BPE vocabulary state:
+    * per-doc word and BPE-token counts via a broadcast-hash join of the
+    * vocabulary-sized dictionary — the corpus streams through once.
+    * Shared by text_bpe_encode and [[graft.api.TextAnalytics]]. */
+  private[graft] def bpeEncodeCounts(docs: DataFrame, state: DataFrame): DataFrame = {
+    val dict = state.select(col("w"), size(col("toks")).as("ntok"))
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .join(broadcast(dict), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).cast("long").as("n_bpe_tokens"))
+  }
+
   val bpeEncode = GraftQuery(
     "text_bpe_encode",
     (s, dir) => {
       val (_, state) = bpeTrainState(s, dir)
-      val dict = state.select(col("w"), size(col("toks")).as("ntok"))
-      t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
-        .filter(length(col("w")) >= 2)
-        .join(broadcast(dict), "w")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_words"), sum(col("ntok")).cast("long").as("n_bpe_tokens"))
-        .orderBy("doc_id")
+      bpeEncodeCounts(t(s, dir, "documents"), state).orderBy("doc_id")
     },
     // same 10-round unrolled chain, with the word key carried through the
     // states so the final state doubles as the tokenization dictionary
@@ -1128,29 +1175,38 @@ object TextAnalysis {
     * one of the canonical stop words) — the panel correctly diagnosing
     * "this is not natural English prose" is the demo working, and is why
     * the thresholds are kept canonical rather than tuned to pass. */
+  /** Per-document Gopher rule verdicts over a (doc_id, text) frame:
+    * (doc_id, n_words, r_words, r_mwl, r_sym, r_alpha, r_stop, r_all) —
+    * the Rae et al. 2021 heuristic panel a corpus gate filters on.
+    * Shared by text_gopher_filters and
+    * [[graft.api.TextAnalytics.gopherFlags]]. */
+  private[graft] def gopherVerdicts(docs: DataFrame): DataFrame = {
+    val stops = "'the','be','to','of','and','that','have','with'"
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).as("n_words"),
+        expr("aggregate(w, 0, (acc, x) -> acc + length(x))").as("n_wchars"),
+        expr("size(filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))").as("n_sym"),
+        expr("size(filter(w, x -> x RLIKE '[a-zA-Z]'))").as("n_alpha"),
+        expr(s"size(array_intersect(array_distinct(w), array($stops)))")
+          .as("n_stopkinds"))
+      .select(col("doc_id"), col("n_words"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).as("r_words"),
+        expr("n_wchars * 1000000L div n_words BETWEEN 3000000 AND 10000000")
+          .as("r_mwl"),
+        expr("n_sym * 10 <= n_words").as("r_sym"),
+        expr("n_alpha * 5 >= n_words * 4").as("r_alpha"),
+        (col("n_stopkinds") >= 2).as("r_stop"))
+      .withColumn("r_all",
+        col("r_words") && col("r_mwl") && col("r_sym") && col("r_alpha") &&
+          col("r_stop"))
+  }
+
   val gopherFilters = GraftQuery(
     "text_gopher_filters",
     (s, dir) => {
-      val stops = "'the','be','to','of','and','that','have','with'"
-      val m = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"),
-          size(col("w")).as("n_words"),
-          expr("aggregate(w, 0, (acc, x) -> acc + length(x))").as("n_wchars"),
-          expr("size(filter(w, x -> x LIKE '%#%' OR x LIKE '%...%'))").as("n_sym"),
-          expr("size(filter(w, x -> x RLIKE '[a-zA-Z]'))").as("n_alpha"),
-          expr(s"size(array_intersect(array_distinct(w), array($stops)))")
-            .as("n_stopkinds"))
-        .select(col("doc_id"), col("n_words"),
-          (col("n_words") >= 50 && col("n_words") <= 100000).as("r_words"),
-          expr("n_wchars * 1000000L div n_words BETWEEN 3000000 AND 10000000")
-            .as("r_mwl"),
-          expr("n_sym * 10 <= n_words").as("r_sym"),
-          expr("n_alpha * 5 >= n_words * 4").as("r_alpha"),
-          (col("n_stopkinds") >= 2).as("r_stop"))
-        .withColumn("r_all",
-          col("r_words") && col("r_mwl") && col("r_sym") && col("r_alpha") &&
-            col("r_stop"))
+      val m = gopherVerdicts(t(s, dir, "documents"))
       m.select(expr(
         """stack(6,
            '1_word_count_50_100k', r_words,

@@ -1,0 +1,95 @@
+package graft.api
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The public text facade must work on user-supplied (id, text) frames
+  * (arbitrary column names, documents the fixture never shaped) with
+  * hand-computed planted expectations — the "switch to this library"
+  * contract, exercised end to end per function. */
+class TextAnalyticsSpec extends SparkTestBase {
+
+  test("qualityScores: hand-computed composite on a user frame") {
+    import spark.implicits._
+    val df = Seq((10L, "the cat sat on the mat")).toDF("my_id", "body")
+    val r = TextAnalytics.qualityScores(df).collect().head
+    assert(r.getAs[Int]("n_tokens") == 6 && r.getAs[Int]("n_uniq") == 5 &&
+      r.getAs[Int]("n_stop") == 2)
+    assert(r.getAs[Double]("ttr") == 0.833333 &&
+      r.getAs[Double]("stop_ratio") == 0.333333)
+    assert(r.getAs[Double]("score") == 0.033333 &&
+      r.getAs[String]("bucket") == "low")
+  }
+
+  test("gopherFlags: a 64-word stopword-rich doc passes all rules; a 3-word doc fails") {
+    import spark.implicits._
+    val good = Array.fill(8)("the be to of and that have with").mkString(" ")
+    val df = Seq((1L, good), (2L, "too short doc")).toDF("id", "txt")
+    val m = TextAnalytics.gopherFlags(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Boolean]("r_all"),
+      s"64 words, mean len 3.0, all alpha, 8 stop kinds must pass: ${m(1L)}")
+    assert(!m(2L).getAs[Boolean]("r_words") && !m(2L).getAs[Boolean]("r_all"))
+  }
+
+  test("languageId: marker argmax with the fixed tie order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "der die das etwas"),
+      (2L, "le la les mots"),
+      (3L, "the a of words"),
+      (4L, "no markers here")).toDF("k", "v") // all-zero scores tie to en
+    val pred = TextAnalytics.languageId(df).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred == Map(1L -> "de", 2L -> "fr", 3L -> "en", 4L -> "en"), s"$pred")
+  }
+
+  test("tokenCounts: whitespace vs BPE-ish regex vs chars") {
+    import spark.implicits._
+    val df = Seq((7L, "ab 12 c!d")).toDF("id", "t")
+    val r = TextAnalytics.tokenCounts(df).collect().head
+    // regex segments: ab | 12 | c | ! | d
+    assert(r.getInt(1) == 3 && r.getInt(2) == 5 && r.getInt(3) == 9, s"$r")
+  }
+
+  test("chunk: window 3 stride 2 over a 7-token doc — 4 chunks, exact spans") {
+    import spark.implicits._
+    val df = Seq((1L, "t1 t2 t3 t4 t5 t6 t7")).toDF("id", "text")
+    val rows = TextAnalytics.chunk(df, window = 3, stride = 2)
+      .orderBy(col("chunk_idx"))
+      .select(col("chunk_idx"), col("tok_start"), col("tok_len"), col("chunk"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(rows.toSeq == Seq(
+      (0, 0, 3, "t1 t2 t3"), (1, 2, 3, "t3 t4 t5"),
+      (2, 4, 3, "t5 t6 t7"), (3, 6, 1, "t7")), s"${rows.toSeq}")
+    intercept[IllegalArgumentException] {
+      TextAnalytics.chunk(df, window = 2, stride = 3) // stride > window
+    }
+  }
+
+  test("bpeTrain + bpeTokenCounts: hand-traced merges on a planted corpus") {
+    import spark.implicits._
+    val df = Seq((1L, "aaab aaab"), (2L, "aaab xy")).toDF("id", "text")
+    // freq: aaab=3, xy=1. round1 (a,a) cnt 6; round2 tie (a,b) vs (aa,a) ->
+    // lexicographic (a,b) cnt 3; round3 (aa,ab) cnt 3; round4 (x,y) cnt 1;
+    // round5 exhausted
+    val merges = TextAnalytics.bpeTrain(df, rounds = 5)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq == Seq(
+      (1, "a", "a", 6L), (2, "a", "b", 3L), (3, "aa", "ab", 3L),
+      (4, "x", "y", 1L)), s"${merges.toSeq}")
+
+    val counts = TextAnalytics.bpeTokenCounts(df, rounds = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every word collapses to a single trained token
+    assert(counts == Map(1L -> ((2L, 2L)), 2L -> ((2L, 2L))), s"$counts")
+  }
+
+  test("input contract: a non-two-column frame fails loudly") {
+    import spark.implicits._
+    val bad = Seq((1L, "x", "extra")).toDF("a", "b", "c")
+    intercept[IllegalArgumentException] { TextAnalytics.qualityScores(bad) }
+  }
+}
