@@ -1088,7 +1088,11 @@ object Similarity {
     (s, dir) => beamSearch(s, dir).orderBy(col("q_id"), col("rank")),
     Some(s"""WITH $beamCtes
              SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
-             FROM beam_out ORDER BY q_id, rank"""))
+             FROM beam_out ORDER BY q_id, rank"""),
+    // the iterative-family bench headline (r13 task 4): beam-search hops
+    // are the unrolled-loop shape Louvain/PageRank also use, at a bench-
+    // friendly cost (~3 s at sf0.1 vs Louvain's ~12 s)
+    headline = true)
 
   /** Recall@10 of [[annGraphTopK]] against the exact brute-force top-10 —
     * the [[annRecallEval]] panel for the graph index, completing the
