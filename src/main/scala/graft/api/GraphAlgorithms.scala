@@ -29,8 +29,10 @@ object GraphAlgorithms {
 
   /** The k-core: iterative peel-to-fixpoint of nodes with degree < k.
     * @return (node, deg) of the surviving subgraph's degrees */
-  def kCore(pairs: DataFrame, k: Int): DataFrame =
+  def kCore(pairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"kCore needs k >= 1, got $k")
     GraphOps.kcore(pairs, k)._1
+  }
 
   /** Hop-bounded single/multi-source shortest paths (Bellman-Ford frontier
     * relaxation; exact integral weights).
@@ -47,8 +49,11 @@ object GraphAlgorithms {
     * @param pairs undirected edges with columns (u, v)
     * @return per-level (level, n_communities, q_num, q_micro) rows —
     *         modularity is non-decreasing across levels by construction */
-  def louvain(pairs: DataFrame): Seq[(Long, Long, Long, Long)] =
+  def louvain(pairs: DataFrame): Seq[(Long, Long, Long, Long)] = {
+    require(!pairs.isEmpty,
+      "louvain needs a non-empty edge list (modularity is undefined at m = 0)")
     GraphOps.louvainRun(pairs).levels
+  }
 
   /** Sampled-source Brandes betweenness (hop-bounded, exact-integer
     * dependency micros; Brandes & Pich 2007 estimator).
@@ -70,10 +75,13 @@ object GraphAlgorithms {
   /** Once-each common-neighbor counts along the (degree, id) orientation
     * with wedge centers capped at `hubCap` (drops are the caller's
     * contract — a power-law hub center would fan out C(deg, 2) rows).
+    * Duplicate edge rows are deduplicated first — counts are per distinct
+    * neighbor, never inflated by multi-edges.
     * @param half undirected edges once, columns (u, v)
     * @return (a, b, n_common, ra_micro) per candidate pair */
   def commonNeighbors(half: DataFrame, hubCap: Int = 1024): DataFrame = {
-    val h = half.toDF("u", "v")
+    require(hubCap >= 1, s"commonNeighbors needs hubCap >= 1, got $hubCap")
+    val h = half.toDF("u", "v").distinct()
     GraphOps.commonNeighborCounts(h, GraphOps.degrees(h), hubCap)
   }
 }

@@ -1263,8 +1263,11 @@ object Curation {
         least(col("n_tokens"), coalesce(col("water_level"), col("n_tokens")))
           .as("alloc_tokens"),
         col("water_level"),
+        // nullif: a zero-token group nulls out instead of ANSI-throwing
+        // (can't happen on the fixture; a user's perGroup frame can) —
+        // mirrored in the oracle's // nullif
         expr("""cast(least(n_tokens, coalesce(water_level, n_tokens)) * 1000000
-                     div n_tokens as double) / 1e6""").as("kept_frac"))
+                     div nullif(n_tokens, 0) as double) / 1e6""").as("kept_frac"))
   }
 
   val tokenBudget = GraftQuery(
@@ -1293,7 +1296,7 @@ object Curation {
                 AS alloc_tokens,
               CAST(lv.water_level AS BIGINT) AS water_level,
               (least(r.n_tokens, coalesce(lv.water_level, r.n_tokens)) * 1000000
-                 // r.n_tokens) / 1000000.0 AS kept_frac
+                 // nullif(r.n_tokens, 0)) / 1000000.0 AS kept_frac
             FROM r CROSS JOIN lv ORDER BY r.source"""))
 
   /** K-ANONYMITY AUDIT (privacy side of curation, next to [[piiScrub]]'s
