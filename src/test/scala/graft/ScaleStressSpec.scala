@@ -38,11 +38,15 @@ class ScaleStressSpec extends SparkTestBase {
   // graph_louvain (6 guarded passes + contraction over the 10x graph),
   // ann_graph_topk (beam state must stay queries x 16 while the corpus
   // and its kNN build grow 10x)
+  // round-14 additions: graph_betweenness (sampled Brandes — per-source
+  // BFS frontier volume grows with the 10x edge fact each hop),
+  // ev_kmv_overlap (the two-phase K-minimum-values top-K under 10x
+  // segment cardinality — no reducer may see a segment's full user set)
   private val Heavy = Seq("dedup_minhash", "dedup_rewrite", "q43_join_six",
     "ann_ivfpq_topk", "pipeline_tokenize_pack", "dedup_cdc_chunks",
     "graph_hits", "ann_mmr_topk", "dedup_exact_substring", "graph_ktruss",
     "lm_transfer_matrix", "graph_bipartite_c4", "graph_louvain",
-    "ann_graph_topk")
+    "ann_graph_topk", "graph_betweenness", "ev_kmv_overlap")
 
   /** Fact replicas get shifted surrogate keys; joins fan the extra volume
     * onto the SAME dimension rows — the realistic 10x growth shape (more
@@ -229,7 +233,12 @@ class ScaleStressSpec extends SparkTestBase {
       Seq("customer", "supplier", "part", "nation", "region", "embeddings")
         .foreach(copyDim(dir, _))
 
-      val report = Seq("q28_salted_join", "q43_join_six", "dedup_minhash").map { q =>
+      // mm_phash_dedup rides the skewed corpus: power-law copies share
+      // TEXT under distinct doc_ids, so hot documents form identical
+      // dHash signatures -> one band bucket holds C(copies,2) candidate
+      // pairs, the LSH hot-bucket case dedup_minhash also covers
+      val report = Seq("q28_salted_join", "q43_join_six", "dedup_minhash",
+        "mm_phash_dedup").map { q =>
         val (n, secs, _, probe) = run(q, dir.toString)
         assert(n > 0, s"$q returned no rows on the skewed corpus")
         val planStr = probe.queryExecution.executedPlan.toString
