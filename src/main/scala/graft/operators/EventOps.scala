@@ -22,16 +22,73 @@ import org.apache.spark.sql.expressions.Window
 object EventOps {
   private def t(s: SparkSession, dir: String, n: String) = Tables.t(s, dir, n)
 
+  /** Event-time window aggregate over a (kind, ts, value) frame: count and
+    * 4dp value sum per (window start, kind); `step` == `size` is tumbling.
+    * Shared by ev_window_tumbling/sliding and
+    * [[graft.api.EventAnalytics.windowedCounts]]. */
+  private[graft] def windowAgg(ev: DataFrame, size: String, step: String): DataFrame =
+    ev.groupBy(window(col("ts"), size, step).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Session-window aggregate over a (user_id, ts, value) frame at the
+    * given inactivity gap. Shared by ev_sessionize and
+    * [[graft.api.EventAnalytics.sessionize]]. */
+  private[graft] def sessionAgg(ev: DataFrame, gap: String): DataFrame =
+    ev.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("sum_value"))
+
+  /** Generic as-of join: for each left row (k, ts, lid), the latest right
+    * ts (k, ts) at-or-before it — the scale-friendly union + one-shuffle +
+    * last(ignoreNulls) construction, no row-exploding range join. Right
+    * rows at an equal ts count (they sort before left rows on the
+    * tie-break). Shared by ev_asof_join and
+    * [[graft.api.EventAnalytics.asOfJoin]].
+    * @return (lid, k, ts, asof_ts) — left rows with no prior right dropped */
+  private[graft] def asofLatest(left: DataFrame, right: DataFrame): DataFrame = {
+    val lidType = left.schema(2).dataType
+    val l = left.toDF("k", "ts", "lid")
+      .select(col("k"), col("ts"), lit(null).cast("timestamp").as("r_ts"),
+        col("lid"), lit(1).as("is_l"))
+    val r = right.toDF("k", "ts")
+      .select(col("k"), col("ts"), col("ts").as("r_ts"),
+        lit(null).cast(lidType).as("lid"), lit(0).as("is_l"))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("ts"), col("is_l"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    r.unionByName(l)
+      .withColumn("asof_ts", last(col("r_ts"), ignoreNulls = true).over(w))
+      .filter(col("is_l") === 1 && col("asof_ts").isNotNull)
+      .select(col("lid"), col("k"), col("ts"), col("asof_ts"))
+  }
+
+  /** Two-step funnel counts over a (user_id, event_type, ts) frame: users
+    * whose first `firstStep` precedes their last `thenStep`, with both
+    * step counts. Shared by ev_funnel and
+    * [[graft.api.EventAnalytics.funnel]].
+    * @return (user_id, n_first, n_then) */
+  private[graft] def funnelCounts(ev: DataFrame,
+      firstStep: String, thenStep: String): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === firstStep, col("ts"))).as("first_a"),
+        max(when(col("event_type") === thenStep, col("ts"))).as("last_b"),
+        count(when(col("event_type") === firstStep, lit(1))).as("n_first"),
+        count(when(col("event_type") === thenStep, lit(1))).as("n_then"))
+      .filter(col("first_a") < col("last_b"))
+      .select(col("user_id"), col("n_first"), col("n_then"))
+
   /** Tumbling event-time window aggregate (size == step,
     * reference: state/impl/WindowConfig.scala:21). Epoch-aligned in both
     * Spark (`window`) and DuckDB (`time_bucket`). */
   val tumbling = GraftQuery(
     "ev_window_tumbling",
     (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
-        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      windowAgg(t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("value")), "1 hour", "1 hour")
         .orderBy(col("w_start"), col("event_type")),
     Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
             count(*) AS n, round(sum(value),4) AS sum_value
@@ -45,10 +102,8 @@ object EventOps {
   val sliding = GraftQuery(
     "ev_window_sliding",
     (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
-        .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+      windowAgg(t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("value")), "1 hour", "30 minutes")
         .orderBy(col("w_start"), col("event_type")),
     Some("""SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS w_start,
             event_type, count(*) AS n, round(sum(value),4) AS sum_value
@@ -63,11 +118,8 @@ object EventOps {
   val session = GraftQuery(
     "ev_sessionize",
     (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
-        .select(col("user_id"), col("w.start").as("session_start"),
-          col("n_events"), col("sum_value"))
+      sessionAgg(t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value")), "30 minutes")
         .orderBy(col("user_id"), col("session_start")),
     Some("""WITH marked AS (
               SELECT user_id, ts, value,
@@ -95,21 +147,15 @@ object EventOps {
     "ev_asof_join",
     (s, dir) => {
       val ev = t(s, dir, "events")
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("ts"), col("ts").as("click_ts"),
-          lit(null).cast("long").as("event_id"), lit(0).as("is_p"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), lit(null).cast("timestamp").as("click_ts"),
-          col("event_id"), lit(1).as("is_p"))
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("is_p"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      clicks.unionByName(purchases)
-        .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
-        .filter(col("is_p") === 1 && col("last_click_ts").isNotNull)
-        .select(col("event_id"), col("user_id"), col("ts"),
-          col("last_click_ts"),
-          (unix_micros(col("ts")) - unix_micros(col("last_click_ts"))).as("micros_since_click"))
+      asofLatest(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts")))
+        .select(col("lid").as("event_id"), col("k").as("user_id"), col("ts"),
+          col("asof_ts").as("last_click_ts"),
+          (unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+            .as("micros_since_click"))
         .orderBy(col("event_id"))
     },
     Some("""SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts,
@@ -124,15 +170,11 @@ object EventOps {
   val funnel = GraftQuery(
     "ev_funnel",
     (s, dir) =>
-      t(s, dir, "events")
-        .groupBy(col("user_id"))
-        .agg(
-          min(when(col("event_type") === "click", col("ts"))).as("first_click"),
-          max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"),
-          count(when(col("event_type") === "click", lit(1))).as("n_clicks"),
-          count(when(col("event_type") === "purchase", lit(1))).as("n_purchases"))
-        .filter(col("first_click") < col("last_purchase"))
-        .select(col("user_id"), col("n_clicks"), col("n_purchases"))
+      funnelCounts(t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts")),
+        "click", "purchase")
+        .select(col("user_id"), col("n_first").as("n_clicks"),
+          col("n_then").as("n_purchases"))
         .orderBy(col("user_id")),
     Some("""SELECT user_id,
               count(*) FILTER (WHERE event_type = 'click') AS n_clicks,
