@@ -162,6 +162,60 @@ object Sampling {
                         FROM documents))
             ORDER BY doc_id"""))
 
+  /** ATTENTION-SPAN MANIFEST for packed sequences — the companion
+    * [[packSequences]] output every causal-LM trainer actually consumes:
+    * one row per (sequence, document SEGMENT), because a document whose
+    * tokens straddle a budget boundary occupies a suffix of one sequence
+    * and a prefix of the next. The trainer uses exactly these rows to
+    * build the block-diagonal attention mask (tokens may not attend
+    * across document boundaries within a packed sequence) and the loss
+    * mask (is_head = false segments are continuation text whose first
+    * token's loss is often dropped).
+    *
+    * 100 TB shape: the running offset is the shared two-phase
+    * [[prefixSum]]; the explode is bounded at ⌈n_tokens/budget⌉ + 1
+    * segments per document — output is O(corpus tokens / budget + docs),
+    * never quadratic, and everything after the prefix sum is map-side. */
+  val packSpans = GraftQuery(
+    "pipeline_pack_spans",
+    (s, dir) => {
+      val B = 512L
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      prefixSum(s, docs, "doc_id", "n_tokens", "start_tok")
+        .withColumn("seq_first", (col("start_tok") / B).cast("long"))
+        .withColumn("seq_last",
+          ((col("start_tok") + col("n_tokens") - 1L) / B).cast("long"))
+        .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+          col("seq_first"),
+          explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
+        .select(col("seq_id"), col("doc_id"),
+          (greatest(col("start_tok"), col("seq_id") * B) - col("seq_id") * B)
+            .as("seg_start"),
+          (least(col("start_tok") + col("n_tokens"), (col("seq_id") + 1L) * B)
+            - greatest(col("start_tok"), col("seq_id") * B)).as("seg_len"),
+          (col("seq_id") === col("seq_first")).as("is_head"))
+        .orderBy(col("seq_id"), col("seg_start"), col("doc_id"))
+    },
+    Some("""WITH tok AS (
+              SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+            p AS (SELECT doc_id, n,
+                CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS st
+              FROM tok),
+            x AS (SELECT doc_id, n, st, st // 512 AS sf, (st + n - 1) // 512 AS sl
+              FROM p)
+            SELECT g.s AS seq_id, doc_id,
+              CAST(greatest(st, g.s * 512) - g.s * 512 AS BIGINT) AS seg_start,
+              CAST(least(st + n, (g.s + 1) * 512)
+                - greatest(st, g.s * 512) AS BIGINT) AS seg_len,
+              g.s = sf AS is_head
+            FROM x CROSS JOIN LATERAL
+              (SELECT unnest(generate_series(sf, sl)) AS s) g
+            ORDER BY seq_id, seg_start, doc_id"""))
+
   /** STRATIFIED deterministic sampling — per-group rates (class rebalancing,
     * domain mixing) with the same content-hash stability as [[hashSample]]:
     * each label keeps a different deterministic fraction ((label % 3 + 1) x
@@ -784,5 +838,5 @@ object Sampling {
     stratifiedSample, shardAssign, truncate, zorderProfile, interleaveSources,
     sampleK, epochSchedule, weightedSample, histogram, curriculum,
     lengthBucketPack, checksum, shardChecksum, lossMask, padWasteSweep,
-    packAttentionMask)
+    packAttentionMask, packSpans)
 }
