@@ -1095,9 +1095,31 @@ object Similarity {
     * upper bound; [[LongLinks]] <= this. */
   private val MaxLongLinks = 4
 
-  /** Build the graph-ANN context once per invocation (the expensive,
-    * combo-independent part: k-means quantizer + kNN graph). */
+  // memoized per (session, dir) — the bpeTrainState discipline: a graph-ANN
+  // index is built once and served repeatedly (ann_graph_topk, _recall and
+  // the 9-cell param sweep all read the same build), so the expensive
+  // combo-independent part (k-means quantizer + within-cell kNN + link
+  // pool, all localCheckpoint'ed) must not be re-derived per query.
+  // Consequence: consumers must never unpersist the checkpointed frames.
+  // Weak-keyed on the session OBJECT so entries die with their session.
+  private val beamCache = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, BeamContext]]()
+
   private def beamContext(s: SparkSession, dir: String): BeamContext = {
+    val perSession = beamCache.synchronized {
+      var m = beamCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty
+        beamCache.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(dir, beamContextImpl(s, dir))
+  }
+
+  /** Build the graph-ANN context (the expensive, combo-independent part:
+    * k-means quantizer + kNN graph). */
+  private def beamContextImpl(s: SparkSession, dir: String): BeamContext = {
     val e = t(s, dir, "embeddings")
     // kNN edges within TRAINED cells (the ann_ivf_trained quantizer), not
     // the metadata label cells ann_knn_graph demonstrates: a navigable
@@ -1140,7 +1162,11 @@ object Similarity {
       .select(col("vec_id"))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    BeamContext(knn.localCheckpoint(true), lnkAll.localCheckpoint(true), ent, q, e)
+    // the per-hop scoring joins probe the corpus once per hop: serve the
+    // projected (vec_id, embedding) pairs from checkpointed blocks, not a
+    // fresh parquet scan each hop
+    val eSmall = e.select(col("vec_id"), col("embedding")).localCheckpoint(true)
+    BeamContext(knn.localCheckpoint(true), lnkAll.localCheckpoint(true), ent, q, eSmall)
   }
 
   /** One parameterized beam search over a prebuilt [[BeamContext]]:
@@ -1155,7 +1181,7 @@ object Similarity {
       .distinct().localCheckpoint(true)
     val q = ctx.q
     def score(cands: DataFrame): DataFrame = cands
-      .join(ctx.e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(ctx.e, "vec_id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("vec_id"),
         round(cosine(s, "embedding", "q_emb"), 4).as("cos_sim"))
