@@ -12,9 +12,10 @@ import graft.operators.EventOps
   * works; all functions are single-shuffle key-partitioned shapes that
   * scale with the corpus. Same code as the registry queries (`EventOps`'s
   * helpers), re-exported with public contracts. The same expressions run
-  * unchanged under Structured Streaming inside foreachBatch, or natively
-  * for the windowed aggregates (window/session_window are
-  * streaming-native). */
+  * unchanged under Structured Streaming inside foreachBatch; the windowed
+  * aggregates also run natively on a stream (complete mode as-is — pinned
+  * by EventAnalyticsSpec — or append mode after the caller adds a
+  * watermark on the ts column, which session_window requires). */
 object EventAnalytics {
 
   private def threeCol(df: DataFrame, shape: String): DataFrame = {

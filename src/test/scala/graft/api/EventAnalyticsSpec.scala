@@ -78,4 +78,40 @@ class EventAnalyticsSpec extends SparkTestBase {
       EventAnalytics.asOfJoin(two, Seq((1L, ts(0), 1L)).toDF("a", "b", "c"))
     }
   }
+
+  test("degenerate inputs: empty frames flow through; equal-ts right rows tie-break deterministically") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Timestamp, Double)].toDF("u", "t", "v")
+    assert(EventAnalytics.sessionize(empty).count() == 0)
+    assert(EventAnalytics.windowedCounts(
+      Seq.empty[(String, Timestamp, Double)].toDF("k", "t", "v")).count() == 0)
+    assert(EventAnalytics.funnel(
+      Seq.empty[(Long, String, Timestamp)].toDF("u", "e", "t"), "a", "b").count() == 0)
+    // duplicate right timestamps: the as-of pick is still the latest ts
+    // (ties collapse to one value), never a row explosion
+    val left = Seq((1L, ts(10), 7L)).toDF("k", "t", "id")
+    val right = Seq((1L, ts(5)), (1L, ts(5)), (1L, ts(5))).toDF("k", "t")
+    val rows = EventAnalytics.asOfJoin(left, right).collect()
+    assert(rows.length == 1 && rows.head.getTimestamp(3) == ts(5), s"${rows.toSeq}")
+  }
+
+  test("windowedCounts runs natively on a stream (complete mode) and matches batch") {
+    import spark.implicits._
+    val data = Seq(("a", ts(10), 1.0), ("a", ts(50), 2.0), ("b", ts(70), 4.0))
+    val truth = EventAnalytics.windowedCounts(data.toDF("k", "t", "v"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(x => (x._1.getTime, x._2))
+    val in = graft.streaming.GraftSource.memory[(String, Timestamp, Double)](spark)
+    val q = EventAnalytics.windowedCounts(in.toDS().toDF("k", "t", "v"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("ev_api_stream").start()
+    try {
+      in.addData(data: _*); q.processAllAvailable()
+      val streamed = spark.table("ev_api_stream")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(x => (x._1.getTime, x._2))
+      assert(streamed.sameElements(truth),
+        s"stream ${streamed.toSeq} != batch ${truth.toSeq}")
+    } finally q.stop()
+  }
 }
