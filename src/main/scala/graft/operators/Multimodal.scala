@@ -255,22 +255,39 @@ object Multimodal {
     * `sequence` explode keeps it scan-side (no shuffle until the output
     * sort). Short payloads (< one window) produce a single truncated
     * window, so no row is ever silently dropped. */
+  /** The windowing plan over a (doc_id, n_bytes) size frame at the given
+    * sample grid. Shared by mm_audio_windows and
+    * [[graft.api.MultimodalPlanner.audioWindows]]. */
+  private[graft] def audioWindowsOf(sized: DataFrame,
+      windowSamples: Int, hopSamples: Int, bytesPerSample: Int): DataFrame = {
+    require(windowSamples >= 1 && hopSamples >= 1 && bytesPerSample >= 1,
+      s"audioWindowsOf needs positive window/hop/bytesPerSample, got " +
+        s"$windowSamples/$hopSamples/$bytesPerSample")
+    val wB = windowSamples.toLong * bytesPerSample
+    val hB = hopSamples.toLong * bytesPerSample
+    sized
+      .select(col("doc_id"), col("n_bytes"),
+        (col("n_bytes") / bytesPerSample).cast("int").as("n_samples"))
+      .select(col("doc_id"), col("n_bytes"),
+        greatest(lit(1),
+          (floor((col("n_samples") - windowSamples) / hopSamples.toDouble) + 1)
+            .cast("int"))
+          .as("n_windows"))
+      .select(col("doc_id"), col("n_bytes"), col("n_windows"),
+        posexplode(expr("sequence(0, n_windows - 1)")).as(Seq("win", "wi")))
+      .select(col("doc_id"), col("win"),
+        (col("wi") * hB).as("byte_off"),
+        least(lit(wB), col("n_bytes") - col("wi") * hB).as("byte_len"))
+  }
+
   val audioWindows = GraftQuery(
     "mm_audio_windows",
     (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("n_bytes"))
-        .select(col("doc_id"), col("n_bytes"),
-          (col("n_bytes") / 2).cast("int").as("n_samples"))
-        .select(col("doc_id"), col("n_bytes"),
-          greatest(lit(1),
-            (floor((col("n_samples") - 64) / 32.0) + 1).cast("int"))
-            .as("n_windows"))
-        .select(col("doc_id"), col("n_bytes"), col("n_windows"),
-          posexplode(expr("sequence(0, n_windows - 1)")).as(Seq("win", "wi")))
-        .select(col("doc_id"), col("win"),
-          (col("wi") * 64L).as("byte_off"),
-          least(lit(128L), col("n_bytes") - col("wi") * 64L).as("byte_len"))
+      audioWindowsOf(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            octet_length(encode(col("text"), "UTF-8")).as("n_bytes")),
+        windowSamples = 64, hopSamples = 32, bytesPerSample = 2)
         .orderBy(col("doc_id"), col("win")),
     Some("""SELECT doc_id, CAST(g.wi AS INTEGER) AS win,
               CAST(g.wi * 64 AS BIGINT) AS byte_off,
@@ -294,20 +311,28 @@ object Multimodal {
     * running byte offset is [[Sampling.prefixSum]] (two-phase,
     * partition-parallel); the manifest aggregate is by the (tiny) shard
     * key. */
+  /** The shard manifest over a (doc_id, n_bytes) size frame at the given
+    * byte budget. Shared by mm_shard_manifest and
+    * [[graft.api.MultimodalPlanner.shardManifest]]. */
+  private[graft] def shardManifestOf(s: SparkSession, sized: DataFrame,
+      budgetBytes: Long): DataFrame = {
+    require(budgetBytes >= 1, s"shardManifestOf needs budgetBytes >= 1, got $budgetBytes")
+    Sampling.prefixSum(s, sized, "doc_id", "n_bytes", "start_byte")
+      .withColumn("shard_id", (col("start_byte") / budgetBytes).cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col("n_bytes")).as("shard_bytes"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+  }
+
   val shardManifest = GraftQuery(
     "mm_shard_manifest",
     (s, dir) => {
       val sized = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("doc_id"),
           octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"))
-      Sampling.prefixSum(s, sized, "doc_id", "n_bytes", "start_byte")
-        .withColumn("shard_id", (col("start_byte") / 4096).cast("long"))
-        .groupBy(col("shard_id"))
-        .agg(count(lit(1)).as("n_samples"),
-          sum(col("n_bytes")).as("shard_bytes"),
-          min(col("doc_id")).as("first_doc"),
-          max(col("doc_id")).as("last_doc"))
-        .orderBy(col("shard_id"))
+      shardManifestOf(s, sized, 4096L).orderBy(col("shard_id"))
     },
     Some("""WITH sized AS (
               SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -332,23 +357,37 @@ object Multimodal {
     * movement; at 100 TB this runs inside the decode scan.
     * Ceil(a/b) is spelled (a + b - 1) div b — non-negative operands, so
     * truncating div and floor agree across engines. */
+  /** The ViT tokenization plan over a (doc_id, w, h) dimension frame:
+    * aspect-preserving downscale to fit `target`, ceil-divided into
+    * `patch`-sized patches plus the CLS token. Shared by mm_patch_grid and
+    * [[graft.api.MultimodalPlanner.patchGrid]]. */
+  private[graft] def patchGridOf(dims: DataFrame, target: Int, patch: Int): DataFrame = {
+    require(target >= 1 && patch >= 1,
+      s"patchGridOf needs positive target/patch, got $target/$patch")
+    dims
+      .withColumn("scale",
+        least(lit(target.toDouble) / col("w"), lit(target.toDouble) / col("h"),
+          lit(1.0)))
+      .select(col("doc_id"),
+        floor(col("w") * col("scale")).cast("int").as("out_w"),
+        floor(col("h") * col("scale")).cast("int").as("out_h"))
+      .select(col("doc_id"), col("out_w"), col("out_h"),
+        expr(s"(out_w + ${patch - 1}) div $patch").cast("int").as("patches_x"),
+        expr(s"(out_h + ${patch - 1}) div $patch").cast("int").as("patches_y"))
+      .withColumn("seq_len",
+        (col("patches_x") * col("patches_y") + 1).cast("int"))
+  }
+
   val patchGrid = GraftQuery(
     "mm_patch_grid",
     (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("n"))
-        .select(col("doc_id"),
-          (col("n") % 193 + 64).as("w"),
-          (col("n") % 151 + 64).as("h"))
-        .withColumn("scale", least(lit(224.0) / col("w"), lit(224.0) / col("h"), lit(1.0)))
-        .select(col("doc_id"),
-          floor(col("w") * col("scale")).cast("int").as("out_w"),
-          floor(col("h") * col("scale")).cast("int").as("out_h"))
-        .select(col("doc_id"), col("out_w"), col("out_h"),
-          expr("(out_w + 15) div 16").cast("int").as("patches_x"),
-          expr("(out_h + 15) div 16").cast("int").as("patches_y"))
-        .withColumn("seq_len",
-          (col("patches_x") * col("patches_y") + 1).cast("int"))
+      patchGridOf(
+        t(s, dir, "documents")
+          .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).as("n"))
+          .select(col("doc_id"),
+            (col("n") % 193 + 64).as("w"),
+            (col("n") % 151 + 64).as("h")),
+        target = 224, patch = 16)
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id, out_w, out_h,
               CAST((out_w + 15) // 16 AS INTEGER) AS patches_x,
