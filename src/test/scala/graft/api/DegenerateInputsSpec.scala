@@ -162,6 +162,27 @@ class DegenerateInputsSpec extends SparkTestBase {
       .forall(_.getString(1) == "en"))
   }
 
+  test("multimodal planner: empty and zero-byte metadata degrade gracefully") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("id", "b")
+    assert(MultimodalPlanner.shardManifest(empty).count() == 0)
+    assert(MultimodalPlanner.audioWindows(empty).count() == 0)
+    assert(MultimodalPlanner.patchGrid(
+      Seq.empty[(Long, Int, Int)].toDF("id", "w", "h")).count() == 0)
+    // a zero-byte payload still yields its one (empty) window row — no
+    // sample silently dropped, the documented contract
+    val z = MultimodalPlanner.audioWindows(Seq((1L, 0L)).toDF("id", "b"),
+      windowSamples = 4, hopSamples = 2, bytesPerSample = 1).collect()
+    assert(z.length == 1 && z.head.getLong(3) == 0L, s"${z.toSeq}")
+    intercept[IllegalArgumentException] {
+      MultimodalPlanner.audioWindows(empty, windowSamples = 0)
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalPlanner.patchGrid(
+        Seq((1L, 10, 10)).toDF("id", "w", "h"), patch = 0)
+    }
+  }
+
   test("pipeline: empty corpus flows through every stage; zero-token groups don't divide by zero") {
     val e = docs(Seq.empty)
     assert(CorpusPipeline.hashSample(e, 50).count() == 0)
