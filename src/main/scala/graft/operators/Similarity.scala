@@ -919,10 +919,16 @@ object Similarity {
     * founding NSW observation (Malkov et al. 2014): greedy search needs
     * long links to cross the space (measured here: recall@10 fell to 0.09
     * at sf0.1 without them). Each node gets [[LongLinks]] extra edges to
-    * hash-derived targets (hash48('lnk:j:id') mod n over the dense id
-    * ranking) — the derandomized analog of NSW's random insertion links,
-    * identical in both engines. */
-  private val LongLinks = 2
+    * hash-derived targets (hash48('lnk:j:id') mod n over the dense ids)
+    * — the derandomized analog of NSW's random insertion links,
+    * identical in both engines.
+    *
+    * LongLinks = 4 is the r14 sweep's winner (ann_graph_param_sweep):
+    * at the production beam of 16, recall@10 at sf0.1 is 0.763 with 2
+    * links vs 0.90 with 4, and extra links are ~zero serving cost — the
+    * pool is built once to [[MaxLongLinks]] and a combo takes the
+    * j <= links prefix, so only the adjacency union widens. */
+  private val LongLinks = 4
 
   /** The DuckDB twin of the beam search: kNN edges → symmetrized
     * adjacency → content-hash entry points → [[BeamHops]] unrolled
@@ -954,17 +960,14 @@ object Similarity {
            WHERE a.vec_id <> b.vec_id),
          knn AS MATERIALIZED (SELECT vec_a, vec_b FROM scored_knn WHERE rank <= 3),
          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-         ordn AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS pos
-                  FROM embeddings),
-         lnk AS (SELECT o.vec_id AS vec_a, o2.vec_id AS vec_b
+         lnk AS (SELECT o.vec_id AS vec_a, o.tgt AS vec_b
            FROM (SELECT vec_id,
                    CAST(('0x' || substring(md5('lnk:' || CAST(g.j AS VARCHAR)
                      || ':' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT)
                      % (SELECT n FROM nn) AS tgt
                  FROM embeddings
                  CROSS JOIN (SELECT unnest(generate_series(1, $LongLinks)) AS j) g) o
-           JOIN ordn o2 ON o2.pos = o.tgt
-           WHERE o.vec_id <> o2.vec_id),
+           WHERE o.vec_id <> o.tgt),
          adj AS MATERIALIZED (
            SELECT vec_a, vec_b FROM knn
            UNION SELECT vec_b AS vec_a, vec_a AS vec_b FROM knn
@@ -1048,17 +1051,14 @@ object Similarity {
            WHERE a.vec_id <> b.vec_id),
          knn AS MATERIALIZED (SELECT vec_a, vec_b FROM scored_knn WHERE rank <= 3),
          nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
-         ordn AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS pos
-                  FROM embeddings),
-         lnkall AS MATERIALIZED (SELECT o.j, o.vec_id AS vec_a, o2.vec_id AS vec_b
+         lnkall AS MATERIALIZED (SELECT o.j, o.vec_id AS vec_a, o.tgt AS vec_b
            FROM (SELECT vec_id, g.j,
                    CAST(('0x' || substring(md5('lnk:' || CAST(g.j AS VARCHAR)
                      || ':' || CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT)
                      % (SELECT n FROM nn) AS tgt
                  FROM embeddings
                  CROSS JOIN (SELECT unnest(generate_series(1, $MaxLongLinks)) AS j) g) o
-           JOIN ordn o2 ON o2.pos = o.tgt
-           WHERE o.vec_id <> o2.vec_id),
+           WHERE o.vec_id <> o.tgt),
          ent AS (SELECT vec_id FROM (
              SELECT vec_id, row_number() OVER (
                ORDER BY md5(concat('gent:', CAST(vec_id AS VARCHAR))), vec_id) AS rn
@@ -1101,25 +1101,39 @@ object Similarity {
   // combo-independent part (k-means quantizer + within-cell kNN + link
   // pool, all localCheckpoint'ed) must not be re-derived per query.
   // Consequence: consumers must never unpersist the checkpointed frames.
-  // Weak-keyed on the session OBJECT so entries die with their session.
-  private val beamCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, BeamContext]]()
+  // NOT weak-keyed: a cached BeamContext holds DataFrames that strongly
+  // reference their SparkSession, so a weak key could never be collected
+  // while its value is held — liveness is tracked explicitly instead:
+  // every lookup sweeps entries whose underlying SparkContext has
+  // stopped (the checkpointed blocks died with that context anyway, so
+  // the sweep only releases the now-useless plan objects).
+  private val beamCache = scala.collection.concurrent.TrieMap
+    .empty[SparkSession, scala.collection.concurrent.TrieMap[String, BeamContext]]
 
   private def beamContext(s: SparkSession, dir: String): BeamContext = {
-    val perSession = beamCache.synchronized {
-      var m = beamCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        beamCache.put(s, m)
-      }
-      m
-    }
+    beamCache.filterInPlace { case (sess, _) => !sess.sparkContext.isStopped }
+    val perSession = beamCache.getOrElseUpdate(s,
+      scala.collection.concurrent.TrieMap.empty)
     perSession.getOrElseUpdate(dir, beamContextImpl(s, dir))
   }
 
   /** Build the graph-ANN context (the expensive, combo-independent part:
     * k-means quantizer + kNN graph). */
   private def beamContextImpl(s: SparkSession, dir: String): BeamContext = {
+    val (knn, lnkAll, ent, q, eSmall) = beamBuildFrames(s, dir)
+    BeamContext(knn.localCheckpoint(true), lnkAll.localCheckpoint(true), ent,
+      q, eSmall.localCheckpoint(true))
+  }
+
+  /** The un-checkpointed build frames (knn edges, j-tagged long-link
+    * pool, entry points, query set, projected corpus) — exposed so
+    * PlanInvariantsSpec can lint the build plans (no global-order
+    * window anywhere in the index build: on a 100 TB corpus a
+    * `Window.orderBy` without partitionBy is a single-partition sort of
+    * the whole table). Production path checkpoints these via
+    * [[beamContextImpl]]. */
+  private[graft] def beamBuildFrames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = t(s, dir, "embeddings")
     // kNN edges within TRAINED cells (the ann_ivf_trained quantizer), not
     // the metadata label cells ann_knn_graph demonstrates: a navigable
@@ -1141,20 +1155,18 @@ object Similarity {
         round(cosine(s, "ea", "eb"), 4).as("cs"))
       .withColumn("rk", row_number().over(wk)).filter(col("rk") <= 3)
       .select(col("vec_a"), col("vec_b"))
-    // long-range links: hash48('lnk:j:id') mod n over the dense id ranking
-    // (id-sized single-partition window — at scale ids would be dense by
-    // construction; the corpus vectors never enter this enumeration)
+    // long-range links: hash48('lnk:j:id') mod n lands directly on a
+    // vec_id under the dense-id convention (ids are 0..n-1 by
+    // construction — the corpus layout contract, held at every SF), so
+    // no ordinal ranking is needed: the target IS the id. This keeps the
+    // build free of any global-order window (PlanInvariantsSpec pins it).
     val n = e.count()
-    val ordn = e.select(col("vec_id"))
-      .withColumn("pos", row_number().over(Window.orderBy(col("vec_id"))) - 1)
     val lnkAll = (1 to MaxLongLinks).map { j =>
       e.select(lit(j).as("j"), col("vec_id").as("vec_a"),
         expr(s"""cast(conv(substring(md5(concat('lnk:$j:',
             cast(vec_id as string))), 1, 12), 16, 10) as bigint) % ${n}L""")
-          .as("tgt"))
+          .as("vec_b"))
     }.reduce(_ union _)
-      .join(ordn.select(col("pos").as("tgt"), col("vec_id").as("vec_b")), "tgt")
-      .select(col("j"), col("vec_a"), col("vec_b"))
       .filter(col("vec_a") =!= col("vec_b"))
     val ent = e.select(col("vec_id"))
       .withColumn("h", md5(concat(lit("gent:"), col("vec_id").cast("string"))))
@@ -1165,8 +1177,8 @@ object Similarity {
     // the per-hop scoring joins probe the corpus once per hop: serve the
     // projected (vec_id, embedding) pairs from checkpointed blocks, not a
     // fresh parquet scan each hop
-    val eSmall = e.select(col("vec_id"), col("embedding")).localCheckpoint(true)
-    BeamContext(knn.localCheckpoint(true), lnkAll.localCheckpoint(true), ent, q, eSmall)
+    val eSmall = e.select(col("vec_id"), col("embedding"))
+    (knn, lnkAll, ent, q, eSmall)
   }
 
   /** One parameterized beam search over a prebuilt [[BeamContext]]:

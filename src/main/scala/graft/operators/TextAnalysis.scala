@@ -389,23 +389,22 @@ object TextAnalysis {
   // Consequence: the checkpointed state must NOT be unpersisted by either
   // consumer (its lineage is truncated; dropping the blocks would make the
   // cached entry unrecoverable for the other op).
-  // weak-keyed on the session OBJECT (identityHashCode is not unique, and
-  // a stopped session's checkpointed blocks must become collectable):
-  // entries die with their session, and two live sessions can never
-  // collide onto each other's checkpointed state
-  private val bpeCache = new java.util.WeakHashMap[SparkSession,
-    scala.collection.concurrent.TrieMap[String, (Seq[(Int, String, String, Long)], DataFrame)]]()
+  // Keyed on the session OBJECT (identityHashCode is not unique; two live
+  // sessions can never collide onto each other's checkpointed state). NOT
+  // weak-keyed: the cached DataFrame strongly references its session, so
+  // a weak key could never be collected while its value is held — dead
+  // entries are swept on lookup via sparkContext.isStopped instead (the
+  // checkpointed blocks died with the context; the sweep releases the
+  // plan objects).
+  private val bpeCache = scala.collection.concurrent.TrieMap.empty[
+    SparkSession,
+    scala.collection.concurrent.TrieMap[String, (Seq[(Int, String, String, Long)], DataFrame)]]
 
   private[operators] def bpeTrainState(s: SparkSession, dir: String)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
-    val perSession = bpeCache.synchronized {
-      var m = bpeCache.get(s)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty
-        bpeCache.put(s, m)
-      }
-      m
-    }
+    bpeCache.filterInPlace { case (sess, _) => !sess.sparkContext.isStopped }
+    val perSession = bpeCache.getOrElseUpdate(s,
+      scala.collection.concurrent.TrieMap.empty)
     perSession.getOrElseUpdate(dir, bpeTrainStateImpl(s, dir))
   }
 

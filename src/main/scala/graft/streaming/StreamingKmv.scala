@@ -28,7 +28,8 @@ final class StreamingKmvTracker(spark: SparkSession, k: Int = 64) {
 
   @volatile private var kset: Array[Long] = Array.empty
 
-  /** Fold one micro-batch of single-column keys into the K-set.
+  /** Fold one micro-batch into the K-set (keys = the batch's FIRST
+    * column; extra columns are ignored).
     * Idempotent under replay (duplicate hashes dedup in the merge).
     *
     * SHUFFLE-FREE by construction: the first column is referenced
@@ -39,9 +40,13 @@ final class StreamingKmvTracker(spark: SparkSession, k: Int = 64) {
     * driver — no distinct() exchange, no global sort, ever. */
   def update(batch: DataFrame): Unit = synchronized {
     val kk = k
-    val hashed = batch
-      .toDF("key") // positional rename: any input column name works
-      .select(col("key").cast("string").as("key"))
+    // positional first-column select: rename EVERY column first (toDF with
+    // one name throws on multi-column batches), then keep column 1 — any
+    // input column name works (dots/spaces never reach a name parser) and
+    // extra columns are ignored as documented
+    val c1 = batch.toDF(batch.columns.indices.map(i => s"_c$i"): _*)
+    val hashed = c1
+      .select(col("_c0").cast("string").as("key"))
       .select(conv(substring(md5(concat(lit("kmv:"), col("key"))
         .cast("binary")), 1, 12), 16, 10).cast("long").as("h"))
       .as[Long]

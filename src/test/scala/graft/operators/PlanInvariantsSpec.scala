@@ -345,6 +345,20 @@ class PlanInvariantsSpec extends SparkTestBase {
     }
   }
 
+  test("graph-ANN index build: every build frame is free of global-order windows") {
+    // the r14 build ranked a corpus-sized dense ordinal through
+    // row_number() OVER (ORDER BY vec_id) — a single-partition sort of
+    // the whole table at 100 TB; the long-link targets now land directly
+    // on dense ids (hash48 mod n), so NO build frame may declare an
+    // unpartitioned window (the kNN window is keyed by vec_a)
+    val (knn, lnkAll, ent, q, eSmall) = Similarity.beamBuildFrames(spark, sf)
+    for ((df, label) <- Seq(knn -> "knn", lnkAll -> "lnkAll", ent -> "ent",
+        q -> "q", eSmall -> "eSmall")) {
+      assert(emptyPartitionWindows(df).isEmpty,
+        s"ANN build frame '$label' declares an unpartitioned window")
+    }
+  }
+
   test("mm_shard_manifest: byte prefix sum is partition-parallel — no single-partition exchange") {
     val df = SparkEntry.queries("mm_shard_manifest")(spark, sf)
     df.collect() // force AQE final plan

@@ -85,4 +85,16 @@ class StreamingKmvSpec extends SparkTestBase {
     t.update(keys.toDF("user id.with dots-and-hyphens"))
     assert(t.sketch == ((truth.length, truth.last)))
   }
+
+  test("multi-column micro-batches hash the FIRST column; extras are ignored") {
+    // r14 regression: toDF("key") threw for any batch wider than one
+    // column — the fold must stay purely positional on column 1
+    import spark.implicits._
+    val keys = (1L to 500L).map(i => i * 31 % 977)
+    val truth = batchKset(keys, 64)
+    val t = new StreamingKmvTracker(spark, k = 64)
+    t.update(keys.map(k => (k, s"payload-$k", k % 7))
+      .toDF("the.key", "payload col", "extra"))
+    assert(t.sketch == ((truth.length, truth.last)))
+  }
 }
