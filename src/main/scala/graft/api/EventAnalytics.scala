@@ -24,6 +24,12 @@ object EventAnalytics {
     df
   }
 
+  private def fourCol(df: DataFrame, shape: String): DataFrame = {
+    require(df.columns.length == 4,
+      s"expected a four-column $shape frame, got ${df.columns.length} columns")
+    df
+  }
+
   /** Session-window aggregate: one row per (user, session) at the given
     * inactivity gap — sessions merge while the next event lands strictly
     * inside [start, last + gap).
@@ -68,4 +74,90 @@ object EventAnalytics {
       threeCol(events, "(user_id, event_type, ts)")
         .toDF("user_id", "event_type", "ts"),
       firstStep, thenStep)
+
+  /** Forward fill (last observation carried forward): every row carries
+    * the most recent non-null value of the same key in (ts, id) order —
+    * the standard time-series repair step before windowed aggregation.
+    * One shuffle (by key), one ordered window pass; no self-join.
+    * @param events (id, key, ts, value) — any column names; null values
+    *               are the gaps to fill
+    * @return (event_id, user_id, v, filled) ordered by event_id */
+  def forwardFill(events: DataFrame): DataFrame =
+    EventOps.forwardFillOn(
+      fourCol(events, "(id, key, ts, value)")
+        .toDF("event_id", "user_id", "ts", "v"))
+
+  /** Regular-grid resample: per key, instants from the first to the last
+    * observation every `stepSeconds`, each grid point valued by LOCF
+    * (default) or by linear interpolation between its surrounding
+    * observations (`linear = true`; holds past the last one, the `mode`
+    * column says which). One union + one keyed ordered pass — no
+    * self-join, no per-grid-point probe.
+    * @param events (id, key, ts, value) — any column names
+    * @return LOCF: (user_id, grid_ts, v_filled);
+    *         linear: (user_id, grid_ts, v_interp, mode) */
+  def resample(events: DataFrame, stepSeconds: Long = 21600L,
+      linear: Boolean = false): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds must be positive, got $stepSeconds")
+    val ev = fourCol(events, "(id, key, ts, value)")
+      .toDF("event_id", "user_id", "ts", "v")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("v").cast("double").as("v"))
+    if (linear) EventOps.resampleLinearOn(ev, stepSeconds * 1000000L)
+    else EventOps.resampleLocfOn(ev, stepSeconds * 1000000L)
+  }
+
+  /** Per-key rate limiting: keep at most `maxPer` events per key per
+    * calendar `per` unit ("day", "hour", "week", …) in (ts, id) order —
+    * the quota/throttle gate every ingest pipeline runs. One ranked
+    * window per (key, window) partition; no self-join.
+    * @param events (id, key, ts) — any column names
+    * @return (event_id, user_id, window_start): the kept rows */
+  def rateLimit(events: DataFrame, maxPer: Int = 2,
+      per: String = "day"): DataFrame = {
+    require(maxPer > 0, s"maxPer must be positive, got $maxPer")
+    EventOps.rateLimitOn(
+      threeCol(events, "(id, key, ts)").toDF("event_id", "user_id", "ts"),
+      maxPer, per)
+  }
+
+  /** Per-group z-score anomaly flags: rows whose |z| against their
+    * group's mean/std clears `threshold`. The group stats come from
+    * exact integer-scaled sums (map-side partial aggregation applies;
+    * the tiny stats table broadcasts back), so results are independent
+    * of aggregation order. Constant groups (std = 0) are dropped.
+    * @param events (id, group, value) — any column names
+    * @return (event_id, event_type, value_r, z) ordered by event_id */
+  def anomalyZScore(events: DataFrame, threshold: Double = 3.0): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    EventOps.anomalyZscoreOn(
+      threeCol(events, "(id, group, value)")
+        .toDF("event_id", "event_type", "value")
+        .withColumn("value", col("value").cast("double")),
+      threshold)
+  }
+
+  /** Weekly cohort retention: users bucketed by first-seen week, counted
+    * per (cohort week, weeks-since-cohort) offset — the classic
+    * retention triangle. Two key-partitioned aggregates and one join.
+    * @param events (key, ts) — any column names
+    * @return (cohort_week, week_offset, n_users) */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    require(events.columns.length == 2,
+      s"expected a two-column (key, ts) frame, got ${events.columns.length} columns")
+    EventOps.cohortRetentionOn(events.toDF("user_id", "ts"))
+  }
+
+  /** Strict ordered 3-step funnel: step 2 must follow the user's FIRST
+    * step-1 event, step 3 the resulting step-2 anchor — the dashboard
+    * conversion table with step-over-step and step-over-top rates
+    * (exact integer micro-rates; [[funnel]] is the 2-event reduction).
+    * Anchors chain through per-user window minimums in ONE keyed pass.
+    * @param events (key, type, ts) — any column names
+    * @return (step, gate, n_users, conv_step_micro, conv_total_micro) */
+  def funnelSteps(events: DataFrame, step1: String, step2: String,
+      step3: String): DataFrame =
+    EventOps.funnelStepsOn(
+      threeCol(events, "(key, type, ts)").toDF("user_id", "event_type", "ts"),
+      step1, step2, step3)
 }

@@ -81,6 +81,192 @@ object EventOps {
       .filter(col("first_a") < col("last_b"))
       .select(col("user_id"), col("n_first"), col("n_then"))
 
+  /** Forward fill (LOCF) over a (event_id, user_id, ts, v) frame: every
+    * row carries the most recent non-null `v` of the same user in
+    * (ts, event_id) order. One shuffle (by user), one ordered pass via a
+    * running `last(ignoreNulls)` frame — no self-join, no per-gap
+    * subqueries. Shared by ev_forward_fill and
+    * [[graft.api.EventAnalytics.forwardFill]].
+    * @return (event_id, user_id, v, filled) ordered by event_id */
+  private[graft] def forwardFillOn(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("v"), col("filled"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The per-key resample grid over a (user_id, ts_us, …) frame:
+    * ceil-aligned instants from the first to the last observation in
+    * `step`-microsecond steps, via a scan-side `sequence` explode — one
+    * tiny per-key bounds aggregate, no per-grid-point probe. */
+  private def resampleGridOf(ev: DataFrame, step: Long): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
+      .withColumn("start", expr(s"((mn + ${step - 1}) div $step) * $step"))
+      .filter(col("start") <= col("mx"))
+      .select(col("user_id"),
+        explode(expr(s"sequence(start, mx, $step)")).as("ts_us"))
+
+  /** LOCF resample over a (user_id, ts_us, event_id, v) frame: each grid
+    * instant takes the latest observation at-or-before it. Grid and
+    * events union once; ONE keyed window pass (grid rows sort after
+    * same-instant events, so a reading AT the instant is picked up).
+    * Shared by ev_resample_grid and
+    * [[graft.api.EventAnalytics.resample]].
+    * @return (user_id, grid_ts, v_filled) */
+  private[graft] def resampleLocfOn(ev: DataFrame, step: Long): DataFrame = {
+    val grid = resampleGridOf(ev, step)
+      .select(col("user_id"), col("ts_us"),
+        lit(0L).as("event_id"), lit(null).cast("double").as("v"),
+        lit(1).as("is_grid"))
+    val union = ev.withColumn("is_grid", lit(0))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("v"), col("is_grid"))
+      .unionByName(grid)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_grid"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    union.withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"),
+        expr("timestamp_micros(ts_us)").as("grid_ts"), col("v_filled"))
+      .orderBy(col("user_id"), col("grid_ts"))
+  }
+
+  /** Linear-interpolation resample over a (user_id, ts_us, event_id, v)
+    * frame: each grid instant gets the time-weighted value between its
+    * surrounding observations — v = prev + (next−prev)·(t−t_prev)/
+    * (t_next−t_prev) — and holds past the last one (`mode` says which).
+    * Same single-window shape as LOCF: one union, one keyed ordered pass
+    * carrying (prev_ts, prev_v) backward and (next_ts, next_v) forward.
+    * Null-valued observations do not anchor (their ts_ev is null, so
+    * prev/next always pair ts and v from the SAME event). Shared by
+    * ev_resample_interpolate and [[graft.api.EventAnalytics.resample]].
+    * @return (user_id, grid_ts, v_interp, mode) */
+  private[graft] def resampleLinearOn(ev: DataFrame, step: Long): DataFrame = {
+    val grid = resampleGridOf(ev, step)
+      .select(col("user_id"), col("ts_us"), lit(0L).as("event_id"),
+        lit(null).cast("long").as("ts_ev"), lit(null).cast("double").as("v"),
+        lit(1).as("is_grid"))
+    val union = ev
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        when(col("v").isNotNull, col("ts_us")).as("ts_ev"),
+        col("v"), lit(0).as("is_grid"))
+      .unionByName(grid)
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("is_grid"), col("event_id"))
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    union
+      .withColumn("prev_ts", last(col("ts_ev"), ignoreNulls = true).over(back))
+      .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("next_ts", first(col("ts_ev"), ignoreNulls = true).over(fwd))
+      .withColumn("next_v", first(col("v"), ignoreNulls = true).over(fwd))
+      .filter(col("is_grid") === 1)
+      .select(col("user_id"),
+        expr("timestamp_micros(ts_us)").as("grid_ts"),
+        expr("""case when next_ts is null then prev_v
+                     else prev_v + (next_v - prev_v)
+                          * (cast(ts_us - prev_ts as double)
+                             / cast(next_ts - prev_ts as double)) end""")
+          .as("v_interp"),
+        expr("case when next_ts is null then 'hold' else 'interp' end").as("mode"))
+      .orderBy(col("user_id"), col("grid_ts"))
+  }
+
+  /** Per-key rate limiting over a (event_id, user_id, ts) frame: keep at
+    * most `maxPer` events per user per `unit` (day/hour/week…), in (ts,
+    * event_id) order — one ranked window per (user, window) partition, no
+    * self-join. Shared by ev_rate_limit and
+    * [[graft.api.EventAnalytics.rateLimit]].
+    * @return (event_id, user_id, window_start) ordered by event_id */
+  private[graft] def rateLimitOn(ev: DataFrame, maxPer: Int,
+      unit: String): DataFrame =
+    ev.withColumn("window_start", date_trunc(unit, col("ts")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"), col("window_start"))
+          .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= maxPer)
+      .select(col("event_id"), col("user_id"), col("window_start"))
+      .orderBy(col("event_id"))
+
+  /** Per-group z-score anomaly flagging over a (event_id, event_type,
+    * value) frame: rows whose |z| clears `threshold` against their
+    * group's mean/std. Mean and variance come from EXACT integer-scaled
+    * sums (values floored to 1e-6 before summing), so aggregation order
+    * cannot move a bit; the stats table is tiny and broadcast back.
+    * Constant groups (std = 0) are dropped — z would be 0/0. Shared by
+    * ev_anomaly_zscore and [[graft.api.EventAnalytics.anomalyZScore]].
+    * @return (event_id, event_type, value_r, z) ordered by event_id */
+  private[graft] def anomalyZscoreOn(ev: DataFrame,
+      threshold: Double): DataFrame = {
+    val v6 = ev.withColumn("v6",
+      expr("cast(floor(value * 1e6 + 0.5) as decimal(38,0))"))
+    val stats = v6.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v6")).as("s1"),
+        sum(col("v6") * col("v6")).as("s2"))
+      .select(col("event_type"),
+        expr("cast(s1 as double) / n / 1e6").as("mean"),
+        expr("sqrt(greatest(cast(s2 as double) / n / 1e12 - pow(cast(s1 as double) / n / 1e6, 2), cast(0.0 as double)))").as("std"))
+    v6.join(broadcast(stats), "event_type")
+      .filter(col("std") > 0)
+      .withColumn("z", expr("floor((value - mean) / std * 1e4 + 0.5) / 1e4"))
+      .filter(abs(col("z")) >= threshold)
+      .select(col("event_id"), col("event_type"),
+        expr("floor(value * 1e6 + 0.5) / 1e6").as("value_r"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Weekly cohort retention over a (user_id, ts) frame: users bucketed
+    * by first-seen week, counted per (cohort week, weeks-since) offset —
+    * two aggregates and one join, all key-partitioned. Shared by
+    * ev_cohort_retention and
+    * [[graft.api.EventAnalytics.cohortRetention]].
+    * @return (cohort_week, week_offset, n_users) */
+  private[graft] def cohortRetentionOn(ev: DataFrame): DataFrame = {
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+      .distinct()
+    activity.join(firstSeen, "user_id")
+      .select(col("user_id"), col("cohort_week").cast("date").as("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  /** Strict ordered 3-step funnel over a (user_id, event_type, ts)
+    * frame: step 2 must follow the user's first step-1 event, step 3 the
+    * resulting step-2 anchor. Anchors chain through three per-user window
+    * minimums in ONE keyed pass — no self-joins; rates are non-negative
+    * integer micro-divs with nullif guards. Shared by ev_funnel_steps and
+    * [[graft.api.EventAnalytics.funnelSteps]].
+    * @return (step, gate, n_users, conv_step_micro, conv_total_micro) */
+  private[graft] def funnelStepsOn(ev: DataFrame,
+      s1: String, s2: String, s3: String): DataFrame = {
+    def q(x: String) = x.replace("'", "''") // step names land in a SQL literal
+    val w = Window.partitionBy(col("user_id"))
+    ev.withColumn("t1", min(when(col("event_type") === s1, col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === s2 && col("ts") > col("t1"),
+        col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === s3 && col("ts") > col("t2"),
+        col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
+      .agg(count(col("t1")).as("u1"), count(col("t2")).as("u2"),
+        count(col("t3")).as("u3"))
+      .selectExpr(s"""stack(3,
+          1, '${q(s1)}', u1, cast(1000000 as bigint), cast(1000000 as bigint),
+          2, '${q(s2)}_after_${q(s1)}', u2,
+            u2 * 1000000 div nullif(u1, 0), u2 * 1000000 div nullif(u1, 0),
+          3, '${q(s3)}_after_${q(s2)}', u3,
+            u3 * 1000000 div nullif(u2, 0), u3 * 1000000 div nullif(u1, 0)
+        ) as (step, gate, n_users, conv_step_micro, conv_total_micro)""")
+      .orderBy(col("step"))
+  }
+
   /** Tumbling event-time window aggregate (size == step,
     * reference: state/impl/WindowConfig.scala:21). Epoch-aligned in both
     * Spark (`window`) and DuckDB (`time_bucket`). */
@@ -287,20 +473,8 @@ object EventOps {
     * single-task stage. */
   val cohortRetention = GraftQuery(
     "ev_cohort_retention",
-    (s, dir) => {
-      val ev = t(s, dir, "events")
-      val firstSeen = ev.groupBy(col("user_id"))
-        .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
-      val activity = ev
-        .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
-        .distinct()
-      activity.join(firstSeen, "user_id")
-        .select(col("user_id"), col("cohort_week").cast("date").as("cohort_week"),
-          (datediff(col("act_week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
-        .groupBy(col("cohort_week"), col("week_offset"))
-        .agg(countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("cohort_week"), col("week_offset"))
-    },
+    (s, dir) => cohortRetentionOn(
+      t(s, dir, "events").select(col("user_id"), col("ts"))),
     Some("""WITH first_seen AS (
               SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
               FROM events GROUP BY user_id),
@@ -322,26 +496,9 @@ object EventOps {
     * applies as usual; the stats table is tiny and broadcast back. */
   val anomalyZscore = GraftQuery(
     "ev_anomaly_zscore",
-    (s, dir) => {
-      val ev = t(s, dir, "events")
-        .select(col("event_id"), col("event_type"), col("value"))
-        .withColumn("v6", expr("cast(floor(value * 1e6 + 0.5) as decimal(38,0))"))
-      val stats = ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("v6")).as("s1"),
-          sum(col("v6") * col("v6")).as("s2"))
-        .select(col("event_type"),
-          expr("cast(s1 as double) / n / 1e6").as("mean"),
-          expr("sqrt(greatest(cast(s2 as double) / n / 1e12 - pow(cast(s1 as double) / n / 1e6, 2), cast(0.0 as double)))").as("std"))
-      ev.join(broadcast(stats), "event_type")
-        // std > 0 guard: a constant group would give z = 0/0, and the
-        // engines disagree on NaN comparison semantics
-        .filter(col("std") > 0)
-        .withColumn("z", expr("floor((value - mean) / std * 1e4 + 0.5) / 1e4"))
-        .filter(abs(col("z")) >= 3.0)
-        .select(col("event_id"), col("event_type"),
-          expr("floor(value * 1e6 + 0.5) / 1e6").as("value_r"), col("z"))
-        .orderBy(col("event_id"))
-    },
+    (s, dir) => anomalyZscoreOn(
+      t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
+      threshold = 3.0),
     Some("""WITH v AS (SELECT event_id, event_type, value,
                          CAST(floor(value * 1e6 + 0.5) AS HUGEINT) AS v6
                        FROM events),
@@ -505,18 +662,11 @@ object EventOps {
     * per-gap subqueries. */
   val forwardFill = GraftQuery(
     "ev_forward_fill",
-    (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
+    (s, dir) => forwardFillOn(
       t(s, dir, "events")
         .withColumn("v",
           when(col("event_type") === "error", lit(null)).otherwise(col("value")))
-        .withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
-        .select(col("event_id"), col("user_id"), col("v"), col("filled"))
-        .orderBy(col("event_id"))
-    },
+        .select(col("event_id"), col("user_id"), col("ts"), col("v"))),
     Some("""SELECT event_id, user_id, v,
               last_value(v IGNORE NULLS) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
@@ -624,33 +774,11 @@ object EventOps {
     * probe; everything shuffles once on user_id. */
   val resampleGrid = GraftQuery(
     "ev_resample_grid",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val step = 21600000000L // 6 h in microseconds
-      val ev = t(s, dir, "events")
+    (s, dir) => resampleLocfOn(
+      t(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("event_id"), col("value").as("v"))
-      val grid = ev.groupBy(col("user_id"))
-        .agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
-        .withColumn("start", expr(s"((mn + ${step - 1}) div $step) * $step"))
-        .filter(col("start") <= col("mx"))
-        .select(col("user_id"),
-          explode(expr(s"sequence(start, mx, $step)")).as("ts_us"))
-        .select(col("user_id"), col("ts_us"),
-          lit(0L).as("event_id"), lit(null).cast("double").as("v"),
-          lit(1).as("is_grid"))
-      val union = ev.withColumn("is_grid", lit(0))
-        .select(col("user_id"), col("ts_us"), col("event_id"), col("v"), col("is_grid"))
-        .unionByName(grid)
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("is_grid"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      union.withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
-        .filter(col("is_grid") === 1)
-        .select(col("user_id"),
-          expr("timestamp_micros(ts_us)").as("grid_ts"), col("v_filled"))
-        .orderBy(col("user_id"), col("grid_ts"))
-    },
+          col("event_id"), col("value").as("v")),
+      21600000000L), // 6 h in microseconds
     Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value AS v
                         FROM events),
             b AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
@@ -681,22 +809,16 @@ object EventOps {
     * randomized order-preserving chopping. */
   val rateLimit = GraftQuery(
     "ev_rate_limit",
-    (s, dir) =>
-      t(s, dir, "events")
-        .withColumn("day_start", date_trunc("day", col("ts")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("user_id"), col("day_start"))
-            .orderBy(col("ts"), col("event_id"))))
-        .filter(col("rn") <= 2)
-        .select(col("event_id"), col("user_id"), col("day_start"))
-        .orderBy(col("event_id")),
+    (s, dir) => rateLimitOn(
+      t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+      maxPer = 2, unit = "day"),
     Some("""WITH r AS (
               SELECT event_id, user_id,
-                CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+                CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
                 row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
                                    ORDER BY ts, event_id) AS rn
               FROM events)
-            SELECT event_id, user_id, day_start FROM r
+            SELECT event_id, user_id, window_start FROM r
             WHERE rn <= 2 ORDER BY event_id"""))
 
   /** ABSENCE DETECTION, batch leg: every `click` never answered by a
@@ -816,49 +938,11 @@ object EventOps {
     * t_next > t >= t_prev keeps the denominator positive). */
   val resampleInterpolate = GraftQuery(
     "ev_resample_interpolate",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val step = 21600000000L // 6 h in microseconds
-      val ev = t(s, dir, "events")
+    (s, dir) => resampleLinearOn(
+      t(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("event_id"), col("value").as("v"))
-      val grid = ev.groupBy(col("user_id"))
-        .agg(min(col("ts_us")).as("mn"), max(col("ts_us")).as("mx"))
-        .withColumn("start", expr(s"((mn + ${step - 1}) div $step) * $step"))
-        .filter(col("start") <= col("mx"))
-        .select(col("user_id"),
-          explode(expr(s"sequence(start, mx, $step)")).as("ts_us"))
-        .select(col("user_id"), col("ts_us"), lit(0L).as("event_id"),
-          lit(null).cast("long").as("ts_ev"), lit(null).cast("double").as("v"),
-          lit(1).as("is_grid"))
-      val union = ev
-        .select(col("user_id"), col("ts_us"), col("event_id"),
-          // a null-valued observation must not anchor: its ts_ev is null so
-          // prev_ts/prev_v (and next_ts/next_v) always come from the SAME
-          // event — else t_prev and v_prev could pair from different rows
-          when(col("v").isNotNull, col("ts_us")).as("ts_ev"),
-          col("v"), lit(0).as("is_grid"))
-        .unionByName(grid)
-      val ord = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts_us"), col("is_grid"), col("event_id"))
-      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      union
-        .withColumn("prev_ts", last(col("ts_ev"), ignoreNulls = true).over(back))
-        .withColumn("prev_v", last(col("v"), ignoreNulls = true).over(back))
-        .withColumn("next_ts", first(col("ts_ev"), ignoreNulls = true).over(fwd))
-        .withColumn("next_v", first(col("v"), ignoreNulls = true).over(fwd))
-        .filter(col("is_grid") === 1)
-        .select(col("user_id"),
-          expr("timestamp_micros(ts_us)").as("grid_ts"),
-          expr("""case when next_ts is null then prev_v
-                       else prev_v + (next_v - prev_v)
-                            * (cast(ts_us - prev_ts as double)
-                               / cast(next_ts - prev_ts as double)) end""")
-            .as("v_interp"),
-          expr("case when next_ts is null then 'hold' else 'interp' end").as("mode"))
-        .orderBy(col("user_id"), col("grid_ts"))
-    },
+          col("event_id"), col("value").as("v")),
+      21600000000L), // 6 h in microseconds
     Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value AS v
                         FROM events),
             b AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
@@ -1158,28 +1242,9 @@ object EventOps {
     * Rates are non-negative integer micro-divs with nullif guards. */
   val funnelSteps = GraftQuery(
     "ev_funnel_steps",
-    (s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-      t(s, dir, "events")
-        .select(col("user_id"), col("event_type"), col("ts"))
-        .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
-        .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"),
-          col("ts"))).over(w))
-        .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
-          col("ts"))).over(w))
-        .groupBy(col("user_id"))
-        .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
-        .agg(count(col("t1")).as("u1"), count(col("t2")).as("u2"),
-          count(col("t3")).as("u3"))
-        .selectExpr("""stack(3,
-            1, 'view', u1, cast(1000000 as bigint), cast(1000000 as bigint),
-            2, 'click_after_view', u2,
-              u2 * 1000000 div nullif(u1, 0), u2 * 1000000 div nullif(u1, 0),
-            3, 'purchase_after_click', u3,
-              u3 * 1000000 div nullif(u2, 0), u3 * 1000000 div nullif(u1, 0)
-          ) as (step, gate, n_users, conv_step_micro, conv_total_micro)""")
-        .orderBy(col("step"))
-    },
+    (s, dir) => funnelStepsOn(
+      t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts")),
+      "view", "click", "purchase"),
     Some("""WITH e1 AS (
               SELECT user_id, event_type, ts,
                 min(CASE WHEN event_type = 'view' THEN ts END)

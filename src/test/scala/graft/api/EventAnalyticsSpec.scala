@@ -77,6 +77,131 @@ class EventAnalyticsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       EventAnalytics.asOfJoin(two, Seq((1L, ts(0), 1L)).toDF("a", "b", "c"))
     }
+    intercept[IllegalArgumentException] { EventAnalytics.forwardFill(two) }
+    intercept[IllegalArgumentException] { EventAnalytics.rateLimit(two) }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.resample(two.withColumn("c", col("a"))
+        .withColumn("d", col("a")), stepSeconds = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.cohortRetention(two.withColumn("c", col("a")))
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.funnelSteps(two, "a", "b", "c")
+    }
+  }
+
+  test("forwardFill: nulls take the latest prior reading per key; a leading null stays null") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, ts(0), Some(1.0)), (2L, 1L, ts(10), None),
+      (3L, 1L, ts(20), Some(3.0)), (4L, 1L, ts(30), None),
+      (5L, 2L, ts(0), None)) // key 2 never observes: stays null
+      .toDF("row id", "sensor.key", "at", "reading")
+    val rows = EventAnalytics.forwardFill(ev).collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(rows.toSeq == Seq(
+      1L -> Some(1.0), 2L -> Some(1.0), 3L -> Some(3.0), 4L -> Some(3.0),
+      5L -> None), s"${rows.toSeq}")
+  }
+
+  test("resample: LOCF holds the last reading; linear interpolates exactly between anchors") {
+    import spark.implicits._
+    // key 1: readings 1.0 @ 0 min and 5.0 @ 60 min; 30-min grid =
+    // {0, 30, 60} -> LOCF (1, 1, 5); linear (1, 3, 5) with the last
+    // point 'hold' (grid instant coincides with the final observation)
+    val ev = Seq(
+      (1L, 1L, ts(0), 1.0), (2L, 1L, ts(60), 5.0),
+      (3L, 2L, ts(0), 7.0)) // single observation: one grid point
+      .toDF("id", "k", "t", "v")
+    val locf = EventAnalytics.resample(ev, stepSeconds = 1800L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    assert(locf.toSeq == Seq(
+      (1L, ts(0), 1.0), (1L, ts(30), 1.0), (1L, ts(60), 5.0),
+      (2L, ts(0), 7.0)), s"${locf.toSeq}")
+    val lin = EventAnalytics.resample(ev, stepSeconds = 1800L, linear = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2), r.getString(3)))
+    assert(lin.toSeq == Seq(
+      (1L, ts(0), 1.0, "interp"), (1L, ts(30), 3.0, "interp"),
+      (1L, ts(60), 5.0, "hold"), (2L, ts(0), 7.0, "hold")), s"${lin.toSeq}")
+  }
+
+  test("rateLimit: at most maxPer per key per unit, earliest first") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, ts(0)), (2L, 1L, ts(1)), (3L, 1L, ts(2)), // 3 same-day: keep 2
+      (4L, 2L, ts(5)))
+      .toDF("event", "who", "when")
+    val kept = EventAnalytics.rateLimit(ev, maxPer = 2)
+      .collect().map(_.getLong(0))
+    assert(kept.toSeq == Seq(1L, 2L, 4L), s"${kept.toSeq}")
+    // hourly quota of 1: ts(0) and ts(1) share the hour
+    val hourly = EventAnalytics.rateLimit(ev, maxPer = 1, per = "hour")
+      .collect().map(_.getLong(0))
+    assert(hourly.toSeq == Seq(1L, 4L), s"${hourly.toSeq}")
+  }
+
+  test("anomalyZScore: the planted spike clears 3 sigma; constant groups drop") {
+    import spark.implicits._
+    // group g: nine 0.0s and one 10.0 -> mean 1, std 3, z(10) = 3.0
+    val ev = ((1L to 9L).map(i => (i, "g", 0.0)) :+ ((10L, "g", 10.0))) ++
+      Seq((11L, "flat", 5.0), (12L, "flat", 5.0)) // std 0: dropped
+    val rows = EventAnalytics.anomalyZScore(ev.toDF("id", "grp", "x"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(rows.toSeq == Seq((10L, "g", 3.0)), s"${rows.toSeq}")
+    // a tighter threshold flags nothing extra here; a looser one adds the -0.3333 rows
+    assert(EventAnalytics.anomalyZScore(ev.toDF("id", "grp", "x"), 0.3).count() == 10L)
+  }
+
+  test("cohortRetention: first-seen week buckets with exact offsets") {
+    import spark.implicits._
+    val mon1 = Timestamp.valueOf("2024-01-01 10:00:00") // Monday, week 0
+    val mon2 = Timestamp.valueOf("2024-01-08 10:00:00") // Monday, week 1
+    val ev = Seq(
+      (1L, mon1), (1L, mon2), // cohort wk0, active wk0 + wk1
+      (2L, mon2))             // cohort wk1
+      .toDF("u", "t")
+    val rows = EventAnalytics.cohortRetention(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      ("2024-01-01", 0, 1L), ("2024-01-01", 1, 1L), ("2024-01-08", 0, 1L)),
+      s"${rows.toSeq}")
+  }
+
+  test("funnelSteps: strict ordered cascade with exact micro-rates") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "a", ts(0)), (1L, "b", ts(10)), (1L, "c", ts(20)), // full cascade
+      (2L, "b", ts(0)), (2L, "a", ts(10)),                    // b precedes a: no step 2
+      (3L, "a", ts(0)))                                       // step 1 only
+      .toDF("u", "e", "t")
+    val rows = EventAnalytics.funnelSteps(ev, "a", "b", "c")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (1, "a", 3L, 1000000L, 1000000L),
+      (2, "b_after_a", 1L, 333333L, 333333L),
+      (3, "c_after_b", 1L, 1000000L, 333333L)), s"${rows.toSeq}")
+  }
+
+  test("degenerate inputs: the six r15 facade functions flow empty frames through") {
+    import spark.implicits._
+    val e4 = Seq.empty[(Long, Long, Timestamp, Double)].toDF("a", "b", "c", "d")
+    val e3 = Seq.empty[(Long, Long, Timestamp)].toDF("a", "b", "c")
+    assert(EventAnalytics.forwardFill(e4).count() == 0)
+    assert(EventAnalytics.resample(e4).count() == 0)
+    assert(EventAnalytics.resample(e4, linear = true).count() == 0)
+    assert(EventAnalytics.rateLimit(e3).count() == 0)
+    assert(EventAnalytics.anomalyZScore(
+      Seq.empty[(Long, String, Double)].toDF("a", "b", "c")).count() == 0)
+    assert(EventAnalytics.cohortRetention(
+      Seq.empty[(Long, Timestamp)].toDF("a", "b")).count() == 0)
+    // an empty funnel still renders the 3-row dashboard table, all zero
+    val f = EventAnalytics.funnelSteps(
+      Seq.empty[(Long, String, Timestamp)].toDF("a", "b", "c"), "x", "y", "z")
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(f.toSeq == Seq((1, 0L), (2, 0L), (3, 0L)), s"${f.toSeq}")
   }
 
   test("degenerate inputs: empty frames flow through; equal-ts right rows tie-break deterministically") {
