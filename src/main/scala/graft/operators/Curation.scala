@@ -129,39 +129,52 @@ object Curation {
     * (bit-identical across engines); each p is scaled to an int
     * (floor(p*1e8+0.5)) BEFORE summing so the per-doc sum is exact integer
     * arithmetic — aggregation order cannot flip a bit. */
+  /** Per-document bigram LM totals over a (doc_id, text) frame — the
+    * shared core of lm_bigram_score, lm_perplexity_yield and
+    * [[graft.api.LmScoring]]. The corpus's own bigram model (p =
+    * c_bg/c_w1, each p integer-scaled BEFORE summing so aggregation
+    * order cannot flip a bit) joined back to each document's bigrams on
+    * the bigram key. The fact table is NOT cached: at 100 TB a cache of
+    * the exploded corpus would evict or spill; the corpus is scanned
+    * exactly twice (model build + scoring), each scan pruned to
+    * (doc_id, text). The prefix totals are a window over the
+    * (distinct-bigram-sized) MODEL — one shuffle of model rows by w1,
+    * never a second pass over the facts and no model-vs-model self-join.
+    * @return (doc_id, n_bigrams, sum_scaled) */
+  private[graft] def lmBigramDocScores(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(w)-2),
+           i -> concat_ws(' ', w[i], w[i+1]))""")).as("bg"))
+    val model = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val scoredModel = model
+      .withColumn("c_w1", sum(col("c_bg"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+      .select(col("bg"), expr(
+        "cast(floor(cast(c_bg as double) / c_w1 * 1e8 + 0.5) as bigint)").as("p_scaled"))
+    bigrams
+      .join(scoredModel, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("sum_scaled"))
+  }
+
+  /** Bigram fluency scores with the display-scaled mean probability.
+    * Shared by lm_bigram_score and [[graft.api.LmScoring.bigramScore]].
+    * @return (doc_id, n_bigrams, sum_scaled, avg_p) ordered by doc_id */
+  private[graft] def lmBigramScoreOn(docs: DataFrame): DataFrame =
+    lmBigramDocScores(docs)
+      .withColumn("avg_p", expr(
+        "floor(cast(sum_scaled as double) / n_bigrams / 100.0 + 0.5) / 1e6"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_scaled"), col("avg_p"))
+      .orderBy(col("doc_id"))
+
   val lmBigramScore = GraftQuery(
     "lm_bigram_score",
-    (s, dir) => {
-      // fact table: one narrow (doc_id, bg) row per bigram occurrence.
-      // NOT cached: at 100 TB a cache of the exploded corpus would evict or
-      // spill; the corpus is scanned exactly twice (model build + scoring),
-      // each scan pruned to (doc_id, text).
-      val bigrams = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, size(w)-2),
-             i -> concat_ws(' ', w[i], w[i+1]))""")).as("bg"))
-      // model build groups the FACT table once on bg; the prefix totals are
-      // a window over the (distinct-bigram-sized) MODEL — one shuffle of
-      // model rows by w1, never a second pass over the facts and no
-      // model-vs-model self-join (which would compute the aggregate twice)
-      val model = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-      val scoredModel = model
-        .withColumn("c_w1", sum(col("c_bg"))
-          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
-        .select(col("bg"), expr(
-          "cast(floor(cast(c_bg as double) / c_w1 * 1e8 + 0.5) as bigint)").as("p_scaled"))
-      bigrams
-        .join(scoredModel, "bg")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("sum_scaled"))
-        .withColumn("avg_p", expr(
-          "floor(cast(sum_scaled as double) / n_bigrams / 100.0 + 0.5) / 1e6"))
-        .select(col("doc_id"), col("n_bigrams"), col("sum_scaled"), col("avg_p"))
-        .orderBy(col("doc_id"))
-    },
+    (s, dir) => lmBigramScoreOn(
+      t(s, dir, "documents").select(col("doc_id"), col("text"))),
     Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             bigr AS (
               SELECT doc_id,
@@ -202,49 +215,67 @@ object Curation {
     * division (times the 0.4 constant on the backoff path) and every term
     * is integer-scaled (floor(x*1e6+0.5)) BEFORE summation — the dsir
     * discipline, aggregation-order-proof. */
+  /** Stupid-backoff scoring of an eval (doc_id, text) frame under a
+    * model built on a train (doc_id, text) frame. Shared by
+    * lm_backoff_score and [[graft.api.LmScoring.backoffScore]].
+    * @return (doc_id, n_bigrams, n_backoff, score_scaled) by doc_id */
+  private[graft] def lmBackoffScoreOn(train: DataFrame,
+      eval: DataFrame): DataFrame = {
+    def toks(d: DataFrame) =
+      d.select(col("doc_id"), split(col("text"), " ").as("w"))
+    def bigrams(d: DataFrame) =
+      toks(d).filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(w)-2),
+             i -> struct(w[i] as w1, w[i+1] as w2))""")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"),
+          concat_ws(" ", col("b.w1"), col("b.w2")).as("bg"))
+    // bigram model with its prefix totals (one shuffle of model rows)
+    val model = bigrams(train).groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
+      .withColumn("c_w1", sum(col("c_bg")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(substring_index(col("bg"), " ", 1))))
+    val uni = toks(train)
+      .select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_u"))
+    val scalars = broadcast(uni.agg(
+      sum(col("c_u")).as("tt"), count(lit(1)).as("vv")))
+    bigrams(eval)
+      .join(model.select(col("bg"), col("c_bg"), col("c_w1")), Seq("bg"), "left")
+      .join(uni.select(col("tok").as("w2"), col("c_u")), Seq("w2"), "left")
+      .crossJoin(scalars)
+      .withColumn("term", expr(
+        """cast(floor(case
+             when c_bg is not null
+               then ln(cast(c_bg as double) / cast(c_w1 as double))
+             else ln(0.4 * (cast(coalesce(c_u, 0) + 1 as double)
+                            / cast(tt + vv as double)))
+           end * 1e6 + 0.5) as bigint)"""))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_backoff"),
+        sum(col("term")).as("score_scaled"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The fixture's held-out split for [[lmBackoffScoreOn]] /
+    * [[lmKneserNeyOn]]: doc_id % 5 == 0 is the eval slice, with one
+    * planted doc-specific token appended so the unseen-bigram AND
+    * OOV-unigram paths fire at every SF. */
+  private def heldOutSplit(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val all = t(s, dir, "documents")
+    (all.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text")),
+      all.filter(col("doc_id") % 5 === 0).select(col("doc_id"),
+        concat(col("text"), lit(" zq"), col("doc_id").cast("string"))
+          .as("text")))
+  }
+
   val lmBackoffScore = GraftQuery(
     "lm_backoff_score",
     (s, dir) => {
-      def toks(train: Boolean) =
-        t(s, dir, "documents")
-          .filter(if (train) col("doc_id") % 5 =!= 0 else col("doc_id") % 5 === 0)
-          .select(col("doc_id"),
-            split(if (train) col("text")
-                  else concat(col("text"), lit(" zq"), col("doc_id").cast("string")),
-              " ").as("w"))
-      def bigrams(train: Boolean) =
-        toks(train).filter(size(col("w")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(0, size(w)-2),
-               i -> struct(w[i] as w1, w[i+1] as w2))""")).as("b"))
-          .select(col("doc_id"), col("b.w1"), col("b.w2"),
-            concat_ws(" ", col("b.w1"), col("b.w2")).as("bg"))
-      // bigram model with its prefix totals (one shuffle of model rows)
-      val model = bigrams(train = true).groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-        .withColumn("c_w1", sum(col("c_bg")).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(substring_index(col("bg"), " ", 1))))
-      val uni = toks(train = true)
-        .select(explode(col("w")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("c_u"))
-      val scalars = broadcast(uni.agg(
-        sum(col("c_u")).as("tt"), count(lit(1)).as("vv")))
-      bigrams(train = false)
-        .join(model.select(col("bg"), col("c_bg"), col("c_w1")), Seq("bg"), "left")
-        .join(uni.select(col("tok").as("w2"), col("c_u")), Seq("w2"), "left")
-        .crossJoin(scalars)
-        .withColumn("term", expr(
-          """cast(floor(case
-               when c_bg is not null
-                 then ln(cast(c_bg as double) / cast(c_w1 as double))
-               else ln(0.4 * (cast(coalesce(c_u, 0) + 1 as double)
-                              / cast(tt + vv as double)))
-             end * 1e6 + 0.5) as bigint)"""))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_backoff"),
-          sum(col("term")).as("score_scaled"))
-        .orderBy(col("doc_id"))
+      val (train, eval) = heldOutSplit(s, dir)
+      lmBackoffScoreOn(train, eval)
     },
     Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
                         FROM documents WHERE doc_id % 5 <> 0),
@@ -304,50 +335,55 @@ object Curation {
     * identical IEEE op tree on both engines, and each ln(P) is integer-
     * scaled (floor(·1e6+0.5)) BEFORE the per-doc sum — the dsir/backoff
     * discipline, aggregation-order-proof. */
+  /** Interpolated Kneser-Ney scoring of an eval (doc_id, text) frame
+    * under a model built on a train (doc_id, text) frame. Shared by
+    * lm_kneser_ney and [[graft.api.LmScoring.kneserNeyScore]].
+    * @return (doc_id, n_bigrams, n_unseen, score_scaled) by doc_id */
+  private[graft] def lmKneserNeyOn(train: DataFrame,
+      eval: DataFrame): DataFrame = {
+    def toks(d: DataFrame) =
+      d.select(col("doc_id"), split(col("text"), " ").as("w"))
+    def bigrams(d: DataFrame) =
+      toks(d).filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(w)-2),
+             i -> struct(w[i] as w1, w[i+1] as w2))""")).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val model = bigrams(train)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg"))
+    val pfx = model.groupBy(col("w1"))
+      .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1p"))
+    val ctx = model.groupBy(col("w2")).agg(count(lit(1)).as("nctx"))
+    val vocab = toks(train).select(explode(col("w")).as("tok")).distinct()
+    val scalars = broadcast(
+      model.agg(count(lit(1)).as("nt")).crossJoin(vocab.agg(count(lit(1)).as("vv"))))
+    bigrams(eval)
+      .join(model, Seq("w1", "w2"), "left")
+      .join(pfx, Seq("w1"), "left")
+      .join(ctx, Seq("w2"), "left")
+      .crossJoin(scalars)
+      .withColumn("term", expr(
+        """cast(floor(ln(
+             case when c_w1 is not null then
+               (case when c_bg is not null
+                     then (cast(c_bg as double) - 0.75) / cast(c_w1 as double)
+                     else 0.0 end)
+               + (0.75 * cast(n1p as double) / cast(c_w1 as double))
+                 * (cast(coalesce(nctx, 0) + 1 as double) / cast(nt + vv as double))
+             else (cast(coalesce(nctx, 0) + 1 as double) / cast(nt + vv as double)) end
+           ) * 1e6 + 0.5) as bigint)"""))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_unseen"),
+        sum(col("term")).as("score_scaled"))
+      .orderBy(col("doc_id"))
+  }
+
   val lmKneserNey = GraftQuery(
     "lm_kneser_ney",
     (s, dir) => {
-      def toks(train: Boolean) =
-        t(s, dir, "documents")
-          .filter(if (train) col("doc_id") % 5 =!= 0 else col("doc_id") % 5 === 0)
-          .select(col("doc_id"),
-            split(if (train) col("text")
-                  else concat(col("text"), lit(" zq"), col("doc_id").cast("string")),
-              " ").as("w"))
-      def bigrams(train: Boolean) =
-        toks(train).filter(size(col("w")) >= 2)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(0, size(w)-2),
-               i -> struct(w[i] as w1, w[i+1] as w2))""")).as("b"))
-          .select(col("doc_id"), col("b.w1"), col("b.w2"))
-      val model = bigrams(train = true)
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg"))
-      val pfx = model.groupBy(col("w1"))
-        .agg(sum(col("c_bg")).as("c_w1"), count(lit(1)).as("n1p"))
-      val ctx = model.groupBy(col("w2")).agg(count(lit(1)).as("nctx"))
-      val vocab = toks(train = true).select(explode(col("w")).as("tok")).distinct()
-      val scalars = broadcast(
-        model.agg(count(lit(1)).as("nt")).crossJoin(vocab.agg(count(lit(1)).as("vv"))))
-      bigrams(train = false)
-        .join(model, Seq("w1", "w2"), "left")
-        .join(pfx, Seq("w1"), "left")
-        .join(ctx, Seq("w2"), "left")
-        .crossJoin(scalars)
-        .withColumn("term", expr(
-          """cast(floor(ln(
-               case when c_w1 is not null then
-                 (case when c_bg is not null
-                       then (cast(c_bg as double) - 0.75) / cast(c_w1 as double)
-                       else 0.0 end)
-                 + (0.75 * cast(n1p as double) / cast(c_w1 as double))
-                   * (cast(coalesce(nctx, 0) + 1 as double) / cast(nt + vv as double))
-               else (cast(coalesce(nctx, 0) + 1 as double) / cast(nt + vv as double)) end
-             ) * 1e6 + 0.5) as bigint)"""))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(when(col("c_bg").isNull, 1L).otherwise(0L)).as("n_unseen"),
-          sum(col("term")).as("score_scaled"))
-        .orderBy(col("doc_id"))
+      val (train, eval) = heldOutSplit(s, dir)
+      lmKneserNeyOn(train, eval)
     },
     Some("""WITH tr AS (SELECT doc_id, string_split(text, ' ') AS w
                         FROM documents WHERE doc_id % 5 <> 0),
@@ -686,43 +722,39 @@ object Curation {
     * per-bigram p ≤ 1e8 — and doc_id < 2³⁶). Decile = rank·10 div n
     * against a 1-row broadcast count; everything else is the
     * lm_bigram_score model build, integer-exact. */
+  /** The perplexity-yield decile curve over a (doc_id, text) frame —
+    * [[lmBigramDocScores]] ranked by the two-phase distributed prefix
+    * sum, never a single-task global window. doc_id must be integral,
+    * non-negative and < 2³⁶ (the pack bound, raise_error-enforced).
+    * Shared by lm_perplexity_yield and
+    * [[graft.api.LmScoring.perplexityYield]].
+    * @return (decile, n_docs, n_tokens, score_floor) */
+  private[graft] def perplexityYieldOn(s: SparkSession,
+      docsIn: DataFrame): DataFrame = {
+    val docs = lmBigramDocScores(docsIn)
+      .select(col("doc_id").cast("long").as("doc_id"), col("n_bigrams"),
+        expr("sum_scaled div n_bigrams").as("score"))
+      .withColumn("pack",
+        when(col("score") >= lit(1L << 27) || col("doc_id") >= lit(1L << 36),
+          expr("raise_error('lm_perplexity_yield: pack overflow — " +
+            "score >= 2^27 or doc_id >= 2^36')").cast("long"))
+          // inv max (score=0) is 2^27-1, so pack < 2^63 with no overflow
+          .otherwise((lit((1L << 27) - 1) - col("score")) * lit(1L << 36) + col("doc_id")))
+      .withColumn("one", lit(1L))
+    val n = broadcast(docs.agg(count(lit(1)).as("n")))
+    Sampling.prefixSum(s, docs, "pack", "one", "rank")
+      .crossJoin(n)
+      .select(expr("rank * 10 div n").as("decile"), col("n_bigrams"), col("score"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_tokens"),
+        min(col("score")).as("score_floor"))
+      .orderBy(col("decile"))
+  }
+
   val perplexityYield = GraftQuery(
     "lm_perplexity_yield",
-    (s, dir) => {
-      val bigrams = t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, size(w)-2),
-             i -> concat_ws(' ', w[i], w[i+1]))""")).as("bg"))
-      val model = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c_bg"))
-        .withColumn("w1", substring_index(col("bg"), " ", 1))
-      val scoredModel = model
-        .withColumn("c_w1", sum(col("c_bg")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
-        .select(col("bg"), expr(
-          "cast(floor(cast(c_bg as double) / c_w1 * 1e8 + 0.5) as bigint)").as("p_scaled"))
-      val docs = bigrams.join(scoredModel, "bg")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_scaled")).as("sum_scaled"))
-        .select(col("doc_id").cast("long").as("doc_id"), col("n_bigrams"),
-          expr("sum_scaled div n_bigrams").as("score"))
-        .withColumn("pack",
-          when(col("score") >= lit(1L << 27) || col("doc_id") >= lit(1L << 36),
-            expr("raise_error('lm_perplexity_yield: pack overflow — " +
-              "score >= 2^27 or doc_id >= 2^36')").cast("long"))
-            // inv max (score=0) is 2^27-1, so pack < 2^63 with no overflow
-            .otherwise((lit((1L << 27) - 1) - col("score")) * lit(1L << 36) + col("doc_id")))
-        .withColumn("one", lit(1L))
-      val n = broadcast(docs.agg(count(lit(1)).as("n")))
-      Sampling.prefixSum(s, docs, "pack", "one", "rank")
-        .crossJoin(n)
-        .select(expr("rank * 10 div n").as("decile"), col("n_bigrams"), col("score"))
-        .groupBy(col("decile"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_tokens"),
-          min(col("score")).as("score_floor"))
-        .orderBy(col("decile"))
-    },
+    (s, dir) => perplexityYieldOn(s,
+      t(s, dir, "documents").select(col("doc_id"), col("text"))),
     Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             bigr AS (SELECT doc_id,
                 unnest(list_transform(generate_series(1, len(w) - 1), i -> w[i])) AS w1,
