@@ -51,11 +51,18 @@ object Bench {
     // one more rep costs ~7 s and roughly halves that spread.
     // When the box is ALREADY loaded at bench start (r10→r12 showed
     // load_avg climbing 3.0→5.5 with two-sided ±40% swings on untouched
-    // plans), even the min of 3 gets inflated — take 5 reps instead so the
-    // min has more chances to land in a quiet scheduling window, and stamp
-    // the JSON with a noise note so the round-over-round reader knows.
-    val loaded = loadStart > 3.0
-    val nReps = if (loaded) 5 else 3
+    // plans; r14's load 3.9 run read q25 at 0.901 s vs 0.164 s on a
+    // byte-identical binary — a 5.5x phantom regression), even the min
+    // gets inflated — take 9 reps so the min has many chances to land in
+    // a quiet scheduling window. The load threshold is 2.0: on a box whose
+    // background load already rivals the bench's own parallelism demand,
+    // contention is measurable well before load 3. Either way the JSON
+    // carries a per-query spread column ((max-min)/min over the reps) so
+    // the round-over-round reader can see which numbers are sample-stable
+    // and which are scheduling lottery, instead of inferring it from a
+    // single load average.
+    val loaded = loadStart > 2.0
+    val nReps = if (loaded) 9 else 3
     val results = headline.map { q =>
       val reps = (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
@@ -64,10 +71,14 @@ object Bench {
           catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: $e"); false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (q.name, reps.map(_._1).min, reps.forall(_._2))
+      val times = reps.map(_._1)
+      (q.name, times.min, reps.forall(_._2), (times.max - times.min) / times.min)
     }
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       if (ok) "\"" + k + f"\":$v%.3f" else "\"" + k + "\":null"
+    }.mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, _, sp) =>
+      "\"" + k + f"\":$sp%.2f"
     }.mkString("{", ",", "}")
     val errors = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
@@ -94,7 +105,7 @@ object Bench {
         f""","noise_note":"load_avg $loadStart%.1f at start: shared-box contention; per-query times are min-of-$nReps but may still be inflated — compare totals across rounds with the load column, not at face value""""
       else ""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f$lat$load$noise,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"reps":$nReps,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f$lat$load$noise,"sf":"$sfDir"}"""
     // Evidence must be unlosable (round-2 lesson: the TaskKilled WARN flood
     // after solThroughput's q.stop() pushed the metric line out of the
     // harness's captured log tail). So: persist to a file FIRST, then stop

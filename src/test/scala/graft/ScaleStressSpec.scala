@@ -267,18 +267,25 @@ class ScaleStressSpec extends SparkTestBase {
       // ---- salted-join payoff, measured (the operator's reason to exist).
       // Plant a DOMINANT hub ORDER key at read time (90% of the 13M-row
       // exploded lineitem on one l_orderkey) joined against the base-sized
-      // orders table, and time the exact q28 code path (Skew.saltedRevenue)
-      // against the naive join with AQE skew-splitting DISABLED — the
-      // single-reducer fate manual salting guards against (single-mapper
-      // shuffles, pre-AQE engines, skew below byte-detection thresholds).
-      // The naive join with skew-splitting ON is logged as context: AQE's
-      // automatic mitigation on the same data. Measured honesty note: the
-      // salting tax is Salt x the FULL build side, so an earlier variant of
-      // this fixture (50% hub against the 3.2M-row power-law orders) had
-      // the tax EXCEED the single-reducer cost — salting lost 2x to the
-      // naive join. Salting pays off when hub volume >> Salt x build size;
-      // below that line, prefer AQE's split (which pays the tax only on
-      // the hot partition). This fixture sits clearly above the line.
+      // orders table, and time the exact q28 code path (Skew.saltedRevenue,
+      // INCLUDING its probedSalt key-histogram probe — the production path,
+      // not a pinned constant) against the naive join with AQE
+      // skew-splitting DISABLED — the single-reducer fate manual salting
+      // guards against (single-mapper shuffles, pre-AQE engines, skew below
+      // byte-detection thresholds). The naive join with skew-splitting ON
+      // is logged as context: AQE's automatic mitigation on the same data,
+      // which the r14 numbers showed DOMINATES the static salt (3.2 s vs
+      // 4.0 s) — the measured ordering now stated in Skew's scaladoc.
+      // Measured honesty note: the salting tax is Salt x the FULL build
+      // side, so an earlier variant of this fixture (50% hub against the
+      // 3.2M-row power-law orders) had the tax EXCEED the single-reducer
+      // cost — salting lost 2x to the naive join. Salting pays off when
+      // hub volume >> Salt x build size; below that line, prefer AQE's
+      // split (which pays the tax only on the hot partition). This fixture
+      // sits clearly above the line — and probedSalt is the guard that
+      // keeps q28 off the wrong side of it on unskewed corpora (salt
+      // collapses to ~1, so the r14 15.1 s skew-leg outlier — an 8x tax
+      // for skew that wasn't per-key — cannot recur).
       val dirStr = dir.toString
       val hubOrder = Tables.t(spark, baseSf, "orders")
         .agg(min(col("o_orderkey"))).head().getLong(0)
@@ -313,6 +320,15 @@ class ScaleStressSpec extends SparkTestBase {
         val r = probe.collect()(0)
         (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
       }
+      // the probe must SEE the planted hub (salt > 1 on the hubbed fact)
+      // and see its absence (salt == 1 on the uniform base lineitem,
+      // where no order key exceeds 7 rows)
+      val hubSalt = operators.Skew.probedSalt(liHub, "l_orderkey")
+      assert(hubSalt > 1 && hubSalt <= operators.Skew.MaxSalt,
+        s"probedSalt must detect the 90%-volume hub key, got $hubSalt")
+      assert(operators.Skew.probedSalt(
+          Tables.t(spark, baseSf, "lineitem"), "l_orderkey") === 1,
+        "probedSalt must collapse to 1 on the uniform corpus")
       val (nN, xN, tNaive) = withSkewSplit(false)(
         timeHash(operators.Skew.plainRevenue(liHub, oAll)))
       val (nS, xS, tSalted) = withSkewSplit(false)(
@@ -325,8 +341,8 @@ class ScaleStressSpec extends SparkTestBase {
         f"salted join ($tSalted%.1f s) must beat the naive single-reducer " +
           f"join ($tNaive%.1f s) on the hub-order corpus")
       info(f"salted-join payoff (hub order = half of lineitem): naive(skew-split off) " +
-        f"$tNaive%.1f s, salted $tSalted%.1f s (${tNaive / tSalted}%.1fx), " +
-        f"naive+AQE-split $tAqe%.1f s")
+        f"$tNaive%.1f s, salted(probe-derived salt=$hubSalt) $tSalted%.1f s " +
+        f"(${tNaive / tSalted}%.1fx), naive+AQE-split $tAqe%.1f s")
 
       // ---- wedge family under a planted degree-1001 hub part. Append
       // 1000 synthetic 3-item orders {hub, q_i+1, q_i+2} to the skewed

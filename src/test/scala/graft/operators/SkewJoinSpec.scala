@@ -62,4 +62,32 @@ class SkewJoinSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("probedSalt sizes the salt to the observed key histogram") {
+    // uniform keys: no key's estimated volume crosses the slot target,
+    // so the salted join must degenerate to salt=1 (no build-side tax)
+    val uniform = spark.range(20000)
+      .select((col("id") % 1000).as("l_orderkey"), col("id").as("l_linenumber"))
+    assert(Skew.probedSalt(uniform, "l_orderkey", targetRowsPerSlot = 1000L) === 1)
+    // a planted hub far past the target (100k rows, ~100k estimated after
+    // the 5% sample-up, vs a 1k-row slot) must clamp to MaxSalt
+    val hub = spark.range(100000).select(lit(7L).as("l_orderkey"))
+    assert(Skew.probedSalt(hub, "l_orderkey", targetRowsPerSlot = 1000L)
+      === Skew.MaxSalt)
+    // a mid-size hub lands between the clamps: ~5k estimated rows on one
+    // key over a 1k slot -> salt ~5
+    val mid = spark.range(5000).select(lit(7L).as("l_orderkey"))
+      .unionByName(uniform.select(col("l_orderkey")))
+    val s = Skew.probedSalt(mid, "l_orderkey", targetRowsPerSlot = 1000L)
+    assert(s > 1 && s < Skew.MaxSalt, s"expected an intermediate salt, got $s")
+  }
+
+  test("the probe-derived salted join is semantics-preserving end to end") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.Tables.t(spark, dir, "lineitem")
+    val o = graft.Tables.t(spark, dir, "orders")
+    val salted = Skew.saltedRevenue(li, o).collect().toSeq
+    val plain = Skew.plainRevenue(li, o).collect().toSeq
+    assert(salted === plain)
+  }
 }
