@@ -55,6 +55,22 @@ object DedupAlgorithms {
   def exactSubstringFlags(df: DataFrame, window: Int = 50): DataFrame =
     Dedup.exactSubstringVerdicts(docs(df), window)
 
+  /** Perceptual-hash (dHash) near-duplicate pairs — the image-family
+    * dedup over a (id, payload) frame: a 60-bit gradient signature per
+    * document (bit i ⇔ intensity(i) > intensity(i+1)), 4×15-bit LSH bands
+    * bound candidate generation, pairs verified at Hamming ≤ `hammingMax`
+    * via bit_count(xor). The intensity read is the STUB boundary (payload
+    * code points stand in for decoded 8×8 pixel means — swap in a real
+    * decoder upstream and feed the intensities as a string); banding,
+    * verify and pair plumbing are exactly what the pixel version ships.
+    * Band/threshold constants carry their measured curve
+    * (mm_phash_band_sweep). Only (band, key) digests shuffle; the payload
+    * never moves.
+    * @return (doc_a, doc_b, hamming) with doc_a < doc_b */
+  def phashNearDupPairs(df: DataFrame, hammingMax: Int = 6): DataFrame =
+    graft.operators.Multimodal.phashPairs(
+      graft.operators.Multimodal.dhashOf(docs(df)), hammingMax)
+
   /** Incremental ingest delta: incoming documents whose content digest is
     * absent from the snapshot — the "don't re-ingest the last crawl"
     * gate. Both sides project to digests before the anti-join.

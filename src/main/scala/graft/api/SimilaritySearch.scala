@@ -62,6 +62,44 @@ object SimilaritySearch {
       maxIters: Int = 10, tol: Double = 1e-4): (Array[Array[Double]], Int, Seq[Double]) =
     KMeans.train(spark, named(corpus, "vec_id", "embedding"), k, maxIters, tol)
 
+  /** TRAINED-CELL IVF top-k — the scale route [[topK]]'s exact scan is
+    * traded against: train `nlist` k-means cells over the corpus
+    * ([[kMeansTrain]]'s loop), invert the corpus into them once, then per
+    * query score ONLY the `nprobe` nearest cells. Recall follows the
+    * registry's ann_probe_sweep curve (more probes → higher recall, more
+    * scanning); exactness is recovered at nprobe = nlist. 100 TB shape:
+    * centroids broadcast (nlist ≤ 256 rows), cell assignment is one
+    * map-side argmax, per-query scanning touches nprobe/nlist of the
+    * corpus, and the only corpus-sized shuffle is the one cell-key join.
+    * @return (q_id, vec_id, cos_sim, rank) top-k per query */
+  def ivfTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int = 10, nlist: Int = 8, nprobe: Int = 2,
+      trainIters: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val c = named(corpus, "vec_id", "embedding")
+    val q = named(queries, "q_id", "q_emb")
+    val (cents, _, _) = KMeans.train(spark, c, nlist, trainIters)
+    val inverted = KMeans.assignToCentroids(spark, c, cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    // probe list: each query's nprobe nearest centroids (tiny frame —
+    // queries × nlist rows ranked, queries × nprobe kept, broadcast to
+    // the corpus-side join)
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(KMeans.centroidFrame(spark, cents)))
+      .select(col("q_id"), col("q_emb"), col("c_id"),
+        round(expr("graft_cosine(q_emb, c_emb)"), 4).as("c_cos"))
+      .withColumn("pn", row_number().over(pw)).filter(col("pn") <= nprobe)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("cluster"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    inverted.join(broadcast(probes), Seq("cluster"))
+      .select(col("q_id"), col("vec_id"),
+        round(expr("graft_cosine(embedding, q_emb)"), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding near-duplicate pairs at cosine ≥ `minCosine` — the
     * ALL-PAIRS correctness baseline (O(n²): fine for verification slices;
     * at corpus scale use the registry's LSH-bucketed or SemDeDup-cluster

@@ -23,6 +23,46 @@ import org.apache.spark.sql.functions._
 object KMeans {
   private val DefaultDim = 64 // the fixture's width; train() infers per corpus
 
+  /** Driver-side centroid set → broadcast-small (c_id, c_emb) frame.
+    * graft_cosine is float32-typed like the corpus, so the copy the
+    * executors score against is float too (doubles stay driver-side for
+    * the movement check). */
+  private[graft] def centroidFrame(s: SparkSession,
+      centroids: Array[Array[Double]]): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.parallelize(centroids.zipWithIndex.toSeq.map {
+        case (c, i) => Row(i.toLong, c.map(_.toFloat).toSeq) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("c_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("c_emb",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+
+  /** Nearest-centroid assignment of a (vec_id, embedding) corpus against a
+    * driver-side centroid set — the packed-long argmax shared by the
+    * training loop and the IVF serving facade. 100 TB shape: centroids
+    * broadcast, scoring map-side, argmax is a partial-agg groupBy (one
+    * narrow row per vector through the exchange, never k).
+    * @return (vec_id, embedding, cluster, cos_sim) */
+  private[graft] def assignToCentroids(s: SparkSession, corpus: DataFrame,
+      centroids: Array[Array[Double]]): DataFrame = {
+    require(centroids.length <= 256,
+      s"k must be <= 256 (packed argmax radix), got ${centroids.length}")
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    corpus.crossJoin(broadcast(centroidFrame(s, centroids)))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        floor(expr("graft_cosine(embedding, c_emb)") * lit(1e6) + lit(0.5))
+          .as("cs_scaled"))
+      .withColumn("packed",
+        (col("cs_scaled") + 1000000L) * 256L + (lit(255L) - col("c_id")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("packed")).as("best"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        (lit(255L) - (col("best") % 256)).as("cluster"),
+        expr("((best div 256) - 1000000) / 1e6").as("cos_sim"))
+  }
+
   /** @return (centroids after training, iterations run, objective history —
     *         summed best cosine per iteration). */
   def train(s: SparkSession, e: DataFrame, k: Int,
@@ -43,30 +83,7 @@ object KMeans {
     var moved = Double.MaxValue
     val objective = Seq.newBuilder[Double]
     while (it < maxIters && moved > tol) {
-      // graft_cosine is float32-typed like the corpus; the centroid copy
-      // the executors score against is float too (doubles stay driver-side
-      // for the movement check)
-      val cdf = s.createDataFrame(
-        s.sparkContext.parallelize(centroids.zipWithIndex.toSeq.map {
-          case (c, i) => Row(i.toLong, c.map(_.toFloat).toSeq) }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("c_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("c_emb",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)))))
-      // packed-long argmax (the emb_kmeans_assign trick, k <= 256 here)
-      val assigned = corpus.crossJoin(broadcast(cdf))
-        .select(col("vec_id"), col("embedding"), col("c_id"),
-          floor(expr("graft_cosine(embedding, c_emb)") * lit(1e6) + lit(0.5))
-            .as("cs_scaled"))
-        .withColumn("packed",
-          (col("cs_scaled") + 1000000L) * 256L + (lit(255L) - col("c_id")))
-        .groupBy(col("vec_id"))
-        .agg(max(col("packed")).as("best"), first(col("embedding")).as("embedding"))
-        .select(col("vec_id"), col("embedding"),
-          (lit(255L) - (col("best") % 256)).as("cluster"),
-          expr("((best div 256) - 1000000) / 1e6").as("cos_sim"))
+      val assigned = assignToCentroids(s, corpus, centroids)
       val aggs = Seq(count(lit(1)).as("n"), sum(col("cos_sim")).as("obj")) ++
         (0 until Dim).map(i =>
           sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))

@@ -505,24 +505,8 @@ object Multimodal {
     * ~4/2¹⁵. */
   val phashDedup = GraftQuery(
     "mm_phash_dedup",
-    (s, dir) => {
-      val sig = dhashSig(s, dir)
-      val banded = sig.select(col("doc_id"), col("dhash"),
-        explode(expr("sequence(0, 3)")).as("band"))
-        .withColumn("bkey",
-          expr("shiftrightunsigned(dhash, band * 15) & 32767"))
-      val a = banded.select(col("band"), col("bkey"),
-        col("doc_id").as("doc_a"), col("dhash").as("ha"))
-      val b = banded.select(col("band"), col("bkey"),
-        col("doc_id").as("doc_b"), col("dhash").as("hb"))
-      a.join(b, Seq("band", "bkey"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("bit_count(ha ^ hb)").as("hamming"))
-        .filter(col("hamming") <= 6)
-        .distinct()
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) => phashPairs(dhashOf(t(s, dir, "documents")))
+      .orderBy(col("doc_a"), col("doc_b")),
     Some("""WITH sig AS MATERIALIZED (
               SELECT doc_id,
                 CAST(list_sum(list_transform(generate_series(1, 60),
@@ -542,22 +526,47 @@ object Multimodal {
             WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
             ORDER BY doc_a, doc_b"""))
 
-  /** The shared 60-bit dHash signature frame — [[phashDedup]]'s map-side
-    * scan expression, factored so the band sweep reads the identical
-    * signature definition it tunes. The i + 1 <= length(text) guard: a
+  /** The banded-LSH candidate generation + Hamming verify over a
+    * (doc_id, dhash) signature frame — [[phashDedup]]'s pair plumbing,
+    * frame-generic so the public facade (api.DedupAlgorithms
+    * .phashNearDupPairs) runs the identical code on user corpora.
+    * @return (doc_a, doc_b, hamming) with doc_a < doc_b */
+  private[graft] def phashPairs(sig: DataFrame, hammingMax: Int = 6): DataFrame = {
+    val banded = sig.select(col("doc_id"), col("dhash"),
+      explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("bkey",
+        expr("shiftrightunsigned(dhash, band * 15) & 32767"))
+    val a = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("dhash").as("ha"))
+    val b = banded.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("dhash").as("hb"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(ha ^ hb)").as("hamming"))
+      .filter(col("hamming") <= hammingMax)
+      .distinct()
+  }
+
+  /** The 60-bit dHash signature over an arbitrary (doc_id, text) frame —
+    * the map-side scan expression shared by [[phashDedup]], the band
+    * sweep, and the public facade. The i + 1 <= length(text) guard: a
     * bit only exists when BOTH its intensity reads are in-range, so short
     * documents never lean on engine-specific out-of-range substring/ascii
     * semantics. */
+  private[graft] def dhashOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(
+      """aggregate(transform(sequence(1, 60),
+           i -> CASE WHEN i + 1 <= length(text)
+                      AND ascii(substring(text, i, 1)) >
+                          ascii(substring(text, i + 1, 1))
+                THEN shiftleft(cast(1 as bigint), i - 1)
+                ELSE cast(0 as bigint) END),
+         cast(0 as bigint), (acc, v) -> acc + v)""").as("dhash"))
+
+  /** [[dhashOf]] over the fixture corpus. */
   private def dhashSig(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), expr(
-        """aggregate(transform(sequence(1, 60),
-             i -> CASE WHEN i + 1 <= length(text)
-                        AND ascii(substring(text, i, 1)) >
-                            ascii(substring(text, i + 1, 1))
-                  THEN shiftleft(cast(1 as bigint), i - 1)
-                  ELSE cast(0 as bigint) END),
-           cast(0 as bigint), (acc, v) -> acc + v)""").as("dhash"))
+    dhashOf(t(s, dir, "documents"))
 
   /** PHASH BANDING SWEEP: the (bands × Hamming-threshold) tuning table
     * behind [[phashDedup]]'s production constants (4 bands × 15 bits,

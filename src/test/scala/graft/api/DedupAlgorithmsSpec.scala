@@ -51,4 +51,29 @@ class DedupAlgorithmsSpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(delta == Set(11L), s"only the unseen doc is new: $delta")
   }
+
+  test("phashNearDupPairs pairs perceptual twins and respects the Hamming knob") {
+    import spark.implicits._
+    // payloads ARE the stub intensities: 61+ chars so all 60 dhash bits
+    // exist. Doc 2 = doc 1 exactly (Hamming 0); doc 3 flips ~2 gradient
+    // comparisons; doc 4 is an unrelated random-gradient payload.
+    val p1 = (0 until 64).map(i => ('A' + (i * 7 % 26)).toChar).mkString
+    val p3 = p1.updated(10, 'z').updated(40, 'a') // local edits: few bits flip
+    val p4 = (0 until 64).map(i => ('A' + (i * 11 % 26)).toChar).mkString
+    val corpus = Seq(1L -> p1, 2L -> p1, 3L -> p3, 4L -> p4).toDF("id", "img")
+
+    val pairs = DedupAlgorithms.phashNearDupPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((1L, 2L)), s"exact twin must pair at Hamming 0: ${pairs.toSeq}")
+    assert(ids.contains((1L, 3L)) && ids.contains((2L, 3L)),
+      s"the locally-edited twin must pair: ${pairs.toSeq}")
+    assert(!ids.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated payload must not pair: ${pairs.toSeq}")
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 0)
+    // tightening the threshold to 0 keeps only the exact twin
+    val strict = DedupAlgorithms.phashNearDupPairs(corpus, hammingMax = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict == Set((1L, 2L)), s"Hamming 0 keeps only exact twins: $strict")
+  }
 }

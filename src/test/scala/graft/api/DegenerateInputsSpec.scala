@@ -125,6 +125,18 @@ class DegenerateInputsSpec extends SparkTestBase {
     assert(rows(1).getLong(1) == 2L && rows(1).getDouble(2) == 1.0)
   }
 
+  test("similarity: ivfTopK contracts — empty queries empty out; nprobe >= nlist is exact") {
+    val corpus = vecs(Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.1f))))
+    val noQ = vecs(Seq.empty)
+    assert(SimilaritySearch.ivfTopK(spark, corpus, noQ, nlist = 2).count() == 0)
+    // nprobe past nlist clamps harmlessly (every cell already scanned)
+    val q = vecs(Seq((9L, Seq(1f, 0f))))
+    val all = SimilaritySearch.ivfTopK(spark, corpus, q, k = 3, nlist = 2, nprobe = 99)
+    val exact = SimilaritySearch.topK(spark, corpus, q, k = 3)
+    assert(all.select("q_id", "vec_id", "rank").collect().toSet
+      === exact.select("q_id", "vec_id", "rank").collect().toSet)
+  }
+
   test("similarity: kMeansTrain contracts — k bounds named, k > n degrades to n seeds") {
     val corpus = vecs(Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))))
     intercept[IllegalArgumentException] {

@@ -49,4 +49,25 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(!dups.exists(p => p._1 < 100L && p._2 >= 100L && p._2 != 999L),
       s"no cross-cluster pair at 0.999: $dups")
   }
+
+  test("ivfTopK retrieves the planted clusters and recovers exactness at nprobe = nlist") {
+    import spark.implicits._
+    val c = corpus().toDF("id", "vec")
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("qid", "qvec")
+    // nlist=2 trained cells on two planted clusters: each query's single
+    // probed cell IS its cluster, so nprobe=1 already retrieves pure sides
+    val ivf = SimilaritySearch.ivfTopK(spark, c, q, k = 8, nlist = 2, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(ivf(0L).map(_._2).forall(id => id < 100L || id == 999L),
+      s"query 0 must probe into cluster A: ${ivf(0L).toSeq}")
+    assert(ivf(1L).map(_._2).forall(id => id >= 100L && id < 999L),
+      s"query 1 must probe into cluster B: ${ivf(1L).toSeq}")
+    // nprobe = nlist scans every cell: results must equal the exact scan
+    val full = SimilaritySearch.ivfTopK(spark, c, q, k = 5, nlist = 2, nprobe = 2)
+      .select("q_id", "vec_id", "cos_sim", "rank").collect().toSet
+    val exact = SimilaritySearch.topK(spark, c, q, k = 5)
+      .select("q_id", "vec_id", "cos_sim", "rank").collect().toSet
+    assert(full === exact, "nprobe = nlist must recover the exact top-k")
+  }
 }
