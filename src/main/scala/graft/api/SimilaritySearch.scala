@@ -100,6 +100,113 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** A built graph-ANN index over a user corpus: the symmetrizable edge
+    * list (short kNN links within trained cells + hub long links), the
+    * projected corpus, and the hash-selected entry points. Frames are
+    * eagerly materialized via localCheckpoint — build once, search many;
+    * blocks are reclaimed when the index is dereferenced. */
+  final case class GraphAnnIndex private[api] (
+      adjacency: DataFrame, corpus: DataFrame, entries: DataFrame)
+
+  /** Build a navigable-small-world ANN index over an arbitrary
+    * (id, embedding) corpus — the public twin of the registry's
+    * ann_graph_topk build, with the dense-id long-link convention
+    * replaced by HUB long links so user ids can be anything: `hubs`
+    * content-hash-selected vectors form a global backbone and every node
+    * takes `longLinks` deterministic hub edges (hash-picked per (j, id)),
+    * so any two cells are ≤ 2 hub hops apart — the navigability NSW gets
+    * from random long links, without a global ordinal or an id-density
+    * assumption (the hub list is a driver-side array of ≤ `hubs` longs,
+    * applied map-side; no shuffle, no window).
+    * Short links: kNN (k = `shortLinks`) within `nlist` TRAINED k-means
+    * cells — geometric neighborhoods, the ann_ivf_trained lesson. */
+  def graphAnnBuild(spark: SparkSession, corpus: DataFrame, nlist: Int = 8,
+      shortLinks: Int = 3, longLinks: Int = 4, hubs: Int = 64,
+      trainIters: Int = 5): GraphAnnIndex = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // rename + checkpoint + REBASE: a localCheckpoint of a renamed frame
+    // preserves alias constraints (vec_id := <user id col>) whose
+    // references dangle once the original attributes are gone, and
+    // Catalyst's Union constraint rewrite throws on them when the beam
+    // loop unions frames derived from this corpus (the registry build
+    // never renames before checkpointing, so only the facade needs this)
+    val c = {
+      val lc = named(corpus, "vec_id", "embedding").localCheckpoint(true)
+      spark.createDataFrame(lc.rdd, lc.schema)
+    }
+    val (cents, _, _) = KMeans.train(spark, c, nlist, trainIters)
+    val m = KMeans.assignToCentroids(spark, c, cents)
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+      .localCheckpoint(true)
+    val ka = m.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("ea"))
+    val kb = m.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"))
+    val wk = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cs").desc, col("vec_b"))
+    val knn = ka.join(kb, Seq("cluster"))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(expr("graft_cosine(ea, eb)"), 4).as("cs"))
+      .withColumn("rk", row_number().over(wk)).filter(col("rk") <= shortLinks)
+      .select(col("vec_a"), col("vec_b"))
+    // hub backbone: a bounded driver-side id array (≤ hubs longs — the
+    // k-means-centroid scalar-read discipline), selected by content hash
+    // so the choice is deterministic and corpus-order-free
+    val hubIds: Array[Long] = c.select(col("vec_id"))
+      .withColumn("h", md5(concat(lit("ghub:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id")).limit(hubs)
+      .collect().map(_.getLong(0))
+    val hubArr = array(hubIds.map(lit(_)): _*)
+    // one select with a posexplode over the j axis (not a j-way
+    // self-union: unioning branches that share the corpus lineage trips
+    // Catalyst's Union constraint rewrite on the checkpointed frame)
+    val lnkCols = (1 to longLinks).map { j =>
+      element_at(hubArr,
+        (pmod(expr(s"""cast(conv(substring(md5(concat('glnk:$j:',
+            cast(vec_id as string))), 1, 12), 16, 10) as bigint)"""),
+          lit(hubIds.length.toLong)) + 1).cast("int"))
+    }
+    val lnk = c.select(col("vec_id").as("vec_a"),
+        explode(array(lnkCols: _*)).as("vec_b"))
+      .filter(col("vec_a") =!= col("vec_b"))
+    val entries = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        hubIds.take(8).toSeq.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType))))
+    // rebase the adjacency onto its materialized RDD: localCheckpoint
+    // alone preserves the plan's constraint set, and the alias lineage
+    // (vec_a := vec_id) in those constraints trips Catalyst's Union
+    // constraint rewrite when the search later self-unions the frame
+    // with its reverse ("key not found: vec_id#N"); createDataFrame over
+    // the checkpointed RDD yields a constraint-free relation with the
+    // same blocks
+    val adjHalf = {
+      val lc = knn.union(lnk).localCheckpoint(true)
+      spark.createDataFrame(lc.rdd, lc.schema)
+    }
+    GraphAnnIndex(adjHalf, c, entries)
+  }
+
+  /** Beam search over a [[graphAnnBuild]] index — identical loop to the
+    * registry's ann_graph_topk serving path (synchronous
+    * expand-score-prune, (cosine desc, id) total order): beam state is
+    * queries × `beamWidth` rows regardless of corpus size; each hop is
+    * two key-lookup joins against the checkpointed index and one
+    * beam-sized window; the corpus is never shuffled. Recall follows the
+    * registry's measured (beam × links) sweep (ann_graph_param_sweep).
+    * @return (q_id, vec_id, cos_sim, rank) top-k per query */
+  def graphAnnSearch(spark: SparkSession, index: GraphAnnIndex,
+      queries: DataFrame, k: Int = 10, beamWidth: Int = 16,
+      hops: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    Similarity.beamOver(spark, index.adjacency, index.corpus, index.entries,
+      named(queries, "q_id", "q_emb"), beamWidth, hops, k,
+      excludeSelf = false)
+  }
+
   /** Embedding near-duplicate pairs at cosine ≥ `minCosine` — the
     * ALL-PAIRS correctness baseline (O(n²): fine for verification slices;
     * at corpus scale use the registry's LSH-bucketed or SemDeDup-cluster

@@ -1181,40 +1181,64 @@ object Similarity {
     (knn, lnkAll, ent, q, eSmall)
   }
 
-  /** One parameterized beam search over a prebuilt [[BeamContext]]:
-    * (q_id, vec_id, cos_sim, rank) top-10 per query at the given beam
-    * width and long-link count. */
-  private def beamRun(s: SparkSession, ctx: BeamContext,
-      beamWidth: Int, links: Int): DataFrame = {
-    val halfAdj = ctx.knn.union(
-      ctx.lnkAll.filter(col("j") <= links).select(col("vec_a"), col("vec_b")))
-    val adj = halfAdj
-      .union(halfAdj.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+  /** The frame-generic synchronous beam search — [[beamRun]]'s loop over
+    * arbitrary frames, shared with the public facade
+    * (api.SimilaritySearch.graphAnnSearch). `adjHalf` is the un-symmetrized
+    * edge list (vec_a, vec_b); `e` the (vec_id, embedding) corpus; `ent`
+    * the (vec_id) entry points; `q` the (q_id, q_emb) query set.
+    * 100 TB shape unchanged: beam state is queries × beamWidth rows, each
+    * hop two key-lookup joins + one beam-sized window, corpus never
+    * shuffled. */
+  private[graft] def beamOver(s: SparkSession, adjHalf: DataFrame,
+      e: DataFrame, ent: DataFrame, q: DataFrame, beamWidth: Int,
+      hops: Int, k: Int, excludeSelf: Boolean): DataFrame = {
+    val adj = adjHalf
+      .union(adjHalf.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
       .distinct().localCheckpoint(true)
-    val q = ctx.q
     def score(cands: DataFrame): DataFrame = cands
-      .join(ctx.e, "vec_id")
+      .join(e, "vec_id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("vec_id"),
         round(cosine(s, "embedding", "q_emb"), 4).as("cos_sim"))
     val wB = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
-    def prune(scored: DataFrame): DataFrame = scored
-      .withColumn("rn", row_number().over(wB)).filter(col("rn") <= beamWidth)
-      .select(col("q_id"), col("vec_id"), col("cos_sim"))
-      .localCheckpoint(true)
-    var beam = prune(score(q.select(col("q_id")).crossJoin(ctx.ent)))
-    (1 to BeamHops).foreach { _ =>
+    // prune REBASES the checkpointed beam onto its RDD (createDataFrame
+    // over lc.rdd): localCheckpoint preserves the pruned plan's constraint
+    // set, and when the inputs carry renamed lineage (the facade's toDF'd
+    // user frames) those constraints can reference attributes the next
+    // hop's union no longer has — Catalyst's Union constraint rewrite then
+    // throws "key not found: vec_id#N". The rebase yields a constraint-
+    // free relation over the same blocks; the beam is queries × beamWidth
+    // rows, so the extra row boundary costs nothing.
+    def prune(scored: DataFrame): DataFrame = {
+      val lc = scored
+        .withColumn("rn", row_number().over(wB)).filter(col("rn") <= beamWidth)
+        .select(col("q_id"), col("vec_id"), col("cos_sim"))
+        .localCheckpoint(true)
+      s.createDataFrame(lc.rdd, lc.schema)
+    }
+    var beam = prune(score(q.select(col("q_id")).crossJoin(ent)))
+    (1 to hops).foreach { _ =>
       val nbrs = beam.select(col("q_id"), col("vec_id").as("vec_a"))
         .join(adj, "vec_a")
         .select(col("q_id"), col("vec_b").as("vec_id")).distinct()
       beam = prune(score(nbrs).union(beam).distinct())
     }
-    beam.filter(col("vec_id") =!= col("q_id"))
+    (if (excludeSelf) beam.filter(col("vec_id") =!= col("q_id")) else beam)
       .withColumn("rank", row_number().over(wB))
-      .filter(col("rank") <= 10)
+      .filter(col("rank") <= k)
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
   }
+
+  /** One parameterized beam search over a prebuilt [[BeamContext]]:
+    * (q_id, vec_id, cos_sim, rank) top-10 per query at the given beam
+    * width and long-link count. */
+  private def beamRun(s: SparkSession, ctx: BeamContext,
+      beamWidth: Int, links: Int): DataFrame =
+    beamOver(s,
+      ctx.knn.union(
+        ctx.lnkAll.filter(col("j") <= links).select(col("vec_a"), col("vec_b"))),
+      ctx.e, ctx.ent, ctx.q, beamWidth, BeamHops, 10, excludeSelf = true)
 
   /** The Spark beam search shared by [[annGraphTopK]] and
     * [[annGraphRecall]]: returns the final (q_id, vec_id, cos_sim, rank)

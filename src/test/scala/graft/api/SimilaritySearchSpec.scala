@@ -70,4 +70,33 @@ class SimilaritySearchSpec extends SparkTestBase {
       .select("q_id", "vec_id", "cos_sim", "rank").collect().toSet
     assert(full === exact, "nprobe = nlist must recover the exact top-k")
   }
+
+  test("graphAnn build + beam search navigate to the planted clusters") {
+    import spark.implicits._
+    // NON-dense, NON-contiguous ids on purpose: the hub long-link build
+    // must not assume the registry's 0..n-1 id convention
+    val c = corpus().map { case (id, v) => (id * 1000 + 7, v) }.toDF("id", "vec")
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("qid", "qvec")
+    val idx = SimilaritySearch.graphAnnBuild(spark, c, nlist = 2, hubs = 4)
+    // a saturating beam (>= corpus size) with enough hops explores every
+    // node reachable through the hub backbone = the whole graph, so the
+    // beam result must EQUAL the exact scan — the facade twin of the
+    // registry's recall-1.0-at-full-beam property
+    val n = corpus().size
+    val full = SimilaritySearch.graphAnnSearch(spark, idx, q, k = 5,
+      beamWidth = n + 1, hops = 6)
+      .select("q_id", "vec_id", "cos_sim", "rank").collect().toSet
+    val exact = SimilaritySearch.topK(spark, c, q, k = 5)
+      .select("q_id", "vec_id", "cos_sim", "rank").collect().toSet
+    assert(full === exact, "saturating beam must recover the exact top-k")
+    // the production-shaped beam (16) still lands entirely in the right
+    // planted cluster for each query
+    val beam = SimilaritySearch.graphAnnSearch(spark, idx, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(beam(0L).map(_._2).forall(id => id < 100000L || id == 999007L),
+      s"query 0 must navigate to cluster A: ${beam(0L).toSeq}")
+    assert(beam(1L).map(_._2).forall(id => id >= 100000L && id != 999007L),
+      s"query 1 must navigate to cluster B: ${beam(1L).toSeq}")
+  }
 }
