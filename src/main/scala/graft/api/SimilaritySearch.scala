@@ -207,6 +207,61 @@ object SimilaritySearch {
       excludeSelf = false)
   }
 
+  /** PRODUCT-QUANTIZATION asymmetric-distance top-k (the ADC of Jégou et
+    * al. 2011) over arbitrary frames — the compression route: the corpus
+    * is stored as `subspaces` single-byte codes per vector (nearest
+    * codeword per subspace, deterministic first-`codebookSize`-ids
+    * codebook), and each query scores a vector as the SUM of `subspaces`
+    * lookup-table reads — the original floats are never touched at search
+    * time, which is why PQ scans billions of vectors. Embedding width is
+    * inferred from the data and must divide evenly into `subspaces`.
+    * 100 TB shape: codebook and per-query lookup tables broadcast
+    * (queries × codebookSize × subspaces rows); code assignment is one
+    * map-side packed-long argmin; the only corpus shuffle carries
+    * (q_id, vec_id, partial-sum) rows. Distances are exact integer
+    * micro-units, so ranking is deterministic (ties by vec_id).
+    * @return (q_id, vec_id, adc_micros, rank) top-k per query by
+    *         approximate squared-L2, ascending */
+  def pqTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int = 10, subspaces: Int = 4, codebookSize: Int = 8): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    require(codebookSize >= 1 && codebookSize <= 16,
+      s"codebookSize must be in [1, 16] (packed argmin radix), got $codebookSize")
+    val c = named(corpus, "vec_id", "embedding")
+    val q = named(queries, "q_id", "q_emb")
+    val dim = c.select(size(col("embedding")).as("d")).head().getInt(0)
+    require(dim % subspaces == 0,
+      s"embedding width $dim must divide into $subspaces subspaces")
+    val len = dim / subspaces
+    // deterministic codebook: the first codebookSize vectors by id,
+    // re-indexed 0..m-1 driver-side so user ids can be anything
+    val cbVecs = c.orderBy(col("vec_id")).limit(codebookSize)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    val cb = KMeans.centroidFrame(spark, cbVecs)
+      .select(col("c_id").as("code"), col("c_emb").as("cvec"))
+    def l2m(a: String, b: String, sub: Int) = expr(
+      s"cast(floor(graft_l2sq($a, $b, ${sub * len}, $len) * 1e6 + 0.5) as bigint)")
+    def subDists(idCol: String, vecCol: String, out: String)(src: DataFrame) =
+      src.crossJoin(broadcast(cb))
+        .select(col(idCol), col("code"),
+          posexplode(array((0 until subspaces).map(s =>
+            l2m(vecCol, "cvec", s)): _*)).as(Seq("subspace", out)))
+    val codes = subDists("vec_id", "embedding", "dm")(c)
+      .withColumn("packed", col("dm") * 16L + col("code"))
+      .groupBy(col("vec_id"), col("subspace"))
+      .agg(min(col("packed")).as("best"))
+      .select(col("vec_id"), col("subspace"), (col("best") % 16).as("code"))
+    val dtab = subDists("q_id", "q_emb", "qdm")(q)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_micros"), col("vec_id"))
+    codes.join(broadcast(dtab), Seq("subspace", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qdm")).as("adc_micros"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("adc_micros"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs at cosine ≥ `minCosine` — the
     * ALL-PAIRS correctness baseline (O(n²): fine for verification slices;
     * at corpus scale use the registry's LSH-bucketed or SemDeDup-cluster

@@ -90,4 +90,12 @@ object TextAnalytics {
     val (_, state) = TextAnalysis.bpeTrainOn(d, rounds)
     TextAnalysis.bpeEncodeCounts(d, state)
   }
+
+  /** PII detection + redaction (emails, IPv4) — the mandatory scrub stage
+    * before web text becomes training data; the registry's text_pii_scrub
+    * automata (the RE2/Java-regex common subset) applied to a user frame.
+    * Pure map-side regex work: no shuffle, no state.
+    * @return (doc_id, n_emails, n_ips, scrubbed) */
+  def piiScrub(df: DataFrame): DataFrame =
+    graft.operators.Curation.piiScrubOn(docs(df))
 }

@@ -69,9 +69,22 @@ object Curation {
             FROM m ORDER BY doc_id"""))
 
   // PII patterns — the RE2/Java-regex common subset (no lookaround, no
-  // backrefs) so Spark and DuckDB compile the identical automaton
-  private val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
-  private val Ipv4Pat = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+  // backrefs) so Spark and DuckDB compile the identical automaton.
+  // private[graft]: the public facade (api.TextAnalytics.piiScrub) applies
+  // the same automata to user frames.
+  private[graft] val EmailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private[graft] val Ipv4Pat = """[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"""
+
+  /** The scrub body over an arbitrary (doc_id, text) frame — the
+    * text_pii_scrub detector/redactor without the fixture's planted
+    * markers, shared with the public facade.
+    * @return (doc_id, n_emails, n_ips, scrubbed) */
+  private[graft] def piiScrubOn(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(expr(s"regexp_extract_all(text, '$EmailPat', 0)")).as("n_emails"),
+      size(expr(s"regexp_extract_all(text, '$Ipv4Pat', 0)")).as("n_ips"),
+      regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+        Ipv4Pat, "<IP>").as("scrubbed"))
 
   /** PII detection + redaction (emails, IPv4) — the mandatory scrub stage
     * before web text becomes training data. The driver corpus contains no

@@ -71,6 +71,33 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(full === exact, "nprobe = nlist must recover the exact top-k")
   }
 
+  test("pqTopK ranks by compressed asymmetric distance into the right cluster") {
+    import spark.implicits._
+    val c = corpus().toDF("id", "vec")
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("qid", "qvec")
+    // 2 subspaces of width 2 over the 4-d corpus; codebook = first 16 ids
+    // = all 8 A-side + all 8 B-side vectors, so BOTH clusters are
+    // representable (the first 8 alone are pure A — B vectors would
+    // quantize to garbage, the classic unrepresentative-codebook failure)
+    val pq = SimilaritySearch.pqTopK(spark, c, q, k = 6, subspaces = 2,
+      codebookSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).groupBy(_._1)
+    // every returned id decodes to the query's own cluster (compression
+    // cannot cross the two orthogonal planted clusters)
+    assert(pq(0L).map(_._2).forall(id => id < 100L || id == 999L),
+      s"query 0's PQ hits must be cluster A: ${pq(0L).toSeq}")
+    assert(pq(1L).map(_._2).forall(id => id >= 100L && id < 999L),
+      s"query 1's PQ hits must be cluster B: ${pq(1L).toSeq}")
+    // ranks are a contiguous 1..6 per query (deterministic integer ADC)
+    assert(pq(0L).map(_._3).sorted.toSeq == (1 to 6) &&
+      pq(1L).map(_._3).sorted.toSeq == (1 to 6))
+    // width must divide into subspaces — contract named, not mis-scored
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.pqTopK(spark, c, q, subspaces = 3)
+    }
+  }
+
   test("graphAnn build + beam search navigate to the planted clusters") {
     import spark.implicits._
     // NON-dense, NON-contiguous ids on purpose: the hub long-link build

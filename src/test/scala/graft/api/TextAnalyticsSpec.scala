@@ -92,4 +92,21 @@ class TextAnalyticsSpec extends SparkTestBase {
     val bad = Seq((1L, "x", "extra")).toDF("a", "b", "c")
     intercept[IllegalArgumentException] { TextAnalytics.qualityScores(bad) }
   }
+
+  test("piiScrub finds and redacts planted emails and IPs, leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      1L -> "write to alice.smith+spam@mail.example.org today",
+      2L -> "server at 192.168.1.17 and 10.0.0.1 replied",
+      3L -> "no sensitive content here at all",
+      4L -> "mixed: bob@x.io from 127.0.0.1").toDF("id", "body")
+    val r = TextAnalytics.piiScrub(df)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getString(3)))).toMap
+    assert(r(1L)._1 == 1 && r(1L)._2 == 0)
+    assert(r(1L)._3 == "write to <EMAIL> today", r(1L)._3)
+    assert(r(2L) == ((0, 2, "server at <IP> and <IP> replied")))
+    assert(r(3L) == ((0, 0, "no sensitive content here at all")))
+    assert(r(4L) == ((1, 1, "mixed: <EMAIL> from <IP>")))
+  }
 }
