@@ -11,7 +11,7 @@ import graft.api.{CorpusPipeline, DedupAlgorithms, TextAnalytics}
   * Dag.scala:77-93): one pipeline composing the public facades over an
   * arbitrary (id, text) corpus,
   *
-  *   read -> quality gate -> exact dedup -> near-dup dedup
+  *   read -> quality gate -> exact dedup -> near-dup dedup -> PII scrub
   *        -> BPE tokenize -> sequence pack -> shard manifest,
   *
   * reporting per-stage attrition — the number every curation run is
@@ -65,11 +65,21 @@ object CurateCorpus {
       .localCheckpoint(true)
     val n3 = kept.count()
 
-    // 4-6. tokenize (BPE trained on the survivors), pack, shard — all
-    // cardinality-preserving: the manifest carries every survivor once
-    val toks = TextAnalytics.bpeTokenCounts(kept)
-    val packed = CorpusPipeline.packSequences(kept, packBudget)
-    val shards = CorpusPipeline.shardAssign(kept.select(col("doc_id")), nShards)
+    // 4. PII scrub: redact emails/IPs in the survivors BEFORE any tokens
+    // are derived (cardinality-preserving — listed in the attrition report
+    // for auditability with docsIn == docsOut). Deliberately AFTER dedup:
+    // the digests above saw raw text, so two docs differing only in
+    // redacted PII stay distinct exact-dedup keys and are left to the
+    // near-dup stage, rather than silently collapsing post-redaction.
+    val scrubbed = TextAnalytics.piiScrub(kept)
+      .select(col("doc_id"), col("scrubbed").as("text"))
+      .localCheckpoint(true)
+
+    // 5-7. tokenize (BPE trained on the scrubbed survivors), pack, shard —
+    // all cardinality-preserving: the manifest carries every survivor once
+    val toks = TextAnalytics.bpeTokenCounts(scrubbed)
+    val packed = CorpusPipeline.packSequences(scrubbed, packBudget)
+    val shards = CorpusPipeline.shardAssign(scrubbed.select(col("doc_id")), nShards)
     val manifest = packed
       .join(toks.select(col("doc_id"), col("n_bpe_tokens")), Seq("doc_id"), "left")
       .join(shards, "doc_id")
@@ -79,7 +89,8 @@ object CurateCorpus {
     (manifest, Seq(
       Attrition("quality_gate", n0, n1),
       Attrition("exact_dedup", n1, n2),
-      Attrition("near_dup_dedup", n2, n3)))
+      Attrition("near_dup_dedup", n2, n3),
+      Attrition("pii_scrub", n3, n3)))
   }
 
   /** Streaming twin of [[curate]]'s filtering stages: per micro-batch, the

@@ -34,6 +34,8 @@ class CurateCorpusSpec extends SparkTestBase {
     assert(byStage("quality_gate") == ((18L, 15L)), s"$attrition")
     assert(byStage("exact_dedup") == ((15L, 13L)), s"$attrition")
     assert(byStage("near_dup_dedup") == ((13L, 12L)), s"$attrition")
+    // the scrub stage is cardinality-preserving and reported for audit
+    assert(byStage("pii_scrub") == ((12L, 12L)), s"$attrition")
 
     val rows = manifest.orderBy(col("doc_id")).collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to 12L), "survivors = good docs")
