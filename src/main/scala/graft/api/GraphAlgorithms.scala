@@ -84,4 +84,22 @@ object GraphAlgorithms {
     val h = half.toDF("u", "v").distinct()
     GraphOps.commonNeighborCounts(h, GraphOps.degrees(h), hubCap)
   }
+
+  /** PageRank (damping 0.85) to a movement tolerance — the registry's
+    * graph_pagerank loop (the reference's flagship iterative protocol,
+    * SURVEY §2.1 #22) over an arbitrary DIRECTED edge frame: a node's
+    * rank divides over its out-edges each tick; dangling nodes (no
+    * out-edges) hold rank but leak their damped mass, the standard
+    * simplification — symmetrize the input for the leak-free undirected
+    * form. Per tick: one key-partitioned join + sum shuffle, lineage cut
+    * by eager localCheckpoint, one driver-side delta scalar — never a
+    * node-set collect.
+    * @param edges directed (src, dst), two columns; duplicates dedup
+    * @return (node, pr) ranks rounded to 8 dp, ordered by node */
+  def pageRank(edges: DataFrame, tol: Double = 1e-6,
+      maxIters: Int = 50): DataFrame = {
+    require(maxIters >= 1, s"pageRank needs maxIters >= 1, got $maxIters")
+    val e = edges.toDF("src", "dst").distinct()
+    graft.operators.PageRank.iterateEdges(e.sparkSession, e, maxIters, tol)
+  }
 }

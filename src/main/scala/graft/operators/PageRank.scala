@@ -41,9 +41,26 @@ object PageRank {
     val li = Tables.t(s, dir, "lineitem")
     val fwd = li.select((col("l_suppkey") + SuppOffset).as("src"), col("l_partkey").as("dst"))
     val rev = li.select(col("l_partkey").as("src"), (col("l_suppkey") + SuppOffset).as("dst"))
-    val edges = fwd.union(rev).distinct().cache()
+    iterateEdges(s, fwd.union(rev).distinct(), maxIters, tol)
+  }
+
+  /** The Lloyd-style power-iteration loop over an arbitrary deduplicated
+    * (src, dst) edge frame — [[iterate]]'s body, frame-generic so the
+    * public facade (api.GraphAlgorithms.pageRank) runs the identical
+    * loop on user graphs. Directed semantics: a node's rank divides over
+    * its OUT-edges; nodes with no out-edges (dangling) leak their damped
+    * mass, the standard simplification (the registry's fixture symmetrizes
+    * so none exist there). */
+  private[graft] def iterateEdges(s: SparkSession, edgesIn: DataFrame,
+      maxIters: Int, tol: Double): DataFrame = {
+    val edges = edgesIn.cache()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nodes = edges.select(col("src").as("node")).distinct().cache()
+    // nodes = src ∪ dst: on the registry's symmetrized fixture dst ⊆ src
+    // (identical result to the historical src-only derivation, oracle
+    // unchanged), but a user's DIRECTED graph has sink nodes that only
+    // appear as dst — they must hold rank too
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count() // driver-side scalar; fine at any scale
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var it = 0

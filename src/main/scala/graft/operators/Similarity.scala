@@ -1317,6 +1317,98 @@ object Similarity {
              FROM exact e LEFT JOIN hits h ON h.q_id = e.q_id
              GROUP BY e.q_id ORDER BY e.q_id"""))
 
+  /** Micro-floored DCG position discounts: floor(1e6 / log2(pos+1)) for
+    * pos = 1..10, precomputed as literals so neither engine's libm log2
+    * is in the compared values — the PSI/lm_backoff "one integer-ratio
+    * argument" discipline taken to its limit (no runtime log at all). */
+  private val DcgW = Array(1000000L, 630929L, 500000L, 430676L, 386852L,
+    356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** Ideal DCG@10 in micro-units: Σ_{i=1..10} (11−i) · DcgW(i−1) — the
+    * exact retrieval (rel 10..1 in order), constant across queries. */
+  private val IdcgMicro = 29966086L
+
+  /** RANK-QUALITY METRICS (MRR + nDCG@10) for the two ANN serving routes
+    * against the exact top-10 — the standard retrieval-eval pair recall@k
+    * doesn't capture: recall says WHETHER the true neighbors were found,
+    * MRR says how quickly the first one appears, nDCG says how well the
+    * whole list is ORDERED (graded relevance rel = 11 − exact_rank).
+    * Exactness: discounts are precomputed micro-literals ([[DcgW]]), DCG
+    * is an exact integer sum, nDCG an integer micro-div by the constant
+    * [[IdcgMicro]], MRR an integer micro-div by the first relevant
+    * position — no float leaves either engine. Shape: the two retrieval
+    * lists are queries × 10 rows; everything downstream is key-sized.
+    *
+    * MEASURED: both routes hit MRR 1.0 at both SFs (the true nearest
+    * neighbor is always retrieved first — recall misses live in the
+    * tail). Mean nDCG@10: graph 0.998 / ivf 0.937 at sf0.01, graph 0.955
+    * (worst query 0.844) / ivf 0.994 at sf0.1 — the rank-ordering view of
+    * the recall tables' lesson: the graph route degrades gracefully in
+    * ORDER (tail items slip, the head stays), while trained-IVF is
+    * all-or-nothing per cell. */
+  val annRankMetrics = GraftQuery(
+    "ann_rank_metrics",
+    (s, dir) => {
+      val exact = annBruteTopK.run(s, dir)
+        .select(col("q_id"), col("vec_id"), col("rank").as("exact_rank"))
+      val wArr = array(DcgW.map(lit(_)): _*)
+      def metrics(route: String, retrieved: DataFrame): DataFrame =
+        retrieved.select(col("q_id"), col("vec_id"), col("rank").as("pos"))
+          .join(exact, Seq("q_id", "vec_id"), "left")
+          .select(col("q_id"), col("pos"),
+            coalesce(lit(11) - col("exact_rank"), lit(0)).cast("long").as("rel"))
+          .groupBy(col("q_id"))
+          .agg(sum(col("rel") * element_at(wArr, col("pos").cast("int")))
+              .as("dcg_micro"),
+            min(when(col("rel") > 0, col("pos"))).as("first_rel"))
+          .select(lit(route).as("route"), col("q_id"),
+            coalesce(expr("1000000 div first_rel"), lit(0L)).as("rr_micro"),
+            col("dcg_micro"),
+            expr(s"dcg_micro * 1000000 div $IdcgMicro").as("ndcg_micro"))
+      metrics("graph", beamSearch(s, dir))
+        .unionByName(metrics("ivf_trained", annIvfTrained.run(s, dir)))
+        .orderBy(col("route"), col("q_id"))
+    },
+    Some {
+      val wRows = DcgW.zipWithIndex
+        .map { case (w, i) => s"(${i + 1}, ${w})" }.mkString(", ")
+      s"""WITH $beamCtes,
+           exact AS (SELECT q_id, vec_id, rank AS exact_rank FROM (
+               SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id
+                 ORDER BY round(${sqlCos("e.embedding", "q.q_emb")}, 4) DESC,
+                          e.vec_id) AS rank
+               FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+             WHERE rank <= 10),
+           qq AS (SELECT vec_id AS q_id, embedding AS q_emb, cluster
+                  FROM bm WHERE vec_id < 8),
+           ivf AS (SELECT q_id, vec_id, rank FROM (
+               SELECT t.q_id, t.vec_id, row_number() OVER (PARTITION BY t.q_id
+                 ORDER BY t.cos_sim DESC, t.vec_id) AS rank
+               FROM (SELECT c.q_id, m.vec_id,
+                       round(${sqlCos("m.embedding", "c.q_emb")}, 4) AS cos_sim
+                     FROM bm m JOIN qq c ON c.cluster = m.cluster
+                     WHERE m.vec_id <> c.q_id) t) WHERE rank <= 10),
+           dw(pos, w) AS (VALUES $wRows),
+           lists AS (SELECT 'graph' AS route, q_id, vec_id, rank AS pos
+                       FROM beam_out
+                     UNION ALL
+                     SELECT 'ivf_trained', q_id, vec_id, rank FROM ivf),
+           graded AS (SELECT l.route, l.q_id, l.pos,
+               CAST(coalesce(11 - e.exact_rank, 0) AS BIGINT) AS rel
+             FROM lists l LEFT JOIN exact e
+               ON e.q_id = l.q_id AND e.vec_id = l.vec_id),
+           agg AS (SELECT route, q_id,
+               CAST(sum(rel * dw.w) AS BIGINT) AS dcg_micro,
+               min(CASE WHEN rel > 0 THEN graded.pos END) AS first_rel
+             FROM graded JOIN dw ON dw.pos = graded.pos
+             GROUP BY route, q_id)
+           SELECT route, q_id,
+             CAST(coalesce(1000000 // first_rel, 0) AS BIGINT) AS rr_micro,
+             dcg_micro,
+             CAST(dcg_micro * 1000000 // $IdcgMicro AS BIGINT) AS ndcg_micro
+           FROM agg ORDER BY route, q_id"""
+    })
+
   /** TRAINED-CELL IVF top-k: the [[annIvf]] shape with the coarse
     * quantizer REPLACED by the k-means assignment ([[kmeansAssign]]'s
     * nearest-of-8-seeds cells) — the difference between "partition by
@@ -2618,5 +2710,5 @@ object Similarity {
       normProfile, labelMargin, quantError, embThresholdSweep,
       embThresholdSweepSampled, ivfBalance, semanticDecontam, annMipsTopK,
       annMmrTopK, annFilteredRecall, kmeansSeedFarthest, silhouette,
-      annGraphParamSweep)
+      annGraphParamSweep, annRankMetrics)
 }

@@ -57,4 +57,24 @@ class GraphAlgorithmsSpec extends SparkTestBase {
       .map { case (a, b, n, _) => (a, b) -> n }.toMap
     assert(cn((1L, 3L)) == 1L && cn((4L, 6L)) == 1L, s"wedges: $cn")
   }
+
+  test("pageRank: closed-form fixed points on user edge frames") {
+    import spark.implicits._
+    // 2-node cycle: the symmetric fixed point is exactly 0.5 / 0.5
+    val cycle = Seq((1L, 2L), (2L, 1L)).toDF("from", "to")
+    val pr2 = GraphAlgorithms.pageRank(cycle)
+      .as[(Long, Double)].collect().toMap
+    assert(pr2 == Map(1L -> 0.5, 2L -> 0.5), s"2-cycle fixed point: $pr2")
+    // star with spokes -> hub: the hub absorbs every spoke's full rank.
+    // Closed form at n = 5 (hub + 4 dangling spokes): spoke = 0.15/5 = 0.03,
+    // hub = 0.03 + 0.85 * 4 * 0.03 = 0.132 (spokes keep only the teleport
+    // share; their damped mass leaks, the documented dangling contract)
+    val star = (2L to 5L).map(s => (s, 1L)).toDF("s", "d")
+    val prS = GraphAlgorithms.pageRank(star)
+      .as[(Long, Double)].collect().toMap
+    assert(prS(1L) == 0.132 && (2L to 5L).forall(prS(_) == 0.03),
+      s"star fixed point: $prS")
+    // a sink-only node (appears only as dst) must still hold rank
+    assert(prS.size == 5, s"sink hub must be in the node set: $prS")
+  }
 }
