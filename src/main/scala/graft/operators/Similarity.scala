@@ -1087,9 +1087,24 @@ object Similarity {
   /** Combo-independent graph-ANN build state, shared by every (beam,
     * links) parameterization: the trained-cell kNN edges, the j-tagged
     * long-link pool (j = 1..[[MaxLongLinks]] — a combo takes the j <=
-    * links prefix), entry points, query set, and the corpus frame. */
+    * links prefix), entry points, query set, and the corpus frame.
+    * `adjByLinks` memoizes the SERVING adjacency (symmetrized +
+    * checkpointed) per links prefix: the symmetrize/distinct shuffle is
+    * the only corpus-edge-sized work left at search time, and it's
+    * links-dependent but query-independent — so repeated searches (bench
+    * reps, the 3 sweep cells sharing a links value) reuse the blocks
+    * instead of re-shuffling the edge list per call. */
   private case class BeamContext(knn: DataFrame, lnkAll: DataFrame,
-      ent: DataFrame, q: DataFrame, e: DataFrame)
+      ent: DataFrame, q: DataFrame, e: DataFrame) {
+    val adjByLinks = scala.collection.concurrent.TrieMap.empty[Int, DataFrame]
+  }
+
+  /** The memoized serving adjacency for a links prefix. */
+  private def adjFor(ctx: BeamContext, links: Int): DataFrame =
+    ctx.adjByLinks.getOrElseUpdate(links,
+      symmetrizedAdj(ctx.knn.union(
+        ctx.lnkAll.filter(col("j") <= links)
+          .select(col("vec_a"), col("vec_b")))))
 
   /** Largest long-link count any parameterization uses — the sweep's
     * upper bound; [[LongLinks]] <= this. */
@@ -1191,10 +1206,24 @@ object Similarity {
     * shuffled. */
   private[graft] def beamOver(s: SparkSession, adjHalf: DataFrame,
       e: DataFrame, ent: DataFrame, q: DataFrame, beamWidth: Int,
-      hops: Int, k: Int, excludeSelf: Boolean): DataFrame = {
-    val adj = adjHalf
+      hops: Int, k: Int, excludeSelf: Boolean): DataFrame =
+    beamOverAdj(s, symmetrizedAdj(adjHalf), e, ent, q, beamWidth, hops, k,
+      excludeSelf)
+
+  /** Symmetrize + materialize an (vec_a, vec_b) half-edge list into the
+    * serving adjacency. Factored so [[beamRun]] can memoize the result per
+    * links prefix ([[adjFor]]) instead of re-shuffling it on every search
+    * call — the symmetrize + distinct is the only corpus-edge-sized work
+    * in the serving path. */
+  private def symmetrizedAdj(adjHalf: DataFrame): DataFrame =
+    adjHalf
       .union(adjHalf.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
       .distinct().localCheckpoint(true)
+
+  /** The beam loop over a PREBUILT symmetrized adjacency. */
+  private def beamOverAdj(s: SparkSession, adj: DataFrame,
+      e: DataFrame, ent: DataFrame, q: DataFrame, beamWidth: Int,
+      hops: Int, k: Int, excludeSelf: Boolean): DataFrame = {
     def score(cands: DataFrame): DataFrame = cands
       .join(e, "vec_id")
       .join(broadcast(q), "q_id")
@@ -1235,9 +1264,7 @@ object Similarity {
     * width and long-link count. */
   private def beamRun(s: SparkSession, ctx: BeamContext,
       beamWidth: Int, links: Int): DataFrame =
-    beamOver(s,
-      ctx.knn.union(
-        ctx.lnkAll.filter(col("j") <= links).select(col("vec_a"), col("vec_b"))),
+    beamOverAdj(s, adjFor(ctx, links),
       ctx.e, ctx.ent, ctx.q, beamWidth, BeamHops, 10, excludeSelf = true)
 
   /** The Spark beam search shared by [[annGraphTopK]] and

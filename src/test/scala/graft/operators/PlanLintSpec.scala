@@ -27,6 +27,10 @@ class PlanLintSpec extends SparkTestBase {
     // composes ann_cosine_topk (the 8-query broadcast above) as its exact
     // truth side; the beam itself crossJoins only 8 queries x 8 entries
     "ann_graph_recall",
+    // composes ann_cosine_topk's exact truth AND the two serving routes;
+    // all broadcast sides constant-bounded (8 queries, 10-row discount
+    // table, beam entries)
+    "ann_rank_metrics",
     // documented all-pairs correctness baseline
     "dedup_embedding", "emb_threshold_sweep",
     // all-pairs on a deterministic 1/16 hash-sample (1/256 of the pairs):
