@@ -160,4 +160,28 @@ object EventAnalytics {
     EventOps.funnelStepsOn(
       threeCol(events, "(key, type, ts)").toDF("user_id", "event_type", "ts"),
       step1, step2, step3)
+
+  /** Event-type transition matrix: (state → next state) hop counts per
+    * key in event-time order — the Markov-chain view behind next-action
+    * analyses. One keyed shuffle for the lead() pass, then a
+    * partial-aggregated count into ≤ |types|² groups.
+    * @param events (id, key, ts, type) — any column names
+    * @return (event_type, next_type, n) */
+  def transitionMatrix(events: DataFrame): DataFrame =
+    EventOps.transitionMatrixOn(
+      fourCol(events, "(id, key, ts, type)")
+        .toDF("event_id", "user_id", "ts", "event_type"))
+
+  /** First-touch attribution: each `conversion` event credits the event
+    * type of its key's FIRST-ever event (the (ts, id) determinism
+    * contract breaks ties). One ranked window + one keyed join; shares
+    * are exact integer micro-rates.
+    * @param events (id, key, ts, type) — any column names
+    * @return (first_touch, n_users, n_purchases, share_micro) */
+  def firstTouchAttribution(events: DataFrame,
+      conversion: String): DataFrame =
+    EventOps.firstTouchOn(
+      fourCol(events, "(id, key, ts, type)")
+        .toDF("event_id", "user_id", "ts", "event_type"),
+      conversion)
 }

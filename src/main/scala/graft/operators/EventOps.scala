@@ -680,18 +680,21 @@ object EventOps {
     * user in event-time order — the Markov-chain view behind funnel and
     * next-action analyses. One shuffle (by user) for the lead() pass, then
     * a partial-aggregated count into at most |types|^2 groups. */
+  /** The transition-count core over any (user_id, ts, event_id,
+    * event_type) frame — shared with the public facade. */
+  private[graft] def transitionMatrixOn(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
   val transitionMatrix = GraftQuery(
     "ev_transition_matrix",
-    (s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      t(s, dir, "events")
-        .withColumn("next_type", lead(col("event_type"), 1).over(w))
-        .filter(col("next_type").isNotNull)
-        .groupBy(col("event_type"), col("next_type"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("event_type"), col("next_type"))
-    },
+    (s, dir) => transitionMatrixOn(t(s, dir, "events")),
     Some("""SELECT event_type, next_type, count(*) AS n
             FROM (SELECT user_id, event_type,
                     lead(event_type, 1) OVER (
@@ -2340,29 +2343,33 @@ object EventOps {
     * it on the user key. Output: per first-touch channel, how many
     * purchasing users and purchases it gets credit for, share
     * integer-scaled. */
+  /** The first-touch core over any (user_id, ts, event_id, event_type)
+    * frame and conversion type — shared with the public facade. */
+  private[graft] def firstTouchOn(ev: DataFrame, conversion: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val firstEv = ev
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("first_touch"))
+    val purchases = ev
+      .filter(col("event_type") === conversion)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_purch"))
+    val attr = purchases.join(firstEv, "user_id")
+      .groupBy(col("first_touch"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n_purch")).as("n_purchases"))
+    val tot = broadcast(attr.agg(sum(col("n_purchases")).as("tot")))
+    attr.crossJoin(tot)
+      .select(col("first_touch"), col("n_users"), col("n_purchases"),
+        expr("cast(n_purchases * 1000000 div tot as bigint)").as("share_micro"))
+      .orderBy(col("first_touch"))
+  }
+
   lazy val firstTouch = GraftQuery(
     "ev_first_touch_attribution",
-    (s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-      val firstEv = t(s, dir, "events")
-        .select(col("user_id"), col("event_type"), col("event_id"),
-          unix_micros(col("ts")).as("us"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type").as("first_touch"))
-      val purchases = t(s, dir, "events")
-        .filter(col("event_type") === "purchase")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("n_purch"))
-      val attr = purchases.join(firstEv, "user_id")
-        .groupBy(col("first_touch"))
-        .agg(count(lit(1)).as("n_users"), sum(col("n_purch")).as("n_purchases"))
-      val tot = broadcast(attr.agg(sum(col("n_purchases")).as("tot")))
-      attr.crossJoin(tot)
-        .select(col("first_touch"), col("n_users"), col("n_purchases"),
-          expr("cast(n_purchases * 1000000 div tot as bigint)").as("share_micro"))
-        .orderBy(col("first_touch"))
-    },
+    (s, dir) => firstTouchOn(t(s, dir, "events"), "purchase"),
     Some("""WITH fe AS (
               SELECT user_id, event_type AS first_touch FROM (
                 SELECT user_id, event_type,

@@ -185,6 +185,31 @@ class EventAnalyticsSpec extends SparkTestBase {
       (3, "c_after_b", 1L, 1000000L, 333333L)), s"${rows.toSeq}")
   }
 
+  test("transitionMatrix + firstTouchAttribution: hand-computed hop counts and credit shares") {
+    import spark.implicits._
+    // u1: ad -> click -> purchase -> purchase; u2: email -> click ->
+    // purchase; u3: ad -> click (never converts)
+    val ev = Seq(
+      (1L, 1L, ts(0), "ad"), (2L, 1L, ts(1), "click"),
+      (3L, 1L, ts(2), "purchase"), (4L, 1L, ts(3), "purchase"),
+      (5L, 2L, ts(0), "email"), (6L, 2L, ts(1), "click"),
+      (7L, 2L, ts(2), "purchase"),
+      (8L, 3L, ts(0), "ad"), (9L, 3L, ts(1), "click")
+    ).toDF("eid", "who", "when", "kind")
+    val tm = EventAnalytics.transitionMatrix(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tm == Map(
+      ("ad", "click") -> 2L, ("click", "purchase") -> 2L,
+      ("purchase", "purchase") -> 1L, ("email", "click") -> 1L), s"$tm")
+    val attr = EventAnalytics.firstTouchAttribution(ev, conversion = "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // ad opened for u1 (2 purchases of 3 total: 666666 micro), email for
+    // u2 (1 of 3: 333333); u3 never converted and credits nothing
+    assert(attr == Map(
+      "ad" -> ((1L, 2L, 666666L)), "email" -> ((1L, 1L, 333333L))), s"$attr")
+  }
+
   test("degenerate inputs: the six r15 facade functions flow empty frames through") {
     import spark.implicits._
     val e4 = Seq.empty[(Long, Long, Timestamp, Double)].toDF("a", "b", "c", "d")
