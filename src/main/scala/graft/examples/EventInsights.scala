@@ -1,0 +1,87 @@
+package graft.examples
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.api.EventAnalytics
+
+/** END-TO-END EVENT-ANALYTICS EXAMPLE — the product-analytics report a
+  * user who "switches to this library" assembles from the public event
+  * facade (the event-family sibling of [[CurateCorpus]]'s curation
+  * pipeline; reference role: the streaming wordcount/complexdag examples'
+  * user-facing composition):
+  *
+  *   read -> sessionize -> ordered funnel -> weekly cohort retention
+  *        -> z-score anomaly flags -> first-touch attribution,
+  *
+  * one pass over an arbitrary five-column event log, every stage a facade
+  * call — nothing here re-implements engine logic. All five stages are
+  * single-shuffle key-partitioned shapes, so the report scales with the
+  * log.
+  *
+  * The streaming twin ([[live]]) runs the windowed-counts leg NATIVELY on
+  * an unbounded stream (complete mode; the same facade call — the
+  * stream==batch parity of the expression is pinned by
+  * EventAnalyticsSpec), which is the half of the report an always-on
+  * dashboard serves; the session/funnel/retention batch legs re-run on
+  * each snapshot in production schedulers. */
+object EventInsights {
+
+  /** The assembled report: one frame per analysis. */
+  final case class Report(
+      sessions: DataFrame, funnel: DataFrame, retention: DataFrame,
+      anomalies: DataFrame, attribution: DataFrame)
+
+  /** Build the report over an arbitrary (id, key, ts, type, value) event
+    * frame — any column names, positional convention.
+    * @param steps      the ordered funnel's three event types
+    * @param conversion the attribution model's conversion event type
+    * @param gap        session inactivity gap */
+  def analyze(events: DataFrame, steps: (String, String, String),
+      conversion: String, gap: String = "30 minutes"): Report = {
+    val ev = events.toDF("event_id", "user_id", "ts", "event_type", "value")
+      .localCheckpoint(true)
+    Report(
+      sessions = EventAnalytics.sessionize(
+        ev.select(col("user_id"), col("ts"), col("value")), gap),
+      funnel = EventAnalytics.funnelSteps(
+        ev.select(col("user_id"), col("event_type"), col("ts")),
+        steps._1, steps._2, steps._3),
+      retention = EventAnalytics.cohortRetention(
+        ev.select(col("user_id"), col("ts"))),
+      anomalies = EventAnalytics.anomalyZScore(
+        ev.select(col("event_id"), col("event_type"), col("value"))),
+      attribution = EventAnalytics.firstTouchAttribution(
+        ev.select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type")),
+        conversion))
+  }
+
+  /** The always-on half: hourly windowed counts per event type, NATIVE on
+    * a streaming (kind, ts, value) frame (complete output mode — every
+    * trigger re-emits the full window table, the dashboard shape).
+    * @return the running query; read results from the `mem_name` memory
+    *         table */
+  def live(events: DataFrame, memName: String): StreamingQuery =
+    EventAnalytics.windowedCounts(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(memName)
+      .start()
+
+  /** Demo main: report over the fixture event log. */
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = graft.Engine.session("event-insights", "local[4]", 8)
+    val ev = graft.Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val r = analyze(ev, steps = ("view", "click", "purchase"),
+      conversion = "purchase")
+    println(s"SESSIONS=${r.sessions.count()}")
+    r.funnel.show(truncate = false)
+    println(s"RETENTION_CELLS=${r.retention.count()}")
+    println(s"ANOMALIES=${r.anomalies.count()}")
+    r.attribution.show(truncate = false)
+    spark.stop()
+  }
+}
