@@ -100,11 +100,13 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
-  /** A built graph-ANN index over a user corpus: the symmetrizable edge
-    * list (short kNN links within trained cells + hub long links), the
-    * projected corpus, and the hash-selected entry points. Frames are
-    * eagerly materialized via localCheckpoint — build once, search many;
-    * blocks are reclaimed when the index is dereferenced. */
+  /** A built graph-ANN index over a user corpus: the SYMMETRIZED serving
+    * adjacency (short kNN links within trained cells + hub long links,
+    * both directions, deduplicated), the projected corpus, and the
+    * hash-selected entry points. Frames are eagerly materialized via
+    * localCheckpoint at build time — build once, search many (searches
+    * run zero edge-list shuffles); blocks are reclaimed when the index
+    * is dereferenced. */
   final case class GraphAnnIndex private[api] (
       adjacency: DataFrame, corpus: DataFrame, entries: DataFrame)
 
@@ -124,6 +126,14 @@ object SimilaritySearch {
       shortLinks: Int = 3, longLinks: Int = 4, hubs: Int = 64,
       trainIters: Int = 5): GraphAnnIndex = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // ids: any INTEGRAL type (cast up to long — the hub array and entry
+    // frame are driver-side longs); reject non-integral ids with a named
+    // contract error instead of a ClassCastException at hub collection
+    val named0 = named(corpus, "vec_id", "embedding")
+    val idType = named0.schema("vec_id").dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(idType.typeName),
+      s"graphAnnBuild needs an integral id column, got ${idType.typeName}")
     // rename + checkpoint + REBASE: a localCheckpoint of a renamed frame
     // preserves alias constraints (vec_id := <user id col>) whose
     // references dangle once the original attributes are gone, and
@@ -131,7 +141,8 @@ object SimilaritySearch {
     // loop unions frames derived from this corpus (the registry build
     // never renames before checkpointing, so only the facade needs this)
     val c = {
-      val lc = named(corpus, "vec_id", "embedding").localCheckpoint(true)
+      val lc = named0.withColumn("vec_id", col("vec_id").cast("long"))
+        .localCheckpoint(true)
       spark.createDataFrame(lc.rdd, lc.schema)
     }
     val (cents, _, _) = KMeans.train(spark, c, nlist, trainIters)
@@ -176,18 +187,23 @@ object SimilaritySearch {
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
           org.apache.spark.sql.types.LongType))))
-    // rebase the adjacency onto its materialized RDD: localCheckpoint
-    // alone preserves the plan's constraint set, and the alias lineage
-    // (vec_a := vec_id) in those constraints trips Catalyst's Union
-    // constraint rewrite when the search later self-unions the frame
-    // with its reverse ("key not found: vec_id#N"); createDataFrame over
-    // the checkpointed RDD yields a constraint-free relation with the
-    // same blocks
-    val adjHalf = {
-      val lc = knn.union(lnk).localCheckpoint(true)
+    // symmetrize at BUILD time (both edge directions + dedup) so every
+    // search is pure point lookups — graphAnnSearch must run zero
+    // edge-list shuffles per call (r15 review: the symmetrize used to
+    // re-run per search). Then rebase onto the materialized RDD:
+    // localCheckpoint alone preserves the plan's constraint set, and the
+    // alias lineage (vec_a := vec_id) in those constraints trips
+    // Catalyst's Union constraint rewrite downstream ("key not found:
+    // vec_id#N"); createDataFrame over the checkpointed RDD yields a
+    // constraint-free relation with the same blocks.
+    val half = knn.union(lnk)
+    val adj = {
+      val lc = half
+        .union(half.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+        .distinct().localCheckpoint(true)
       spark.createDataFrame(lc.rdd, lc.schema)
     }
-    GraphAnnIndex(adjHalf, c, entries)
+    GraphAnnIndex(adj, c, entries)
   }
 
   /** Beam search over a [[graphAnnBuild]] index — identical loop to the
@@ -202,8 +218,8 @@ object SimilaritySearch {
       queries: DataFrame, k: Int = 10, beamWidth: Int = 16,
       hops: Int = 5): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    Similarity.beamOver(spark, index.adjacency, index.corpus, index.entries,
-      named(queries, "q_id", "q_emb"), beamWidth, hops, k,
+    Similarity.beamOverAdj(spark, index.adjacency, index.corpus,
+      index.entries, named(queries, "q_id", "q_emb"), beamWidth, hops, k,
       excludeSelf = false)
   }
 

@@ -78,11 +78,21 @@ object Curation {
   /** The scrub body over an arbitrary (doc_id, text) frame — the
     * text_pii_scrub detector/redactor without the fixture's planted
     * markers, shared with the public facade.
+    *
+    * Detection and redaction BOTH go through the Column API so the
+    * pattern string reaches the regex engine verbatim: an
+    * expr()-embedded SQL literal would pass through Spark's
+    * unescapeSQLString, which strips the backslash from `\.` and turns
+    * the anchored dots into wildcards — detection then counts "PII" the
+    * redactor (whose Scala-string pattern kept `\.` literal) never
+    * scrubs ("build 1.2.3 4" counted as an IP, "user@hostname" as an
+    * email, neither redacted; caught by the r15 review, pinned by the
+    * facade spec's clean-text arm).
     * @return (doc_id, n_emails, n_ips, scrubbed) */
   private[graft] def piiScrubOn(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      size(expr(s"regexp_extract_all(text, '$EmailPat', 0)")).as("n_emails"),
-      size(expr(s"regexp_extract_all(text, '$Ipv4Pat', 0)")).as("n_ips"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(Ipv4Pat), lit(0))).as("n_ips"),
       regexp_replace(regexp_replace(col("text"), EmailPat, "<EMAIL>"),
         Ipv4Pat, "<IP>").as("scrubbed"))
 
@@ -107,8 +117,11 @@ object Curation {
                 lit("."), (col("doc_id") % 50).cast("string")))
               .otherwise(lit(""))).as("txt"))
         .select(col("doc_id"),
-          size(expr(s"regexp_extract_all(txt, '$EmailPat', 0)")).as("n_emails"),
-          size(expr(s"regexp_extract_all(txt, '$Ipv4Pat', 0)")).as("n_ips"),
+          // Column-API extraction (not an expr() SQL literal): see
+          // [[piiScrubOn]] — unescapeSQLString would strip the `\.`
+          // backslashes and make detection disagree with the redactor
+          size(regexp_extract_all(col("txt"), lit(EmailPat), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("txt"), lit(Ipv4Pat), lit(0))).as("n_ips"),
           regexp_replace(regexp_replace(col("txt"), EmailPat, "<EMAIL>"),
             Ipv4Pat, "<IP>").as("scrubbed"))
         .orderBy(col("doc_id")),

@@ -180,8 +180,19 @@ object EventOps {
     * self-join. Shared by ev_rate_limit and
     * [[graft.api.EventAnalytics.rateLimit]].
     * @return (event_id, user_id, window_start) ordered by event_id */
+  /** Calendar units date_trunc actually understands — anything else
+    * returns NULL, which would silently collapse every event into ONE
+    * (key, NULL) rate-limit window (caught by the r15 review: per =
+    * "days" throttled users to maxPer events TOTAL). */
+  private val TruncUnits = Set("year", "yyyy", "yy", "quarter", "month",
+    "mon", "mm", "week", "day", "dd", "hour", "minute", "second",
+    "millisecond", "microsecond")
+
   private[graft] def rateLimitOn(ev: DataFrame, maxPer: Int,
-      unit: String): DataFrame =
+      unit: String): DataFrame = {
+    require(TruncUnits(unit.toLowerCase),
+      s"rate-limit unit '$unit' is not a date_trunc unit " +
+        s"(valid: ${TruncUnits.toSeq.sorted.mkString(", ")})")
     ev.withColumn("window_start", date_trunc(unit, col("ts")))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"), col("window_start"))
@@ -189,6 +200,7 @@ object EventOps {
       .filter(col("rn") <= maxPer)
       .select(col("event_id"), col("user_id"), col("window_start"))
       .orderBy(col("event_id"))
+  }
 
   /** Per-group z-score anomaly flagging over a (event_id, event_type,
     * value) frame: rows whose |z| clears `threshold` against their
@@ -202,8 +214,12 @@ object EventOps {
       threshold: Double): DataFrame = {
     val v6 = ev.withColumn("v6",
       expr("cast(floor(value * 1e6 + 0.5) as decimal(38,0))"))
+    // count(v6), not count(*): null values are excluded from s1/s2, so
+    // counting them into n would bias mean and std low for any user frame
+    // containing nulls (r15 review); null rows themselves drop out at the
+    // z filter either way
     val stats = v6.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("v6")).as("s1"),
+      .agg(count(col("v6")).as("n"), sum(col("v6")).as("s1"),
         sum(col("v6") * col("v6")).as("s2"))
       .select(col("event_type"),
         expr("cast(s1 as double) / n / 1e6").as("mean"),
@@ -246,7 +262,10 @@ object EventOps {
     * @return (step, gate, n_users, conv_step_micro, conv_total_micro) */
   private[graft] def funnelStepsOn(ev: DataFrame,
       s1: String, s2: String, s3: String): DataFrame = {
-    def q(x: String) = x.replace("'", "''") // step names land in a SQL literal
+    // step names land in a SQL literal: double quotes AND double
+    // backslashes — Spark's literal parser processes backslash escapes,
+    // so a trailing backslash would swallow the closing quote (r15 review)
+    def q(x: String) = x.replace("\\", "\\\\").replace("'", "''")
     val w = Window.partitionBy(col("user_id"))
     ev.withColumn("t1", min(when(col("event_type") === s1, col("ts"))).over(w))
       .withColumn("t2", min(when(col("event_type") === s2 && col("ts") > col("t1"),

@@ -1220,8 +1220,10 @@ object Similarity {
       .union(adjHalf.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
       .distinct().localCheckpoint(true)
 
-  /** The beam loop over a PREBUILT symmetrized adjacency. */
-  private def beamOverAdj(s: SparkSession, adj: DataFrame,
+  /** The beam loop over a PREBUILT symmetrized adjacency (private[graft]:
+    * the facade's GraphAnnIndex stores its adjacency pre-symmetrized so
+    * searches run zero edge shuffles). */
+  private[graft] def beamOverAdj(s: SparkSession, adj: DataFrame,
       e: DataFrame, ent: DataFrame, q: DataFrame, beamWidth: Int,
       hops: Int, k: Int, excludeSelf: Boolean): DataFrame = {
     def score(cands: DataFrame): DataFrame = cands

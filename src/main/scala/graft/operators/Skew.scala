@@ -62,10 +62,15 @@ object Skew {
     * centroid discipline), not a collect of data rows. */
   private[graft] def probedSalt(probe: DataFrame, keyCol: String,
       targetRowsPerSlot: Long = TargetRowsPerSlot): Int = {
-    val estHottest = probe.sample(withReplacement = false, ProbeFraction, seed = 42L)
+    // the max over ZERO sampled groups is one row holding NULL (an empty
+    // or tiny frame whose 5% sample came back empty) — degrade to salt=1
+    // rather than NPE inside query construction (r15 review)
+    val row = probe.sample(withReplacement = false, ProbeFraction, seed = 42L)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("c"))
       .agg(max(col("c")).as("m"))
-      .head().getAs[Long]("m") / ProbeFraction
+      .head()
+    val estHottest =
+      (if (row.isNullAt(0)) 0L else row.getLong(0)) / ProbeFraction
     math.min(MaxSalt.toLong,
       math.max(1L, math.ceil(estHottest / targetRowsPerSlot.toDouble).toLong)).toInt
   }
@@ -81,13 +86,23 @@ object Skew {
     * the exact plan q28 registers, factored so the scale-stress harness
     * times THIS code path (not a re-spelling) against [[plainRevenue]].
     * Salt count comes from [[probedSalt]] over the probe (fact) side
-    * unless the caller pins one (the stress harness pins the historic
-    * Salt=8 to keep its r12→r14 payoff trendline comparable). */
+    * unless the caller pins one via `saltOverride` (the stress harness
+    * deliberately exercises the probe-derived production path). */
   private[graft] def saltedRevenue(li0: DataFrame, o0: DataFrame,
       saltOverride: Option[Int] = None): DataFrame = {
     val salt = saltOverride.getOrElse(probedSalt(li0, "l_orderkey"))
-    val li = li0.withColumn("salt", pmod(col("l_linenumber"), lit(salt)))
-    val o = o0.withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    // the salt coordinate must have >= salt distinct values among the hot
+    // key's rows or the extra slots are pure dead replication:
+    // pmod(l_linenumber, salt) capped the split at l_linenumber's 7
+    // distinct values, silently wasting every probed salt > 7 (r15
+    // review). A row-content hash spreads any hot key across all `salt`
+    // slots; rows that are FULL duplicates share a slot by construction
+    // (the price of determinism — no rand() under retries).
+    val li = li0.withColumn("salt",
+      pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_extendedprice")), lit(salt.toLong)))
+    val o = o0.withColumn("salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1L))))
     revenueAgg(li.join(o,
       li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt")))
   }

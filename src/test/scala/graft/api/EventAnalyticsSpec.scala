@@ -185,6 +185,30 @@ class EventAnalyticsSpec extends SparkTestBase {
       (3, "c_after_b", 1L, 1000000L, 333333L)), s"${rows.toSeq}")
   }
 
+  test("rateLimit rejects units date_trunc would NULL out; anomaly stats exclude nulls") {
+    import spark.implicits._
+    // "days" (plural) is not a date_trunc unit: it used to make every
+    // window_start NULL and throttle each key to maxPer events TOTAL
+    val ev = Seq((1L, 1L, ts(0)), (2L, 1L, ts(1))).toDF("a", "b", "c")
+    val e = intercept[IllegalArgumentException] {
+      EventAnalytics.rateLimit(ev, maxPer = 1, per = "days")
+    }
+    assert(e.getMessage.contains("date_trunc"), e.getMessage)
+    // null values must not count into the group size: 5 non-null values
+    // (0,0,0,0,10) have mean 2, std 4 -> z(10) = 2.0 exactly; counting
+    // the 5 nulls into n used to bias the stats to mean 1 / std 3 ->
+    // z = 3.0 (and z(0) from -0.5 to -0.33)
+    val vals = Seq[(Long, String, java.lang.Double)](
+      (1L, "m", 0.0), (2L, "m", 0.0), (3L, "m", 0.0), (4L, "m", 0.0),
+      (5L, "m", 10.0),
+      (6L, "m", null), (7L, "m", null), (8L, "m", null), (9L, "m", null),
+      (10L, "m", null)).toDF("id", "grp", "v")
+    val flagged = EventAnalytics.anomalyZScore(vals, threshold = 1.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(flagged.toSeq == Seq((5L, 2.0)),
+      s"unbiased z must be exactly 2.0: ${flagged.toSeq}")
+  }
+
   test("transitionMatrix + firstTouchAttribution: hand-computed hop counts and credit shares") {
     import spark.implicits._
     // u1: ad -> click -> purchase -> purchase; u2: email -> click ->

@@ -126,4 +126,19 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(beam(1L).map(_._2).forall(id => id >= 100000L && id != 999007L),
       s"query 1 must navigate to cluster B: ${beam(1L).toSeq}")
   }
+
+  test("graphAnn id contract: integral ids cast up, non-integral ids fail loudly") {
+    import spark.implicits._
+    val intIds = corpus().map { case (id, v) => (id.toInt, v) }.toDF("id", "vec")
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0f))).toDF("qid", "qvec")
+    val idx = SimilaritySearch.graphAnnBuild(spark, intIds, nlist = 2, hubs = 4)
+    val r = SimilaritySearch.graphAnnSearch(spark, idx, q, k = 3)
+      .collect().map(_.getLong(1))
+    assert(r.forall(id => id < 100L || id == 999L), s"int ids search: ${r.toSeq}")
+    val strIds = corpus().map { case (id, v) => (id.toString, v) }.toDF("id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.graphAnnBuild(spark, strIds)
+    }
+    assert(e.getMessage.contains("integral id column"), e.getMessage)
+  }
 }

@@ -109,4 +109,22 @@ class TextAnalyticsSpec extends SparkTestBase {
     assert(r(3L) == ((0, 0, "no sensitive content here at all")))
     assert(r(4L) == ((1, 1, "mixed: <EMAIL> from <IP>")))
   }
+
+  test("piiScrub: detection and redaction agree on lookalike non-PII (literal dots)") {
+    import spark.implicits._
+    // the r15 regression: an expr()-embedded pattern lost its \. escapes
+    // (unescapeSQLString) and COUNTED these as PII while the redactor
+    // (literal \.) left the text alone — counts and scrubbed text must
+    // come from the identical automaton
+    val df = Seq(
+      1L -> "build 1.2.3 4 finished",   // digit runs, spaces not dots
+      2L -> "mail user@hostname today", // no TLD dot
+      3L -> "real a@b.co and 10.0.0.1").toDF("id", "body")
+    val r = TextAnalytics.piiScrub(df)
+      .collect().map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getString(3)))).toMap
+    assert(r(1L) == ((0, 0, "build 1.2.3 4 finished")), s"${r(1L)}")
+    assert(r(2L) == ((0, 0, "mail user@hostname today")), s"${r(2L)}")
+    assert(r(3L) == ((1, 1, "real <EMAIL> and <IP>")), s"${r(3L)}")
+  }
 }
