@@ -76,6 +76,9 @@ object KMeans {
     // deterministic seeds: the first k vectors by vec_id
     var centroids: Array[Array[Double]] = corpus.orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    // named contract error, not an `empty.max` crash deep in the loop:
+    // an empty corpus has no seeds to train from
+    require(centroids.nonEmpty, "k-means training needs a non-empty corpus")
     // dimension inferred from the data, not assumed: the public facade
     // (api.SimilaritySearch) trains on arbitrary-width embeddings
     val Dim = centroids.headOption.map(_.length).getOrElse(DefaultDim)

@@ -147,6 +147,13 @@ class DegenerateInputsSpec extends SparkTestBase {
     }
     val (cents, _, _) = SimilaritySearch.kMeansTrain(spark, corpus, k = 5)
     assert(cents.length == 2, s"k > n seeds degrade to n, got ${cents.length}")
+    // an empty corpus names its contract instead of crashing with
+    // `empty.max` deep inside the movement check (this also guards
+    // graphAnnBuild, whose first step is this training loop)
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.kMeansTrain(spark, vecs(Seq.empty), k = 2)
+    }
+    assert(e.getMessage.contains("non-empty corpus"), e.getMessage)
   }
 
   // ------------------------------------------------------------------
