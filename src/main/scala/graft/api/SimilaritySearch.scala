@@ -121,7 +121,20 @@ object SimilaritySearch {
     * assumption (the hub list is a driver-side array of ≤ `hubs` longs,
     * applied map-side; no shuffle, no window).
     * Short links: kNN (k = `shortLinks`) within `nlist` TRAINED k-means
-    * cells — geometric neighborhoods, the ann_ivf_trained lesson. */
+    * cells — geometric neighborhoods, the ann_ivf_trained lesson.
+    *
+    * Why `hubs` defaults to 64: the knob trades backbone degree against
+    * entry diversity, and both failure modes sit far from 64 — too FEW
+    * hubs (≲8) concentrate n·longLinks/hubs incoming edges per hub (at
+    * 1M vectors ×4 links ÷ 8 = 500k-degree supernodes whose expansion
+    * floods every beam hop), too MANY (≳corpus/10) dilute the backbone
+    * until it stops shortcutting across cells. 64 keeps worst-case hub
+    * degree at n/16 edges spread over 64 expansion keys (each hop
+    * touches ≤ beamWidth of them), the driver array at 512 bytes, and
+    * matches the registry sweep's finding that long-link COUNT (the
+    * per-node side, swept in ann_graph_param_sweep) is the recall lever
+    * — the hub-set size only has to be "comfortably between the two
+    * failure modes". Raise it toward √n for billion-vector corpora. */
   def graphAnnBuild(spark: SparkSession, corpus: DataFrame, nlist: Int = 8,
       shortLinks: Int = 3, longLinks: Int = 4, hubs: Int = 64,
       trainIters: Int = 5): GraphAnnIndex = {
