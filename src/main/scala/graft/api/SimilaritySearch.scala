@@ -209,7 +209,11 @@ object SimilaritySearch {
     // Catalyst's Union constraint rewrite downstream ("key not found:
     // vec_id#N"); createDataFrame over the checkpointed RDD yields a
     // constraint-free relation with the same blocks.
-    val half = knn.union(lnk)
+    // materialize the half-edge list BEFORE self-unioning with its
+    // reverse: a live `half.union(half.select(...))` computes the kNN
+    // window-join and hub explode once per union branch — the most
+    // expensive build stage doubled (r15 review)
+    val half = knn.union(lnk).localCheckpoint(true)
     val adj = {
       val lc = half
         .union(half.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))

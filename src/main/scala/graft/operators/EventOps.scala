@@ -174,12 +174,6 @@ object EventOps {
       .orderBy(col("user_id"), col("grid_ts"))
   }
 
-  /** Per-key rate limiting over a (event_id, user_id, ts) frame: keep at
-    * most `maxPer` events per user per `unit` (day/hour/week…), in (ts,
-    * event_id) order — one ranked window per (user, window) partition, no
-    * self-join. Shared by ev_rate_limit and
-    * [[graft.api.EventAnalytics.rateLimit]].
-    * @return (event_id, user_id, window_start) ordered by event_id */
   /** Calendar units date_trunc actually understands — anything else
     * returns NULL, which would silently collapse every event into ONE
     * (key, NULL) rate-limit window (caught by the r15 review: per =
@@ -188,6 +182,12 @@ object EventOps {
     "mon", "mm", "week", "day", "dd", "hour", "minute", "second",
     "millisecond", "microsecond")
 
+  /** Per-key rate limiting over a (event_id, user_id, ts) frame: keep at
+    * most `maxPer` events per user per `unit` (day/hour/week…), in (ts,
+    * event_id) order — one ranked window per (user, window) partition, no
+    * self-join. Shared by ev_rate_limit and
+    * [[graft.api.EventAnalytics.rateLimit]].
+    * @return (event_id, user_id, window_start) ordered by event_id */
   private[graft] def rateLimitOn(ev: DataFrame, maxPer: Int,
       unit: String): DataFrame = {
     require(TruncUnits(unit.toLowerCase),
@@ -523,9 +523,12 @@ object EventOps {
                        FROM events),
             stats AS (
               SELECT event_type,
-                CAST(sum(v6) AS DOUBLE) / count(*) / 1e6 AS mean,
-                sqrt(greatest(CAST(sum(v6 * v6) AS DOUBLE) / count(*) / 1e12
-                  - pow(CAST(sum(v6) AS DOUBLE) / count(*) / 1e6, 2), CAST(0.0 AS DOUBLE))) AS std
+                -- count(v6), not count(*): the group size must exclude the
+                -- null values the sums skip (pins the engine's unbiased
+                -- semantics on null-bearing inputs, not just this fixture)
+                CAST(sum(v6) AS DOUBLE) / count(v6) / 1e6 AS mean,
+                sqrt(greatest(CAST(sum(v6 * v6) AS DOUBLE) / count(v6) / 1e12
+                  - pow(CAST(sum(v6) AS DOUBLE) / count(v6) / 1e6, 2), CAST(0.0 AS DOUBLE))) AS std
               FROM v GROUP BY event_type)
             SELECT event_id, v.event_type, floor(value * 1e6 + 0.5) / 1e6 AS value_r,
               floor((value - mean) / std * 1e4 + 0.5) / 1e4 AS z
@@ -695,12 +698,9 @@ object EventOps {
                   FROM events)
             ORDER BY event_id"""))
 
-  /** EVENT-TYPE TRANSITION MATRIX: count (state -> next state) hops per
-    * user in event-time order — the Markov-chain view behind funnel and
-    * next-action analyses. One shuffle (by user) for the lead() pass, then
-    * a partial-aggregated count into at most |types|^2 groups. */
   /** The transition-count core over any (user_id, ts, event_id,
-    * event_type) frame — shared with the public facade. */
+    * event_type) frame — shared by ev_transition_matrix and
+    * [[graft.api.EventAnalytics.transitionMatrix]]. */
   private[graft] def transitionMatrixOn(ev: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -711,6 +711,10 @@ object EventOps {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** EVENT-TYPE TRANSITION MATRIX: count (state -> next state) hops per
+    * user in event-time order — the Markov-chain view behind funnel and
+    * next-action analyses. One shuffle (by user) for the lead() pass, then
+    * a partial-aggregated count into at most |types|^2 groups. */
   val transitionMatrix = GraftQuery(
     "ev_transition_matrix",
     (s, dir) => transitionMatrixOn(t(s, dir, "events")),
@@ -2355,15 +2359,9 @@ object EventOps {
                   FROM events)
             GROUP BY event_type ORDER BY event_type"""))
 
-  /** FIRST-TOUCH ATTRIBUTION: every purchase credits the event type of its
-    * user's FIRST-ever event — the simplest (and still ubiquitous)
-    * marketing attribution model. The first event per user is a ranked
-    * window with the (ts, event_id) determinism contract; purchases join
-    * it on the user key. Output: per first-touch channel, how many
-    * purchasing users and purchases it gets credit for, share
-    * integer-scaled. */
   /** The first-touch core over any (user_id, ts, event_id, event_type)
-    * frame and conversion type — shared with the public facade. */
+    * frame and conversion type — shared by ev_first_touch_attribution and
+    * [[graft.api.EventAnalytics.firstTouchAttribution]]. */
   private[graft] def firstTouchOn(ev: DataFrame, conversion: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))
@@ -2386,6 +2384,13 @@ object EventOps {
       .orderBy(col("first_touch"))
   }
 
+  /** FIRST-TOUCH ATTRIBUTION: every purchase credits the event type of its
+    * user's FIRST-ever event — the simplest (and still ubiquitous)
+    * marketing attribution model. The first event per user is a ranked
+    * window with the (ts, event_id) determinism contract; purchases join
+    * it on the user key. Output: per first-touch channel, how many
+    * purchasing users and purchases it gets credit for, share
+    * integer-scaled. */
   lazy val firstTouch = GraftQuery(
     "ev_first_touch_attribution",
     (s, dir) => firstTouchOn(t(s, dir, "events"), "purchase"),

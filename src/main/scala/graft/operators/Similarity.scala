@@ -1196,20 +1196,6 @@ object Similarity {
     (knn, lnkAll, ent, q, eSmall)
   }
 
-  /** The frame-generic synchronous beam search — [[beamRun]]'s loop over
-    * arbitrary frames, shared with the public facade
-    * (api.SimilaritySearch.graphAnnSearch). `adjHalf` is the un-symmetrized
-    * edge list (vec_a, vec_b); `e` the (vec_id, embedding) corpus; `ent`
-    * the (vec_id) entry points; `q` the (q_id, q_emb) query set.
-    * 100 TB shape unchanged: beam state is queries × beamWidth rows, each
-    * hop two key-lookup joins + one beam-sized window, corpus never
-    * shuffled. */
-  private[graft] def beamOver(s: SparkSession, adjHalf: DataFrame,
-      e: DataFrame, ent: DataFrame, q: DataFrame, beamWidth: Int,
-      hops: Int, k: Int, excludeSelf: Boolean): DataFrame =
-    beamOverAdj(s, symmetrizedAdj(adjHalf), e, ent, q, beamWidth, hops, k,
-      excludeSelf)
-
   /** Symmetrize + materialize an (vec_a, vec_b) half-edge list into the
     * serving adjacency. Factored so [[beamRun]] can memoize the result per
     * links prefix ([[adjFor]]) instead of re-shuffling it on every search
@@ -1220,9 +1206,16 @@ object Similarity {
       .union(adjHalf.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
       .distinct().localCheckpoint(true)
 
-  /** The beam loop over a PREBUILT symmetrized adjacency (private[graft]:
-    * the facade's GraphAnnIndex stores its adjacency pre-symmetrized so
-    * searches run zero edge shuffles). */
+  /** The frame-generic synchronous beam search over a PREBUILT
+    * symmetrized adjacency — [[beamRun]]'s loop, shared with the public
+    * facade (api.SimilaritySearch.graphAnnSearch, whose GraphAnnIndex
+    * stores its adjacency pre-symmetrized so searches run zero edge
+    * shuffles). `adj` is the symmetrized (vec_a, vec_b) edge list
+    * ([[symmetrizedAdj]] builds one from a half-edge list); `e` the
+    * (vec_id, embedding) corpus; `ent` the (vec_id) entry points; `q` the
+    * (q_id, q_emb) query set. 100 TB shape: beam state is queries ×
+    * beamWidth rows, each hop two key-lookup joins + one beam-sized
+    * window, corpus never shuffled. */
   private[graft] def beamOverAdj(s: SparkSession, adj: DataFrame,
       e: DataFrame, ent: DataFrame, q: DataFrame, beamWidth: Int,
       hops: Int, k: Int, excludeSelf: Boolean): DataFrame = {
