@@ -85,6 +85,24 @@ object GraphAlgorithms {
     GraphOps.commonNeighborCounts(h, GraphOps.degrees(h), hubCap)
   }
 
+  /** Per-node triangle counts — the registry's graph_triangles
+    * enumeration over an arbitrary undirected pair list: edges are
+    * (degree, id)-oriented so every triangle is counted exactly once from
+    * its minimum corner via the out-out wedge join, which bounds wedge
+    * fan-out at power-law hubs to Σ C(outdeg, 2) instead of Σ deg² (a
+    * huge hub with ordinary neighbors opens ~zero wedges). Nodes in no
+    * triangle are absent from the output.
+    * @param pairs undirected edges once, two columns; duplicates dedup
+    * @return (node, n_triangles), all triangle-participating nodes */
+  def triangles(pairs: DataFrame): DataFrame = {
+    val half = pairs.toDF("u", "v").distinct()
+    val o = GraphOps.orient(half, GraphOps.degrees(half)).cache()
+    GraphOps.orientedWedges(o)
+      .join(o.as("e3"), col("e3.src") === col("y") && col("e3.dst") === col("z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** PageRank (damping 0.85) to a movement tolerance — the registry's
     * graph_pagerank loop (the reference's flagship iterative protocol,
     * SURVEY §2.1 #22) over an arbitrary DIRECTED edge frame: a node's

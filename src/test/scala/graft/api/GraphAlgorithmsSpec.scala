@@ -58,6 +58,18 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     assert(cn((1L, 3L)) == 1L && cn((4L, 6L)) == 1L, s"wedges: $cn")
   }
 
+  test("triangles: exact per-node counts on a planted clique plus a dangler") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each node in C(3,2) = 3) plus the
+    // triangle-free pendant edge 4-5; duplicate edge rows must not
+    // double-count
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val pairs = (k4 ++ Seq((4L, 5L)) ++ Seq((1L, 2L))).toDF("p", "q")
+    val tri = GraphAlgorithms.triangles(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(tri == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$tri")
+  }
+
   test("pageRank: closed-form fixed points on user edge frames") {
     import spark.implicits._
     // 2-node cycle: the symmetric fixed point is exactly 0.5 / 0.5
