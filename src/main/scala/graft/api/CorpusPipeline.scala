@@ -68,6 +68,11 @@ object CorpusPipeline {
     * @return (doc_id, n_tokens, seq_id, seq_offset) */
   def packSequences(df: DataFrame, budget: Int = 512): DataFrame = {
     val d = docs(df)
+    // the prefix-sum pack key casts ids to long: a string id would die
+    // mid-job with a raw ANSI cast error — name the contract up front
+    val idType = d.schema("doc_id").dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(idType),
+      s"packSequences needs an integral id column, got $idType")
     Sampling.packByBudget(d.sparkSession, d, budget)
   }
 

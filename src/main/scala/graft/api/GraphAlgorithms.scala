@@ -41,7 +41,8 @@ object GraphAlgorithms {
     * @param sources (node, dist) seed rows, usually dist = 0
     * @return (node, dist) minimum distance within maxHops */
   def shortestPaths(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame =
-    GraphOps.sssp(edges, sources, maxHops)
+    GraphOps.sssp(edges.toDF("src", "dst", "w"), sources.toDF("node", "dist"),
+      maxHops)
 
   /** Full 2-level Louvain community detection (parity-gated synchronous
     * move passes, accept-if-improved on exact-integer modularity,
@@ -52,7 +53,7 @@ object GraphAlgorithms {
   def louvain(pairs: DataFrame): Seq[(Long, Long, Long, Long)] = {
     require(!pairs.isEmpty,
       "louvain needs a non-empty edge list (modularity is undefined at m = 0)")
-    GraphOps.louvainRun(pairs).levels
+    GraphOps.louvainRun(pairs.toDF("u", "v")).levels
   }
 
   /** Sampled-source Brandes betweenness (hop-bounded, exact-integer
@@ -60,13 +61,25 @@ object GraphAlgorithms {
     * @param und   undirected edges, both directions, (src, dst)
     * @param seeds source sample (collected ids — source-sample-sized)
     * @return (s, v, dist, sigma, delta) per (source, reached node) */
-  def betweennessDeltas(und: DataFrame, seeds: Seq[Long], hops: Int): DataFrame =
-    GraphOps.brandesDelta(und, GraphOps.brandesForward(und, seeds, hops), hops)
+  def betweennessDeltas(und: DataFrame, seeds: Seq[Long], hops: Int): DataFrame = {
+    val u = und.toDF("src", "dst")
+    val visited = GraphOps.brandesForward(u, seeds, hops)
+    // the registry route's sigma headroom cap, applied here too: the
+    // dependency micros floor (1e6 + delta) div sigma, so path counts past
+    // 1e6 would silently zero every upstream delta (and can overflow the
+    // int64 product under ANSI) — fail with the named contract error
+    // instead (r15 facade review)
+    val maxSigma = visited.agg(max(col("sigma"))).head.getLong(0)
+    require(maxSigma <= GraphOps.BrandesSigmaCap,
+      s"path-count sigma $maxSigma exceeds the ${GraphOps.BrandesSigmaCap} " +
+        "headroom cap (sample fewer hops or denser seeds)")
+    GraphOps.brandesDelta(u, visited, hops)
+  }
 
   /** Sampled harmonic closeness: Σ_s 1e6 div d(s,v) over the seed sample.
     * @return (node, harm_micro, n_sources) */
   def harmonicCloseness(und: DataFrame, seeds: Seq[Long], hops: Int): DataFrame =
-    GraphOps.brandesForward(und, seeds, hops)
+    GraphOps.brandesForward(und.toDF("src", "dst"), seeds, hops)
       .filter(col("dist") >= 1)
       .groupBy(col("v").as("node"))
       .agg(sum(expr("1000000 div dist")).as("harm_micro"),
@@ -92,11 +105,20 @@ object GraphAlgorithms {
     * fan-out at power-law hubs to Σ C(outdeg, 2) instead of Σ deg² (a
     * huge hub with ordinary neighbors opens ~zero wedges). Nodes in no
     * triangle are absent from the output.
-    * @param pairs undirected edges once, two columns; duplicates dedup
+    * Input is canonicalized: self-loops are dropped (a loop would let a
+    * wedge close on its own generating edge — a phantom triangle) and
+    * (u,v)/(v,u) duplicates collapse via least/greatest before dedup.
+    * @param pairs undirected edges, two columns
     * @return (node, n_triangles), all triangle-participating nodes */
   def triangles(pairs: DataFrame): DataFrame = {
-    val half = pairs.toDF("u", "v").distinct()
-    val o = GraphOps.orient(half, GraphOps.degrees(half)).cache()
+    val half = pairs.toDF("u", "v")
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+    // eager localCheckpoint, not cache(): the house facade discipline —
+    // nothing accumulates in the CacheManager across repeated calls
+    val o = GraphOps.orient(half, GraphOps.degrees(half)).localCheckpoint(true)
     GraphOps.orientedWedges(o)
       .join(o.as("e3"), col("e3.src") === col("y") && col("e3.dst") === col("z"))
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))

@@ -20,6 +20,9 @@ object MultimodalPlanner {
   private def sized(df: DataFrame): DataFrame = {
     require(df.columns.length == 2,
       s"expected a two-column (id, n_bytes) frame, got ${df.columns.length} columns")
+    val idType = df.schema(df.columns.head).dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(idType),
+      s"planner frames need an integral id column, got $idType")
     df.toDF("doc_id", "n_bytes")
       .select(col("doc_id").cast("long").as("doc_id"),
         col("n_bytes").cast("long").as("n_bytes"))

@@ -17,8 +17,9 @@ object Pipeline {
 
   /** A named transformation stage — the Processor analog
     * (reference: streaming/src/main/scala/io/gearpump/streaming/Processor.scala:25-49).
-    * `parallelism` maps to an optional repartition *when an edge demands a
-    * shuffle*; narrow stages chain in one Spark stage (CoLocation parity). */
+    * Parallelism lives on the EDGES (HashEdge/ShuffleEdge carry the
+    * partition count), not here; narrow stages chain in one Spark stage
+    * (CoLocation parity). */
   final case class Stage(name: String, f: DataFrame => DataFrame)
 
   /** Edge partitioners (reference: streaming/.../partitioner/Partitioner.scala:25-62).
@@ -45,7 +46,8 @@ object Pipeline {
   }
 
   /** A flowing pipeline: the current DataFrame plus a pending edge. */
-  final class Flow private[Pipeline] (val df: DataFrame, pendingEdge: Edge) {
+  final class Flow private[Pipeline] (val df: DataFrame,
+      private[Pipeline] val pendingEdge: Edge) {
     /** attach a partitioner to the *next* `~>` hop: `flow ~ edge ~> stage`. */
     def ~(edge: Edge): Flow = new Flow(df, edge)
     /** wire the next stage through the pending edge. */
@@ -53,7 +55,13 @@ object Pipeline {
     def ~>(f: DataFrame => DataFrame): Flow = ~>(Stage("stage", f))
     /** fan-in (the reference's multi-edge interleave,
       * reference: examples/streaming/complexdag/.../Dag.scala:77-93). */
-    def merge(other: Flow): Flow = new Flow(df.unionByName(other.df), LocalEdge)
+    def merge(other: Flow): Flow = {
+      // apply BOTH sides' pending edges before the union: silently
+      // discarding a `~`-declared repartition/broadcast would drop the
+      // program's stated partitioning (r15 facade review)
+      new Flow(pendingEdge(df).unionByName(other.pendingEdge(other.df)),
+        LocalEdge)
+    }
     def toDF: DataFrame = df
   }
 

@@ -262,7 +262,13 @@ object SimilaritySearch {
       s"codebookSize must be in [1, 16] (packed argmin radix), got $codebookSize")
     val c = named(corpus, "vec_id", "embedding")
     val q = named(queries, "q_id", "q_emb")
-    val dim = c.select(size(col("embedding")).as("d")).head().getInt(0)
+    // headOption, not head(): an empty corpus gets the family's named
+    // contract error instead of a raw 'next on empty iterator'
+    val dim = c.select(size(col("embedding")).as("d")).limit(1)
+      .collect().headOption
+      .map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        "pqTopK needs a non-empty corpus (width is inferred from the data)"))
     require(dim % subspaces == 0,
       s"embedding width $dim must divide into $subspaces subspaces")
     val len = dim / subspaces

@@ -761,9 +761,10 @@ object Curation {
       .select(col("doc_id").cast("long").as("doc_id"), col("n_bigrams"),
         expr("sum_scaled div n_bigrams").as("score"))
       .withColumn("pack",
-        when(col("score") >= lit(1L << 27) || col("doc_id") >= lit(1L << 36),
+        when(col("score") >= lit(1L << 27) || col("doc_id") >= lit(1L << 36)
+            || col("doc_id") < 0,
           expr("raise_error('lm_perplexity_yield: pack overflow — " +
-            "score >= 2^27 or doc_id >= 2^36')").cast("long"))
+            "score >= 2^27 or doc_id outside [0, 2^36)')").cast("long"))
           // inv max (score=0) is 2^27-1, so pack < 2^63 with no overflow
           .otherwise((lit((1L << 27) - 1) - col("score")) * lit(1L << 36) + col("doc_id")))
       .withColumn("one", lit(1L))

@@ -493,6 +493,9 @@ object Dedup {
     * stride-1 window digest shared by ≥2 distinct docs" detects exactly
     * the spans the suffix-array formulation does, as an equi-join. */
   private[graft] def exactSubstringVerdicts(docs: DataFrame, window: Int): DataFrame = {
+    // window=0 would make EVERY span digest md5 of the empty slice — the
+    // constant digest flags every document as a duplicate, silently
+    require(window >= 1, s"exact-substring window must be >= 1, got $window")
     val toks = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
     // stride-1 windows, digested scan-side: only 32-char digests shuffle
     val wins = toks.filter(size(col("w")) >= window)

@@ -1785,7 +1785,7 @@ object GraphOps {
   /** σ headroom guard: with σ ≤ 1e6 and δ ≤ reach·(1e6+δ_next) the
     * backward products stay far under int64 — a pathological graph that
     * explodes path counts fails LOUDLY here instead of overflowing. */
-  private[operators] val BrandesSigmaCap = 1000000L
+  private[graft] val BrandesSigmaCap = 1000000L
 
   private def brandesVisited(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.t(s, dir, "lineitem")

@@ -63,8 +63,12 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     // K4 on {1,2,3,4} (4 triangles, each node in C(3,2) = 3) plus the
     // triangle-free pendant edge 4-5; duplicate edge rows must not
     // double-count
+    // adversarial rows the canonicalization must absorb: a self-loop (a
+    // loop lets a wedge close on its own generating edge — a phantom
+    // triangle), a reversed duplicate, and an exact duplicate
     val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
-    val pairs = (k4 ++ Seq((4L, 5L)) ++ Seq((1L, 2L))).toDF("p", "q")
+    val pairs = (k4 ++ Seq((4L, 5L), (1L, 2L), (2L, 1L), (3L, 3L)))
+      .toDF("p", "q")
     val tri = GraphAlgorithms.triangles(pairs)
       .as[(Long, Long)].collect().toMap
     assert(tri == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$tri")
