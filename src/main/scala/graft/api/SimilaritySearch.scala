@@ -1,6 +1,6 @@
 package graft.api
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.{KMeans, Similarity}
@@ -16,6 +16,13 @@ object SimilaritySearch {
 
   private def named(df: DataFrame, id: String, emb: String): DataFrame =
     df.toDF(id, emb)
+
+  /** Hub count [[graphAnnBuild]] derives for an n-vector corpus when the
+    * caller leaves `hubs = 0`: clamp(⌈√n⌉, 64, 4096). Exposed for specs
+    * (the derivation is part of the public contract). */
+  private[graft] def derivedHubs(n: Long): Int =
+    math.min(4096L,
+      math.max(64L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
   /** Exact cosine top-k per query (the correctness baseline every ANN
     * route is measured against). Scores round to 4 dp with id tie-breaks,
@@ -123,21 +130,36 @@ object SimilaritySearch {
     * Short links: kNN (k = `shortLinks`) within `nlist` TRAINED k-means
     * cells — geometric neighborhoods, the ann_ivf_trained lesson.
     *
-    * Why `hubs` defaults to 64: the knob trades backbone degree against
-    * entry diversity, and both failure modes sit far from 64 — too FEW
-    * hubs (≲8) concentrate n·longLinks/hubs incoming edges per hub (at
-    * 1M vectors ×4 links ÷ 8 = 500k-degree supernodes whose expansion
-    * floods every beam hop), too MANY (≳corpus/10) dilute the backbone
-    * until it stops shortcutting across cells. 64 keeps worst-case hub
-    * degree at n/16 edges spread over 64 expansion keys (each hop
-    * touches ≤ beamWidth of them), the driver array at 512 bytes, and
-    * matches the registry sweep's finding that long-link COUNT (the
-    * per-node side, swept in ann_graph_param_sweep) is the recall lever
-    * — the hub-set size only has to be "comfortably between the two
-    * failure modes". Raise it toward √n for billion-vector corpora. */
+    * `hubs = 0` (the default) DERIVES the hub count from the corpus:
+    * clamp(⌈√n⌉, 64, 4096) — the probedSalt discipline (a knob whose right
+    * value is a function of the data is measured from the data, not
+    * documented as a constant). Why √n between those clamps: the knob
+    * trades backbone degree against entry diversity, and both failure
+    * modes are functions of n — too FEW hubs concentrate n·longLinks/hubs
+    * incoming edges per hub (at 1M vectors ×4 links ÷ 8 = 500k-degree
+    * supernodes whose expansion floods every beam hop), too MANY
+    * (≳corpus/10) dilute the backbone until it stops shortcutting across
+    * cells. √n keeps worst-case hub degree at longLinks·√n (sublinear in
+    * the corpus) while the hub set stays a vanishing corpus fraction; the
+    * floor 64 preserves entry diversity on small corpora, the cap 4096
+    * bounds the driver-side array (32 KB) and the map-side literal list.
+    * The registry sweep's finding stands: long-link COUNT (swept in
+    * ann_graph_param_sweep) is the recall lever — the hub-set size only
+    * has to be comfortably between the two failure modes, which the
+    * derivation keeps it at EVERY corpus size. Pass an explicit positive
+    * `hubs` to pin it. */
   def graphAnnBuild(spark: SparkSession, corpus: DataFrame, nlist: Int = 8,
-      shortLinks: Int = 3, longLinks: Int = 4, hubs: Int = 64,
+      shortLinks: Int = 3, longLinks: Int = 4, hubs: Int = 0,
       trainIters: Int = 5): GraphAnnIndex = {
+    // named contract errors, not a silent empty index: hubs = 0 means
+    // "derive"; a negative hub count (or zero links) would make hubIds
+    // collect empty and every search return zero rows (r15 advice)
+    require(hubs >= 0,
+      s"hubs must be >= 1 (or 0 to derive from the corpus), got $hubs")
+    require(shortLinks >= 1 && shortLinks <= 64,
+      s"shortLinks must be in [1, 64], got $shortLinks")
+    require(longLinks >= 1 && longLinks <= 64,
+      s"longLinks must be in [1, 64], got $longLinks")
     graft.functions.VectorFunctions.ensureRegistered(spark)
     // ids: any INTEGRAL type (cast up to long — the hub array and entry
     // frame are driver-side longs); reject non-integral ids with a named
@@ -158,6 +180,11 @@ object SimilaritySearch {
         .localCheckpoint(true)
       spark.createDataFrame(lc.rdd, lc.schema)
     }
+    // the corpus count is a cheap scan of the just-checkpointed blocks
+    // (the build scans the corpus many times over for k-means anyway)
+    val n = c.count()
+    require(n > 0, "graphAnnBuild needs a non-empty corpus")
+    val nHubs = if (hubs == 0) derivedHubs(n) else hubs
     val (cents, _, _) = KMeans.train(spark, c, nlist, trainIters)
     val m = KMeans.assignToCentroids(spark, c, cents)
       .select(col("vec_id"), col("cluster"), col("embedding"))
@@ -179,7 +206,7 @@ object SimilaritySearch {
     // so the choice is deterministic and corpus-order-free
     val hubIds: Array[Long] = c.select(col("vec_id"))
       .withColumn("h", md5(concat(lit("ghub:"), col("vec_id").cast("string"))))
-      .orderBy(col("h"), col("vec_id")).limit(hubs)
+      .orderBy(col("h"), col("vec_id")).limit(nHubs)
       .collect().map(_.getLong(0))
     val hubArr = array(hubIds.map(lit(_)): _*)
     // one select with a posexplode over the j axis (not a j-way
@@ -280,17 +307,29 @@ object SimilaritySearch {
       .select(col("c_id").as("code"), col("c_emb").as("cvec"))
     def l2m(a: String, b: String, sub: Int) = expr(
       s"cast(floor(graft_l2sq($a, $b, ${sub * len}, $len) * 1e6 + 0.5) as bigint)")
-    def subDists(idCol: String, vecCol: String, out: String)(src: DataFrame) =
-      src.crossJoin(broadcast(cb))
-        .select(col(idCol), col("code"),
-          posexplode(array((0 until subspaces).map(s =>
-            l2m(vecCol, "cvec", s)): _*)).as(Seq("subspace", out)))
-    val codes = subDists("vec_id", "embedding", "dm")(c)
-      .withColumn("packed", col("dm") * 16L + col("code"))
-      .groupBy(col("vec_id"), col("subspace"))
-      .agg(min(col("packed")).as("best"))
-      .select(col("vec_id"), col("subspace"), (col("best") % 16).as("code"))
-    val dtab = subDists("q_id", "q_emb", "qdm")(q)
+    // corpus code assignment is genuinely MAP-SIDE (r15 advice: an earlier
+    // crossJoin + groupBy spelling shuffled corpus × subspaces rows while
+    // the scaladoc claimed otherwise): the codebook is ≤ 16 driver-side
+    // vectors, so each subspace's nearest codeword is a per-row least()
+    // over literal-codeword (dist_micros·16 + code) packed longs — the
+    // registry's packed-argmin trick without its exchange; the corpus
+    // never shuffles to earn its codes
+    def l2mLit(cw: Array[Double], sub: Int): Column =
+      floor(call_function("graft_l2sq", col("embedding"),
+        array(cw.map(x => lit(x.toFloat)): _*), lit(sub * len), lit(len))
+        * lit(1e6) + lit(0.5)).cast("long")
+    def codeAt(sub: Int): Column = {
+      val packed = cbVecs.zipWithIndex.map { case (cw, code) =>
+        l2mLit(cw, sub) * 16L + lit(code.toLong) }
+      (if (packed.length == 1) packed.head else least(packed: _*)) % 16L
+    }
+    val codes = c.select(col("vec_id"),
+      posexplode(array((0 until subspaces).map(codeAt): _*))
+        .as(Seq("subspace", "code")))
+    val dtab = q.crossJoin(broadcast(cb))
+      .select(col("q_id"), col("code"),
+        posexplode(array((0 until subspaces).map(s =>
+          l2m("q_emb", "cvec", s)): _*)).as(Seq("subspace", "qdm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc_micros"), col("vec_id"))
     codes.join(broadcast(dtab), Seq("subspace", "code"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -262,11 +262,17 @@ object EventOps {
     * @return (step, gate, n_users, conv_step_micro, conv_total_micro) */
   private[graft] def funnelStepsOn(ev: DataFrame,
       s1: String, s2: String, s3: String): DataFrame = {
-    // step names land in a SQL literal: double quotes AND double
-    // backslashes — Spark's literal parser processes backslash escapes,
-    // so a trailing backslash would swallow the closing quote (r15 review)
-    def q(x: String) = x.replace("\\", "\\\\").replace("'", "''")
+    // step names are Column-API lit()s, never SQL-literal text: an earlier
+    // selectExpr spelling had to escape quotes AND backslashes, and the
+    // backslash doubling was only correct while
+    // spark.sql.parser.escapedStringLiterals stayed at its default —
+    // lit() carries the string verbatim under any parser conf (r15 advice)
     val w = Window.partitionBy(col("user_id"))
+    def row(step: Int, gate: String, u: String, stepC: Column,
+        totC: Column) =
+      struct(lit(step).as("step"), lit(gate).as("gate"),
+        col(u).as("n_users"), stepC.as("conv_step_micro"),
+        totC.as("conv_total_micro"))
     ev.withColumn("t1", min(when(col("event_type") === s1, col("ts"))).over(w))
       .withColumn("t2", min(when(col("event_type") === s2 && col("ts") > col("t1"),
         col("ts"))).over(w))
@@ -276,13 +282,13 @@ object EventOps {
       .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"), min(col("t3")).as("t3"))
       .agg(count(col("t1")).as("u1"), count(col("t2")).as("u2"),
         count(col("t3")).as("u3"))
-      .selectExpr(s"""stack(3,
-          1, '${q(s1)}', u1, cast(1000000 as bigint), cast(1000000 as bigint),
-          2, '${q(s2)}_after_${q(s1)}', u2,
-            u2 * 1000000 div nullif(u1, 0), u2 * 1000000 div nullif(u1, 0),
-          3, '${q(s3)}_after_${q(s2)}', u3,
-            u3 * 1000000 div nullif(u2, 0), u3 * 1000000 div nullif(u1, 0)
-        ) as (step, gate, n_users, conv_step_micro, conv_total_micro)""")
+      .withColumn("c2", expr("u2 * 1000000 div nullif(u1, 0)"))
+      .withColumn("c3s", expr("u3 * 1000000 div nullif(u2, 0)"))
+      .withColumn("c3t", expr("u3 * 1000000 div nullif(u1, 0)"))
+      .select(inline(array(
+        row(1, s1, "u1", lit(1000000L), lit(1000000L)),
+        row(2, s"${s2}_after_$s1", "u2", col("c2"), col("c2")),
+        row(3, s"${s3}_after_$s2", "u3", col("c3s"), col("c3t")))))
       .orderBy(col("step"))
   }
 

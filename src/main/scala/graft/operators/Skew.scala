@@ -51,17 +51,41 @@ object Skew {
     * the probe one cheap scan. */
   private[graft] val ProbeFraction = 0.05
 
+  /** Memoized probe results per (session, probe-plan semantic hash, key):
+    * constructing the q28 plan runs the probe's Spark jobs EAGERLY (the
+    * salt count must exist before the join plan can be declared), so
+    * without memoization every registry enumeration / plan lint / bench
+    * rep would re-scan the fact sample. The cache makes construction lazy
+    * in the amortized sense — one probe per distinct (frame, key) per
+    * session. Stopped sessions are swept on every lookup (the beamCache
+    * discipline: the cached ints are worthless once their context dies). */
+  private val saltCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, Int, String, Long), Int]
+
   /** SALT COUNT FROM THE OBSERVED KEY HISTOGRAM: estimate the hottest
     * key's row count from a seeded sample (sampled max count ÷ fraction),
     * then size the salt so each (key, salt) slot holds at most
     * [[TargetRowsPerSlot]] rows — clamped to [1, [[MaxSalt]]]. A uniform
     * corpus (TPC-H lineitem: ≤7 rows per order key) probes to salt=1 and
-    * the "salted" join degenerates to the plain join plus one constant
-    * column — no 8× build-side tax for skew that isn't there. The probe
-    * is a driver-scalar read of one aggregated sample (the k-means
-    * centroid discipline), not a collect of data rows. */
+    * [[saltedRevenue]] collapses to the PLAIN join (no salt columns, no
+    * build-side explode — a plan invariant, PlanInvariantsSpec) — no 8×
+    * build-side tax for skew that isn't there. The probe is a
+    * driver-scalar read of one aggregated sample (the k-means centroid
+    * discipline), not a collect of data rows. NOTE: the probe runs Spark
+    * jobs at DataFrame-construction time (memoized per (session, frame,
+    * key) — see [[saltCache]]). */
   private[graft] def probedSalt(probe: DataFrame, keyCol: String,
       targetRowsPerSlot: Long = TargetRowsPerSlot): Int = {
+    saltCache.filterInPlace { case ((sess, _, _, _), _) =>
+      !sess.sparkContext.isStopped }
+    saltCache.getOrElseUpdate(
+      (probe.sparkSession, probe.queryExecution.analyzed.semanticHash(),
+        keyCol, targetRowsPerSlot),
+      probedSaltImpl(probe, keyCol, targetRowsPerSlot))
+  }
+
+  private def probedSaltImpl(probe: DataFrame, keyCol: String,
+      targetRowsPerSlot: Long): Int = {
     // the max over ZERO sampled groups is one row holding NULL (an empty
     // or tiny frame whose 5% sample came back empty) — degrade to salt=1
     // rather than NPE inside query construction (r15 review)
@@ -91,6 +115,12 @@ object Skew {
   private[graft] def saltedRevenue(li0: DataFrame, o0: DataFrame,
       saltOverride: Option[Int] = None): DataFrame = {
     val salt = saltOverride.getOrElse(probedSalt(li0, "l_orderkey"))
+    // salt == 1 IS the plain join: adding a constant salt column and a
+    // sequence(0,0) explode would leave a Generate node (and a wider join
+    // key) in a plan whose probe just proved there is no skew — the
+    // zero-tax claim is pinned as a plan invariant (no Generate on the
+    // uniform TPC-H corpus, PlanInvariantsSpec), not a scaladoc sentence
+    if (salt == 1) return plainRevenue(li0, o0)
     // the salt coordinate must have >= salt distinct values among the hot
     // key's rows or the extra slots are pure dead replication:
     // pmod(l_linenumber, salt) capped the split at l_linenumber's 7

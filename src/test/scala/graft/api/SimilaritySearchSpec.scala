@@ -141,4 +141,39 @@ class SimilaritySearchSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("integral id column"), e.getMessage)
   }
+
+  test("graphAnn hub derivation: hubs=0 sizes the backbone as clamp(ceil(sqrt(n)), 64, 4096)") {
+    import spark.implicits._
+    // the derivation function IS the contract (r15 task: the probedSalt
+    // discipline applied to the last documented-constant knob)
+    assert(SimilaritySearch.derivedHubs(1L) == 64,
+      "tiny corpora keep the 64 floor for entry diversity")
+    assert(SimilaritySearch.derivedHubs(4096L) == 64)
+    assert(SimilaritySearch.derivedHubs(10000L) == 100,
+      "sqrt derivation between the clamps")
+    assert(SimilaritySearch.derivedHubs(50000L) == 224)
+    assert(SimilaritySearch.derivedHubs(1000000L) == 1000)
+    assert(SimilaritySearch.derivedHubs(100000000L) == 4096,
+      "the 4096 cap bounds the driver-side hub array")
+    // behavioral arm: a default (hubs = 0) build on a planted corpus must
+    // still navigate — the derived floor (64 > n here) caps at corpus size
+    // via the limit, so every node is a hub and search equals exact
+    val c = corpus().toDF("id", "vec")
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0f))).toDF("qid", "qvec")
+    val idx = SimilaritySearch.graphAnnBuild(spark, c, nlist = 2)
+    val hits = SimilaritySearch.graphAnnSearch(spark, idx, q, k = 5)
+      .collect().map(_.getLong(1))
+    assert(hits.forall(id => id < 100L || id == 999L),
+      s"derived-hub build must navigate to cluster A: ${hits.toSeq}")
+    // contract errors are named (r15 advice): hubs < 0, bad link counts
+    for (bad <- Seq(
+        () => SimilaritySearch.graphAnnBuild(spark, c, hubs = -1),
+        () => SimilaritySearch.graphAnnBuild(spark, c, longLinks = 0),
+        () => SimilaritySearch.graphAnnBuild(spark, c, shortLinks = 0)))
+      intercept[IllegalArgumentException](bad())
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.graphAnnBuild(spark,
+        Seq.empty[(Long, Seq[Float])].toDF("id", "vec"))
+    }
+  }
 }

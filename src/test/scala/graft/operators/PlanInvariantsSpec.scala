@@ -442,6 +442,28 @@ class PlanInvariantsSpec extends SparkTestBase {
     assert(scans == 1, s"corpus must scan once (training state is checkpointed), saw $scans:\n$s")
   }
 
+  test("q28_salted_join: the probe degenerates to a PLAIN join on the uniform corpus — no explode in the plan") {
+    // probedSalt sizes the salt from the observed key histogram; on
+    // uniform TPC-H (<= 7 rows per order key) it must return 1 and
+    // saltedRevenue must emit the plain equi-join — no Generate
+    // (explode) node, no salt column in any join key. The zero-tax claim
+    // is a plan property, not a scaladoc sentence (r15 task 6).
+    val df = Skew.saltedRevenue(
+      graft.Tables.t(spark, benchSf, "lineitem"),
+      graft.Tables.t(spark, benchSf, "orders"))
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("Generate"),
+      s"uniform corpus must not pay the build-side replication explode:\n$opt")
+    assert(!opt.contains("salt"),
+      s"uniform corpus must not carry a salt coordinate:\n$opt")
+    // and the skewed path still salts: a pinned salt > 1 must explode
+    val salted = Skew.saltedRevenue(
+      graft.Tables.t(spark, benchSf, "lineitem"),
+      graft.Tables.t(spark, benchSf, "orders"), saltOverride = Some(4))
+    assert(salted.queryExecution.optimizedPlan.toString.contains("Generate"),
+      "a pinned salt > 1 must replicate the build side")
+  }
+
   test("round-12 head queries: every top-k is TakeOrderedAndProject, not a global sort") {
     // the link-prediction panel, PMI collocations, and basket lift all end
     // in an ORDER BY ... LIMIT head; at 100 TB a global sort there would
