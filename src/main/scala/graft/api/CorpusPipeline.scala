@@ -76,6 +76,29 @@ object CorpusPipeline {
     Sampling.packByBudget(d.sparkSession, d, budget)
   }
 
+  /** Per-segment attention/loss-mask manifest for packed sequences — the
+    * companion of [[packSequences]] a causal-LM trainer actually consumes:
+    * one row per (sequence, document SEGMENT), because a document whose
+    * tokens straddle a budget boundary occupies a suffix of one sequence
+    * and a prefix of the next. The trainer builds the block-diagonal
+    * attention mask from exactly these rows (tokens may not attend across
+    * document boundaries within a packed sequence) and the loss mask from
+    * `is_head` (continuation segments' first-token loss is often dropped).
+    * Tiling invariants: per sequence, segments abut ([0, budget) covered
+    * without overlap except the final partial sequence); per document,
+    * segment lengths sum to its token count with exactly one head.
+    * Same two-phase distributed prefix sum as [[packSequences]]; the
+    * explode is bounded at ⌈n_tokens/budget⌉ + 1 segments per document.
+    * @param budget tokens per packed sequence
+    * @return (seq_id, doc_id, seg_start, seg_len, is_head) */
+  def packSpans(df: DataFrame, budget: Int = 512): DataFrame = {
+    val d = docs(df)
+    val idType = d.schema("doc_id").dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(idType),
+      s"packSpans needs an integral id column, got $idType")
+    Sampling.packSpansOn(d.sparkSession, d, budget)
+  }
+
   /** Deterministic shard assignment + within-shard shuffle order: shard =
     * content-hash of the id mod `nShards`, pos = rank by a reshuffle hash
     * within the shard — the manifest a distributed writer consumes.

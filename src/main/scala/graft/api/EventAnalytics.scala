@@ -184,4 +184,154 @@ object EventAnalytics {
       fourCol(events, "(id, key, ts, type)")
         .toDF("event_id", "user_id", "ts", "event_type"),
       conversion)
+
+  // ------------------------------------------------------- alerting family
+
+  /** CEP pair detection (batch window form): for every `second` event,
+    * the latest strictly-earlier `first` by the same key within
+    * `withinSeconds` — "purchase after click", "ack after alarm". One
+    * keyed window pass over the two event types; no self-join. The
+    * streaming twin is graft.streaming.Cep.detect (same latest-first-wins
+    * + gap > 0 semantics, pinned equal by CepBatchParitySpec).
+    * @param events (key, type, ts) — any column names
+    * @return (user_id, first_ts, second_ts, gap_ms) */
+  def cepPairs(events: DataFrame, first: String, second: String,
+      withinSeconds: Long = 300L): DataFrame = {
+    require(withinSeconds > 0,
+      s"withinSeconds must be positive, got $withinSeconds")
+    EventOps.cepPairsOn(
+      threeCol(events, "(key, type, ts)").toDF("user_id", "event_type", "ts"),
+      first, second, withinSeconds)
+  }
+
+  /** Ordered multi-step CEP sequence: non-overlapping, greedy
+    * earliest-start matches of `steps` in strict event-time order, the
+    * whole chain inside `withinSeconds` of its first step. Streaming
+    * frames run the stateful detector (watermark-expired partials drop);
+    * batch frames fold the SAME automaton per key from the empty state
+    * (graft.streaming.Cep.foldChain — the two legs cannot drift).
+    * Keys are compared as strings (cast from any type).
+    * @param events (key, type, ts) — any column names
+    * @return (key, start_ts, end_ts) one row per completed chain */
+  def cepSequence(events: DataFrame, steps: Seq[String],
+      withinSeconds: Long = 300L): DataFrame = {
+    require(withinSeconds > 0,
+      s"withinSeconds must be positive, got $withinSeconds")
+    val ev = threeCol(events, "(key, type, ts)").toDF("key", "etype", "ts")
+      .select(col("key").cast("string").as("key"),
+        col("etype").cast("string").as("etype"),
+        col("ts").cast("timestamp").as("ts"))
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val ds = ev.as[graft.streaming.Cep.CepEvent]
+    val matches =
+      if (ev.isStreaming)
+        graft.streaming.Cep.detectSequence(ds, steps, withinSeconds * 1000L)
+      else
+        graft.streaming.Cep.detectSequenceBatch(ds, steps,
+          withinSeconds * 1000L)
+    matches.toDF("key", "start_ts", "end_ts")
+  }
+
+  /** Absence detection (batch window form): every `first` never answered
+    * by a `second` from the same key within `withinSeconds` — cart
+    * abandonment, missed heartbeats, unacked alarms. One forward-looking
+    * keyed RANGE frame; no self-join. The streaming twin is
+    * graft.streaming.Cep.detectAbsence (alerts fire as the watermark or a
+    * later event proves the deadline passed).
+    * @param events (key, type, ts) — any column names
+    * @return (user_id, first_ts, deadline_ts) */
+  def absence(events: DataFrame, first: String, second: String,
+      withinSeconds: Long = 300L): DataFrame = {
+    require(withinSeconds > 0,
+      s"withinSeconds must be positive, got $withinSeconds")
+    EventOps.absenceOn(
+      threeCol(events, "(key, type, ts)").toDF("user_id", "event_type", "ts"),
+      first, second, withinSeconds)
+  }
+
+  /** Robust (median/MAD) outlier profile per group — the median-based twin
+    * of [[anomalyZScore]] for series where outliers drag the mean-based
+    * threshold. Values scale to exact integer micros; medians and doubled
+    * absolute deviations stay exact, so the profile is
+    * aggregation-order-free. Two grouped exact-median passes with the tiny
+    * per-group medians broadcast back.
+    * @param events (group, value) — any column names
+    * @param k      outlier threshold in MADs (|v − median| > k·MAD)
+    * @return (event_type, n, median_micro, mad_micro, n_outliers) */
+  def anomalyMad(events: DataFrame, k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(events.columns.length == 2,
+      s"expected a two-column (group, value) frame, got ${events.columns.length} columns")
+    EventOps.anomalyMadOn(
+      events.toDF("event_type", "v0")
+        .select(col("event_type"),
+          expr("cast(floor(cast(v0 as double) * 1e6 + 0.5) as bigint)").as("v")),
+      k)
+  }
+
+  /** Offline CUSUM change-point location per key: the split index
+    * maximizing the cumulative deviation |n·prefix_k − k·total| — the
+    * classic level-shift locator, in exact integer arithmetic over
+    * 1e6-scaled values. Keys need `minN` observations to report (CUSUM on
+    * shorter series is noise). One keyed shuffle, two ordered window
+    * passes. The ingest-time counterpart is [[pageHinkley]].
+    * @param events (id, key, ts, value) — any column names
+    * @return (user_id, n_events, cp_index, cp_ts, cusum_stat) */
+  def cusumChangepoint(events: DataFrame, minN: Int = 8): DataFrame = {
+    require(minN >= 2, s"minN must be >= 2, got $minN")
+    EventOps.changepointOn(
+      fourCol(events, "(id, key, ts, value)")
+        .toDF("event_id", "user_id", "ts", "v0")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("cast(floor(cast(v0 as double) * 1e6 + 0.5) as bigint)").as("v6")),
+      minN)
+  }
+
+  /** Page-Hinkley ONLINE drift detection per key — the sequential
+    * counterpart of [[cusumChangepoint]] (which sees the whole series and
+    * places the single best split): maintain the cumulative deviation
+    * against its running minimum and alarm when the gap exceeds `lambda`.
+    * Runs the same stateful fold on a bounded frame (one pass) and on a
+    * stream (state across micro-batches); updates apply in per-key
+    * (ts, id) order, so emissions are deterministic. Ids and keys must be
+    * integral (the state row is (long, long, ts, double)); null values
+    * are skipped.
+    * @param events (id, key, ts, value) — any column names
+    * @param delta  per-observation drift allowance
+    * @param lambda alarm threshold on the PH statistic
+    * @return (event_id, user_id, n_seen, ph, alarm) */
+  def pageHinkley(events: DataFrame, delta: Double = 0.005,
+      lambda: Double = 50.0): DataFrame = {
+    require(lambda > 0, s"lambda must be positive, got $lambda")
+    val ev0 = fourCol(events, "(id, key, ts, value)")
+      .toDF("event_id", "user_id", "ts", "v")
+    for (c <- Seq("event_id", "user_id")) {
+      val t = ev0.schema(c).dataType.typeName
+      require(Seq("byte", "short", "integer", "long").contains(t),
+        s"pageHinkley needs integral $c, got $t")
+    }
+    val ev = ev0.select(col("event_id").cast("long").as("event_id"),
+      col("user_id").cast("long").as("user_id"),
+      col("ts").cast("timestamp").as("ts"),
+      col("v").cast("double").as("v"))
+    val spark = ev.sparkSession
+    import spark.implicits._
+    graft.streaming.PageHinkley.detect(
+      ev.as[graft.streaming.FfEvent], delta, lambda).toDF()
+  }
+
+  /** SCD2 (slowly-changing-dimension type 2) state history per key: each
+    * day's LAST state wins, consecutive equal days collapse into one
+    * (valid_from, valid_to] interval, the open interval is flagged
+    * current — the history table every point-in-time join reads. Every
+    * window is key-partitioned.
+    * @param events (key, ts, id, state) — any column names
+    * @return (user_id, state, valid_from, valid_to, is_current) */
+  def scd2History(events: DataFrame): DataFrame =
+    EventOps.scd2IntervalsOn(
+      fourCol(events, "(key, ts, id, state)")
+        .toDF("user_id", "ts", "event_id", "state"))
+      .select(col("user_id"), col("state"), col("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
 }

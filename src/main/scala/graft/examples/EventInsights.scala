@@ -12,10 +12,11 @@ import graft.api.EventAnalytics
   * user-facing composition):
   *
   *   read -> sessionize -> ordered funnel -> weekly cohort retention
-  *        -> z-score anomaly flags -> first-touch attribution,
+  *        -> z-score anomaly flags -> first-touch attribution
+  *        -> abandonment + level-shift alerts,
   *
   * one pass over an arbitrary five-column event log, every stage a facade
-  * call — nothing here re-implements engine logic. All five stages are
+  * call — nothing here re-implements engine logic. All stages are
   * single-shuffle key-partitioned shapes, so the report scales with the
   * log.
   *
@@ -27,10 +28,13 @@ import graft.api.EventAnalytics
   * each snapshot in production schedulers. */
 object EventInsights {
 
-  /** The assembled report: one frame per analysis. */
+  /** The assembled report: one frame per analysis. `alerts` is the
+    * normalized (alert, user_id, at_ts, info) union of the alerting legs
+    * — abandonment (step 2 never answered by step 3 in its window) and
+    * per-user CUSUM level shifts. */
   final case class Report(
       sessions: DataFrame, funnel: DataFrame, retention: DataFrame,
-      anomalies: DataFrame, attribution: DataFrame)
+      anomalies: DataFrame, attribution: DataFrame, alerts: DataFrame)
 
   /** Build the report over an arbitrary (id, key, ts, type, value) event
     * frame — any column names, positional convention.
@@ -54,7 +58,27 @@ object EventInsights {
       attribution = EventAnalytics.firstTouchAttribution(
         ev.select(col("event_id"), col("user_id"), col("ts"),
           col("event_type")),
-        conversion))
+        conversion),
+      alerts = {
+        // the CEP/alerting leg (r15 task 4): mid-funnel abandonment (a
+        // step-2 event never answered by step 3 within 5 minutes) plus
+        // per-user CUSUM level shifts on the value series, normalized
+        // into one (alert, user_id, at_ts, info) feed — the shape an
+        // on-call pager or alert-triage table consumes
+        val evKTT = ev.select(col("user_id"), col("event_type"), col("ts"))
+        val abandoned = EventAnalytics.absence(evKTT, steps._2, steps._3)
+          .select(lit(s"abandoned_${steps._2}").as("alert"), col("user_id"),
+            col("first_ts").as("at_ts"),
+            concat(lit("deadline="), col("deadline_ts").cast("string"))
+              .as("info"))
+        val shifts = EventAnalytics.cusumChangepoint(
+          ev.select(col("event_id"), col("user_id"), col("ts"), col("value")))
+          .select(lit("level_shift").as("alert"), col("user_id"),
+            col("cp_ts").as("at_ts"),
+            concat(lit("cusum="), col("cusum_stat").cast("string"))
+              .as("info"))
+        abandoned.unionByName(shifts)
+      })
   }
 
   /** The always-on half: hourly windowed counts per event type, NATIVE on
@@ -81,6 +105,7 @@ object EventInsights {
     r.funnel.show(truncate = false)
     println(s"RETENTION_CELLS=${r.retention.count()}")
     println(s"ANOMALIES=${r.anomalies.count()}")
+    println(s"ALERTS=${r.alerts.count()}")
     r.attribution.show(truncate = false)
     spark.stop()
   }

@@ -637,34 +637,43 @@ object EventOps {
              AND c.ts BETWEEN p.ts - INTERVAL 5 MINUTE AND p.ts + INTERVAL 5 MINUTE
             GROUP BY 1 ORDER BY 1"""))
 
+  /** The CEP pair-detection core over any (user_id, event_type, ts)
+    * frame: for every `second` event, the latest strictly-earlier `first`
+    * by the same key within `withinSeconds`. Mirrors the streaming
+    * detector's latest-first-wins + gap > 0 semantics, made
+    * tie-deterministic by the RANGE frame (a `first` at the `second`'s own
+    * timestamp is never a candidate — the same pairs the gap > 0 rule
+    * admits). One window pass over the key-partitioned stream of the two
+    * event types; no self-join. Shared by ev_cep_pairs and
+    * [[graft.api.EventAnalytics.cepPairs]].
+    * @return (user_id, first_ts, second_ts, gap_ms) */
+  private[graft] def cepPairsOn(ev0: DataFrame, first: String,
+      second: String, withinSeconds: Long): DataFrame = {
+    val withinUs = withinSeconds * 1000000L
+    val ev = ev0
+      .filter(col("event_type").isin(first, second))
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("last_first_us",
+        max(when(col("event_type") === first, col("ts_us"))).over(w))
+      .filter(col("event_type") === second &&
+        col("last_first_us").isNotNull &&
+        col("ts_us") - col("last_first_us") <= withinUs)
+      .select(col("user_id"),
+        expr("timestamp_micros(last_first_us)").as("first_ts"),
+        col("ts").as("second_ts"),
+        expr("(ts_us - last_first_us) div 1000").as("gap_ms"))
+      .orderBy(col("user_id"), col("second_ts"))
+  }
+
   /** Batch analog of the streaming CEP pair detector (graft.streaming.Cep
     * .detect): for every `purchase`, the latest strictly-earlier `click` by
-    * the same user within 5 minutes. Mirrors the detector's latest-first-
-    * wins + gap > 0 semantics, made tie-deterministic by the RANGE frame
-    * (a click at the purchase's own timestamp is never a candidate — the
-    * same pairs the gap > 0 rule admits). One window pass over the
-    * key-partitioned stream of the two event types; no self-join. */
+    * the same user within 5 minutes — [[cepPairsOn]] on the fixture log. */
   val cepPairs = GraftQuery(
     "ev_cep_pairs",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = t(s, dir, "events")
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("user_id"), col("event_type"), col("ts"),
-          unix_micros(col("ts")).as("ts_us"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-        .rangeBetween(Window.unboundedPreceding, -1)
-      ev.withColumn("last_click_us",
-          max(when(col("event_type") === "click", col("ts_us"))).over(w))
-        .filter(col("event_type") === "purchase" &&
-          col("last_click_us").isNotNull &&
-          col("ts_us") - col("last_click_us") <= 300000000L)
-        .select(col("user_id"),
-          expr("timestamp_micros(last_click_us)").as("first_ts"),
-          col("ts").as("second_ts"),
-          expr("(ts_us - last_click_us) div 1000").as("gap_ms"))
-        .orderBy(col("user_id"), col("second_ts"))
-    },
+    (s, dir) => cepPairsOn(t(s, dir, "events"), "click", "purchase", 300L),
     Some("""WITH ce AS (
               SELECT user_id, event_type, ts, epoch_us(ts) AS ts_us
               FROM events WHERE event_type IN ('click', 'purchase')),
@@ -860,22 +869,32 @@ object EventOps {
     * proves the deadline passed, the batch query reports every unanswered
     * first). One forward-looking RANGE frame per user — no self-join, no
     * inequality join; the window is microsecond-exact like ev_cep_pairs. */
+  /** The absence-detection core over any (user_id, event_type, ts) frame:
+    * every `first` never answered by a `second` from the same key within
+    * `withinSeconds`. One forward-looking RANGE frame per key — no
+    * self-join, no inequality join; microsecond-exact like [[cepPairsOn]].
+    * Shared by ev_absence and [[graft.api.EventAnalytics.absence]].
+    * @return (user_id, first_ts, deadline_ts) */
+  private[graft] def absenceOn(ev0: DataFrame, first: String,
+      second: String, withinSeconds: Long): DataFrame = {
+    val withinUs = withinSeconds * 1000000L
+    val ev = ev0
+      .filter(col("event_type").isin(first, second))
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(1L, withinUs)
+    ev.withColumn("next_second_us",
+        min(when(col("event_type") === second, col("ts_us"))).over(w))
+      .filter(col("event_type") === first && col("next_second_us").isNull)
+      .select(col("user_id"), col("ts").as("first_ts"),
+        expr(s"timestamp_micros(ts_us + ${withinUs}L)").as("deadline_ts"))
+      .orderBy(col("user_id"), col("first_ts"))
+  }
+
   val absence = GraftQuery(
     "ev_absence",
-    (s, dir) => {
-      val ev = t(s, dir, "events")
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("user_id"), col("event_type"), col("ts"),
-          unix_micros(col("ts")).as("ts_us"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-        .rangeBetween(1L, 300000000L)
-      ev.withColumn("next_purchase_us",
-          min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
-        .filter(col("event_type") === "click" && col("next_purchase_us").isNull)
-        .select(col("user_id"), col("ts").as("first_ts"),
-          expr("timestamp_micros(ts_us + 300000000)").as("deadline_ts"))
-        .orderBy(col("user_id"), col("first_ts"))
-    },
+    (s, dir) => absenceOn(t(s, dir, "events"), "click", "purchase", 300L),
     Some("""WITH ce AS (
               SELECT user_id, event_type, ts, epoch_us(ts) AS ts_us
               FROM events WHERE event_type IN ('click', 'purchase')),
@@ -1065,28 +1084,36 @@ object EventOps {
     * Shape: one key-partitioned shuffle, two ordered window passes over it
     * (prefix sums + the argmax rank) — no self-join, no collect; the
     * series is per KEY, so partitions stay bounded at 100 TB. */
+  /** The offline-CUSUM locator core over any (user_id, ts, event_id, v6)
+    * frame (v6 = the 1e6-scaled integer value) — the split maximizing
+    * |n·prefix_k − k·total| per key, exact integer arithmetic throughout.
+    * Keys need n >= `minN` observations to report. Shared by
+    * ev_changepoint and [[graft.api.EventAnalytics.cusumChangepoint]].
+    * @return (user_id, n_events, cp_index, cp_ts, cusum_stat) */
+  private[graft] def changepointOn(ev: DataFrame, minN: Int): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+    val ord = byUser.orderBy(col("ts"), col("event_id"))
+    ev
+      .withColumn("k", row_number().over(ord))
+      .withColumn("prefix", sum(col("v6"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("tot", sum(col("v6")).over(byUser))
+      .withColumn("stat", abs(col("n") * col("prefix") - col("k") * col("tot")))
+      .withColumn("rn", row_number().over(byUser.orderBy(col("stat").desc, col("k"))))
+      .filter(col("rn") === 1 && col("n") >= minN)
+      .select(col("user_id"), col("n").as("n_events"), col("k").as("cp_index"),
+        col("ts").as("cp_ts"), col("stat").as("cusum_stat"))
+      .orderBy(col("user_id"))
+  }
+
   val changepoint = GraftQuery(
     "ev_changepoint",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val ev = t(s, dir, "events")
+    (s, dir) => changepointOn(
+      t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
-          expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v6"))
-      val byUser = Window.partitionBy(col("user_id"))
-      val ord = byUser.orderBy(col("ts"), col("event_id"))
-      ev
-        .withColumn("k", row_number().over(ord))
-        .withColumn("prefix", sum(col("v6"))
-          .over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", count(lit(1)).over(byUser))
-        .withColumn("tot", sum(col("v6")).over(byUser))
-        .withColumn("stat", abs(col("n") * col("prefix") - col("k") * col("tot")))
-        .withColumn("rn", row_number().over(byUser.orderBy(col("stat").desc, col("k"))))
-        .filter(col("rn") === 1 && col("n") >= 8)
-        .select(col("user_id"), col("n").as("n_events"), col("k").as("cp_index"),
-          col("ts").as("cp_ts"), col("stat").as("cusum_stat"))
-        .orderBy(col("user_id"))
-    },
+          expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v6")),
+      minN = 8),
     Some("""WITH ev AS (SELECT user_id, ts, event_id,
                    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6 FROM events),
             w AS (SELECT user_id, ts, v6,
@@ -1152,27 +1179,37 @@ object EventOps {
     * |v-med| > 3*MAD compares as adev > 3*mad2 — all products of exact
     * doubles far below 2^53. Two grouped exact-median passes over the
     * event-type key, the per-type medians broadcast back. */
+  /** The MAD outlier-profile core over any (event_type, v) frame (v = the
+    * 1e6-scaled integer value): per-group exact median, doubled absolute
+    * deviations (kept integer), MAD, and the |v−med| > k·MAD outlier
+    * count. Two grouped exact-median passes, per-group medians broadcast
+    * back. Shared by ev_anomaly_mad and
+    * [[graft.api.EventAnalytics.anomalyMad]].
+    * @return (event_type, n, median_micro, mad_micro, n_outliers) */
+  private[graft] def anomalyMadOn(ev: DataFrame, k: Int): DataFrame = {
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("median(v)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("adev", expr("cast(abs(v - med) * 2 as bigint)"))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(expr("median(adev)").as("mad2"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("median_micro"),
+        (first(col("mad2")) / 2).as("mad_micro"),
+        sum(when(col("adev") > lit(k) * col("mad2"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   val anomalyMad = GraftQuery(
     "ev_anomaly_mad",
-    (s, dir) => {
-      val ev = t(s, dir, "events")
+    (s, dir) => anomalyMadOn(
+      t(s, dir, "events")
         .select(col("event_type"),
-          expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v"))
-      val med = ev.groupBy(col("event_type"))
-        .agg(expr("median(v)").as("med"))
-      val dev = ev.join(broadcast(med), "event_type")
-        .withColumn("adev", expr("cast(abs(v - med) * 2 as bigint)"))
-      val mad = dev.groupBy(col("event_type"))
-        .agg(expr("median(adev)").as("mad2"))
-      dev.join(broadcast(mad), "event_type")
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          first(col("med")).as("median_micro"),
-          (first(col("mad2")) / 2).as("mad_micro"),
-          sum(when(col("adev") > lit(3) * col("mad2"), 1L).otherwise(0L))
-            .as("n_outliers"))
-        .orderBy(col("event_type"))
-    },
+          expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v")),
+      k = 3),
     Some("""WITH ev AS (SELECT event_type,
                 CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v FROM events),
             med AS (SELECT event_type, median(v) AS med FROM ev GROUP BY event_type),
@@ -2685,19 +2722,21 @@ object EventOps {
     * lag-change filter; valid_to is the NEXT change's valid_from via lead.
     * Every window is user-keyed (range-parallel across users, never a
     * global sort); the rows that move are (user, day, state) triples. */
-  /** The SCD2 interval table shared by [[scd2History]] and
-    * [[pointInTimeJoin]]: (user_id, state, valid_from, valid_to-or-null)
-    * half-open intervals partitioning each user's active-day axis. */
-  private def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = t(s, dir, "events")
+  /** The SCD2 interval core over any (user_id, ts, event_id, state)
+    * frame: collapse each key's day axis to its last state of the day,
+    * then run-length-encode state changes into (valid_from, valid_to]
+    * half-open intervals (valid_to null = current). Every window is
+    * user-keyed. Shared by ev_scd2_state_history, ev_point_in_time_join
+    * and [[graft.api.EventAnalytics.scd2History]]. */
+  private[graft] def scd2IntervalsOn(ev: DataFrame): DataFrame = {
+    val daily = ev
       .select(col("user_id"), to_date(col("ts")).as("day"),
-        col("event_type"), col("ts"), col("event_id"))
+        col("state"), col("ts"), col("event_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("user_id"), col("day"))
           .orderBy(col("ts").desc, col("event_id").desc)))
       .filter(col("rn") === 1)
-      .select(col("user_id"), col("day"), col("event_type").as("state"))
+      .select(col("user_id"), col("day"), col("state"))
     val byDay = Window.partitionBy(col("user_id")).orderBy(col("day"))
     val runs = daily
       .withColumn("prev", lag(col("state"), 1).over(byDay))
@@ -2706,6 +2745,14 @@ object EventOps {
     val byFrom = Window.partitionBy(col("user_id")).orderBy(col("valid_from"))
     runs.withColumn("valid_to", lead(col("valid_from"), 1).over(byFrom))
   }
+
+  /** The SCD2 interval table shared by [[scd2History]] and
+    * [[pointInTimeJoin]]: [[scd2IntervalsOn]] over the fixture log with
+    * the day's last event_type as the state. */
+  private def scd2Intervals(s: SparkSession, dir: String): DataFrame =
+    scd2IntervalsOn(t(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("state")))
 
   lazy val scd2History = GraftQuery(
     "ev_scd2_state_history",

@@ -176,28 +176,40 @@ object Sampling {
     * [[prefixSum]]; the explode is bounded at ⌈n_tokens/budget⌉ + 1
     * segments per document — output is O(corpus tokens / budget + docs),
     * never quadratic, and everything after the prefix sum is map-side. */
+  /** The per-segment span manifest core over a (doc_id, text) frame:
+    * [[prefixSum]] running offsets, then one bounded explode into
+    * (sequence, segment) rows — a document straddling budget boundaries
+    * occupies a suffix of one sequence and a prefix of the next. Output is
+    * O(corpus tokens / budget + docs); everything after the prefix sum is
+    * map-side. Shared by pipeline_pack_spans and
+    * [[graft.api.CorpusPipeline.packSpans]].
+    * @return (seq_id, doc_id, seg_start, seg_len, is_head) */
+  private[graft] def packSpansOn(s: SparkSession, docsFrame: DataFrame,
+      budget: Int): DataFrame = {
+    require(budget >= 1, s"packSpansOn needs budget >= 1, got $budget")
+    val B = budget.toLong
+    val docs = docsFrame
+      .select(col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    prefixSum(s, docs, "doc_id", "n_tokens", "start_tok")
+      .withColumn("seq_first", (col("start_tok") / B).cast("long"))
+      .withColumn("seq_last",
+        ((col("start_tok") + col("n_tokens") - 1L) / B).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("seq_first"),
+        explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
+      .select(col("seq_id"), col("doc_id"),
+        (greatest(col("start_tok"), col("seq_id") * B) - col("seq_id") * B)
+          .as("seg_start"),
+        (least(col("start_tok") + col("n_tokens"), (col("seq_id") + 1L) * B)
+          - greatest(col("start_tok"), col("seq_id") * B)).as("seg_len"),
+        (col("seq_id") === col("seq_first")).as("is_head"))
+      .orderBy(col("seq_id"), col("seg_start"), col("doc_id"))
+  }
+
   val packSpans = GraftQuery(
     "pipeline_pack_spans",
-    (s, dir) => {
-      val B = 512L
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id").cast("long").as("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      prefixSum(s, docs, "doc_id", "n_tokens", "start_tok")
-        .withColumn("seq_first", (col("start_tok") / B).cast("long"))
-        .withColumn("seq_last",
-          ((col("start_tok") + col("n_tokens") - 1L) / B).cast("long"))
-        .select(col("doc_id"), col("n_tokens"), col("start_tok"),
-          col("seq_first"),
-          explode(expr("sequence(seq_first, seq_last)")).as("seq_id"))
-        .select(col("seq_id"), col("doc_id"),
-          (greatest(col("start_tok"), col("seq_id") * B) - col("seq_id") * B)
-            .as("seg_start"),
-          (least(col("start_tok") + col("n_tokens"), (col("seq_id") + 1L) * B)
-            - greatest(col("start_tok"), col("seq_id") * B)).as("seg_len"),
-          (col("seq_id") === col("seq_first")).as("is_head"))
-        .orderBy(col("seq_id"), col("seg_start"), col("doc_id"))
-    },
+    (s, dir) => packSpansOn(s, t(s, dir, "documents"), 512),
     Some("""WITH tok AS (
               SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
               FROM documents),

@@ -94,6 +94,34 @@ object Cep {
 
   final case class SeqMatch(key: String, startTs: Timestamp, endTs: Timestamp)
 
+  /** The chain automaton both sequence legs fold: advance the (matched
+    * steps, chain start, last step ts) state through `rows` in event-time
+    * order, emitting a match (and restarting — greedy earliest-start,
+    * non-overlapping) whenever the full chain completes inside `withinUs`
+    * of its first step. Shared by the streaming [[SeqDetector]] (state
+    * carried across micro-batches) and the batch [[detectSequenceBatch]]
+    * (one fold from the empty state) so the two legs can never drift. */
+  private[streaming] def foldChain(steps: Seq[String], withinUs: Long,
+      key: String, init: (Int, Long, Long), rows: Seq[CepEvent])
+      : (Seq[SeqMatch], (Int, Long, Long)) = {
+    var (n, t0, tPrev) = init
+    val out = Seq.newBuilder[SeqMatch]
+    rows.sortBy(ev => toUs(ev.ts)).foreach { ev =>
+      val ts = toUs(ev.ts)
+      if (n > 0 && ts - t0 > withinUs) { n = 0 } // chain expired
+      if (n == 0) {
+        if (ev.etype == steps.head) { n = 1; t0 = ts; tPrev = ts }
+      } else if (ev.etype == steps(n) && ts > tPrev) {
+        n += 1; tPrev = ts
+        if (n == steps.size) {
+          out += SeqMatch(key, usTs(t0), usTs(tPrev))
+          n = 0 // non-overlapping: restart after a full match
+        }
+      }
+    }
+    (out.result(), (n, t0, tPrev))
+  }
+
   /** Multi-step chain state: how many steps matched, chain start, last
     * matched step's timestamp. */
   private[streaming] final class SeqDetector(steps: Seq[String], withinMs: Long)
@@ -104,31 +132,37 @@ object Cep {
         state: GroupState[(Int, Long, Long)]): Iterator[SeqMatch] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        var (n, t0, tPrev) = state.getOption.getOrElse((0, 0L, 0L))
-        val out = Seq.newBuilder[SeqMatch]
-        rows.toSeq.sortBy(ev => toUs(ev.ts)).foreach { ev =>
-          val ts = toUs(ev.ts)
-          if (n > 0 && ts - t0 > withinUs) { n = 0 } // chain expired
-          if (n == 0) {
-            if (ev.etype == steps.head) { n = 1; t0 = ts; tPrev = ts }
-          } else if (ev.etype == steps(n) && ts > tPrev) {
-            n += 1; tPrev = ts
-            if (n == steps.size) {
-              out += SeqMatch(key, usTs(t0), usTs(tPrev))
-              n = 0 // non-overlapping: restart after a full match
-            }
-          }
-        }
+        val (out, next @ (n, t0, _)) = foldChain(steps, withinUs, key,
+          state.getOption.getOrElse((0, 0L, 0L)), rows.toSeq)
         if (n == 0) state.remove()
         else {
-          state.update((n, t0, tPrev))
+          state.update(next)
           if (state.getCurrentWatermarkMs() >= 0)
             state.setTimeoutTimestamp(
               math.max(Math.floorDiv(t0, 1000L) + withinMs,
                 state.getCurrentWatermarkMs() + 1))
         }
-        out.result().iterator
+        out.iterator
       }
+    }
+  }
+
+  /** Batch leg of [[detectSequence]]: the same [[foldChain]] automaton per
+    * key over a BOUNDED frame — groupByKey + flatMapGroups from the empty
+    * state, no watermark machinery (a batch GroupState has no watermark to
+    * read, so the streaming wiring cannot run on batch inputs). Dangling
+    * partial chains at end-of-frame are dropped, which for a bounded frame
+    * is exactly the watermark-expiry semantics of the stream. Per-key
+    * events are folded in event-time order, so output is deterministic at
+    * any parallelism. */
+  def detectSequenceBatch(events: Dataset[CepEvent], steps: Seq[String],
+      withinMs: Long): Dataset[SeqMatch] = {
+    require(steps.size >= 2, "a sequence pattern needs at least two steps")
+    val spark: SparkSession = events.sparkSession
+    import spark.implicits._
+    val withinUs = withinMs * 1000L
+    events.groupByKey(_.key).flatMapGroups { (key, it) =>
+      foldChain(steps, withinUs, key, (0, 0L, 0L), it.toSeq)._1.iterator
     }
   }
 

@@ -28,7 +28,13 @@ object PageHinkley {
   val Delta = 0.005
   val Lambda = 50.0
 
-  def detect(ds: Dataset[FfEvent]): Dataset[PhOut] = {
+  /** `delta`/`lambda` default to the fixture-calibrated constants; the
+    * public facade ([[graft.api.EventAnalytics.pageHinkley]]) passes the
+    * caller's own drift allowance and alarm threshold. Runs identically
+    * over a stream (state carried across micro-batches) and a bounded
+    * batch frame (one flatMapGroupsWithState pass, empty initial state). */
+  def detect(ds: Dataset[FfEvent], delta: Double = Delta,
+      lambda: Double = Lambda): Dataset[PhOut] = {
     import ds.sparkSession.implicits._
     ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[PhState, PhOut](
@@ -39,11 +45,11 @@ object PageHinkley {
             e.v.map { v =>
               val n1 = s.n + 1
               val mean1 = s.mean + (v - s.mean) / n1
-              val m1 = s.m + (v - mean1 - Delta)
+              val m1 = s.m + (v - mean1 - delta)
               val mMin1 = math.min(s.mMin, m1)
               s = PhState(n1, mean1, m1, mMin1)
               val ph = m1 - mMin1
-              PhOut(e.event_id, user, n1, ph, ph > Lambda)
+              PhOut(e.event_id, user, n1, ph, ph > lambda)
             }
           }
           state.update(s)

@@ -78,6 +78,41 @@ class CorpusPipelineSpec extends SparkTestBase {
       s"${rows.toSeq}")
   }
 
+  test("packSpans: boundary-straddling docs split into head + continuation segments that tile") {
+    import spark.implicits._
+    // same corpus as the packSequences trace at budget 6: doc 2 (start 3,
+    // 4 tokens) straddles the 6-token boundary — a 3-token head suffix of
+    // seq 0 and a 1-token continuation prefix of seq 1
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b c d"), (3L, "a b c d e")).toDF("id", "text")
+    val rows = CorpusPipeline.packSpans(df, budget = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      (0L, 1L, 0L, 3L, true), (0L, 2L, 3L, 3L, true),
+      (1L, 2L, 0L, 1L, false), (1L, 3L, 1L, 5L, true)), s"${rows.toSeq}")
+    // tiling invariants: per sequence, segments abut from 0 with no
+    // overlap; per doc, segment lengths sum to its token count with
+    // exactly one head segment
+    rows.groupBy(_._1).foreach { case (seq, segs) =>
+      val sorted = segs.sortBy(_._3)
+      assert(sorted.head._3 == 0L, s"seq $seq must start at offset 0")
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._3 + a._4 == b._3, s"seq $seq segments must abut") }
+    }
+    val perDoc = rows.groupBy(_._2)
+    assert(perDoc(1L).map(_._4).sum == 3 && perDoc(2L).map(_._4).sum == 4 &&
+      perDoc(3L).map(_._4).sum == 5, "segment lengths must sum to doc tokens")
+    assert(perDoc.values.forall(_.count(_._5) == 1),
+      "exactly one head segment per doc")
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.packSpans(Seq(("x", "a")).toDF("id", "text"))
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.packSpans(df, budget = 0)
+    }
+  }
+
   test("shardAssign: full cover, contiguous positions, deterministic") {
     val df = corpus()
     val rows = CorpusPipeline.shardAssign(df, nShards = 4).collect()

@@ -288,4 +288,159 @@ class EventAnalyticsSpec extends SparkTestBase {
         s"stream ${streamed.toSeq} != batch ${truth.toSeq}")
     } finally q.stop()
   }
+
+  // ------------------------------------------------------- alerting family
+
+  test("cepPairs: latest-first-wins within the window; same-ts never pairs") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "A", ts(0)), (1L, "B", ts(2)),            // pair gap 2 min
+      (1L, "A", ts(10)), (1L, "A", ts(12)),
+      (1L, "B", ts(13)),                             // latest A (12) wins
+      (1L, "B", ts(30)),                             // 18 min > 5 min: no
+      (2L, "B", ts(5)),                              // no prior A
+      (3L, "A", ts(7)), (3L, "B", ts(7)),            // equal ts: no pair
+      (3L, "B", ts(9))                               // strictly-earlier A(7)
+    ).toDF("who", "kind", "at")
+    val rows = EventAnalytics.cepPairs(ev, "A", "B")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, ts(0), ts(2), 120000L), (1L, ts(12), ts(13), 60000L),
+      (3L, ts(7), ts(9), 120000L)), s"${rows.toSeq}")
+  }
+
+  test("absence: unanswered firsts alert with their deadline; same-ts answers don't count") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "A", ts(0)), (1L, "B", ts(2)),   // answered
+      (1L, "A", ts(40)), (1L, "B", ts(50)), // 10 min late: alert
+      (2L, "A", ts(5)), (2L, "B", ts(5))    // same ts doesn't answer: alert
+    ).toDF("who", "kind", "at")
+    val rows = EventAnalytics.absence(ev, "A", "B")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+    assert(rows.toSeq == Seq(
+      (1L, ts(40), ts(45)), (2L, ts(5), ts(10))), s"${rows.toSeq}")
+  }
+
+  test("cepSequence (batch leg): strict-order chains, non-overlapping restart, expiry drops partials") {
+    import spark.implicits._
+    val ev = Seq(
+      // u1: two back-to-back full chains (greedy restart after a match)
+      (1L, "a", ts(0)), (1L, "b", ts(2)), (1L, "c", ts(4)),
+      (1L, "a", ts(5)), (1L, "b", ts(6)), (1L, "c", ts(7)),
+      // u2: out-of-order step ignored, chain still completes
+      (2L, "a", ts(0)), (2L, "c", ts(1)), (2L, "b", ts(2)), (2L, "c", ts(3)),
+      // u3: chain expires (b lands 15 min after a at a 10-min window)
+      (3L, "a", ts(0)), (3L, "b", ts(15)), (3L, "c", ts(16))
+    ).toDF("who", "kind", "at")
+    val rows = EventAnalytics.cepSequence(ev, Seq("a", "b", "c"),
+        withinSeconds = 600L)
+      .orderBy(col("key"), col("start_ts"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+    assert(rows.toSeq == Seq(
+      ("1", ts(0), ts(4)), ("1", ts(5), ts(7)), ("2", ts(0), ts(3))),
+      s"${rows.toSeq}")
+  }
+
+  test("anomalyMad: exact integer medians; the planted outlier is the only flag; constant groups report zero") {
+    import spark.implicits._
+    val ev = ((1 to 9).map(i => ("g", i.toDouble)) :+ (("g", 100.0))) ++
+      Seq(("h", 5.0), ("h", 5.0), ("h", 5.0))
+    val rows = EventAnalytics.anomalyMad(ev.toDF("grp", "v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))
+    // g: median 5.5e6 micros, MAD 2.5e6, only 100.0 clears 3 MADs
+    assert(rows.toSeq == Seq(
+      ("g", 10L, 5500000.0, 2500000.0, 1L),
+      ("h", 3L, 5000000.0, 0.0, 0L)), s"${rows.toSeq}")
+  }
+
+  test("cusumChangepoint: the planted level shift locates at the step; short series stay silent") {
+    import spark.implicits._
+    // key 1: 0,0,0,0 then 10,10,10,10 — the max |n·prefix − k·total|
+    // lands on k = 4 (the last pre-shift row); key 2 has n < 8
+    val ev = (1 to 8).map(i =>
+        (i.toLong, 1L, ts(i - 1), if (i <= 4) 0.0 else 10.0)) ++
+      Seq((9L, 2L, ts(0), 1.0), (10L, 2L, ts(1), 5.0))
+    val rows = EventAnalytics.cusumChangepoint(ev.toDF("id", "who", "at", "v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getTimestamp(3),
+        r.getLong(4)))
+    assert(rows.toSeq == Seq((1L, 8L, 4, ts(3), 160000000L)), s"${rows.toSeq}")
+  }
+
+  test("pageHinkley: quiet series never alarms; the planted drift does") {
+    import spark.implicits._
+    val ev = (1 to 40).map(i =>
+      (i.toLong, 1L, ts(i), if (i <= 20) 0.0 else 10.0))
+    val rows = EventAnalytics.pageHinkley(ev.toDF("id", "who", "at", "v"),
+        lambda = 5.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(rows.length == 40, "one emission per observation")
+    assert(rows.take(20).forall(!_._3), "no alarm before the drift")
+    assert(rows.drop(20).exists(_._3), "the level shift must alarm")
+    // the PH statistic is non-decreasing across the shifted tail (mean
+    // lags far below 10, so each post-shift deviation is positive)
+    val tail = rows.drop(20).map(_._2)
+    assert(tail.zip(tail.tail).forall { case (a, b) => b >= a - 1e-9 },
+      s"${tail.toSeq}")
+  }
+
+  test("scd2History: last state of the day wins; equal-state runs collapse; open interval is current") {
+    import spark.implicits._
+    def dayTs(d: Int, minute: Int): Timestamp =
+      new Timestamp((d * 1440L + minute) * 60000L)
+    val ev = Seq(
+      (1L, dayTs(0, 10), 1L, "x"), (1L, dayTs(0, 20), 2L, "y"), // day0 -> y
+      (1L, dayTs(1, 0), 3L, "y"),                               // run continues
+      (1L, dayTs(2, 0), 4L, "z")                                // change
+    ).toDF("who", "at", "id", "st")
+    val rows = EventAnalytics.scd2History(ev)
+      .orderBy(col("valid_from"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString),
+        r.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      (1L, "y", "1970-01-01", Some("1970-01-03"), false),
+      (1L, "z", "1970-01-03", None, true)), s"${rows.toSeq}")
+  }
+
+  test("alerting contracts fail loudly; empty frames flow through") {
+    import spark.implicits._
+    val three = Seq((1L, "a", ts(0))).toDF("a", "b", "c")
+    intercept[IllegalArgumentException] {
+      EventAnalytics.cepPairs(three, "a", "b", withinSeconds = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.cepSequence(three, Seq("a"))
+    }
+    intercept[IllegalArgumentException] { EventAnalytics.anomalyMad(three) }
+    intercept[IllegalArgumentException] {
+      EventAnalytics.cusumChangepoint(three.withColumn("d", col("a")), minN = 1)
+    }
+    intercept[IllegalArgumentException] {
+      // non-integral key: the state row needs long ids
+      EventAnalytics.pageHinkley(
+        Seq((1L, "u", ts(0), 1.0)).toDF("a", "b", "c", "d"))
+    }
+    intercept[IllegalArgumentException] { EventAnalytics.scd2History(three) }
+    val empty = Seq.empty[(Long, String, Timestamp)].toDF("a", "b", "c")
+    assert(EventAnalytics.cepPairs(empty, "a", "b").count() == 0)
+    assert(EventAnalytics.absence(empty, "a", "b").count() == 0)
+    assert(EventAnalytics.cepSequence(empty, Seq("a", "b")).count() == 0)
+    assert(EventAnalytics.anomalyMad(
+      Seq.empty[(String, Double)].toDF("g", "v")).count() == 0)
+    assert(EventAnalytics.cusumChangepoint(
+      Seq.empty[(Long, Long, Timestamp, Double)].toDF("a", "b", "c", "d"))
+      .count() == 0)
+    assert(EventAnalytics.pageHinkley(
+      Seq.empty[(Long, Long, Timestamp, Double)].toDF("a", "b", "c", "d"))
+      .count() == 0)
+    assert(EventAnalytics.scd2History(
+      Seq.empty[(Long, Timestamp, Long, String)].toDF("a", "b", "c", "d"))
+      .count() == 0)
+  }
 }

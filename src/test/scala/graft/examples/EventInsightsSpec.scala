@@ -55,6 +55,13 @@ class EventInsightsSpec extends SparkTestBase {
     val attr = r.attribution.collect()
       .map(r0 => r0.getString(0) -> r0.getLong(3)).toMap
     assert(attr == Map("ad" -> 1000000L), s"$attr")
+
+    // alerts: u2's click is never answered by a purchase (abandonment);
+    // u3's 16-event value series level-shifts at the planted 50.0
+    val alerts = r.alerts.collect()
+      .map(r0 => (r0.getString(0), r0.getLong(1))).toSet
+    assert(alerts == Set(("abandoned_click", 2L), ("level_shift", 3L)),
+      s"$alerts")
   }
 
   test("the live leg matches the batch windowed counts after chopped delivery") {
