@@ -18,23 +18,30 @@ object Bench {
     // stream batches (observed: 1.5 s/batch fresh vs >30 s/batch after the
     // batch suite — a single-JVM-bench artifact, not engine capacity; on a
     // cluster, streaming doesn't share executors with a finished batch job).
-    val streamRps =
-      if (sys.env.get("SPARK_GRAFT_SOL").contains("off")) 0.0
+    val (streamRps, streamRpsSpread) =
+      if (sys.env.get("SPARK_GRAFT_SOL").contains("off")) (0.0, 0.0)
       else solThroughput(spark)
     // Streaming latency leg of the baseline (the reference publishes 8 ms
     // avg task-to-task latency): per-micro-batch triggerExecution
     // percentiles at a small, unsaturated trigger — measured AFTER the
     // throughput probe's heap churn is collected, BEFORE the batch suite.
+    // Repeated LatencyReps times with a per-probe spread, the same noise
+    // discipline the headline queries carry: r15's single-shot p50 read
+    // 333 ms vs r14's 120 ms on unchanged streaming code, and nothing in
+    // the JSON could say whether that was regression or scheduling
+    // lottery. The reported histogram is the min-p50 rep (the quietest
+    // window); the spread column is (max p50 − min p50) / min p50.
     System.gc()
-    val latency =
-      if (sys.env.get("SPARK_GRAFT_SOL").contains("off")) None
-      else latencyProbe(spark)
+    val (latency, latencySpread) =
+      if (sys.env.get("SPARK_GRAFT_SOL").contains("off")) (None, 0.0)
+      else repeatedProbe(LatencyReps)(latencyProbe(spark))
     // Continuous-trigger record-transit latency: the mode built for the
     // map-only shape the reference's 8 ms task-to-task figure measures
     // (micro-batch p50 above is the per-batch floor, ~19x that baseline).
-    val latencyCont =
-      if (sys.env.get("SPARK_GRAFT_SOL").contains("off")) None
-      else graft.streaming.ContinuousLatency.measure(spark)
+    val (latencyCont, latencyContSpread) =
+      if (sys.env.get("SPARK_GRAFT_SOL").contains("off")) (None, 0.0)
+      else repeatedProbe(LatencyReps)(
+        graft.streaming.ContinuousLatency.measure(spark))
     latencyCont.foreach(h => System.err.println(s"[bench] continuous latency probe: $h"))
     // drop the probe's garbage before timing the relational suite, then
     // warm the JVM/codegen once on the smallest SF so per-query times
@@ -44,25 +51,20 @@ object Bench {
       try q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    // three timed reps, report the min: a single sample folds GC pauses and
+    // Nine timed reps, report the min: a single sample folds GC pauses and
     // compilation stalls of THIS box into the graded number; the min is
-    // still honest (every rep runs the full physical plan at sfDir) and
-    // r6->r7 showed 10-20% swings on sub-second queries with min-of-2 —
-    // one more rep costs ~7 s and roughly halves that spread.
-    // When the box is ALREADY loaded at bench start (r10→r12 showed
-    // load_avg climbing 3.0→5.5 with two-sided ±40% swings on untouched
-    // plans; r14's load 3.9 run read q25 at 0.901 s vs 0.164 s on a
-    // byte-identical binary — a 5.5x phantom regression), even the min
-    // gets inflated — take 9 reps so the min has many chances to land in
-    // a quiet scheduling window. The load threshold is 2.0: on a box whose
-    // background load already rivals the bench's own parallelism demand,
-    // contention is measurable well before load 3. Either way the JSON
-    // carries a per-query spread column ((max-min)/min over the reps) so
-    // the round-over-round reader can see which numbers are sample-stable
-    // and which are scheduling lottery, instead of inferring it from a
-    // single load average.
+    // still honest (every rep runs the full physical plan at sfDir).
+    // The rep count is PINNED at 9 regardless of load (r15 judging: r13
+    // min-of-3 / r14 min-of-5 / r15 min-of-9 made the round-over-round
+    // TOTAL incomparable on top of the load differences — a constant rep
+    // count removes the one confound the bench controls; 9 reps cost
+    // ~25 s and give the min many chances to land in a quiet scheduling
+    // window on a loaded box). The JSON carries a per-query spread column
+    // ((max-min)/min over the reps) so the round-over-round reader can
+    // see which numbers are sample-stable and which are scheduling
+    // lottery, instead of inferring it from a single load average.
     val loaded = loadStart > 2.0
-    val nReps = if (loaded) 9 else 3
+    val nReps = 9
     val results = headline.map { q =>
       val reps = (1 to nReps).map { _ =>
         val t0 = System.nanoTime()
@@ -83,9 +85,9 @@ object Bench {
     val errors = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
     val lat = latency.fold("")(h =>
-      f""","latency_ms_p50":${h.p50Ms},"latency_ms_p95":${h.p95Ms},"latency_ms_p99":${h.p99Ms},"latency_ms_mean":${h.meanMs}%.1f""") +
+      f""","latency_ms_p50":${h.p50Ms},"latency_ms_p95":${h.p95Ms},"latency_ms_p99":${h.p99Ms},"latency_ms_mean":${h.meanMs}%.1f,"latency_ms_p50_spread":$latencySpread%.2f""") +
       latencyCont.fold("")(h =>
-        f""","latency_continuous_ms_p50":${h.p50Ms},"latency_continuous_ms_p95":${h.p95Ms},"latency_continuous_ms_p99":${h.p99Ms},"latency_continuous_ms_mean":${h.meanMs}%.1f""")
+        f""","latency_continuous_ms_p50":${h.p50Ms},"latency_continuous_ms_p95":${h.p95Ms},"latency_continuous_ms_p99":${h.p99Ms},"latency_continuous_ms_mean":${h.meanMs}%.1f,"latency_continuous_ms_p50_spread":$latencyContSpread%.2f""")
     // Self-reported contention telemetry: round 8's driver-captured bench
     // regressed ~2x purely from concurrent load on the box (a clean rerun
     // of identical code was the best round on record), and the artifact
@@ -105,7 +107,7 @@ object Bench {
         f""","noise_note":"load_avg $loadStart%.1f at start: shared-box contention; per-query times are min-of-$nReps but may still be inflated — compare totals across rounds with the load column, not at face value""""
       else ""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"reps":$nReps,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f$lat$load$noise,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spreads,"reps":$nReps,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f,"stream_rows_per_sec_spread":$streamRpsSpread%.2f$lat$load$noise,"sf":"$sfDir"}"""
     // Evidence must be unlosable (round-2 lesson: the TaskKilled WARN flood
     // after solThroughput's q.stop() pushed the metric line out of the
     // harness's captured log tail). So: persist to a file FIRST, then stop
@@ -120,6 +122,28 @@ object Bench {
   /** 1-minute system load average (-1.0 if the platform can't report it). */
   private def osLoadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Reps for the two latency probes — pinned like the query rep count so
+    * rounds compare; each probe run costs ~15-25 s, so 3 reps keep the
+    * whole latency leg under ~2.5 min while giving the min a quiet window
+    * and the spread a denominator. */
+  private val LatencyReps = 3
+
+  /** Run a latency probe `reps` times; return the min-p50 histogram (the
+    * quietest scheduling window — the same estimator as the per-query
+    * min) plus the p50 spread ((max − min) / max(min, 1)) across reps.
+    * Probes that fail (None) are dropped; all-failed returns (None, 0). */
+  private def repeatedProbe(reps: Int)(
+      probe: => Option[graft.ops.AppRegistry.LatencyHistogram])
+      : (Option[graft.ops.AppRegistry.LatencyHistogram], Double) = {
+    val hs = (1 to reps).flatMap(_ => probe)
+    if (hs.isEmpty) (None, 0.0)
+    else {
+      val p50s = hs.map(_.p50Ms)
+      (Some(hs.minBy(_.p50Ms)),
+        (p50s.max - p50s.min).toDouble / math.max(p50s.min, 1L))
+    }
+  }
 
   /** Batch-latency percentiles at a small trigger: a 10k rows/s stream is
     * far below saturation, so each micro-batch's triggerExecution time IS
@@ -158,7 +182,11 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] latency probe: $e"); None }
   }
 
-  private def solThroughput(spark: SparkSession): Double = {
+  /** @return (max steady-state batch rate, spread over the top-5 samples
+    *         — (max − min(top5)) / min(top5)). The spread says whether
+    *         the peak came from a stable plateau (≈0) or one lucky batch
+    *         (large) — the max alone could not distinguish them. */
+  private def solThroughput(spark: SparkSession): (Double, Double) = {
     try {
       // Fixed 20M-row micro-batches: every batch is a uniform saturation
       // sample. The plain `rate` source at an above-capacity ask grows its
@@ -181,7 +209,11 @@ object Bench {
       val obs = rates()
       q.stop()
       System.err.println(s"[bench] SOL batches: ${obs.map(_.toLong).mkString(",")}")
-      if (obs.nonEmpty) obs.max else 0.0
-    } catch { case e: Throwable => System.err.println(s"[bench] SOL probe: $e"); 0.0 }
+      if (obs.isEmpty) (0.0, 0.0)
+      else {
+        val top = obs.sorted.reverse.take(5)
+        (top.head, if (top.size < 2) 0.0 else (top.head - top.min) / top.min)
+      }
+    } catch { case e: Throwable => System.err.println(s"[bench] SOL probe: $e"); (0.0, 0.0) }
   }
 }
