@@ -321,6 +321,75 @@ object EventAnalytics {
       ev.as[graft.streaming.FfEvent], delta, lambda).toDF()
   }
 
+  // -------------------------------------------------- experimentation family
+
+  /** Per-unit (variant, converted) arm flags shared by [[abLift]] and
+    * [[powerAnalysis]]: rows whose variant string-equals `control` are
+    * arm 0 (A), everything else arm 1 (B). */
+  private def armFlags(assignments: DataFrame, control: String): DataFrame = {
+    val a = threeCol(assignments, "(unit, variant, converted)")
+      .toDF("unit", "variant0", "conv0")
+    a.select(
+      when(col("variant0").cast("string") === control, 0L).otherwise(1L)
+        .as("variant"),
+      col("conv0").cast("boolean").cast("long").as("conv"))
+  }
+
+  /** A/B experiment readout — the two-proportion z-test: per-arm counts,
+    * exact integer micro-rates, relative lift of B over A, and the pooled
+    * z-score (sqrt is IEEE-correctly-rounded, so the statistic is
+    * engine-identical, floored to micros). One aggregation collapses the
+    * units; everything after runs on one row.
+    * @param assignments (unit, variant, converted) — any column names;
+    *                    converted coerces via boolean
+    * @param control     the variant value that is arm A (string-compared)
+    * @return one row: (n_a, c_a, n_b, c_b, p_a_micro, p_b_micro,
+    *         rel_lift_micro, z_micro) */
+  def abLift(assignments: DataFrame, control: String): DataFrame =
+    EventOps.abLiftOn(armFlags(assignments, control))
+
+  /** Experiment power / MDE planning over the SAME assignment frame as
+    * [[abLift]]: with the observed pooled rate and arm sizes, the minimum
+    * detectable effect at α=5%/power=80%, and the per-arm sample size a
+    * 5%-relative-lift detection would need — "is this experiment worth
+    * running at our traffic".
+    * @return one row: (n_a, n_b, n_conv, p_bar_micro, mde_micro,
+    *         n_per_arm_for_5pct_lift) */
+  def powerAnalysis(assignments: DataFrame, control: String): DataFrame =
+    EventOps.powerAnalysisOn(armFlags(assignments, control))
+
+  /** CUPED variance-reduction readout (Deng et al. 2013): ρ² between each
+    * unit's pre-period covariate and experiment metric — exactly the
+    * variance CUPED removes — plus the effective-sample-size multiplier
+    * 1/(1−ρ²). Values scale to exact integer cents; the five moments
+    * accumulate as DECIMAL(38,0), so aggregation order cannot flip a bit;
+    * ρ² = 1 and zero-variance inputs yield null rather than a division
+    * error.
+    * @param pairs (unit, preMetric, metric) — any column names
+    * @return one row: (n_users, rho2_micro, ess_mult_micro) */
+  def cupedReadout(pairs: DataFrame): DataFrame =
+    EventOps.cupedOn(
+      threeCol(pairs, "(unit, preMetric, metric)").toDF("unit", "x0", "y0")
+        .select(
+          expr("cast(floor(cast(x0 as double) * 100 + 0.5) as bigint)").as("x"),
+          expr("cast(floor(cast(y0 as double) * 100 + 0.5) as bigint)").as("y")))
+
+  /** Cohort LTV curves: units grouped by first-event week, every cent
+    * credited to its (cohort, age-in-weeks) cell, and the cohort-keyed
+    * cumulative revenue — the lifetime-value table growth models fit to.
+    * Weeks are epoch-day floor-divs (post-1970 timestamps assumed).
+    * @param events (key, ts, value) — any column names
+    * @return (cohort_week, age_weeks, n_active, revenue_cents,
+    *         cum_revenue_cents) */
+  def ltvCohort(events: DataFrame): DataFrame =
+    EventOps.ltvCohortOn(
+      threeCol(events, "(key, ts, value)").toDF("user_id", "ts", "v")
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000 div 7")
+            .as("week"),
+          expr("cast(floor(cast(v as double) * 100 + 0.5) as bigint)")
+            .as("cents")))
+
   /** SCD2 (slowly-changing-dimension type 2) state history per key: each
     * day's LAST state wins, consecutive equal days collapse into one
     * (valid_from, valid_to] interval, the open interval is flagged

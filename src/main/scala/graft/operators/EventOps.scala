@@ -1398,6 +1398,34 @@ object EventOps {
     * pow), p̄ is one division, √ is IEEE-correctly-rounded — the ab_lift
     * float discipline, floor-scaled to micros. One user-keyed
     * aggregation + a 1-row broadcast; everything after runs on one row. */
+  /** The MDE/sample-size planning core over (variant ∈ {0,1},
+    * conv ∈ {0,1}) unit rows — two-sided normal approximation at
+    * α=5%/power=80% against a 5%-relative-lift target; the z constants
+    * are fixed literals, squares are self-multiplications, and the one
+    * sqrt is IEEE-correctly-rounded. Shared by ev_power_analysis and
+    * [[graft.api.EventAnalytics.powerAnalysis]].
+    * @return one row: (n_a, n_b, n_conv, p_bar_micro, mde_micro,
+    *         n_per_arm_for_5pct_lift) */
+  private[graft] def powerAnalysisOn(users: DataFrame): DataFrame =
+    users.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(col("conv")).as("n_conv"),
+        count(lit(1)).as("n_users"))
+      .selectExpr("n_a", "n_b", "n_conv",
+        "cast(n_conv * 1000000 div n_users as bigint) as p_bar_micro",
+        """cast(floor((1.959964 + 0.841621)
+             * sqrt(2.0 * (cast(n_conv as double) / n_users)
+                    * (1.0 - cast(n_conv as double) / n_users)
+                    / nullif(least(n_a, n_b), 0))
+             * 1e6 + 0.5) as bigint) as mde_micro""",
+        """cast(ceil(2.0 * (cast(n_conv as double) / n_users)
+             * (1.0 - cast(n_conv as double) / n_users)
+             * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
+             / nullif((0.05 * (cast(n_conv as double) / n_users))
+                * (0.05 * (cast(n_conv as double) / n_users)), 0.0))
+           as bigint) as n_per_arm_for_5pct_lift""")
+
   val powerAnalysis = GraftQuery(
     "ev_power_analysis",
     (s, dir) => {
@@ -1406,27 +1434,9 @@ object EventOps {
         .agg(sum(expr("cast(floor(value * 100 + 0.5) as bigint)")).as("cents"))
       val tot = broadcast(spend.agg(count(lit(1)).as("n_users"),
         sum(col("cents")).as("tot_cents")))
-      spend.crossJoin(tot)
+      powerAnalysisOn(spend.crossJoin(tot)
         .select((col("user_id") % 2).as("variant"),
-          (col("cents") * col("n_users") > col("tot_cents")).cast("long").as("conv"))
-        .agg(
-          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
-          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
-          sum(col("conv")).as("n_conv"),
-          count(lit(1)).as("n_users"))
-        .selectExpr("n_a", "n_b", "n_conv",
-          "cast(n_conv * 1000000 div n_users as bigint) as p_bar_micro",
-          """cast(floor((1.959964 + 0.841621)
-               * sqrt(2.0 * (cast(n_conv as double) / n_users)
-                      * (1.0 - cast(n_conv as double) / n_users)
-                      / nullif(least(n_a, n_b), 0))
-               * 1e6 + 0.5) as bigint) as mde_micro""",
-          """cast(ceil(2.0 * (cast(n_conv as double) / n_users)
-               * (1.0 - cast(n_conv as double) / n_users)
-               * ((1.959964 + 0.841621) * (1.959964 + 0.841621))
-               / nullif((0.05 * (cast(n_conv as double) / n_users))
-                  * (0.05 * (cast(n_conv as double) / n_users)), 0.0))
-             as bigint) as n_per_arm_for_5pct_lift""")
+          (col("cents") * col("n_users") > col("tot_cents")).cast("long").as("conv")))
     },
     Some("""WITH sp AS (SELECT user_id,
                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
@@ -1482,6 +1492,32 @@ object EventOps {
     * squaring inside decimal would overflow 10³⁸ around 15k users, and
     * the ratio is display-precision anyway. nullif guards both the
     * zero-variance corpus and ρ² = 1. */
+  /** The CUPED ρ²/ESS core over (x, y) integer-unit covariate/metric
+    * pairs: five DECIMAL(38,0)-exact moments, the n·Σxy−ΣxΣy variance
+    * terms cast to double only for the single ρ² ratio, and the
+    * effective-sample-size multiplier 1/(1−ρ²) as an integer micro-div
+    * (nullif-guarded at ρ² = 1 and zero variance). Shared by
+    * ev_cuped_readout and [[graft.api.EventAnalytics.cupedReadout]].
+    * @return one row: (n_users, rho2_micro, ess_mult_micro) */
+  private[graft] def cupedOn(xy: DataFrame): DataFrame =
+    xy.agg(count(lit(1)).as("n_users"),
+        sum(expr("cast(x as decimal(38,0))")).as("sx"),
+        sum(expr("cast(y as decimal(38,0))")).as("sy"),
+        sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
+        sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
+        sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
+      .selectExpr("n_users",
+        """cast(floor(
+             (cast(cast(n_users as decimal(38,0)) * sxy - sx * sy as double)
+              * cast(cast(n_users as decimal(38,0)) * sxy - sx * sy as double))
+             / nullif(
+                 cast(cast(n_users as decimal(38,0)) * sxx - sx * sx as double)
+               * cast(cast(n_users as decimal(38,0)) * syy - sy * sy as double),
+                 0.0)
+             * 1e6 + 0.5) as bigint) as rho2_micro""")
+      .selectExpr("n_users", "rho2_micro",
+        "1000000000000 div nullif(1000000 - rho2_micro, 0) as ess_mult_micro")
+
   val cupedReadout = GraftQuery(
     "ev_cuped_readout",
     (s, dir) => {
@@ -1497,23 +1533,7 @@ object EventOps {
         .select(
           (col("x0") + (col("user_id") % 100) * 2000).as("x"),
           (col("y0") + (col("user_id") % 100) * 2000).as("y"))
-        .agg(count(lit(1)).as("n_users"),
-          sum(expr("cast(x as decimal(38,0))")).as("sx"),
-          sum(expr("cast(y as decimal(38,0))")).as("sy"),
-          sum(expr("cast(x as decimal(38,0)) * y")).as("sxy"),
-          sum(expr("cast(x as decimal(38,0)) * x")).as("sxx"),
-          sum(expr("cast(y as decimal(38,0)) * y")).as("syy"))
-        .selectExpr("n_users",
-          """cast(floor(
-               (cast(cast(n_users as decimal(38,0)) * sxy - sx * sy as double)
-                * cast(cast(n_users as decimal(38,0)) * sxy - sx * sy as double))
-               / nullif(
-                   cast(cast(n_users as decimal(38,0)) * sxx - sx * sx as double)
-                 * cast(cast(n_users as decimal(38,0)) * syy - sy * sy as double),
-                   0.0)
-               * 1e6 + 0.5) as bigint) as rho2_micro""")
-        .selectExpr("n_users", "rho2_micro",
-          "1000000000000 div nullif(1000000 - rho2_micro, 0) as ess_mult_micro")
+        .transform(cupedOn)
     },
     Some("""WITH ev AS (
               SELECT user_id, epoch_us(ts) AS us,
@@ -3017,6 +3037,31 @@ object EventOps {
               CAST(sum(psi_term_micro) AS BIGINT) AS psi_term_micro
             FROM terms GROUP BY ROLLUP (bucket) ORDER BY bucket"""))
 
+  /** The two-proportion z-test core over (variant ∈ {0,1}, conv ∈ {0,1})
+    * unit rows — per-arm counts, exact integer micro-rates and relative
+    * lift, and the pooled z-score (sqrt and the four arithmetic ops are
+    * IEEE-correctly-rounded, so the double is engine-identical, floored
+    * to micros). Shared by ev_ab_lift and
+    * [[graft.api.EventAnalytics.abLift]].
+    * @return one row: (n_a, c_a, n_b, c_b, p_a_micro, p_b_micro,
+    *         rel_lift_micro, z_micro) */
+  private[graft] def abLiftOn(users: DataFrame): DataFrame =
+    users.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c_b"))
+      .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        expr("c_a * 1000000 div nullif(n_a, 0)").as("p_a_micro"),
+        expr("c_b * 1000000 div nullif(n_b, 0)").as("p_b_micro"),
+        expr("c_b * n_a * 1000000 div nullif(c_a * n_b, 0) - 1000000")
+          .as("rel_lift_micro"),
+        expr("""cast(floor((cast(c_b as double) / n_b - cast(c_a as double) / n_a)
+                           / nullif(sqrt((cast(c_a + c_b as double) / (n_a + n_b))
+                                  * (1.0 - cast(c_a + c_b as double) / (n_a + n_b))
+                                  * (cast(n_a + n_b as double) / (n_a * n_b))), 0.0)
+                           * 1000000) as bigint)""").as("z_micro"))
+
   /** A/B EXPERIMENT READOUT — the two-proportion z-test every product
     * analytics stack runs before shipping a variant: users
     * deterministically assigned by user_id parity (the hash assignment
@@ -3046,21 +3091,7 @@ object EventOps {
       val users = spend.crossJoin(tot)
         .select((col("user_id") % 2).as("variant"),
           (col("cents") * col("n_users") > col("tot_cents")).cast("long").as("conv"))
-      users.agg(
-          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
-          sum(when(col("variant") === 0, col("conv")).otherwise(0L)).as("c_a"),
-          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
-          sum(when(col("variant") === 1, col("conv")).otherwise(0L)).as("c_b"))
-        .select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
-          expr("c_a * 1000000 div nullif(n_a, 0)").as("p_a_micro"),
-          expr("c_b * 1000000 div nullif(n_b, 0)").as("p_b_micro"),
-          expr("c_b * n_a * 1000000 div nullif(c_a * n_b, 0) - 1000000")
-            .as("rel_lift_micro"),
-          expr("""cast(floor((cast(c_b as double) / n_b - cast(c_a as double) / n_a)
-                             / nullif(sqrt((cast(c_a + c_b as double) / (n_a + n_b))
-                                    * (1.0 - cast(c_a + c_b as double) / (n_a + n_b))
-                                    * (cast(n_a + n_b as double) / (n_a * n_b))), 0.0)
-                             * 1000000) as bigint)""").as("z_micro"))
+      abLiftOn(users)
     },
     Some("""WITH sp AS (SELECT user_id,
                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
@@ -3100,23 +3131,31 @@ object EventOps {
     * finds cohorts, one user-keyed equi-join tags events (runs-sized
     * dimension), one (cohort, age)-keyed aggregation collapses the
     * corpus; the window then runs on cell rows only. */
+  /** The cohort-LTV core over (user_id, week, cents) rows: first-week
+    * cohorts, every cent credited to its (cohort, age-in-weeks) cell, and
+    * the cohort-keyed running total. Shared by ev_ltv_cohort and
+    * [[graft.api.EventAnalytics.ltvCohort]].
+    * @return (cohort_week, age_weeks, n_active, revenue_cents,
+    *         cum_revenue_cents) */
+  private[graft] def ltvCohortOn(ev: DataFrame): DataFrame = {
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(min(col("week")).as("cohort_week"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("cents")).as("revenue_cents"))
+      .withColumn("cum_revenue_cents",
+        sum(col("revenue_cents")).over(
+          Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
   lazy val ltvCohort = GraftQuery(
     "ev_ltv_cohort",
-    (s, dir) => {
-      val ev = t(s, dir, "events").select(col("user_id"),
+    (s, dir) => ltvCohortOn(
+      t(s, dir, "events").select(col("user_id"),
         expr("unix_micros(ts) div 86400000000 div 7").as("week"),
-        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
-      val cohort = ev.groupBy(col("user_id"))
-        .agg(min(col("week")).as("cohort_week"))
-      ev.join(cohort, "user_id")
-        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
-        .agg(countDistinct(col("user_id")).as("n_active"),
-          sum(col("cents")).as("revenue_cents"))
-        .withColumn("cum_revenue_cents",
-          sum(col("revenue_cents")).over(
-            Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))))
-        .orderBy(col("cohort_week"), col("age_weeks"))
-    },
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))),
     Some("""WITH ev AS (SELECT user_id,
                 epoch_us(ts) // 86400000000 // 7 AS week,
                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -192,6 +192,44 @@ class ScaleStressSpec extends SparkTestBase {
       }
       info("scale-stress (10x sf0.1, local[4]):")
       report.foreach(info(_))
+
+      // ---- graph-ANN recall at 10x (r15 task 1). The heavy-query leg
+      // above proves ann_graph_topk COMPLETES at 10x; this one measures
+      // whether the production knobs (beam 16, links 4, hubs derived =
+      // clamp(sqrt(n), 64, 4096)) HOLD RECALL as the corpus grows 10x —
+      // the first question a 100 TB operator asks of a fixed-knob ANN
+      // index. Ground truth is the exact brute-force top-10 for the 8
+      // stress queries (8 x 50k cosines — cheap once); the index is the
+      // PUBLIC build (hub long links, id-agnostic), because the exploded
+      // corpus has non-dense ids the registry's dense-id convention
+      // cannot address. The 10x corpus is adversarial for recall@10:
+      // every vector exists in 10 identical replicas, so each query's
+      // exact top-10 is one tie-broken replica set the beam must fully
+      // recover — partial credit is impossible across ties.
+      val corpus10 = Tables.t(spark, dir.toString, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n10 = corpus10.count()
+      val queries = Tables.t(spark, baseSf, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+      val idx = graft.api.SimilaritySearch.graphAnnBuild(spark, corpus10)
+      val exact = graft.api.SimilaritySearch.topK(spark, corpus10, queries, k = 10)
+        .select(col("q_id"), col("vec_id"))
+      val ann = graft.api.SimilaritySearch
+        .graphAnnSearch(spark, idx, queries, k = 10)
+        .select(col("q_id"), col("vec_id"))
+      val hits = exact.join(ann, Seq("q_id", "vec_id"), "left_semi").count()
+      val recall = hits.toDouble / 80.0
+      val heapAnn = usedHeapGiB()
+      info(f"graph-ANN 10x recall: n=$n10, derived hubs=" +
+        f"${graft.api.SimilaritySearch.derivedHubs(n10)}, " +
+        f"recall@10=$recall%.3f ($hits/80 hits), heap=$heapAnn%.1f GiB")
+      assert(heapAnn < 8.0, f"driver heap $heapAnn%.1f GiB after ANN recall leg")
+      assert(recall >= 0.8,
+        f"recall@10 $recall%.3f at the production (beam 16, links 4, " +
+          f"derived hubs) point on the 10x corpus — if this drops, the " +
+          f"knobs need rederiving, not the assertion loosening")
+      spark.sharedState.cacheManager.clearCache()
     } finally {
       import scala.jdk.CollectionConverters._
       Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))

@@ -408,6 +408,66 @@ class EventAnalyticsSpec extends SparkTestBase {
       (1L, "z", "1970-01-03", None, true)), s"${rows.toSeq}")
   }
 
+  // ------------------------------------------------- experimentation family
+
+  test("abLift + powerAnalysis: hand-computed z-test and MDE on a planted 4v4 experiment") {
+    import spark.implicits._
+    // arm A (control): 4 units, 1 conversion; arm B: 4 units, 3 conversions
+    val assigns = Seq(
+      (1L, "control", false), (2L, "control", true),
+      (3L, "control", false), (4L, "control", false),
+      (5L, "treat", true), (6L, "treat", true),
+      (7L, "treat", false), (8L, "treat", true)).toDF("u", "arm", "won")
+    val lift = EventAnalytics.abLift(assigns, control = "control").head()
+    assert((lift.getLong(0), lift.getLong(1), lift.getLong(2), lift.getLong(3))
+      == ((4L, 1L, 4L, 3L)), s"$lift")
+    assert(lift.getLong(4) == 250000L && lift.getLong(5) == 750000L)
+    assert(lift.getLong(6) == 2000000L, "relative lift 3x - 1 = +200%")
+    // pooled p = 0.5, se = sqrt(.25 * 8/16), diff = 0.5 -> z = sqrt(2)
+    val zExp = math.floor((0.75 - 0.25) /
+      math.sqrt(0.5 * 0.5 * (8.0 / 16.0)) * 1000000).toLong
+    assert(lift.getLong(7) == zExp, s"z ${lift.getLong(7)} vs $zExp")
+
+    val pw = EventAnalytics.powerAnalysis(assigns, control = "control").head()
+    assert((pw.getLong(0), pw.getLong(1), pw.getLong(2), pw.getLong(3))
+      == ((4L, 4L, 4L, 500000L)), s"$pw")
+    val zs = 1.959964 + 0.841621
+    val mdeExp = math.floor(zs * math.sqrt(2.0 * 0.5 * 0.5 / 4) * 1e6 + 0.5).toLong
+    assert(pw.getLong(4) == mdeExp, s"mde ${pw.getLong(4)} vs $mdeExp")
+    val nExp = math.ceil(2.0 * 0.5 * 0.5 * (zs * zs) /
+      ((0.05 * 0.5) * (0.05 * 0.5))).toLong
+    assert(pw.getLong(5) == nExp, s"n ${pw.getLong(5)} vs $nExp")
+  }
+
+  test("cupedReadout: perfect correlation saturates; independence reads zero with ESS 1x") {
+    import spark.implicits._
+    val perfect = Seq((1L, 1.0, 2.0), (2L, 2.0, 4.0), (3L, 3.0, 6.0))
+      .toDF("u", "pre", "post")
+    val p = EventAnalytics.cupedReadout(perfect).head()
+    assert(p.getLong(0) == 3L && p.getLong(1) == 1000000L, s"$p")
+    assert(p.isNullAt(2), "ESS multiplier is null (infinite) at rho2 = 1")
+    val indep = Seq((1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0), (4L, 1.0, 1.0))
+      .toDF("u", "pre", "post")
+    val i = EventAnalytics.cupedReadout(indep).head()
+    assert(i.getLong(1) == 0L && i.getLong(2) == 1000000L,
+      s"independent covariate must read rho2 = 0, ESS 1x: $i")
+  }
+
+  test("ltvCohort: cents credit to (cohort, age) cells with a running total") {
+    import spark.implicits._
+    def dayTs(d: Int): Timestamp = new Timestamp(d * 86400000L)
+    val ev = Seq(
+      (1L, dayTs(0), 1.0), (1L, dayTs(7), 2.0), // cohort w0: 100c then 200c
+      (2L, dayTs(7), 3.0))                      // cohort w1: 300c
+      .toDF("who", "at", "spend")
+    val rows = EventAnalytics.ltvCohort(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 1L, 100L, 100L), (0L, 1L, 1L, 200L, 300L),
+      (1L, 0L, 1L, 300L, 300L)), s"${rows.toSeq}")
+  }
+
   test("alerting contracts fail loudly; empty frames flow through") {
     import spark.implicits._
     val three = Seq((1L, "a", ts(0))).toDF("a", "b", "c")
