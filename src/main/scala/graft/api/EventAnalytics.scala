@@ -208,9 +208,12 @@ object EventAnalytics {
     * earliest-start matches of `steps` in strict event-time order, the
     * whole chain inside `withinSeconds` of its first step. Streaming
     * frames run the stateful detector (watermark-expired partials drop);
-    * batch frames fold the SAME automaton per key from the empty state
-    * (graft.streaming.Cep.foldChain — the two legs cannot drift).
-    * Keys are compared as strings (cast from any type).
+    * batch frames run the SAME single-event automaton
+    * (graft.streaming.Cep.stepChain — the two legs cannot drift) over a
+    * secondary sort: one keyed shuffle, per-partition (key, ts) order,
+    * one sequential pass with constant per-task state — a hot key costs
+    * time, never executor memory. Keys are compared as strings (cast
+    * from any type).
     * @param events (key, type, ts) — any column names
     * @return (key, start_ts, end_ts) one row per completed chain */
   def cepSequence(events: DataFrame, steps: Seq[String],
@@ -296,7 +299,11 @@ object EventAnalytics {
     * stream (state across micro-batches); updates apply in per-key
     * (ts, id) order, so emissions are deterministic. Ids and keys must be
     * integral (the state row is (long, long, ts, double)); null values
-    * are skipped.
+    * are skipped. Memory note: the fold buffers one (key, group) at a
+    * time — per micro-batch on a stream (trigger-bounded), the key's
+    * WHOLE series on a bounded frame; for corpus-scale batch drift scans
+    * prefer [[cusumChangepoint]] (window-based, never buffers) or run
+    * the stream form over the replayed log.
     * @param events (id, key, ts, value) — any column names
     * @param delta  per-observation drift allowance
     * @param lambda alarm threshold on the PH statistic

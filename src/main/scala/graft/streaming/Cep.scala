@@ -94,32 +94,46 @@ object Cep {
 
   final case class SeqMatch(key: String, startTs: Timestamp, endTs: Timestamp)
 
-  /** The chain automaton both sequence legs fold: advance the (matched
-    * steps, chain start, last step ts) state through `rows` in event-time
-    * order, emitting a match (and restarting — greedy earliest-start,
-    * non-overlapping) whenever the full chain completes inside `withinUs`
-    * of its first step. Shared by the streaming [[SeqDetector]] (state
-    * carried across micro-batches) and the batch [[detectSequenceBatch]]
-    * (one fold from the empty state) so the two legs can never drift. */
+  /** ONE automaton step both sequence legs share: advance the (matched
+    * steps, chain start, last step ts) state by a single event, emitting
+    * a match (and restarting — greedy earliest-start, non-overlapping)
+    * when the full chain completes inside `withinUs` of its first step.
+    * An event completes at most one chain, so the output is an Option. */
+  private[streaming] def stepChain(steps: Seq[String], withinUs: Long,
+      key: String, ev: CepEvent, state: (Int, Long, Long))
+      : (Option[SeqMatch], (Int, Long, Long)) = {
+    var (n, t0, tPrev) = state
+    val ts = toUs(ev.ts)
+    if (n > 0 && ts - t0 > withinUs) { n = 0 } // chain expired
+    var out: Option[SeqMatch] = None
+    if (n == 0) {
+      if (ev.etype == steps.head) { n = 1; t0 = ts; tPrev = ts }
+    } else if (ev.etype == steps(n) && ts > tPrev) {
+      n += 1; tPrev = ts
+      if (n == steps.size) {
+        out = Some(SeqMatch(key, usTs(t0), usTs(tPrev)))
+        n = 0 // non-overlapping: restart after a full match
+      }
+    }
+    (out, (n, t0, tPrev))
+  }
+
+  /** [[stepChain]] folded over a micro-batch's rows in (event-time,
+    * etype) order — the streaming [[SeqDetector]]'s per-batch pass (state
+    * carried across batches). The etype tie-break makes equal-timestamp
+    * delivery order irrelevant, matching [[detectSequenceBatch]]'s sort
+    * so the two legs can never drift. */
   private[streaming] def foldChain(steps: Seq[String], withinUs: Long,
       key: String, init: (Int, Long, Long), rows: Seq[CepEvent])
       : (Seq[SeqMatch], (Int, Long, Long)) = {
-    var (n, t0, tPrev) = init
+    var st = init
     val out = Seq.newBuilder[SeqMatch]
-    rows.sortBy(ev => toUs(ev.ts)).foreach { ev =>
-      val ts = toUs(ev.ts)
-      if (n > 0 && ts - t0 > withinUs) { n = 0 } // chain expired
-      if (n == 0) {
-        if (ev.etype == steps.head) { n = 1; t0 = ts; tPrev = ts }
-      } else if (ev.etype == steps(n) && ts > tPrev) {
-        n += 1; tPrev = ts
-        if (n == steps.size) {
-          out += SeqMatch(key, usTs(t0), usTs(tPrev))
-          n = 0 // non-overlapping: restart after a full match
-        }
-      }
+    rows.sortBy(ev => (toUs(ev.ts), ev.etype)).foreach { ev =>
+      val (m, st2) = stepChain(steps, withinUs, key, ev, st)
+      st = st2
+      m.foreach(out += _)
     }
-    (out.result(), (n, t0, tPrev))
+    (out.result(), st)
   }
 
   /** Multi-step chain state: how many steps matched, chain start, last
@@ -147,13 +161,20 @@ object Cep {
     }
   }
 
-  /** Batch leg of [[detectSequence]]: the same [[foldChain]] automaton per
-    * key over a BOUNDED frame — groupByKey + flatMapGroups from the empty
-    * state, no watermark machinery (a batch GroupState has no watermark to
-    * read, so the streaming wiring cannot run on batch inputs). Dangling
-    * partial chains at end-of-frame are dropped, which for a bounded frame
-    * is exactly the watermark-expiry semantics of the stream. Per-key
-    * events are folded in event-time order, so output is deterministic at
+  /** Batch leg of [[detectSequence]]: the same [[stepChain]] automaton
+    * over a BOUNDED frame, without the watermark machinery (a batch
+    * GroupState has no watermark to read, so the streaming wiring cannot
+    * run on batch inputs). Dangling partial chains at end-of-frame are
+    * dropped, which for a bounded frame is exactly the watermark-expiry
+    * semantics of the stream.
+    *
+    * 100 TB shape: SECONDARY SORT, not flatMapGroups — one shuffle on the
+    * key, a per-partition (key, ts, etype) sort, then a single sequential
+    * pass whose state is one (Int, Long, Long) triple reset at key
+    * boundaries. A key's history is never materialized (the
+    * groupByKey + toSeq spelling buffers the whole key in executor
+    * memory — a hot key at corpus scale would OOM the task; here it only
+    * costs time). Order is total per key, so output is deterministic at
     * any parallelism. */
   def detectSequenceBatch(events: Dataset[CepEvent], steps: Seq[String],
       withinMs: Long): Dataset[SeqMatch] = {
@@ -161,9 +182,30 @@ object Cep {
     val spark: SparkSession = events.sparkSession
     import spark.implicits._
     val withinUs = withinMs * 1000L
-    events.groupByKey(_.key).flatMapGroups { (key, it) =>
-      foldChain(steps, withinUs, key, (0, 0L, 0L), it.toSeq)._1.iterator
-    }
+    events
+      .repartition(org.apache.spark.sql.functions.col("key"))
+      .sortWithinPartitions("key", "ts", "etype")
+      .mapPartitions { it =>
+        new Iterator[SeqMatch] {
+          private var cur: String = null
+          private var st = (0, 0L, 0L)
+          private var pending: Option[SeqMatch] = None
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val ev = it.next()
+              if (ev.key != cur) { cur = ev.key; st = (0, 0L, 0L) }
+              val (m, st2) = stepChain(steps, withinUs, ev.key, ev, st)
+              st = st2
+              pending = m
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending.nonEmpty }
+          override def next(): SeqMatch = {
+            advance()
+            val m = pending.get; pending = None; m
+          }
+        }
+      }
   }
 
   /** Ordered multi-step pattern (funnel chain): `steps` must occur in
