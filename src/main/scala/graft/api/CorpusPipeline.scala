@@ -26,6 +26,15 @@ object CorpusPipeline {
     df.toDF("doc_id", "text")
   }
 
+  /** The packers' shared id contract: the prefix-sum pack key casts ids
+    * to long, so a string id would die mid-job with a raw ANSI cast error
+    * — name it up front, once, for every packer. */
+  private def requireIntegralId(d: DataFrame, fn: String): Unit = {
+    val idType = d.schema("doc_id").dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(idType),
+      s"$fn needs an integral id column, got $idType")
+  }
+
   /** Stable content-hash sample: keep documents whose 0..99 content bucket
     * is < `pct`. Every engine, shard, and re-run keeps the same rows.
     * @param pct percentage to keep, 0..100
@@ -68,11 +77,7 @@ object CorpusPipeline {
     * @return (doc_id, n_tokens, seq_id, seq_offset) */
   def packSequences(df: DataFrame, budget: Int = 512): DataFrame = {
     val d = docs(df)
-    // the prefix-sum pack key casts ids to long: a string id would die
-    // mid-job with a raw ANSI cast error — name the contract up front
-    val idType = d.schema("doc_id").dataType.typeName
-    require(Seq("byte", "short", "integer", "long").contains(idType),
-      s"packSequences needs an integral id column, got $idType")
+    requireIntegralId(d, "packSequences")
     Sampling.packByBudget(d.sparkSession, d, budget)
   }
 
@@ -93,9 +98,7 @@ object CorpusPipeline {
     * @return (seq_id, doc_id, seg_start, seg_len, is_head) */
   def packSpans(df: DataFrame, budget: Int = 512): DataFrame = {
     val d = docs(df)
-    val idType = d.schema("doc_id").dataType.typeName
-    require(Seq("byte", "short", "integer", "long").contains(idType),
-      s"packSpans needs an integral id column, got $idType")
+    requireIntegralId(d, "packSpans")
     Sampling.packSpansOn(d.sparkSession, d, budget)
   }
 

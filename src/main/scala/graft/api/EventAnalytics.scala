@@ -220,10 +220,20 @@ object EventAnalytics {
       withinSeconds: Long = 300L): DataFrame = {
     require(withinSeconds > 0,
       s"withinSeconds must be positive, got $withinSeconds")
-    val ev = threeCol(events, "(key, type, ts)").toDF("key", "etype", "ts")
-      .select(col("key").cast("string").as("key"),
-        col("etype").cast("string").as("etype"),
-        col("ts").cast("timestamp").as("ts"))
+    val named = threeCol(events, "(key, type, ts)").toDF("key", "etype", "ts")
+    // NEVER cast an already-timestamp ts column: a cast projection strips
+    // the event-time watermark tag the caller's withWatermark() attached
+    // (a bare rename keeps it), so the streaming leg's EventTimeTimeout
+    // would be rejected at query start — reproduced and spec-pinned
+    // (r16 review finding 1). A streaming frame with a watermark always
+    // carries TimestampType here, so the cast only ever fires on batch
+    // frames with date/string ts columns.
+    val tsCol =
+      if (named.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType) col("ts")
+      else col("ts").cast("timestamp")
+    val ev = named.select(col("key").cast("string").as("key"),
+      col("etype").cast("string").as("etype"), tsCol.as("ts"))
     val spark = ev.sparkSession
     import spark.implicits._
     val ds = ev.as[graft.streaming.Cep.CepEvent]
@@ -332,14 +342,32 @@ object EventAnalytics {
 
   /** Per-unit (variant, converted) arm flags shared by [[abLift]] and
     * [[powerAnalysis]]: rows whose variant string-equals `control` are
-    * arm 0 (A), everything else arm 1 (B). */
+    * arm 0 (A), everything else arm 1 (B). Validated EAGERLY (one
+    * aggregate over the assignment frame — cheap next to the readout it
+    * feeds): null variants, a control value matching no row (the classic
+    * case-mismatch), or an empty treatment arm would otherwise return an
+    * all-null z-test row instead of the facade family's named contract
+    * error (r16 review finding 2). */
   private def armFlags(assignments: DataFrame, control: String): DataFrame = {
     val a = threeCol(assignments, "(unit, variant, converted)")
       .toDF("unit", "variant0", "conv0")
-    a.select(
+    val flags = a.select(
       when(col("variant0").cast("string") === control, 0L).otherwise(1L)
         .as("variant"),
-      col("conv0").cast("boolean").cast("long").as("conv"))
+      col("conv0").cast("boolean").cast("long").as("conv"),
+      col("variant0").isNull.cast("long").as("vnull"))
+    val c = flags.agg(
+      sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(col("vnull")).as("nn"), count(lit(1)).as("n")).head()
+    require(c.getLong(3) > 0, "experiment readouts need a non-empty assignment frame")
+    require(c.getLong(2) == 0,
+      s"${c.getLong(2)} null variant values — fix the assignment join before reading the experiment")
+    require(c.getLong(0) > 0,
+      s"control variant '$control' matched no assignment row (case mismatch?)")
+    require(c.getLong(1) > 0,
+      s"every assignment row matched control '$control' — no treatment arm to compare")
+    flags.select(col("variant"), col("conv"))
   }
 
   /** A/B experiment readout — the two-proportion z-test: per-arm counts,

@@ -58,9 +58,16 @@ object Skew {
     * rep would re-scan the fact sample. The cache makes construction lazy
     * in the amortized sense — one probe per distinct (frame, key) per
     * session. Stopped sessions are swept on every lookup (the beamCache
-    * discipline: the cached ints are worthless once their context dies). */
+    * discipline: the cached ints are worthless once their context dies).
+    * A plan semantic hash alone would serve a STALE salt after the
+    * underlying data changes (overwrite the same parquet dir with a
+    * skewed corpus → identical plan, new risk profile — r16 review
+    * finding 3), so the key also folds in the scan's resolved input-file
+    * list: an overwrite writes new part-file names, which misses the
+    * cache and re-probes. inputFiles is a driver-side read of the file
+    * index the relation already holds — no job. */
   private val saltCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, Int, String, Long), Int]
+    .empty[(org.apache.spark.sql.SparkSession, Int, Int, String, Long), Int]
 
   /** SALT COUNT FROM THE OBSERVED KEY HISTOGRAM: estimate the hottest
     * key's row count from a seeded sample (sampled max count ÷ fraction),
@@ -76,10 +83,11 @@ object Skew {
     * key) — see [[saltCache]]). */
   private[graft] def probedSalt(probe: DataFrame, keyCol: String,
       targetRowsPerSlot: Long = TargetRowsPerSlot): Int = {
-    saltCache.filterInPlace { case ((sess, _, _, _), _) =>
+    saltCache.filterInPlace { case ((sess, _, _, _, _), _) =>
       !sess.sparkContext.isStopped }
     saltCache.getOrElseUpdate(
       (probe.sparkSession, probe.queryExecution.analyzed.semanticHash(),
+        probe.inputFiles.sorted.mkString("\n").hashCode, // order-free
         keyCol, targetRowsPerSlot),
       probedSaltImpl(probe, keyCol, targetRowsPerSlot))
   }

@@ -408,6 +408,42 @@ class EventAnalyticsSpec extends SparkTestBase {
       (1L, "z", "1970-01-03", None, true)), s"${rows.toSeq}")
   }
 
+  test("cepSequence runs natively on a STREAM: the watermark survives the facade's renames, matches equal batch") {
+    import spark.implicits._
+    // r16 review finding 1 (CONFIRMED): an unconditional cast("timestamp")
+    // on the ts column stripped the caller's watermark tag, so the
+    // streaming leg's EventTimeTimeout was rejected at query start for
+    // every caller. This arm drives the facade's streaming branch
+    // end-to-end and pins stream == batch on the same trace.
+    // Timestamps sit a day off epoch: a stream's INITIAL watermark is
+    // epoch 0, and rows at exactly the watermark are dropped as late —
+    // an epoch-0 fixture would lose its first events to that collision
+    // (found live), which no real event log ever hits.
+    def tsd(minute: Int): Timestamp =
+      new Timestamp(86400000L + minute * 60000L)
+    val data = Seq(
+      (1L, "a", tsd(0)), (1L, "b", tsd(2)), (1L, "c", tsd(4)),
+      (1L, "a", tsd(5)), (1L, "b", tsd(6)), (1L, "c", tsd(7)),
+      (2L, "a", tsd(0)), (2L, "c", tsd(1)), (2L, "b", tsd(2)), (2L, "c", tsd(3)))
+    val truth = EventAnalytics.cepSequence(
+        data.toDF("who", "kind", "at"), Seq("a", "b", "c"), 600L)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2)))
+      .toSet
+    assert(truth.size == 3, s"fixture sanity: $truth")
+    val in = graft.streaming.GraftSource.memory[(Long, String, Timestamp)](spark)
+    val q = EventAnalytics.cepSequence(
+        in.toDS().toDF("who", "kind", "at").withWatermark("at", "10 minutes"),
+        Seq("a", "b", "c"), 600L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cep_seq_stream").start()
+    try {
+      in.addData(data: _*); q.processAllAvailable()
+      val streamed = spark.table("cep_seq_stream").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+      assert(streamed == truth, s"stream $streamed != batch $truth")
+    } finally q.stop()
+  }
+
   // ------------------------------------------------- experimentation family
 
   test("abLift + powerAnalysis: hand-computed z-test and MDE on a planted 4v4 experiment") {
@@ -437,6 +473,31 @@ class EventAnalyticsSpec extends SparkTestBase {
     val nExp = math.ceil(2.0 * 0.5 * 0.5 * (zs * zs) /
       ((0.05 * 0.5) * (0.05 * 0.5))).toLong
     assert(pw.getLong(5) == nExp, s"n ${pw.getLong(5)} vs $nExp")
+  }
+
+  test("abLift contracts: case-mismatched control, one-arm frames and null variants fail loudly") {
+    import spark.implicits._
+    // r16 review finding 2: these used to return an all-null z-test row
+    val assigns = Seq((1L, "control", true), (2L, "treat", false))
+      .toDF("u", "arm", "won")
+    val wrongCase = intercept[IllegalArgumentException] {
+      EventAnalytics.abLift(assigns, control = "Control")
+    }
+    assert(wrongCase.getMessage.contains("matched no assignment row"),
+      wrongCase.getMessage)
+    intercept[IllegalArgumentException] { // every row is control: no B arm
+      EventAnalytics.abLift(
+        Seq((1L, "c", true), (2L, "c", false)).toDF("u", "arm", "won"), "c")
+    }
+    intercept[IllegalArgumentException] { // null variant from a bad join
+      EventAnalytics.powerAnalysis(
+        Seq((1L, Some("c"), true), (2L, None, false)).toDF("u", "arm", "won"),
+        "c")
+    }
+    intercept[IllegalArgumentException] { // empty assignment frame
+      EventAnalytics.abLift(
+        Seq.empty[(Long, String, Boolean)].toDF("u", "arm", "won"), "c")
+    }
   }
 
   test("cupedReadout: perfect correlation saturates; independence reads zero with ESS 1x") {

@@ -90,4 +90,29 @@ class SkewJoinSpec extends SparkTestBase {
     val plain = Skew.plainRevenue(li, o).collect().toSeq
     assert(salted === plain)
   }
+
+  test("probedSalt's memo invalidates when the files under the same path change") {
+    // r16 review finding 3: a cache keyed by plan semantic hash alone
+    // would keep serving a uniform corpus's salt=1 after the same parquet
+    // dir is overwritten with a hub corpus — the exact single-reducer
+    // fate the probe exists to avoid. The key folds in the scan's
+    // resolved input files, so the overwrite (new part-file names) must
+    // re-probe.
+    val dir = java.nio.file.Files.createTempDirectory("salt-memo").toString
+    try {
+      spark.range(1000).select(col("id").as("k"))
+        .write.mode("overwrite").parquet(dir)
+      assert(Skew.probedSalt(spark.read.parquet(dir), "k",
+        targetRowsPerSlot = 100L) === 1, "uniform corpus probes to 1")
+      spark.range(100000).select(lit(7L).as("k"))
+        .write.mode("overwrite").parquet(dir)
+      val s2 = Skew.probedSalt(spark.read.parquet(dir), "k",
+        targetRowsPerSlot = 100L)
+      assert(s2 > 1, s"overwritten hub corpus must re-probe, got stale $s2")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
