@@ -464,6 +464,37 @@ class PlanInvariantsSpec extends SparkTestBase {
       "a pinned salt > 1 must replicate the build side")
   }
 
+  test("r16 alerting/experimentation facades: every window is keyed, no cartesian, no global sort") {
+    // the new facade functions inherit the registry cores' scale shapes;
+    // pin them on user frames so a facade-side regression (a lost
+    // partitionBy in a rename, a join key dropped by toDF) fails here
+    import org.apache.spark.sql.functions.lit
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(m * 60000L)
+    val ev3 = Seq((1L, "a", ts(0)), (1L, "b", ts(2)), (2L, "a", ts(1)))
+      .toDF("k", "t", "at")
+    val ev4 = Seq((1L, 1L, ts(0), 1.0), (2L, 1L, ts(1), 2.0))
+      .toDF("id", "k", "at", "v")
+    val frames = Seq(
+      "cepPairs" -> graft.api.EventAnalytics.cepPairs(ev3, "a", "b"),
+      "absence" -> graft.api.EventAnalytics.absence(ev3, "a", "b"),
+      "anomalyMad" -> graft.api.EventAnalytics.anomalyMad(
+        Seq(("g", 1.0), ("g", 2.0)).toDF("g", "v")),
+      "cusumChangepoint" -> graft.api.EventAnalytics.cusumChangepoint(ev4),
+      "scd2History" -> graft.api.EventAnalytics.scd2History(
+        ev4.select(col("k"), col("at"), col("id"), lit("s").as("st"))),
+      "ltvCohort" -> graft.api.EventAnalytics.ltvCohort(
+        ev3.select(col("k"), col("at"), lit(1.0).as("v"))))
+    for ((name, df) <- frames) {
+      assert(emptyPartitionWindows(df).isEmpty,
+        s"$name declares an unpartitioned window")
+      val s = df.queryExecution.executedPlan.toString
+      assert(!s.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$s")
+    }
+  }
+
   test("round-12 head queries: every top-k is TakeOrderedAndProject, not a global sort") {
     // the link-prediction panel, PMI collocations, and basket lift all end
     // in an ORDER BY ... LIMIT head; at 100 TB a global sort there would
