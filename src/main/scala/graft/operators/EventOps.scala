@@ -2224,7 +2224,39 @@ object EventOps {
     survivalCurve, valuePsi, abLift, ltvCohort, botDetection, funnelSteps,
     linearAttribution, powerAnalysis, cupedReadout, metricDecomposition,
     seasonalityStrength, activityStreaks, conversionWindowSweep,
-    markovSteadyState, kmvOverlap, kmvKSweep, sessionGapSweep)
+    markovSteadyState, kmvOverlap, kmvKSweep, sessionGapSweep, cepSequence)
+
+  /** ORDERED 3-STEP CEP SEQUENCE, batch leg (r16): non-overlapping greedy
+    * view→click→purchase chains per user, the whole chain inside 24 hours
+    * of its first step (the fixture log's inter-event cadence is hours —
+    * a minutes-scale window matches nothing at any SF, measured 0/0/1/10
+    * at 10m/1h/6h/24h on sf0.001) — graft.streaming.Cep.detectSequenceBatch,
+    * the secondary-sort pass over the shared single-event automaton
+    * (stepChain: one keyed shuffle, per-partition (key, ts, etype) sort,
+    * constant per-task state — a hot key costs time, never memory).
+    *
+    * NO SQL ORACLE by design: greedy non-overlapping matching with
+    * expiry-restart is automaton-shaped — a chain's start depends on
+    * where the previous chain ended AND on every expiry cascade between,
+    * which has no bounded-depth relational spelling (the window-function
+    * form would need an unbounded self-referential frame). The semantics
+    * are pinned instead by CepSpec (streaming leg), the EventAnalyticsSpec
+    * hand-computed batch arm, and the facade's stream==batch parity arm —
+    * the rows-only registry entry makes the leg driver-visible. */
+  lazy val cepSequence = GraftQuery(
+    "ev_cep_sequence",
+    (s, dir) => {
+      import s.implicits._
+      val ds = t(s, dir, "events")
+        .select(col("user_id").cast("string").as("key"),
+          col("event_type").as("etype"), col("ts"))
+        .as[graft.streaming.Cep.CepEvent]
+      graft.streaming.Cep
+        .detectSequenceBatch(ds, Seq("view", "click", "purchase"), 86400000L)
+        .toDF("key", "start_ts", "end_ts")
+        .orderBy(col("key"), col("start_ts"))
+    },
+    None)
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast

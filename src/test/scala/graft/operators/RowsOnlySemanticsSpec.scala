@@ -10,6 +10,28 @@ import org.apache.spark.sql.functions._
   * their own smoke assertions.) */
 class RowsOnlySemanticsSpec extends SparkTestBase {
 
+  test("ev_cep_sequence: chains are ordered, window-bounded and non-overlapping per key") {
+    // the automaton's three invariants on the fixture corpus: every match
+    // spans forward in time, fits the 24-hour window, and — greedy
+    // non-overlapping restart — a key's next chain starts strictly after
+    // the previous one ends (a completed chain resets the state, so no
+    // event is shared between matches)
+    val rows = SparkEntry.queries("ev_cep_sequence")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime))
+    assert(rows.nonEmpty, "the fixture log contains view->click->purchase chains")
+    rows.foreach { case (k, s, e) =>
+      assert(s < e, s"key $k: start must precede end")
+      assert(e - s <= 86400000L, s"key $k: chain exceeds the 24-hour window")
+    }
+    rows.groupBy(_._1).foreach { case (k, ms) =>
+      val sorted = ms.sortBy(_._2)
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(b._2 > a._3, s"key $k: chains overlap — ${a} then ${b}")
+      }
+    }
+  }
+
   test("q27_approx_distinct: HLL estimate within 5% of exact per group") {
     val rows = SparkEntry.queries("q27_approx_distinct")(spark, sf).collect()
     assert(rows.nonEmpty)
