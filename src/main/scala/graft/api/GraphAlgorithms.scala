@@ -20,6 +20,29 @@ import graft.operators.GraphOps
   * exact-integer scores) carry over unchanged. */
 object GraphAlgorithms {
 
+  /** Canonical undirected half-edge list from any two-column pair frame:
+    * self-loops dropped (a loop lets a wedge close on its own generating
+    * edge — phantom triangles), (u,v)/(v,u) duplicates collapsed via
+    * least/greatest before dedup. Shared by every wedge-family function. */
+  private def canonical(pairs: DataFrame): DataFrame =
+    pairs.toDF("u", "v")
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+
+  /** Per-node triangle counts over a canonical half-edge list — the body
+    * [[triangles]] and [[clusteringCoefficient]] share. */
+  private def triangleCountsOf(half: DataFrame): DataFrame = {
+    // eager localCheckpoint, not cache(): the house facade discipline —
+    // nothing accumulates in the CacheManager across repeated calls
+    val o = GraphOps.orient(half, GraphOps.degrees(half)).localCheckpoint(true)
+    GraphOps.orientedWedges(o)
+      .join(o.as("e3"), col("e3.src") === col("y") && col("e3.dst") === col("z"))
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Connected components by min-label propagation with pointer jumping —
     * O(log diameter) synchronous ticks.
     * @param pairs undirected edges, two columns
@@ -110,19 +133,82 @@ object GraphAlgorithms {
     * (u,v)/(v,u) duplicates collapse via least/greatest before dedup.
     * @param pairs undirected edges, two columns
     * @return (node, n_triangles), all triangle-participating nodes */
-  def triangles(pairs: DataFrame): DataFrame = {
+  def triangles(pairs: DataFrame): DataFrame =
+    triangleCountsOf(canonical(pairs))
+
+  /** Per-node local clustering coefficient 2·triangles/(deg·(deg−1)) in
+    * exact micros — how tightly each node's neighborhood closes, the
+    * community-tightness profile next to a degree histogram. Rides the
+    * same (degree, id)-oriented once-each wedge enumeration as
+    * [[triangles]], so wedge work stays Σ C(outdeg, 2) under power-law
+    * hubs. Degree-0/1 nodes are excluded (the coefficient is undefined).
+    * @param pairs undirected edges, two columns
+    * @return (node, degree, n_triangles, coeff_micro) */
+  def clusteringCoefficient(pairs: DataFrame): DataFrame = {
+    val half = canonical(pairs).localCheckpoint(true)
+    GraphOps.degrees(half).filter(col("deg") >= 2)
+      .join(triangleCountsOf(half), Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("cast(coalesce(n_triangles, 0) * 2000000 div (deg * (deg - 1)) as bigint)")
+          .as("coeff_micro"))
+  }
+
+  /** Newman degree assortativity: the one-row do-hubs-link-to-hubs
+    * Pearson coefficient over edge endpoints — all moments exact BIGINT
+    * sums off two node-keyed degree joins, the single division
+    * micro-scaled in DECIMAL(38,0). A regular graph (zero degree
+    * variance) reports null, never a fabricated 0.
+    * @param pairs undirected edges, two columns
+    * @return one row: (m_directed, s1, s2, sp, r_micro) */
+  def assortativity(pairs: DataFrame): DataFrame =
+    GraphOps.assortativityOf(canonical(pairs))
+
+  /** Neighborhood-Jaccard link prediction: candidate pairs scored by
+    * |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the degree-normalized index next to
+    * [[commonNeighbors]]' raw counts and RA micros. Exact by
+    * construction: |A ∪ B| = deg(a) + deg(b) − n_common makes the score
+    * one non-negative integer micro-div. Rides the identical once-each
+    * wedge pass; centers above `hubCap` are excluded (the caller's
+    * contract, as in [[commonNeighbors]]).
+    * @param pairs undirected edges, two columns
+    * @return (a, b, n_common, jaccard_micro) per candidate pair */
+  def jaccardSimilarity(pairs: DataFrame, hubCap: Int = 1024): DataFrame = {
+    require(hubCap >= 1, s"jaccardSimilarity needs hubCap >= 1, got $hubCap")
+    val h = canonical(pairs).localCheckpoint(true)
+    val deg = GraphOps.degrees(h)
+    GraphOps.commonNeighborCounts(h, deg, hubCap)
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("n_common"),
+        expr("cast(n_common * 1000000 div (da + db - n_common) as bigint)")
+          .as("jaccard_micro"))
+  }
+
+  /** Semi-supervised label propagation: `rounds` synchronous rounds where
+    * every node adopts the majority label of its labeled neighbors
+    * (min-label tie-break — deterministic), with the supplied labels
+    * CLAMPED (a seed never changes). The standard label-spreading step
+    * behind community assignment and weak-supervision expansion. Per
+    * round: one edge join + one (node, label) vote count, ticks cut by
+    * eager checkpoints. Labeled nodes absent from the edge list do not
+    * propagate (no edges to carry them).
+    * @param pairs   undirected edges, two columns
+    * @param labeled (node, label) rows for the seeded nodes only
+    * @return (node, label) for every node that ends up labeled */
+  def labelPropagation(pairs: DataFrame, labeled: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1 && rounds <= 16,
+      s"labelPropagation needs rounds in [1, 16], got $rounds")
+    require(labeled.columns.length == 2,
+      s"expected a two-column (node, label) frame, got ${labeled.columns.length} columns")
     val half = pairs.toDF("u", "v")
-      .filter(col("u") =!= col("v"))
-      .select(least(col("u"), col("v")).as("u"),
-        greatest(col("u"), col("v")).as("v"))
-      .distinct()
-    // eager localCheckpoint, not cache(): the house facade discipline —
-    // nothing accumulates in the CacheManager across repeated calls
-    val o = GraphOps.orient(half, GraphOps.degrees(half)).localCheckpoint(true)
-    GraphOps.orientedWedges(o)
-      .join(o.as("e3"), col("e3.src") === col("y") && col("e3.dst") === col("z"))
-      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
+    val nodes = edges.select(col("u").as("node")).distinct()
+    val seeds = nodes.join(labeled.toDF("node", "seed"), Seq("node"), "left")
+    GraphOps.lpaOn(edges, seeds, rounds)
+      .filter(col("label").isNotNull)
+      .select(col("node"), col("label"))
   }
 
   /** PageRank (damping 0.85) to a movement tolerance — the registry's

@@ -203,14 +203,20 @@ object GraphOps {
   /** The 3-round LPA loop shared by [[labelPropagation]] and
     * [[modularity]]: (node, seed, label) for EVERY node, label null where
     * no labeled neighbor ever reached it. */
-  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
-    val half = coPurchaseEdges(s, dir)
-    val edges = half.union(half.select(col("v").as("u"), col("u").as("v"))).cache()
-    val nodes = edges.select(col("u").as("node")).distinct()
-    val seeds = nodes.select(col("node"),
-      when(col("node") % 20 === 0, col("node") % 5).as("seed"))
+  /** The clamped-seed LPA core over BOTH-DIRECTION (u, v) edges and a
+    * (node, seed) frame (null seed = unlabeled): each round every node
+    * adopts the majority label of its labeled neighbors (min-label
+    * tie-break — a total order, so rounds are deterministic), seeds stay
+    * clamped. Per round the shuffles are one edge-keyed join + one
+    * (node, label) vote count; ticks are cut by eager localCheckpoint.
+    * Shared by graph_label_propagation and
+    * [[graft.api.GraphAlgorithms.labelPropagation]].
+    * @return (node, seed, label) after `rounds` synchronous rounds */
+  private[graft] def lpaOn(edges0: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    val edges = edges0.cache()
     var labels = seeds.withColumn("label", col("seed")).localCheckpoint(true)
-    for (_ <- 1 to 3) {
+    for (_ <- 1 to rounds) {
       val votes = edges.join(labels, col("u") === col("node"))
         .filter(col("label").isNotNull)
         .groupBy(col("v").as("n"), col("label")).agg(count(lit(1)).as("c"))
@@ -228,6 +234,15 @@ object GraphOps {
     }
     edges.unpersist() // labels is checkpointed; the edge cache fed the loop
     labels
+  }
+
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val half = coPurchaseEdges(s, dir)
+    val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
+    val nodes = edges.select(col("u").as("node")).distinct()
+    val seeds = nodes.select(col("node"),
+      when(col("node") % 20 === 0, col("node") % 5).as("seed"))
+    lpaOn(edges, seeds, 3)
   }
 
   /** The matching DuckDB WITH-prefix (through lab3) shared by both LPA

@@ -93,4 +93,69 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     // a sink-only node (appears only as dst) must still hold rank
     assert(prS.size == 5, s"sink hub must be in the node set: $prS")
   }
+
+  test("clusteringCoefficient: exact micros on a triangle with a pendant") {
+    import spark.implicits._
+    // triangle 1-2-3 plus pendant 4 on node 1: node 1 closes 1 of its
+    // C(3,2)=3 neighbor pairs (1/3), nodes 2 and 3 close their only pair
+    // (1.0), node 4 has degree 1 and is excluded
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)).toDF("x", "y")
+    val rows = GraphAlgorithms.clusteringCoefficient(pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows == Map(
+      1L -> ((3L, 1L, 333333L)), 2L -> ((2L, 1L, 1000000L)),
+      3L -> ((2L, 1L, 1000000L))), s"$rows")
+  }
+
+  test("assortativity: a star is maximally disassortative (-1), a regular cycle reads null") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("x", "y")
+    assert(GraphAlgorithms.assortativity(star).head().getLong(4) == -1000000L)
+    // 4-cycle: every node degree 2 — zero degree variance, r undefined
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("x", "y")
+    assert(GraphAlgorithms.assortativity(cycle).head().isNullAt(4),
+      "a regular graph must report null, not a fabricated 0")
+  }
+
+  test("jaccardSimilarity: exact micro scores on a square") {
+    import spark.implicits._
+    // 4-cycle 1-2-3-4: opposite corners share BOTH neighbors (2/2 = 1.0);
+    // adjacent corners share none and generate no candidate row
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("x", "y")
+    val rows = GraphAlgorithms.jaccardSimilarity(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows == Map(
+      (1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))), s"$rows")
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.jaccardSimilarity(pairs, hubCap = 0)
+    }
+  }
+
+  test("labelPropagation: seeds clamp, labels spread with min-label ties, unlabeled islands stay out") {
+    import spark.implicits._
+    // path 1-2-3-4-5 seeded at the ends, traced through the SYNCHRONOUS
+    // rounds (each round re-votes every non-seed from the previous
+    // round's labels): r1 — 2 adopts 10, 4 adopts 20; r2 — 3 sees both
+    // camps tied 1-1 and takes the MIN label (10); r3 — 4 now sees
+    // 3(10) vs 5(20) tied and ALSO flips to the min label 10. The
+    // min-label tie-break cascades deterministically toward the smaller
+    // seed on symmetric paths — exactly what a total order promises.
+    // node 9 is an unlabeled island edge — never labeled.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 8L))
+      .toDF("x", "y")
+    val labeled = Seq((1L, 10L), (5L, 20L)).toDF("n", "lab")
+    val rows = GraphAlgorithms.labelPropagation(pairs, labeled)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 10L, 5L -> 20L),
+      s"$rows")
+    // at rounds = 1 only the seeds' direct neighbors are labeled
+    val one = GraphAlgorithms.labelPropagation(pairs, labeled, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one == Map(1L -> 10L, 2L -> 10L, 4L -> 20L, 5L -> 20L), s"$one")
+    intercept[IllegalArgumentException] {
+      GraphAlgorithms.labelPropagation(pairs, labeled, rounds = 0)
+    }
+  }
 }
