@@ -228,6 +228,15 @@ object EventAnalytics {
     // (r16 review finding 1). A streaming frame with a watermark always
     // carries TimestampType here, so the cast only ever fires on batch
     // frames with date/string ts columns.
+    // TIMESTAMP_NTZ can carry a watermark too (Spark 3.4+), but the
+    // detector's encoder needs TimestampType and the NTZ→TIMESTAMP cast
+    // would strip the tag just like any cast — fail with a named contract
+    // error instead of the opaque start-time rejection (r16 second review)
+    require(!(named.isStreaming && named.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType),
+      "cepSequence needs a TIMESTAMP (with time zone) event-time column " +
+        "on streaming frames — cast the NTZ column and re-apply " +
+        "withWatermark upstream")
     val tsCol =
       if (named.schema("ts").dataType ==
         org.apache.spark.sql.types.TimestampType) col("ts")

@@ -134,25 +134,20 @@ object GraphAlgorithms {
     * @param pairs undirected edges, two columns
     * @return (node, n_triangles), all triangle-participating nodes */
   def triangles(pairs: DataFrame): DataFrame =
-    triangleCountsOf(canonical(pairs))
+    triangleCountsOf(canonical(pairs).localCheckpoint(true))
 
   /** Per-node local clustering coefficient 2·triangles/(deg·(deg−1)) in
     * exact micros — how tightly each node's neighborhood closes, the
     * community-tightness profile next to a degree histogram. Rides the
     * same (degree, id)-oriented once-each wedge enumeration as
-    * [[triangles]], so wedge work stays Σ C(outdeg, 2) under power-law
-    * hubs. Degree-0/1 nodes are excluded (the coefficient is undefined).
+    * [[triangles]] (the registry core — one shared expression, one
+    * checkpointed half-edge list), so wedge work stays Σ C(outdeg, 2)
+    * under power-law hubs. Degree-0/1 nodes are excluded (the
+    * coefficient is undefined).
     * @param pairs undirected edges, two columns
     * @return (node, degree, n_triangles, coeff_micro) */
-  def clusteringCoefficient(pairs: DataFrame): DataFrame = {
-    val half = canonical(pairs).localCheckpoint(true)
-    GraphOps.degrees(half).filter(col("deg") >= 2)
-      .join(triangleCountsOf(half), Seq("node"), "left")
-      .select(col("node"), col("deg").as("degree"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
-        expr("cast(coalesce(n_triangles, 0) * 2000000 div (deg * (deg - 1)) as bigint)")
-          .as("coeff_micro"))
-  }
+  def clusteringCoefficient(pairs: DataFrame): DataFrame =
+    GraphOps.clusteringOf(canonical(pairs))
 
   /** Newman degree assortativity: the one-row do-hubs-link-to-hubs
     * Pearson coefficient over edge endpoints — all moments exact BIGINT
@@ -164,20 +159,24 @@ object GraphAlgorithms {
   def assortativity(pairs: DataFrame): DataFrame =
     GraphOps.assortativityOf(canonical(pairs))
 
-  /** Neighborhood-Jaccard link prediction: candidate pairs scored by
-    * |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the degree-normalized index next to
-    * [[commonNeighbors]]' raw counts and RA micros. Exact by
+  /** Neighborhood-Jaccard LINK PREDICTION: non-adjacent node pairs scored
+    * by |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the degree-normalized index next
+    * to [[commonNeighbors]]' raw counts and RA micros. Already-connected
+    * pairs are anti-joined away (a "prediction" of an existing edge is
+    * noise — the registry twin's contract, r16 second review). Exact by
     * construction: |A ∪ B| = deg(a) + deg(b) − n_common makes the score
     * one non-negative integer micro-div. Rides the identical once-each
-    * wedge pass; centers above `hubCap` are excluded (the caller's
+    * wedge pass over ONE checkpointed half-edge list and ONE checkpointed
+    * degree table; centers above `hubCap` are excluded (the caller's
     * contract, as in [[commonNeighbors]]).
     * @param pairs undirected edges, two columns
-    * @return (a, b, n_common, jaccard_micro) per candidate pair */
+    * @return (a, b, n_common, jaccard_micro) per non-adjacent candidate */
   def jaccardSimilarity(pairs: DataFrame, hubCap: Int = 1024): DataFrame = {
     require(hubCap >= 1, s"jaccardSimilarity needs hubCap >= 1, got $hubCap")
     val h = canonical(pairs).localCheckpoint(true)
-    val deg = GraphOps.degrees(h)
+    val deg = GraphOps.degrees(h).localCheckpoint(true)
     GraphOps.commonNeighborCounts(h, deg, hubCap)
+      .join(h, col("a") === col("u") && col("b") === col("v"), "left_anti")
       .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
       .select(col("a"), col("b"), col("n_common"),
@@ -202,10 +201,24 @@ object GraphAlgorithms {
       s"labelPropagation needs rounds in [1, 16], got $rounds")
     require(labeled.columns.length == 2,
       s"expected a two-column (node, label) frame, got ${labeled.columns.length} columns")
-    val half = pairs.toDF("u", "v")
+    // canonicalize like every other facade graph function: a reversed
+    // duplicate edge or a self-loop would otherwise DOUBLE a neighbor's
+    // vote, silently flipping documented min-label tie-breaks (r16
+    // second review)
+    val half = canonical(pairs)
+    // seed hygiene: exact duplicate rows collapse (a routine upstream
+    // join artifact); CONFLICTING labels for one node are a named
+    // contract error — both copies would clamp and vote, emitting the
+    // node twice with different labels
+    val lab = labeled.toDF("node", "seed").distinct()
+    val dup = lab.groupBy(col("node")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"labelPropagation: node ${dup.headOption.map(_.get(0)).orNull} has " +
+        "conflicting seed labels — resolve the seed frame first")
     val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
     val nodes = edges.select(col("u").as("node")).distinct()
-    val seeds = nodes.join(labeled.toDF("node", "seed"), Seq("node"), "left")
+    val seeds = nodes.join(lab, Seq("node"), "left")
     GraphOps.lpaOn(edges, seeds, rounds)
       .filter(col("label").isNotNull)
       .select(col("node"), col("label"))

@@ -884,25 +884,33 @@ object GraphOps {
     * a non-negative div (deg ≥ 2 filter guarantees a positive divisor).
     * The oracle enumerates triangles id-oriented — the per-node counts are
     * orientation-invariant (the [[triangleCount]] argument). */
+  /** The local-clustering-coefficient core over a canonical (u, v)
+    * half-edge list — shared by graph_clustering_coeff and
+    * [[graft.api.GraphAlgorithms.clusteringCoefficient]] so the
+    * 2·tri/(deg·(deg−1)) exact-micro expression lives once. The input is
+    * eagerly checkpointed so degrees, orientation and the wedge pass all
+    * read materialized blocks instead of re-running the dedup shuffle.
+    * @return (node, degree, n_triangles, coeff_micro), deg >= 2 only */
+  private[graft] def clusteringOf(half0: DataFrame): DataFrame = {
+    val half = half0.localCheckpoint(true)
+    val deg = degrees(half).localCheckpoint(true)
+    val o = orient(half, deg).localCheckpoint(true)
+    val tri = orientedWedges(o)
+      .join(o.as("e3"), col("e3.src") === col("y") && col("e3.dst") === col("z"))
+      .select(col("x"), col("y"), col("z"))
+    val tn = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    deg.filter(col("deg") >= 2)
+      .join(tn, Seq("node"), "left")
+      .select(col("node"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        expr("cast(coalesce(n_tri, 0) * 2000000 div (deg * (deg - 1)) as bigint)")
+          .as("coeff_micro"))
+  }
+
   val clusteringCoeff = GraftQuery(
     "graph_clustering_coeff",
-    (s, dir) => {
-      val half = coPurchaseEdges(s, dir).cache()
-      val deg = degrees(half).cache()
-      val o = orient(half, deg).cache()
-      val tri = orientedWedges(o)
-        .join(o.as("e3"), col("e3.src") === col("y") && col("e3.dst") === col("z"))
-        .select(col("x"), col("y"), col("z"))
-      val tn = tri.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
-        .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-      deg.filter(col("deg") >= 2)
-        .join(tn, Seq("node"), "left")
-        .select(col("node"), col("deg").as("degree"),
-          coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
-          expr("cast(coalesce(n_tri, 0) * 2000000 div (deg * (deg - 1)) as bigint)")
-            .as("coeff_micro"))
-        .orderBy(col("node"))
-    },
+    (s, dir) => clusteringOf(coPurchaseEdges(s, dir)).orderBy(col("node")),
     Some("""WITH e AS (
               SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
               FROM lineitem a JOIN lineitem b

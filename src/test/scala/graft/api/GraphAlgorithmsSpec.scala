@@ -118,7 +118,7 @@ class GraphAlgorithmsSpec extends SparkTestBase {
       "a regular graph must report null, not a fabricated 0")
   }
 
-  test("jaccardSimilarity: exact micro scores on a square") {
+  test("jaccardSimilarity: exact micro scores on a square; existing edges are never predicted") {
     import spark.implicits._
     // 4-cycle 1-2-3-4: opposite corners share BOTH neighbors (2/2 = 1.0);
     // adjacent corners share none and generate no candidate row
@@ -128,6 +128,12 @@ class GraphAlgorithmsSpec extends SparkTestBase {
       .toMap
     assert(rows == Map(
       (1L, 3L) -> ((2L, 1000000L)), (2L, 4L) -> ((2L, 1000000L))), s"$rows")
+    // a triangle's pairs all share the third corner but are ALL adjacent
+    // — link prediction must return nothing (r16 second review: the
+    // anti-join against existing edges)
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("x", "y")
+    assert(GraphAlgorithms.jaccardSimilarity(tri).count() == 0,
+      "existing edges must not be predicted")
     intercept[IllegalArgumentException] {
       GraphAlgorithms.jaccardSimilarity(pairs, hubCap = 0)
     }
@@ -157,5 +163,22 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       GraphAlgorithms.labelPropagation(pairs, labeled, rounds = 0)
     }
+    // a reversed duplicate edge must NOT double a camp's vote: (3,5) and
+    // (5,3) canonicalize to one edge, so node 3 sees a 1-1 tie and takes
+    // the min label — not a 2-1 win for 20 (r16 second review)
+    val dupEdges = Seq((1L, 3L), (3L, 5L), (5L, 3L)).toDF("x", "y")
+    val dup = GraphAlgorithms.labelPropagation(dupEdges, labeled, rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dup(3L) == 10L, s"duplicate edge inflated a vote: $dup")
+    // exact duplicate seed rows collapse; CONFLICTING labels fail loudly
+    val okDup = GraphAlgorithms.labelPropagation(pairs,
+      Seq((1L, 10L), (1L, 10L), (5L, 20L)).toDF("n", "lab"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(okDup == one, s"exact-duplicate seeds must collapse: $okDup")
+    val e = intercept[IllegalArgumentException] {
+      GraphAlgorithms.labelPropagation(pairs,
+        Seq((1L, 10L), (1L, 20L)).toDF("n", "lab"))
+    }
+    assert(e.getMessage.contains("conflicting seed labels"), e.getMessage)
   }
 }

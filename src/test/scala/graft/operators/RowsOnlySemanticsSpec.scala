@@ -13,9 +13,10 @@ class RowsOnlySemanticsSpec extends SparkTestBase {
   test("ev_cep_sequence: chains are ordered, window-bounded and non-overlapping per key") {
     // the automaton's three invariants on the fixture corpus: every match
     // spans forward in time, fits the 24-hour window, and — greedy
-    // non-overlapping restart — a key's next chain starts strictly after
-    // the previous one ends (a completed chain resets the state, so no
-    // event is shared between matches)
+    // non-overlapping restart — a key's next chain starts AT OR AFTER the
+    // previous one ends (a completed chain resets the state, so no event
+    // is shared between matches; a head event at exactly the previous
+    // end's timestamp may legally open the next chain)
     val rows = SparkEntry.queries("ev_cep_sequence")(spark, sf)
       .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime,
         r.getTimestamp(2).getTime))
@@ -27,7 +28,7 @@ class RowsOnlySemanticsSpec extends SparkTestBase {
     rows.groupBy(_._1).foreach { case (k, ms) =>
       val sorted = ms.sortBy(_._2)
       sorted.zip(sorted.tail).foreach { case (a, b) =>
-        assert(b._2 > a._3, s"key $k: chains overlap — ${a} then ${b}")
+        assert(b._2 >= a._3, s"key $k: chains overlap — ${a} then ${b}")
       }
     }
   }
