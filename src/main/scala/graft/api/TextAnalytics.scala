@@ -98,4 +98,50 @@ object TextAnalytics {
     * @return (doc_id, n_emails, n_ips, scrubbed) */
   def piiScrub(df: DataFrame): DataFrame =
     graft.operators.Curation.piiScrubOn(docs(df))
+
+  /** Canonical-form fingerprint: md5 of the whitespace-normalized
+    * lowercase text — the cheap cross-shard exact-dedup key. Pure
+    * map-side expressions.
+    * @return (doc_id, fp) */
+  def fingerprint(df: DataFrame): DataFrame =
+    TextAnalysis.fingerprintOf(docs(df))
+
+  /** Canonical text normalization — lowercase, strip non-alphanumerics,
+    * collapse space runs, trim — the first stage of every training-data
+    * pipeline, with the normalized length alongside so the reduction
+    * ratio is visible. Pure codegen'd column expressions.
+    * @return (doc_id, norm, n_norm_chars) */
+  def normalize(df: DataFrame): DataFrame =
+    TextAnalysis.normalizeOf(docs(df))
+
+  /** Collocation mining (PMI): the corpus's top word pairs co-occurring
+    * far beyond chance — the phrase-discovery pass behind tokenizer vocab
+    * seeding and stop-phrase lists. `minCount` floors the bigram count
+    * first (raw PMI is maximized by count-1 hapax pairs — Church & Hanks
+    * 1990's caveat). Two corpus scans collapse to vocabulary-sized count
+    * tables; text never shuffles; top-N is TakeOrderedAndProject.
+    * @return (bigram, c_bg, c1, c2, pmi_micro) top-`topN` by PMI */
+  def collocations(df: DataFrame, minCount: Int = 5,
+      topN: Int = 30): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    TextAnalysis.collocationsOf(docs(df), minCount, topN)
+  }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    * maximal runs of non-stopword tokens; each word scores deg/freq
+    * (words that travel in long phrases outrank bare frequent words) and
+    * a phrase scores the sum of its words — the corpus topical
+    * fingerprint next to per-doc TF-IDF. Phrase splitting is one per-doc
+    * window; everything after is key-partitioned over phrase-sized rows.
+    * @param stopwords the phrase-boundary markers
+    * @return (phrase, n_occ, score_micro) top-`topN` by score */
+  def rakeKeywords(df: DataFrame,
+      stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is"),
+      topN: Int = 25): DataFrame = {
+    require(stopwords.nonEmpty,
+      "rakeKeywords needs at least one stopword (phrases are delimited by them)")
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    TextAnalysis.rakeKeywordsOf(docs(df), stopwords, topN)
+  }
 }

@@ -144,15 +144,18 @@ object TextAnalysis {
               CAST(length(text) AS INTEGER) AS n_chars
             FROM documents ORDER BY doc_id"""))
 
+  /** The canonical-form fingerprint core over any (doc_id, text) frame —
+    * md5 of the whitespace-normalized lowercase text. Shared by
+    * text_fingerprint and [[graft.api.TextAnalytics.fingerprint]]. */
+  private[graft] def fingerprintOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
+
   /** Document fingerprint: md5 of the whitespace-normalized lowercase text
     * (the cheap canonical-form key used for cross-shard exact dedup). */
   val fingerprint = GraftQuery(
     "text_fingerprint",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fp"))
-        .orderBy(col("doc_id")),
+    (s, dir) => fingerprintOf(t(s, dir, "documents")).orderBy(col("doc_id")),
     Some("""SELECT doc_id,
               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
             FROM documents ORDER BY doc_id"""))
@@ -194,16 +197,21 @@ object TextAnalysis {
     * pipeline: lowercase, strip non-alphanumerics, collapse runs of spaces,
     * trim. Pure codegen'd column expressions; emitted alongside the original
     * length so the reduction ratio is visible. */
+  /** The normalization core over any (doc_id, text) frame — lowercase,
+    * strip non-alphanumerics, collapse space runs, trim; pure codegen'd
+    * expressions. Shared by text_normalize and
+    * [[graft.api.TextAnalytics.normalize]]. */
+  private[graft] def normalizeOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          " +", " ")).as("norm"))
+      .select(col("doc_id"), col("norm"),
+        length(col("norm")).as("n_norm_chars"))
+
   val normalize = GraftQuery(
     "text_normalize",
-    (s, dir) =>
-      t(s, dir, "documents")
-        .select(col("doc_id"),
-          trim(regexp_replace(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
-            " +", " ")).as("norm"))
-        .select(col("doc_id"), col("norm"),
-          length(col("norm")).as("n_norm_chars"))
-        .orderBy(col("doc_id")),
+    (s, dir) => normalizeOf(t(s, dir, "documents")).orderBy(col("doc_id")),
     Some("""SELECT doc_id, norm, CAST(length(norm) AS INTEGER) AS n_norm_chars
             FROM (SELECT doc_id,
                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
@@ -990,33 +998,38 @@ object TextAnalysis {
     * the unigram model on each word (model-sized equi joins, skew follows
     * token frequency — AQE territory), totals ride one 1-row broadcast;
     * TakeOrderedAndProject keeps the head. Text never shuffles. */
+  /** The PMI collocation core over any (doc_id, text) frame — shared by
+    * text_collocations and [[graft.api.TextAnalytics.collocations]].
+    * @return (bigram, c_bg, c1, c2, pmi_micro) top-`topN` by PMI */
+  private[graft] def collocationsOf(docs: DataFrame, minCount: Int,
+      topN: Int): DataFrame = {
+    val words = docs.select(split(col("text"), " ").as("w"))
+    val uni = words.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_tok")).cache()
+    val bi = words.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg")).cache()
+    val totals = broadcast(
+      uni.agg(sum(col("c_tok")).as("t_tot"))
+        .crossJoin(bi.agg(sum(col("c_bg")).as("m_tot"))))
+    bi.filter(col("c_bg") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c_tok").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c_tok").as("c2")), "w2")
+      .crossJoin(totals)
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
+        col("c_bg"), col("c1"), col("c2"),
+        expr("""cast(floor(ln((cast(c_bg * t_tot as double) / (c1 * c2))
+                             * (cast(t_tot as double) / m_tot)) * 1000000)
+                    as bigint)""").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("bigram")).limit(topN)
+  }
+
   val collocations = GraftQuery(
     "text_collocations",
-    (s, dir) => {
-      val words = t(s, dir, "documents")
-        .select(split(col("text"), " ").as("w"))
-      val uni = words.select(explode(col("w")).as("tok"))
-        .groupBy(col("tok")).agg(count(lit(1)).as("c_tok")).cache()
-      val bi = words.filter(size(col("w")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
-          .as("p"))
-        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg")).cache()
-      val totals = broadcast(
-        uni.agg(sum(col("c_tok")).as("t_tot"))
-          .crossJoin(bi.agg(sum(col("c_bg")).as("m_tot"))))
-      bi.filter(col("c_bg") >= CollocationMinCount)
-        .join(uni.select(col("tok").as("w1"), col("c_tok").as("c1")), "w1")
-        .join(uni.select(col("tok").as("w2"), col("c_tok").as("c2")), "w2")
-        .crossJoin(totals)
-        .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"),
-          col("c_bg"), col("c1"), col("c2"),
-          expr("""cast(floor(ln((cast(c_bg * t_tot as double) / (c1 * c2))
-                               * (cast(t_tot as double) / m_tot)) * 1000000)
-                      as bigint)""").as("pmi_micro"))
-        .orderBy(col("pmi_micro").desc, col("bigram")).limit(30)
-    },
+    (s, dir) => collocationsOf(t(s, dir, "documents"), CollocationMinCount, 30),
     Some(s"""WITH d AS (SELECT string_split(text, ' ') AS w FROM documents),
             uc AS MATERIALIZED (
               SELECT tok, count(*) AS c_tok
@@ -1057,36 +1070,42 @@ object TextAnalysis {
     * aggregations on phrase-sized rows; top-25 is TakeOrderedAndProject.
     * Float discipline: deg*1e6 div freq is one non-negative integer
     * division, phrase scores are exact-integer sums of those micros. */
+  /** The RAKE keyword core over any (doc_id, text) frame — shared by
+    * text_keyword_rake and [[graft.api.TextAnalytics.rakeKeywords]].
+    * @return (phrase, n_occ, score_micro) top-`topN` by phrase score */
+  private[graft] def rakeKeywordsOf(docs: DataFrame, stops: Seq[String],
+      topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val phrases = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("b", when(col("tok").isin(stops: _*), 1).otherwise(0))
+      .withColumn("grp", sum(col("b")).over(w))
+      .filter(col("b") === 0)
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+          " ").as("phrase"),
+        count(lit(1)).as("n_words"))
+    val wstats = phrases
+      .select(col("n_words"), explode(split(col("phrase"), " ")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
+      .select(col("w"), expr("deg * 1000000 div freq").as("wscore_micro"))
+    phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
+      .select(col("phrase"), col("n_occ"), explode(split(col("phrase"), " ")).as("w"))
+      .join(wstats, "w")
+      .groupBy(col("phrase"), col("n_occ"))
+      .agg(sum(col("wscore_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("phrase")).limit(topN)
+      .select(col("phrase"), col("n_occ"), col("score_micro"))
+  }
+
   val keywordRake = GraftQuery(
     "text_keyword_rake",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val stops = Seq("the", "a", "of", "to", "and", "in", "is")
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val phrases = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-        .withColumn("b", when(col("tok").isin(stops: _*), 1).otherwise(0))
-        .withColumn("grp", sum(col("b")).over(w))
-        .filter(col("b") === 0)
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(array_join(
-            expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
-            " ").as("phrase"),
-          count(lit(1)).as("n_words"))
-      val wstats = phrases
-        .select(col("n_words"), explode(split(col("phrase"), " ")).as("w"))
-        .groupBy(col("w"))
-        .agg(count(lit(1)).as("freq"), sum(col("n_words")).as("deg"))
-        .select(col("w"), expr("deg * 1000000 div freq").as("wscore_micro"))
-      phrases.groupBy(col("phrase")).agg(count(lit(1)).as("n_occ"))
-        .select(col("phrase"), col("n_occ"), explode(split(col("phrase"), " ")).as("w"))
-        .join(wstats, "w")
-        .groupBy(col("phrase"), col("n_occ"))
-        .agg(sum(col("wscore_micro")).as("score_micro"))
-        .orderBy(col("score_micro").desc, col("phrase")).limit(25)
-        .select(col("phrase"), col("n_occ"), col("score_micro"))
-    },
+    (s, dir) => rakeKeywordsOf(t(s, dir, "documents"),
+      Seq("the", "a", "of", "to", "and", "in", "is"), 25),
     Some("""WITH tok AS (
               SELECT doc_id,
                 unnest(generate_series(1, len(w))) AS pos,

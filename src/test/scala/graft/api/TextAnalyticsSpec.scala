@@ -127,4 +127,63 @@ class TextAnalyticsSpec extends SparkTestBase {
     assert(r(2L) == ((0, 0, "mail user@hostname today")), s"${r(2L)}")
     assert(r(3L) == ((1, 1, "real <EMAIL> and <IP>")), s"${r(3L)}")
   }
+
+  test("fingerprint + normalize: whitespace/case variants collapse; originals differ") {
+    import spark.implicits._
+    val df = Seq(
+      1L -> "Hello   World", 2L -> "hello world ", 3L -> "other text!")
+      .toDF("id", "body")
+    val fps = TextAnalytics.fingerprint(df)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L), "case/space variants share a fingerprint")
+    assert(fps(1L) != fps(3L))
+    val norm = TextAnalytics.normalize(df)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(norm(1L) == (("hello world", 11)) && norm(2L) == (("hello world", 11)),
+      s"$norm")
+    assert(norm(3L) == (("other text", 10)), "punctuation stripped")
+  }
+
+  test("collocations: the planted phrase tops PMI; hapax pairs are floored out") {
+    import spark.implicits._
+    // "new york" co-occurs always together (high PMI); "of the" is
+    // frequent but independent (low PMI); "rare pair" appears once and
+    // must be excluded by minCount
+    val docs = (1 to 6).map(i =>
+      (i.toLong, "new york " + ("of x the y " * 4).trim)) :+
+      ((7L, "rare pair of the"))
+    val rows = TextAnalytics.collocations(docs.toDF("id", "body"),
+        minCount = 5, topN = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.head._1 == "new york" && rows.head._2 == 6L, s"${rows.toSeq}")
+    assert(!rows.exists(_._1 == "rare pair"), "hapax pairs must be floored out")
+    intercept[IllegalArgumentException] {
+      TextAnalytics.collocations(docs.toDF("id", "body"), minCount = 0)
+    }
+  }
+
+  test("rakeKeywords: multi-word phrases outrank bare frequent words; custom stop set respected") {
+    import spark.implicits._
+    // "machine learning" is a 2-word phrase (each word deg 2, freq 1 ->
+    // wscore 2e6 each -> phrase 4e6); "data" always rides alone (1e6)
+    val docs = Seq(
+      (1L, "machine learning is the data"),
+      (2L, "machine learning of data"),
+      (3L, "data is the data")).toDF("id", "body")
+    val rows = TextAnalytics.rakeKeywords(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.head._1 == "machine learning" && rows.head._2 == 2L,
+      s"${rows.toSeq}")
+    val ml = rows.find(_._1 == "machine learning").get
+    val d = rows.find(_._1 == "data").get
+    assert(ml._3 > d._3, s"phrase must outrank bare word: ${rows.toSeq}")
+    // a custom stop set changes the phrase segmentation
+    val custom = TextAnalytics.rakeKeywords(docs, stopwords = Seq("data"))
+      .collect().map(_.getString(0))
+    assert(custom.exists(_.contains("is the")),
+      s"with only 'data' stopped, 'is'/'the' join phrases: ${custom.toSeq}")
+    intercept[IllegalArgumentException] {
+      TextAnalytics.rakeKeywords(docs, stopwords = Seq.empty)
+    }
+  }
 }
