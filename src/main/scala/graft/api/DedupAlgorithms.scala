@@ -81,4 +81,31 @@ object DedupAlgorithms {
       .join(snap, Seq("h"), "left_anti")
       .select(col("doc_id"), col("h").as("digest"))
   }
+
+  /** Exact shingle-Jaccard pairs at J >= `minJaccardPct`/100 — the
+    * ground-truth verifier [[nearDupPairs]]'s MinHash estimate is
+    * calibrated against. Per-row distinct trigram arrays (scan-side), a
+    * df-pruned inverted index bounds candidates (one corpus-hot stopword
+    * trigram would otherwise emit O(df²) pairs), verification is exact
+    * over the full sets; the threshold is one integer
+    * cross-multiplication — no float in the cut.
+    * @return (doc_a, doc_b, inter, jaccard) with doc_a < doc_b */
+  def jaccardPairs(df: DataFrame, minJaccardPct: Int = 80): DataFrame = {
+    require(minJaccardPct >= 1 && minJaccardPct <= 100,
+      s"minJaccardPct must be in [1, 100], got $minJaccardPct")
+    Dedup.jaccardPairsOf(docs(df), minJaccardPct)
+  }
+
+  /** Asymmetric containment pairs C(A,B) = |S(A) ∩ S(B)| / |S(A)| >=
+    * `minContainmentPct`/100 — catches "doc A is mostly inside doc B"
+    * (boilerplate wrappers, quote farms, partial scrapes) that symmetric
+    * Jaccard misses when the host is much larger. Ordered pairs: both
+    * directions are tested. Same candidate/verify shape as
+    * [[jaccardPairs]].
+    * @return (doc_a, doc_b, inter, containment) ordered pairs */
+  def containmentPairs(df: DataFrame, minContainmentPct: Int = 90): DataFrame = {
+    require(minContainmentPct >= 1 && minContainmentPct <= 100,
+      s"minContainmentPct must be in [1, 100], got $minContainmentPct")
+    Dedup.containmentPairsOf(docs(df), minContainmentPct)
+  }
 }

@@ -340,6 +340,24 @@ object SimilaritySearch {
       .select(col("q_id"), col("vec_id"), col("adc_micros"), col("rank"))
   }
 
+  /** RANGE SEARCH: every corpus vector within cosine ≥ `minCosine` of
+    * each query — the radius form of [[topK]] for callers who want "all
+    * sufficiently similar", not "the k best" (recall sets, duplicate
+    * sweeps, policy filters). Same 100 TB shape as [[topK]]: queries
+    * broadcast, scoring map-side, the corpus never shuffles; output is
+    * bounded by the match count, not k.
+    * @return (q_id, vec_id, cos_sim) all matches, no ranking */
+  def rangeSearch(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      minCosine: Double): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val c = named(corpus, "vec_id", "embedding")
+    val q = named(queries, "q_id", "q_emb")
+    c.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(expr("graft_cosine(embedding, q_emb)"), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= minCosine)
+  }
+
   /** Embedding near-duplicate pairs at cosine ≥ `minCosine` — the
     * ALL-PAIRS correctness baseline (O(n²): fine for verification slices;
     * at corpus scale use the registry's LSH-bucketed or SemDeDup-cluster

@@ -280,8 +280,11 @@ object Dedup {
     * inverted index — the candidate machinery shared by [[ngramJaccard]]
     * and [[containment]]. df >= 2 because a shingle in one doc can't
     * generate a pair anyway. */
-  private def shingleCorpus(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val docsSh = t(s, dir, "documents")
+  /** Frame-generic [[shingleCorpus]]: per-doc distinct trigram arrays and
+    * the df-pruned inverted index over any (doc_id, text) frame — shared
+    * with the public facade's jaccard/containment pair functions. */
+  private[graft] def shingleCorpusOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val docsSh = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr(
@@ -292,6 +295,55 @@ object Dedup {
       .filter(col("df") >= 2 && col("df") <= MaxShingleDf)
       .select(col("s"))
     (docsSh, idx.join(rare, "s"))
+  }
+
+  /** Exact shingle-Jaccard pairs at J >= pct/100 over any (doc_id, text)
+    * frame — [[ngramJaccard]]'s body with the cut parameterized as one
+    * integer cross-multiplication (inter·100 >= union·pct; pct = 80
+    * reproduces the registry's 5·inter >= 4·union exactly). Shared with
+    * [[graft.api.DedupAlgorithms.jaccardPairs]].
+    * @return (doc_a, doc_b, inter, jaccard) with doc_a < doc_b */
+  private[graft] def jaccardPairsOf(docs: DataFrame, pct: Int): DataFrame = {
+    val (docsSh, pruned) = shingleCorpusOf(docs)
+    val cand = pruned.select(col("doc_id").as("doc_a"), col("s"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(size(array_intersect(sa, sb)) as bigint)").as("inter"),
+        expr("cast(size(sa) as bigint)").as("na"),
+        expr("cast(size(sb) as bigint)").as("nb"))
+      .filter(col("inter") * 100 >= (col("na") + col("nb") - col("inter")) * pct)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Asymmetric containment pairs at C(A,B) >= pct/100 over any
+    * (doc_id, text) frame — [[containment]]'s body, cut parameterized
+    * (inter·100 >= |S(A)|·pct; pct = 90 reproduces the registry's
+    * 10·inter >= 9·na). Ordered pairs — containment is not symmetric.
+    * Shared with [[graft.api.DedupAlgorithms.containmentPairs]].
+    * @return (doc_a, doc_b, inter, containment) ordered pairs */
+  private[graft] def containmentPairsOf(docs: DataFrame, pct: Int): DataFrame = {
+    val (docsSh, pruned) = shingleCorpusOf(docs)
+    val cand = pruned.select(col("doc_id").as("doc_a"), col("s"))
+      .join(pruned.select(col("doc_id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") =!= col("doc_b")) // ordered: both directions
+      .select(col("doc_a"), col("doc_b")).distinct()
+    cand
+      .join(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
+      .join(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("cast(size(array_intersect(sa, sb)) as bigint)").as("inter"),
+        expr("cast(size(sa) as bigint)").as("na"))
+      .filter(col("inter") * 100 >= col("na") * pct)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        round(col("inter") / col("na"), 6).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Exact n-gram Jaccard similarity >= 0.8 (threshold as integer
@@ -306,24 +358,7 @@ object Dedup {
     *    whose every common shingle is hot. */
   val ngramJaccard = GraftQuery(
     "dedup_ngram_jaccard",
-    (s, dir) => {
-      val (docsSh, pruned) = shingleCorpus(s, dir)
-      val cand = pruned.select(col("doc_id").as("doc_a"), col("s"))
-        .join(pruned.select(col("doc_id").as("doc_b"), col("s")), "s")
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b")).distinct()
-      cand
-        .join(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-        .join(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          expr("cast(size(array_intersect(sa, sb)) as bigint)").as("inter"),
-          expr("cast(size(sa) as bigint)").as("na"),
-          expr("cast(size(sb) as bigint)").as("nb"))
-        .filter(col("inter") * 5 >= (col("na") + col("nb") - col("inter")) * 4)
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) => jaccardPairsOf(t(s, dir, "documents"), pct = 80),
     Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
                    FROM tok CROSS JOIN LATERAL
@@ -390,23 +425,7 @@ object Dedup {
     * not symmetric. */
   val containment = GraftQuery(
     "dedup_containment",
-    (s, dir) => {
-      val (docsSh, pruned) = shingleCorpus(s, dir)
-      val cand = pruned.select(col("doc_id").as("doc_a"), col("s"))
-        .join(pruned.select(col("doc_id").as("doc_b"), col("s")), "s")
-        .filter(col("doc_a") =!= col("doc_b")) // ordered: both directions
-        .select(col("doc_a"), col("doc_b")).distinct()
-      cand
-        .join(docsSh.select(col("doc_id").as("doc_a"), col("sh").as("sa")), "doc_a")
-        .join(docsSh.select(col("doc_id").as("doc_b"), col("sh").as("sb")), "doc_b")
-        .select(col("doc_a"), col("doc_b"),
-          expr("cast(size(array_intersect(sa, sb)) as bigint)").as("inter"),
-          expr("cast(size(sa) as bigint)").as("na"))
-        .filter(col("inter") * 10 >= col("na") * 9)
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          round(col("inter") / col("na"), 6).as("containment"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    },
+    (s, dir) => containmentPairsOf(t(s, dir, "documents"), pct = 90),
     Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
                    FROM tok CROSS JOIN LATERAL

@@ -76,4 +76,34 @@ class DedupAlgorithmsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(strict == Set((1L, 2L)), s"Hamming 0 keeps only exact twins: $strict")
   }
+
+  test("jaccardPairs + containmentPairs: asymmetric wrapping is caught only by containment") {
+    import spark.implicits._
+    // doc 2 wraps doc 1 inside much more text: every doc-1 shingle is in
+    // doc 2 (containment(1,2) = 1.0) but Jaccard is diluted far below 80;
+    // docs 3/4 are exact twins (J = 1.0, containment both ways)
+    val base = "alpha beta gamma delta epsilon zeta"
+    val wrapped = base + " " + (1 to 30).map(i => s"pad$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base), (2L, wrapped),
+      (3L, "one two three four five"), (4L, "one two three four five"))
+      .toDF("id", "body")
+    val jac = DedupAlgorithms.jaccardPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac == Set((3L, 4L)), s"Jaccard must miss the wrapped pair: $jac")
+    val cont = DedupAlgorithms.containmentPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(cont.get((1L, 2L)).contains(1.0),
+      s"doc 1 is fully contained in doc 2: $cont")
+    assert(!cont.contains((2L, 1L)),
+      "the host document is NOT contained in the wrapped one")
+    assert(cont.get((3L, 4L)).contains(1.0) && cont.get((4L, 3L)).contains(1.0),
+      "exact twins contain each other")
+    intercept[IllegalArgumentException] {
+      DedupAlgorithms.jaccardPairs(corpus, minJaccardPct = 0)
+    }
+    intercept[IllegalArgumentException] {
+      DedupAlgorithms.containmentPairs(corpus, minContainmentPct = 101)
+    }
+  }
 }

@@ -142,6 +142,24 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(e.getMessage.contains("integral id column"), e.getMessage)
   }
 
+  test("rangeSearch: radius form returns ALL matches, no ranking cut") {
+    import spark.implicits._
+    val c = corpus().toDF("id", "vec")
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0f))).toDF("qid", "qvec")
+    // at a tight radius only the A-side cluster (and the twin) qualifies
+    val hits = SimilaritySearch.rangeSearch(spark, c, q, minCosine = 0.97)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits.nonEmpty && hits.forall(id => id < 100L || id == 999L),
+      s"tight radius must stay inside cluster A: $hits")
+    // the radius result equals the exact top-k scores filtered at the cut
+    val viaTopK = SimilaritySearch.topK(spark, c, q, k = corpus().size)
+      .filter(org.apache.spark.sql.functions.col("cos_sim") >= 0.97)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits == viaTopK, s"range $hits != filtered exact $viaTopK")
+    // radius 1.01 > any cosine: empty, not an error
+    assert(SimilaritySearch.rangeSearch(spark, c, q, 1.01).count() == 0)
+  }
+
   test("graphAnn hub derivation: hubs=0 sizes the backbone as clamp(ceil(sqrt(n)), 64, 4096)") {
     import spark.implicits._
     // the derivation function IS the contract (r15 task: the probedSalt
