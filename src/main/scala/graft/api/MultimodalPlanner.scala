@@ -61,4 +61,34 @@ object MultimodalPlanner {
       s"expected a three-column (id, w, h) frame, got ${dims.columns.length} columns")
     Multimodal.patchGridOf(dims.toDF("doc_id", "w", "h"), target, patch)
   }
+
+  /** Shot-boundary segmentation over USER-SUPPLIED per-frame features
+    * (mean luma, embedding norm, any scalar the decode stage emitted):
+    * a scene ends where |feature(i) − feature(i−1)| > `threshold`, and
+    * frames between cuts collapse to (scene, start_frame, length) rows —
+    * the segmentation that samples frames per SCENE instead of a fixed
+    * stride (the registry's mm_scene_cuts on real features instead of
+    * its stub-hash luma). One video-keyed window pass (lag + prefix
+    * count), bounded by frame counts — the feature column is the only
+    * payload-derived input, so the planner stays metadata-only.
+    * @param frames (video_id, frame_idx, feature) — any column names
+    * @return (video_id, scene, start_frame, scene_len) */
+  def sceneCuts(frames: DataFrame, threshold: Double = 160.0): DataFrame = {
+    require(threshold > 0, s"threshold must be positive, got $threshold")
+    require(frames.columns.length == 3,
+      s"expected a three-column (video_id, frame_idx, feature) frame, got ${frames.columns.length} columns")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("video_id")).orderBy(col("frame_idx"))
+    frames.toDF("video_id", "frame_idx", "feat")
+      .select(col("video_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("feat").cast("double").as("feat"))
+      .withColumn("prev", lag(col("feat"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNotNull &&
+          abs(col("feat") - col("prev")) > threshold, 1).otherwise(0))
+      .withColumn("scene", sum(col("cut")).over(w))
+      .groupBy(col("video_id"), col("scene"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        count(lit(1)).as("scene_len"))
+  }
 }

@@ -47,4 +47,23 @@ class MultimodalPlannerSpec extends SparkTestBase {
     assert(rows.toSeq == Seq(
       (1L, 224, 112, 14, 7, 99), (2L, 100, 50, 7, 4, 29)), s"${rows.toSeq}")
   }
+
+  test("sceneCuts: planted luma jumps segment scenes; quiet videos are one scene") {
+    import spark.implicits._
+    // video 1: jumps at frames 3 (|200-11|) and 5 (|50-205|) at threshold
+    // 100 -> scenes [0..2], [3..4], [5]; video 2: flat -> one scene
+    val frames = Seq(
+      (1L, 0L, 10.0), (1L, 1L, 12.0), (1L, 2L, 11.0),
+      (1L, 3L, 200.0), (1L, 4L, 205.0), (1L, 5L, 50.0),
+      (2L, 0L, 7.0), (2L, 1L, 8.0)).toDF("vid", "f", "luma")
+    val rows = MultimodalPlanner.sceneCuts(frames, threshold = 100.0)
+      .orderBy(col("video_id"), col("scene"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 0L, 3L), (1L, 1L, 3L, 2L), (1L, 2L, 5L, 1L),
+      (2L, 0L, 0L, 2L)), s"${rows.toSeq}")
+    intercept[IllegalArgumentException] {
+      MultimodalPlanner.sceneCuts(frames, threshold = 0)
+    }
+  }
 }
