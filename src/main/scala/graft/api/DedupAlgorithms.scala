@@ -84,28 +84,42 @@ object DedupAlgorithms {
 
   /** Exact shingle-Jaccard pairs at J >= `minJaccardPct`/100 — the
     * ground-truth verifier [[nearDupPairs]]'s MinHash estimate is
-    * calibrated against. Per-row distinct trigram arrays (scan-side), a
-    * df-pruned inverted index bounds candidates (one corpus-hot stopword
-    * trigram would otherwise emit O(df²) pairs), verification is exact
-    * over the full sets; the threshold is one integer
-    * cross-multiplication — no float in the cut.
+    * calibrated against. Per-row distinct trigram arrays (scan-side);
+    * verification is exact over the full sets; the threshold is one
+    * integer cross-multiplication — no float in the cut.
+    *
+    * CANDIDATE-BOUND CAVEAT (not exact recall): the inverted index drops
+    * shingles present in more than `maxShingleDf` documents before the
+    * candidate self-join (one corpus-hot stopword trigram would otherwise
+    * emit O(df²) pairs), so a qualifying pair whose EVERY shared shingle
+    * is corpus-hot is skipped — e.g. 51+ verbatim copies of the same
+    * boilerplate document all share only df>50 shingles and pair with
+    * nothing at the default cap. Route mass-duplicated content through
+    * [[exactDuplicates]] first (verbatim copies are its job), or raise
+    * `maxShingleDf` toward the largest expected duplicate-cluster size.
+    * Scores of REPORTED pairs are always exact.
     * @return (doc_a, doc_b, inter, jaccard) with doc_a < doc_b */
-  def jaccardPairs(df: DataFrame, minJaccardPct: Int = 80): DataFrame = {
+  def jaccardPairs(df: DataFrame, minJaccardPct: Int = 80,
+      maxShingleDf: Int = 50): DataFrame = {
     require(minJaccardPct >= 1 && minJaccardPct <= 100,
       s"minJaccardPct must be in [1, 100], got $minJaccardPct")
-    Dedup.jaccardPairsOf(docs(df), minJaccardPct)
+    require(maxShingleDf >= 2, s"maxShingleDf must be >= 2, got $maxShingleDf")
+    Dedup.jaccardPairsOf(docs(df), minJaccardPct, maxShingleDf, eager = true)
   }
 
   /** Asymmetric containment pairs C(A,B) = |S(A) ∩ S(B)| / |S(A)| >=
     * `minContainmentPct`/100 — catches "doc A is mostly inside doc B"
     * (boilerplate wrappers, quote farms, partial scrapes) that symmetric
     * Jaccard misses when the host is much larger. Ordered pairs: both
-    * directions are tested. Same candidate/verify shape as
-    * [[jaccardPairs]].
+    * directions are tested. Same candidate/verify shape — and the same
+    * `maxShingleDf` candidate-bound caveat — as [[jaccardPairs]].
     * @return (doc_a, doc_b, inter, containment) ordered pairs */
-  def containmentPairs(df: DataFrame, minContainmentPct: Int = 90): DataFrame = {
+  def containmentPairs(df: DataFrame, minContainmentPct: Int = 90,
+      maxShingleDf: Int = 50): DataFrame = {
     require(minContainmentPct >= 1 && minContainmentPct <= 100,
       s"minContainmentPct must be in [1, 100], got $minContainmentPct")
-    Dedup.containmentPairsOf(docs(df), minContainmentPct)
+    require(maxShingleDf >= 2, s"maxShingleDf must be >= 2, got $maxShingleDf")
+    Dedup.containmentPairsOf(docs(df), minContainmentPct, maxShingleDf,
+      eager = true)
   }
 }

@@ -77,18 +77,28 @@ object MultimodalPlanner {
     require(threshold > 0, s"threshold must be positive, got $threshold")
     require(frames.columns.length == 3,
       s"expected a three-column (video_id, frame_idx, feature) frame, got ${frames.columns.length} columns")
+    val named = frames.toDF("video_id", "frame_idx", "feat")
+    // typed contract, not a silent cast: a string feature column would
+    // cast unparseable values to null, the cut predicate would never fire
+    // around them, and every video would collapse to one scene with no
+    // error (r16 third review)
+    val idxType = named.schema("frame_idx").dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(idxType),
+      s"sceneCuts needs an integral frame_idx column, got $idxType")
+    val featType = named.schema("feat").dataType.typeName
+    require(Seq("byte", "short", "integer", "long", "float", "double")
+        .contains(featType) || featType.startsWith("decimal"),
+      s"sceneCuts needs a numeric feature column, got $featType")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("video_id")).orderBy(col("frame_idx"))
-    frames.toDF("video_id", "frame_idx", "feat")
+    val cuts = named
       .select(col("video_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("feat").cast("double").as("feat"))
       .withColumn("prev", lag(col("feat"), 1).over(w))
       .withColumn("cut",
         when(col("prev").isNotNull &&
           abs(col("feat") - col("prev")) > threshold, 1).otherwise(0))
-      .withColumn("scene", sum(col("cut")).over(w))
-      .groupBy(col("video_id"), col("scene"))
-      .agg(min(col("frame_idx")).as("start_frame"),
-        count(lit(1)).as("scene_len"))
+      .select(col("video_id"), col("frame_idx"), col("cut"))
+    Multimodal.scenesFromCuts(cuts)
   }
 }

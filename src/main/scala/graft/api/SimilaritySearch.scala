@@ -340,12 +340,16 @@ object SimilaritySearch {
       .select(col("q_id"), col("vec_id"), col("adc_micros"), col("rank"))
   }
 
-  /** RANGE SEARCH: every corpus vector within cosine ≥ `minCosine` of
-    * each query — the radius form of [[topK]] for callers who want "all
+  /** RANGE SEARCH: every corpus vector whose 4-dp ROUNDED cosine clears
+    * `minCosine` — the radius form of [[topK]] for callers who want "all
     * sufficiently similar", not "the k best" (recall sets, duplicate
-    * sweeps, policy filters). Same 100 TB shape as [[topK]]: queries
-    * broadcast, scoring map-side, the corpus never shuffles; output is
-    * bounded by the match count, not k.
+    * sweeps, policy filters). The cut compares the same rounded score
+    * [[topK]] reports (so range == exact-topK-filtered-at-the-cut holds
+    * identically, spec-pinned); a vector within half an ulp of the 4-dp
+    * grid below the cut therefore rounds in — callers needing a raw-
+    * cosine boundary should pass minCosine half a grid step higher. Same
+    * 100 TB shape as [[topK]]: queries broadcast, scoring map-side, the
+    * corpus never shuffles; output is bounded by the match count, not k.
     * @return (q_id, vec_id, cos_sim) all matches, no ranking */
   def rangeSearch(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
       minCosine: Double): DataFrame = {

@@ -276,23 +276,28 @@ object Dedup {
     * brute-force at test SF. */
   private[graft] val MaxShingleDf = 50
 
-  /** Per-doc DISTINCT trigram shingle arrays (scan-side) plus the df-pruned
-    * inverted index — the candidate machinery shared by [[ngramJaccard]]
-    * and [[containment]]. df >= 2 because a shingle in one doc can't
-    * generate a pair anyway. */
-  /** Frame-generic [[shingleCorpus]]: per-doc distinct trigram arrays and
-    * the df-pruned inverted index over any (doc_id, text) frame — shared
-    * with the public facade's jaccard/containment pair functions. */
-  private[graft] def shingleCorpusOf(docs: DataFrame): (DataFrame, DataFrame) = {
-    val docsSh = docs
+  /** Per-doc DISTINCT trigram shingle arrays (scan-side) plus the
+    * df-pruned inverted index over any (doc_id, text) frame — the
+    * candidate machinery shared by [[ngramJaccard]], [[containment]] and
+    * the public facade's pair functions. df >= 2 because a shingle in one
+    * doc can't generate a pair anyway; `maxDf` is the candidate-bound
+    * ceiling ([[MaxShingleDf]] documents the trade).
+    * `eager = true` (the facade path) materializes the shingle arrays via
+    * localCheckpoint so repeated LIBRARY calls accumulate nothing in the
+    * CacheManager (the nearDupPairs discipline); `eager = false` (the
+    * registry path) keeps the lazy cache() so constructing the query plan
+    * runs no Spark jobs (plan linting stays job-free). */
+  private[graft] def shingleCorpusOf(docs: DataFrame, maxDf: Int,
+      eager: Boolean): (DataFrame, DataFrame) = {
+    val sh0 = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr(
         "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))").as("sh"))
-      .cache()
+    val docsSh = if (eager) sh0.localCheckpoint(true) else sh0.cache()
     val idx = docsSh.select(col("doc_id"), explode(col("sh")).as("s"))
     val rare = idx.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= MaxShingleDf)
+      .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("s"))
     (docsSh, idx.join(rare, "s"))
   }
@@ -300,11 +305,13 @@ object Dedup {
   /** Exact shingle-Jaccard pairs at J >= pct/100 over any (doc_id, text)
     * frame — [[ngramJaccard]]'s body with the cut parameterized as one
     * integer cross-multiplication (inter·100 >= union·pct; pct = 80
-    * reproduces the registry's 5·inter >= 4·union exactly). Shared with
+    * reproduces the registry's 5·inter >= 4·union exactly). Unordered —
+    * the registry wrapper appends its oracle ORDER BY. Shared with
     * [[graft.api.DedupAlgorithms.jaccardPairs]].
     * @return (doc_a, doc_b, inter, jaccard) with doc_a < doc_b */
-  private[graft] def jaccardPairsOf(docs: DataFrame, pct: Int): DataFrame = {
-    val (docsSh, pruned) = shingleCorpusOf(docs)
+  private[graft] def jaccardPairsOf(docs: DataFrame, pct: Int,
+      maxDf: Int = MaxShingleDf, eager: Boolean = false): DataFrame = {
+    val (docsSh, pruned) = shingleCorpusOf(docs, maxDf, eager)
     val cand = pruned.select(col("doc_id").as("doc_a"), col("s"))
       .join(pruned.select(col("doc_id").as("doc_b"), col("s")), "s")
       .filter(col("doc_a") < col("doc_b"))
@@ -319,17 +326,18 @@ object Dedup {
       .filter(col("inter") * 100 >= (col("na") + col("nb") - col("inter")) * pct)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(col("inter") / (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Asymmetric containment pairs at C(A,B) >= pct/100 over any
     * (doc_id, text) frame — [[containment]]'s body, cut parameterized
     * (inter·100 >= |S(A)|·pct; pct = 90 reproduces the registry's
-    * 10·inter >= 9·na). Ordered pairs — containment is not symmetric.
+    * 10·inter >= 9·na). Ordered pairs — containment is not symmetric;
+    * unordered output — the registry wrapper appends its oracle ORDER BY.
     * Shared with [[graft.api.DedupAlgorithms.containmentPairs]].
     * @return (doc_a, doc_b, inter, containment) ordered pairs */
-  private[graft] def containmentPairsOf(docs: DataFrame, pct: Int): DataFrame = {
-    val (docsSh, pruned) = shingleCorpusOf(docs)
+  private[graft] def containmentPairsOf(docs: DataFrame, pct: Int,
+      maxDf: Int = MaxShingleDf, eager: Boolean = false): DataFrame = {
+    val (docsSh, pruned) = shingleCorpusOf(docs, maxDf, eager)
     val cand = pruned.select(col("doc_id").as("doc_a"), col("s"))
       .join(pruned.select(col("doc_id").as("doc_b"), col("s")), "s")
       .filter(col("doc_a") =!= col("doc_b")) // ordered: both directions
@@ -343,12 +351,11 @@ object Dedup {
       .filter(col("inter") * 100 >= col("na") * pct)
       .select(col("doc_a"), col("doc_b"), col("inter"),
         round(col("inter") / col("na"), 6).as("containment"))
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Exact n-gram Jaccard similarity >= 0.8 (threshold as integer
     * cross-multiplication: 5*inter >= 4*union — no float in the cut).
-    * Shape for 100 TB ([[shingleCorpus]]):
+    * Shape for 100 TB ([[shingleCorpusOf]]):
     *  - per-row DISTINCT shingle arrays (array_distinct, scan-side) replace
     *    the corpus-wide `distinct()` shuffle of round 2;
     *  - the inverted index is df-pruned ([[MaxShingleDf]]) before the
@@ -358,7 +365,8 @@ object Dedup {
     *    whose every common shingle is hot. */
   val ngramJaccard = GraftQuery(
     "dedup_ngram_jaccard",
-    (s, dir) => jaccardPairsOf(t(s, dir, "documents"), pct = 80),
+    (s, dir) => jaccardPairsOf(t(s, dir, "documents"), pct = 80)
+      .orderBy(col("doc_a"), col("doc_b")),
     Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
                    FROM tok CROSS JOIN LATERAL
@@ -425,7 +433,8 @@ object Dedup {
     * not symmetric. */
   val containment = GraftQuery(
     "dedup_containment",
-    (s, dir) => containmentPairsOf(t(s, dir, "documents"), pct = 90),
+    (s, dir) => containmentPairsOf(t(s, dir, "documents"), pct = 90)
+      .orderBy(col("doc_a"), col("doc_b")),
     Some("""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
             sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
                    FROM tok CROSS JOIN LATERAL

@@ -204,15 +204,30 @@ object Multimodal {
     * lag() window, so cut detection is pure scan-side per-row work — the
     * only window is the per-video prefix count that numbers the scenes
     * (video-partitioned, bounded by frame count). */
+  /** The scene-numbering + collapse half of shot-boundary segmentation
+    * over a (video_id, frame_idx, cut) frame — the prefix count of cut
+    * flags numbers the scenes, frames collapse to (scene, start, length)
+    * rows. The CUT PREDICATE stays with the caller: the registry derives
+    * it scan-side from re-hashable stub features (no lag carry), the
+    * facade from user-supplied features via a lag window. Shared by
+    * mm_scene_cuts and [[graft.api.MultimodalPlanner.sceneCuts]].
+    * @return (video_id, scene, start_frame, scene_len) */
+  private[graft] def scenesFromCuts(frames: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("video_id")).orderBy(col("frame_idx"))
+    frames.withColumn("scene", sum(col("cut")).over(w))
+      .groupBy(col("video_id"), col("scene"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        count(lit(1)).as("scene_len"))
+  }
+
   val sceneCuts = GraftQuery(
     "mm_scene_cuts",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       def luma(ix: org.apache.spark.sql.Column) =
         conv(substring(md5(concat(lit("luma:"), col("doc_id").cast("string"),
           lit(":"), ix.cast("string"))), 1, 4), 16, 10).cast("long") % 256
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      t(s, dir, "documents")
+      val cuts = t(s, dir, "documents")
         .select(col("doc_id"),
           (octet_length(encode(col("text"), "UTF-8")) % 240 + 16).as("n_frames"))
         .select(col("doc_id"),
@@ -220,9 +235,11 @@ object Multimodal {
         .withColumn("cut",
           when(col("i") > 0 &&
             abs(luma(col("i")) - luma(col("i") - 1)) > 160, 1).otherwise(0))
-        .withColumn("scene", sum(col("cut")).over(w))
-        .groupBy(col("doc_id"), col("scene"))
-        .agg(min(col("i")).as("start_frame"), count(lit(1)).as("scene_len"))
+        .select(col("doc_id").as("video_id"), col("i").as("frame_idx"),
+          col("cut"))
+      scenesFromCuts(cuts)
+        .select(col("video_id").as("doc_id"), col("scene"),
+          col("start_frame"), col("scene_len"))
         .orderBy(col("doc_id"), col("scene"))
     },
     Some("""WITH f AS (

@@ -1000,18 +1000,24 @@ object TextAnalysis {
     * TakeOrderedAndProject keeps the head. Text never shuffles. */
   /** The PMI collocation core over any (doc_id, text) frame — shared by
     * text_collocations and [[graft.api.TextAnalytics.collocations]].
+    * `eager = true` (the facade path) materializes the two count models
+    * via localCheckpoint so repeated library calls accumulate nothing in
+    * the CacheManager; `eager = false` (the registry path) keeps the lazy
+    * cache() so plan construction runs no Spark jobs.
     * @return (bigram, c_bg, c1, c2, pmi_micro) top-`topN` by PMI */
   private[graft] def collocationsOf(docs: DataFrame, minCount: Int,
-      topN: Int): DataFrame = {
+      topN: Int, eager: Boolean = false): DataFrame = {
+    def pin(df: DataFrame): DataFrame =
+      if (eager) df.localCheckpoint(true) else df.cache()
     val words = docs.select(split(col("text"), " ").as("w"))
-    val uni = words.select(explode(col("w")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c_tok")).cache()
-    val bi = words.filter(size(col("w")) >= 2)
+    val uni = pin(words.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c_tok")))
+    val bi = pin(words.filter(size(col("w")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(w)-2), i -> struct(w[i] AS w1, w[i+1] AS w2))"))
         .as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg")).cache()
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_bg")))
     val totals = broadcast(
       uni.agg(sum(col("c_tok")).as("t_tot"))
         .crossJoin(bi.agg(sum(col("c_bg")).as("m_tot"))))
