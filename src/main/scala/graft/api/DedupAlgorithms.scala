@@ -98,12 +98,22 @@ object DedupAlgorithms {
     * [[exactDuplicates]] first (verbatim copies are its job), or raise
     * `maxShingleDf` toward the largest expected duplicate-cluster size.
     * Scores of REPORTED pairs are always exact.
+    *
+    * GUARDED: a corpus above [[SimilaritySearch.ExactPairsGuardRows]]
+    * rows throws a named contract error unless `exact = true` — the
+    * exact verify carries full shingle arrays through the candidate
+    * join, a ground-truth-calibration cost (use [[nearDupPairs]]'s
+    * MinHash-LSH route at corpus scale; its banding moves digests only).
+    * @param exact pass true to acknowledge the exact-verification cost
+    *              above the guard threshold
     * @return (doc_a, doc_b, inter, jaccard) with doc_a < doc_b */
   def jaccardPairs(df: DataFrame, minJaccardPct: Int = 80,
-      maxShingleDf: Int = 50): DataFrame = {
+      maxShingleDf: Int = 50, exact: Boolean = false): DataFrame = {
     require(minJaccardPct >= 1 && minJaccardPct <= 100,
       s"minJaccardPct must be in [1, 100], got $minJaccardPct")
     require(maxShingleDf >= 2, s"maxShingleDf must be >= 2, got $maxShingleDf")
+    SimilaritySearch.guardExactPairs("DedupAlgorithms.jaccardPairs", df,
+      exact, "DedupAlgorithms.nearDupPairs (MinHash-LSH: digests shuffle, texts don't)")
     Dedup.jaccardPairsOf(docs(df), minJaccardPct, maxShingleDf, eager = true)
   }
 
@@ -112,13 +122,17 @@ object DedupAlgorithms {
     * (boilerplate wrappers, quote farms, partial scrapes) that symmetric
     * Jaccard misses when the host is much larger. Ordered pairs: both
     * directions are tested. Same candidate/verify shape — and the same
-    * `maxShingleDf` candidate-bound caveat — as [[jaccardPairs]].
+    * `maxShingleDf` candidate-bound caveat — as [[jaccardPairs]], and the
+    * same [[SimilaritySearch.ExactPairsGuardRows]] guard (`exact = true`
+    * to run above it).
     * @return (doc_a, doc_b, inter, containment) ordered pairs */
   def containmentPairs(df: DataFrame, minContainmentPct: Int = 90,
-      maxShingleDf: Int = 50): DataFrame = {
+      maxShingleDf: Int = 50, exact: Boolean = false): DataFrame = {
     require(minContainmentPct >= 1 && minContainmentPct <= 100,
       s"minContainmentPct must be in [1, 100], got $minContainmentPct")
     require(maxShingleDf >= 2, s"maxShingleDf must be >= 2, got $maxShingleDf")
+    SimilaritySearch.guardExactPairs("DedupAlgorithms.containmentPairs", df,
+      exact, "DedupAlgorithms.nearDupPairs (MinHash-LSH: digests shuffle, texts don't)")
     Dedup.containmentPairsOf(docs(df), minContainmentPct, maxShingleDf,
       eager = true)
   }

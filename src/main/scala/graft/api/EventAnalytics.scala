@@ -326,7 +326,7 @@ object EventAnalytics {
     * @param events (id, key, ts, value) — any column names
     * @param delta  per-observation drift allowance
     * @param lambda alarm threshold on the PH statistic
-    * @return (event_id, user_id, n_seen, ph, alarm) */
+    * @return (event_id, user_id, n_seen, ph, alarm, ts) */
   def pageHinkley(events: DataFrame, delta: Double = 0.005,
       lambda: Double = 50.0): DataFrame = {
     require(lambda > 0, s"lambda must be positive, got $lambda")
@@ -353,25 +353,35 @@ object EventAnalytics {
     * [[powerAnalysis]]: rows whose variant string-equals `control` are
     * arm 0 (A), everything else arm 1 (B). Validated EAGERLY (one
     * aggregate over the assignment frame — cheap next to the readout it
-    * feeds): null variants, a control value matching no row (the classic
-    * case-mismatch), or an empty treatment arm would otherwise return an
-    * all-null z-test row instead of the facade family's named contract
-    * error (r16 review finding 2). */
+    * feeds): null variants, null/unparseable `converted` values, a
+    * control value matching no row (the classic case-mismatch), or an
+    * empty treatment arm would otherwise return an all-null z-test row —
+    * or, worse for `converted`, silently bias the readout (sum() skips
+    * nulls, so a dirty conversion column reads as "didn't convert") —
+    * instead of the facade family's named contract error (r16 review
+    * finding 2; null-conv arm r16 advisor). */
   private def armFlags(assignments: DataFrame, control: String): DataFrame = {
     val a = threeCol(assignments, "(unit, variant, converted)")
       .toDF("unit", "variant0", "conv0")
     val flags = a.select(
       when(col("variant0").cast("string") === control, 0L).otherwise(1L)
         .as("variant"),
-      col("conv0").cast("boolean").cast("long").as("conv"),
+      // try_cast, not cast: under ANSI an unparseable converted value
+      // would throw Spark's opaque cast error mid-aggregate; try_cast
+      // funnels it to null so the eager check below reports it as THIS
+      // facade's named contract error in both ANSI modes
+      expr("try_cast(conv0 as boolean)").cast("long").as("conv"),
       col("variant0").isNull.cast("long").as("vnull"))
     val c = flags.agg(
       sum(when(col("variant") === 0, 1L).otherwise(0L)).as("na"),
       sum(when(col("variant") === 1, 1L).otherwise(0L)).as("nb"),
-      sum(col("vnull")).as("nn"), count(lit(1)).as("n")).head()
+      sum(col("vnull")).as("nn"), count(lit(1)).as("n"),
+      sum(col("conv").isNull.cast("long")).as("cn")).head()
     require(c.getLong(3) > 0, "experiment readouts need a non-empty assignment frame")
     require(c.getLong(2) == 0,
       s"${c.getLong(2)} null variant values — fix the assignment join before reading the experiment")
+    require(c.getLong(4) == 0,
+      s"${c.getLong(4)} null or non-boolean converted values — a null is NOT a non-conversion; clean the conversion column before reading the experiment")
     require(c.getLong(0) > 0,
       s"control variant '$control' matched no assignment row (case mismatch?)")
     require(c.getLong(1) > 0,
@@ -385,7 +395,9 @@ object EventAnalytics {
     * engine-identical, floored to micros). One aggregation collapses the
     * units; everything after runs on one row.
     * @param assignments (unit, variant, converted) — any column names;
-    *                    converted coerces via boolean
+    *                    converted coerces via boolean (a null or
+    *                    unparseable value is a named contract error,
+    *                    never a silent non-conversion)
     * @param control     the variant value that is arm A (string-compared)
     * @return one row: (n_a, c_a, n_b, c_b, p_a_micro, p_b_micro,
     *         rel_lift_micro, z_micro) */

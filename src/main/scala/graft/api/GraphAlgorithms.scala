@@ -147,7 +147,7 @@ object GraphAlgorithms {
     * @param pairs undirected edges, two columns
     * @return (node, degree, n_triangles, coeff_micro) */
   def clusteringCoefficient(pairs: DataFrame): DataFrame =
-    GraphOps.clusteringOf(canonical(pairs))
+    GraphOps.clusteringOf(canonical(pairs), eager = true)
 
   /** Newman degree assortativity: the one-row do-hubs-link-to-hubs
     * Pearson coefficient over edge endpoints — all moments exact BIGINT
@@ -160,28 +160,30 @@ object GraphAlgorithms {
     GraphOps.assortativityOf(canonical(pairs))
 
   /** Neighborhood-Jaccard LINK PREDICTION: non-adjacent node pairs scored
-    * by |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the degree-normalized index next
-    * to [[commonNeighbors]]' raw counts and RA micros. Already-connected
-    * pairs are anti-joined away (a "prediction" of an existing edge is
-    * noise — the registry twin's contract, r16 second review). Exact by
-    * construction: |A ∪ B| = deg(a) + deg(b) − n_common makes the score
-    * one non-negative integer micro-div. Rides the identical once-each
-    * wedge pass over ONE checkpointed half-edge list and ONE checkpointed
-    * degree table; centers above `hubCap` are excluded (the caller's
-    * contract, as in [[commonNeighbors]]).
+    * by |N'(a) ∩ N'(b)| / |N'(a) ∪ N'(b)| over the HUB-FILTERED
+    * neighborhoods N'(x) = {c ∈ N(x) : deg(c) ≤ hubCap} — the
+    * degree-normalized index next to [[commonNeighbors]]' raw counts and
+    * RA micros. Already-connected pairs are anti-joined away (a
+    * "prediction" of an existing edge is noise — the registry twin's
+    * contract, r16 second review). The hub cap applies to BOTH sides of
+    * the division (r16 advisor: capped n_common over full degrees
+    * understated scores for hub-sharing pairs): intersection and degrees
+    * count the same filtered neighbor sets, so |A'∪B'| = da' + db' −
+    * n_common holds exactly and the score is one non-negative integer
+    * micro-div. Pairs whose EVERY shared neighbor is a hub have an empty
+    * filtered intersection and are absent — the cap is the semantics,
+    * not an approximation of an uncapped score. Rides the registry's
+    * once-each wedge pass over ONE checkpointed half-edge list and ONE
+    * checkpointed degree table.
     * @param pairs undirected edges, two columns
     * @return (a, b, n_common, jaccard_micro) per non-adjacent candidate */
   def jaccardSimilarity(pairs: DataFrame, hubCap: Int = 1024): DataFrame = {
     require(hubCap >= 1, s"jaccardSimilarity needs hubCap >= 1, got $hubCap")
     val h = canonical(pairs).localCheckpoint(true)
     val deg = GraphOps.degrees(h).localCheckpoint(true)
-    GraphOps.commonNeighborCounts(h, deg, hubCap)
-      .join(h, col("a") === col("u") && col("b") === col("v"), "left_anti")
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+    GraphOps.jaccardScoresOf(h, deg, hubCap)
       .select(col("a"), col("b"), col("n_common"),
-        expr("cast(n_common * 1000000 div (da + db - n_common) as bigint)")
-          .as("jaccard_micro"))
+        col("jaccard_micro").cast("bigint").as("jaccard_micro"))
   }
 
   /** Semi-supervised label propagation: `rounds` synchronous rounds where
@@ -191,7 +193,8 @@ object GraphAlgorithms {
     * behind community assignment and weak-supervision expansion. Per
     * round: one edge join + one (node, label) vote count, ticks cut by
     * eager checkpoints. Labeled nodes absent from the edge list do not
-    * propagate (no edges to carry them).
+    * propagate (no edges to carry them) but DO appear in the output with
+    * their clamped label — the clamp contract covers them too.
     * @param pairs   undirected edges, two columns
     * @param labeled (node, label) rows for the seeded nodes only
     * @return (node, label) for every node that ends up labeled */
@@ -217,7 +220,13 @@ object GraphAlgorithms {
       s"labelPropagation: node ${dup.headOption.map(_.get(0)).orNull} has " +
         "conflicting seed labels — resolve the seed frame first")
     val edges = half.union(half.select(col("v").as("u"), col("u").as("v")))
-    val nodes = edges.select(col("u").as("node")).distinct()
+    // the node universe is edge endpoints UNION seed nodes: a seeded node
+    // with no edges can't propagate, but the clamp contract ("a seed
+    // never changes") and the return doc ("every node that ends up
+    // labeled") both promise its OWN label survives — edge-derived nodes
+    // alone silently dropped it (r16 advisor)
+    val nodes = edges.select(col("u").as("node"))
+      .union(lab.select(col("node"))).distinct()
     val seeds = nodes.join(lab, Seq("node"), "left")
     GraphOps.lpaOn(edges, seeds, rounds)
       .filter(col("label").isNotNull)

@@ -366,10 +366,22 @@ object SimilaritySearch {
     * ALL-PAIRS correctness baseline (O(n²): fine for verification slices;
     * at corpus scale use the registry's LSH-bucketed or SemDeDup-cluster
     * routes, which bound candidates before any cosine is computed).
+    *
+    * GUARDED: a corpus above [[ExactPairsGuardRows]] rows throws a named
+    * contract error unless `exact = true` is passed — a skimmed signature
+    * could otherwise fire a 10⁹² -pair cross join; the scaladoc caveat
+    * alone proved too easy to miss (the same knob-error discipline as
+    * [[graphAnnBuild]]'s parameter validation). The guard costs one
+    * count() of the id column — noise next to the cross join it vets.
+    * @param exact pass true to acknowledge the O(n²) cost above the
+    *              guard threshold (you have a verification slice that
+    *              happens to be big, and you mean it)
     * @return (id_a, id_b, cos_sim) with id_a < id_b */
   def nearDupPairs(spark: SparkSession, corpus: DataFrame,
-      minCosine: Double = 0.35): DataFrame = {
+      minCosine: Double = 0.35, exact: Boolean = false): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    guardExactPairs("SimilaritySearch.nearDupPairs", corpus, exact,
+      "the registry's LSH-bucketed (dedup_embedding_lsh) or SemDeDup-cluster routes")
     val a = named(corpus, "id_a", "ea")
     val b = named(corpus, "id_b", "eb")
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
@@ -377,4 +389,25 @@ object SimilaritySearch {
         round(expr("graft_cosine(ea, eb)"), 4).as("cos_sim"))
       .filter(col("cos_sim") >= minCosine)
   }
+
+  /** Row-count ceiling above which the exact-pair facades demand an
+    * explicit `exact = true`: 10⁵ rows ⇒ ~5×10⁹ candidate pairs for the
+    * all-pairs baseline — the edge of "finishes on one box", and far past
+    * the verification-slice sizes these baselines exist for. */
+  val ExactPairsGuardRows: Long = 100000L
+
+  /** Shared guard for the exact/all-pairs correctness baselines: count
+    * the frame (cheap — one column, no shuffle) and refuse with a named
+    * contract error when it exceeds [[ExactPairsGuardRows]] and the
+    * caller did not pass `exact = true`, naming the scale route to use
+    * instead. */
+  private[api] def guardExactPairs(fn: String, df: DataFrame,
+      exact: Boolean, scaleRoute: String): Unit =
+    if (!exact) {
+      val n = df.count()
+      require(n <= ExactPairsGuardRows,
+        s"$fn: corpus has $n rows > $ExactPairsGuardRows — this is the " +
+        s"exact-pairs correctness baseline (quadratic in the corpus); at " +
+        s"this size use $scaleRoute, or pass exact = true to run it anyway")
+    }
 }

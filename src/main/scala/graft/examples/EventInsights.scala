@@ -99,6 +99,51 @@ object EventInsights {
       .format("memory").queryName(memName)
       .start()
 
+  /** The alert feed's always-on twin (r17): the same two alert families
+    * [[analyze]]'s batch `alerts` frame reports, produced NATIVELY by
+    * the stateful detectors a stream admits — abandonment via the
+    * event-time-timer absence detector (the alert fires in-stream or
+    * when the watermark clears the deadline; latest-`first`-wins), and
+    * level shifts via the Page-Hinkley online drift fold (the batch leg's
+    * offline CUSUM locator needs the whole series — PH is its documented
+    * ingest-time counterpart, so the two feeds agree on WHICH keys alert,
+    * not on the statistic column). Both detectors are append-mode
+    * flatMapGroupsWithState over the same keyed shuffle family, so the
+    * union is one watermarked query.
+    * @param events streaming (id, key, ts, type, value) frame — any
+    *               column names, positional convention; `ts` must carry
+    *               an event-time watermark (withWatermark upstream)
+    * @param step2/step3 abandonment pattern: a `step2` never answered by
+    *               a `step3` within `withinSeconds`
+    * @return streaming append feed (alert, key, at_ts, info) */
+  def liveAlerts(events: DataFrame, step2: String, step3: String,
+      withinSeconds: Long = 300L, delta: Double = 0.005,
+      lambda: Double = 50.0): DataFrame = {
+    val ev = events.toDF("event_id", "user_id", "ts", "event_type", "value")
+    val spark = ev.sparkSession
+    import spark.implicits._
+    val abandoned = graft.streaming.Cep.detectAbsence(
+      ev.select(col("user_id").cast("string").as("key"),
+        col("event_type").cast("string").as("etype"), col("ts"))
+        .as[graft.streaming.Cep.CepEvent],
+      step2, step3, withinSeconds * 1000L)
+      .toDF("key", "first_ts", "deadline_ts")
+      .select(lit(s"abandoned_$step2").as("alert"), col("key"),
+        col("first_ts").as("at_ts"),
+        concat(lit("deadline="), col("deadline_ts").cast("string"))
+          .as("info"))
+    val shifts = graft.streaming.PageHinkley.detect(
+      ev.select(col("event_id").cast("long").as("event_id"),
+        col("user_id").cast("long").as("user_id"), col("ts"),
+        col("value").cast("double").as("v")).as[graft.streaming.FfEvent],
+      delta, lambda)
+      .filter(_.alarm).toDF()
+      .select(lit("level_shift").as("alert"),
+        col("user_id").cast("string").as("key"), col("ts").as("at_ts"),
+        concat(lit("ph="), col("ph").cast("string")).as("info"))
+    abandoned.unionByName(shifts)
+  }
+
   /** Demo main: report over the fixture event log. */
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"

@@ -645,7 +645,9 @@ object EventOps {
     * timestamp is never a candidate — the same pairs the gap > 0 rule
     * admits). One window pass over the key-partitioned stream of the two
     * event types; no self-join. Shared by ev_cep_pairs and
-    * [[graft.api.EventAnalytics.cepPairs]].
+    * [[graft.api.EventAnalytics.cepPairs]]. Unordered — the registry
+    * wrapper appends its oracle ORDER BY (the Dedup-core pattern: a
+    * facade caller must not inherit a global range-partition sort).
     * @return (user_id, first_ts, second_ts, gap_ms) */
   private[graft] def cepPairsOn(ev0: DataFrame, first: String,
       second: String, withinSeconds: Long): DataFrame = {
@@ -665,7 +667,6 @@ object EventOps {
         expr("timestamp_micros(last_first_us)").as("first_ts"),
         col("ts").as("second_ts"),
         expr("(ts_us - last_first_us) div 1000").as("gap_ms"))
-      .orderBy(col("user_id"), col("second_ts"))
   }
 
   /** Batch analog of the streaming CEP pair detector (graft.streaming.Cep
@@ -673,7 +674,8 @@ object EventOps {
     * the same user within 5 minutes — [[cepPairsOn]] on the fixture log. */
   val cepPairs = GraftQuery(
     "ev_cep_pairs",
-    (s, dir) => cepPairsOn(t(s, dir, "events"), "click", "purchase", 300L),
+    (s, dir) => cepPairsOn(t(s, dir, "events"), "click", "purchase", 300L)
+      .orderBy(col("user_id"), col("second_ts")),
     Some("""WITH ce AS (
               SELECT user_id, event_type, ts, epoch_us(ts) AS ts_us
               FROM events WHERE event_type IN ('click', 'purchase')),
@@ -874,6 +876,7 @@ object EventOps {
     * `withinSeconds`. One forward-looking RANGE frame per key — no
     * self-join, no inequality join; microsecond-exact like [[cepPairsOn]].
     * Shared by ev_absence and [[graft.api.EventAnalytics.absence]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * @return (user_id, first_ts, deadline_ts) */
   private[graft] def absenceOn(ev0: DataFrame, first: String,
       second: String, withinSeconds: Long): DataFrame = {
@@ -889,12 +892,12 @@ object EventOps {
       .filter(col("event_type") === first && col("next_second_us").isNull)
       .select(col("user_id"), col("ts").as("first_ts"),
         expr(s"timestamp_micros(ts_us + ${withinUs}L)").as("deadline_ts"))
-      .orderBy(col("user_id"), col("first_ts"))
   }
 
   val absence = GraftQuery(
     "ev_absence",
-    (s, dir) => absenceOn(t(s, dir, "events"), "click", "purchase", 300L),
+    (s, dir) => absenceOn(t(s, dir, "events"), "click", "purchase", 300L)
+      .orderBy(col("user_id"), col("first_ts")),
     Some("""WITH ce AS (
               SELECT user_id, event_type, ts, epoch_us(ts) AS ts_us
               FROM events WHERE event_type IN ('click', 'purchase')),
@@ -1089,6 +1092,7 @@ object EventOps {
     * |n·prefix_k − k·total| per key, exact integer arithmetic throughout.
     * Keys need n >= `minN` observations to report. Shared by
     * ev_changepoint and [[graft.api.EventAnalytics.cusumChangepoint]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * @return (user_id, n_events, cp_index, cp_ts, cusum_stat) */
   private[graft] def changepointOn(ev: DataFrame, minN: Int): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
@@ -1104,7 +1108,6 @@ object EventOps {
       .filter(col("rn") === 1 && col("n") >= minN)
       .select(col("user_id"), col("n").as("n_events"), col("k").as("cp_index"),
         col("ts").as("cp_ts"), col("stat").as("cusum_stat"))
-      .orderBy(col("user_id"))
   }
 
   val changepoint = GraftQuery(
@@ -1113,7 +1116,7 @@ object EventOps {
       t(s, dir, "events")
         .select(col("user_id"), col("ts"), col("event_id"),
           expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v6")),
-      minN = 8),
+      minN = 8).orderBy(col("user_id")),
     Some("""WITH ev AS (SELECT user_id, ts, event_id,
                    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6 FROM events),
             w AS (SELECT user_id, ts, v6,
@@ -1185,6 +1188,7 @@ object EventOps {
     * count. Two grouped exact-median passes, per-group medians broadcast
     * back. Shared by ev_anomaly_mad and
     * [[graft.api.EventAnalytics.anomalyMad]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * @return (event_type, n, median_micro, mad_micro, n_outliers) */
   private[graft] def anomalyMadOn(ev: DataFrame, k: Int): DataFrame = {
     val med = ev.groupBy(col("event_type"))
@@ -1200,7 +1204,6 @@ object EventOps {
         (first(col("mad2")) / 2).as("mad_micro"),
         sum(when(col("adev") > lit(k) * col("mad2"), 1L).otherwise(0L))
           .as("n_outliers"))
-      .orderBy(col("event_type"))
   }
 
   val anomalyMad = GraftQuery(
@@ -1209,7 +1212,7 @@ object EventOps {
       t(s, dir, "events")
         .select(col("event_type"),
           expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("v")),
-      k = 3),
+      k = 3).orderBy(col("event_type")),
     Some("""WITH ev AS (SELECT event_type,
                 CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v FROM events),
             med AS (SELECT event_type, median(v) AS med FROM ev GROUP BY event_type),
@@ -2235,14 +2238,17 @@ object EventOps {
     * (stepChain: one keyed shuffle, per-partition (key, ts, etype) sort,
     * constant per-task state — a hot key costs time, never memory).
     *
-    * NO SQL ORACLE by design: greedy non-overlapping matching with
-    * expiry-restart is automaton-shaped — a chain's start depends on
-    * where the previous chain ended AND on every expiry cascade between,
-    * which has no bounded-depth relational spelling (the window-function
-    * form would need an unbounded self-referential frame). The semantics
-    * are pinned instead by CepSpec (streaming leg), the EventAnalyticsSpec
-    * hand-computed batch arm, and the facade's stream==batch parity arm —
-    * the rows-only registry entry makes the leg driver-visible. */
+    * SQL ORACLE (r17, formerly rows-only): greedy non-overlapping
+    * matching has no bounded-depth WINDOW spelling (a chain's start
+    * depends on where the previous chain ended and on every expiry
+    * cascade between), but the automaton IS a linear recursion — one
+    * event per key per step — so a RECURSIVE CTE that advances every
+    * key's (n, t0, tPrev) state by its rn-th event per iteration
+    * replays stepChain verbatim: expiry check first, then
+    * start/advance/emit, strict ts > tPrev advance, (ts, etype) total
+    * order. Validated cell-for-cell against a reference automaton on
+    * sf0.01 before landing. Recursion depth = max events per key —
+    * bounded by the per-user log, not the corpus. */
   lazy val cepSequence = GraftQuery(
     "ev_cep_sequence",
     (s, dir) => {
@@ -2256,7 +2262,45 @@ object EventOps {
         .toDF("key", "start_ts", "end_ts")
         .orderBy(col("key"), col("start_ts"))
     },
-    None)
+    Some("""WITH RECURSIVE ev AS (
+              SELECT CAST(user_id AS VARCHAR) AS key, epoch_us(ts) AS ts_us,
+                event_type,
+                row_number() OVER (PARTITION BY user_id
+                  ORDER BY epoch_us(ts), event_type) AS rn
+              FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+            m AS (
+              SELECT key, rn,
+                CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS n,
+                CASE WHEN event_type = 'view' THEN ts_us ELSE 0 END AS t0,
+                CASE WHEN event_type = 'view' THEN ts_us ELSE 0 END AS tp,
+                CAST(NULL AS BIGINT) AS emit_start,
+                CAST(NULL AS BIGINT) AS emit_end
+              FROM ev WHERE rn = 1
+              UNION ALL
+              SELECT key, rn,
+                CASE WHEN n_eff = 0 AND event_type = 'view' THEN 1
+                     WHEN n_eff = 1 AND event_type = 'click' AND ts_us > tp THEN 2
+                     WHEN n_eff = 2 AND event_type = 'purchase' AND ts_us > tp THEN 0
+                     ELSE n_eff END AS n,
+                CASE WHEN n_eff = 0 AND event_type = 'view' THEN ts_us
+                     ELSE t0 END AS t0,
+                CASE WHEN n_eff = 0 AND event_type = 'view' THEN ts_us
+                     WHEN n_eff = 1 AND event_type = 'click' AND ts_us > tp THEN ts_us
+                     WHEN n_eff = 2 AND event_type = 'purchase' AND ts_us > tp THEN ts_us
+                     ELSE tp END AS tp,
+                CASE WHEN n_eff = 2 AND event_type = 'purchase' AND ts_us > tp
+                     THEN t0 END AS emit_start,
+                CASE WHEN n_eff = 2 AND event_type = 'purchase' AND ts_us > tp
+                     THEN ts_us END AS emit_end
+              FROM (
+                SELECT e.key, e.rn, e.ts_us, e.event_type, m.t0, m.tp,
+                  CASE WHEN m.n > 0 AND e.ts_us - m.t0 > 86400000000
+                       THEN 0 ELSE m.n END AS n_eff
+                FROM m JOIN ev e ON e.key = m.key AND e.rn = m.rn + 1) s)
+            SELECT key, make_timestamp(emit_start) AS start_ts,
+              make_timestamp(emit_end) AS end_ts
+            FROM m WHERE emit_start IS NOT NULL
+            ORDER BY key, start_ts"""))
 
   /** TIME-TO-CONVERT: latency from a user's FIRST click to their first
     * purchase AFTER it — [[funnel]] says who converts, this says how fast
@@ -3167,6 +3211,7 @@ object EventOps {
     * cohorts, every cent credited to its (cohort, age-in-weeks) cell, and
     * the cohort-keyed running total. Shared by ev_ltv_cohort and
     * [[graft.api.EventAnalytics.ltvCohort]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * @return (cohort_week, age_weeks, n_active, revenue_cents,
     *         cum_revenue_cents) */
   private[graft] def ltvCohortOn(ev: DataFrame): DataFrame = {
@@ -3179,7 +3224,6 @@ object EventOps {
       .withColumn("cum_revenue_cents",
         sum(col("revenue_cents")).over(
           Window.partitionBy(col("cohort_week")).orderBy(col("age_weeks"))))
-      .orderBy(col("cohort_week"), col("age_weeks"))
   }
 
   lazy val ltvCohort = GraftQuery(
@@ -3187,7 +3231,8 @@ object EventOps {
     (s, dir) => ltvCohortOn(
       t(s, dir, "events").select(col("user_id"),
         expr("unix_micros(ts) div 86400000000 div 7").as("week"),
-        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents")))
+      .orderBy(col("cohort_week"), col("age_weeks")),
     Some("""WITH ev AS (SELECT user_id,
                 epoch_us(ts) // 86400000000 // 7 AS week,
                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents

@@ -727,29 +727,63 @@ object GraphOps {
     * (r ≥ −1 makes num+den ≥ 0; Spark div truncates, DuckDB floors, they
     * agree only on non-negative operands — the graph_modularity
     * discipline) and un-shifted after. */
+  /** Shared core of the neighborhood-Jaccard link-prediction index
+    * (registry graph_jaccard_similarity + GraphAlgorithms facade):
+    * non-adjacent pairs scored n_common·1e6 div (da' + db' − n_common)
+    * where BOTH the intersection and the degrees count only HUB-FILTERED
+    * neighbors (deg ≤ hubCap). The filter is part of the semantics on
+    * both sides of the division: [[commonNeighborCounts]] excludes
+    * wedge centers above hubCap, so pairing it with FULL degrees (the
+    * pre-r17 form) understated scores for pairs sharing hub neighbors
+    * while still charging the hub edges to the union — "exact by
+    * construction" was false exactly there (r16 advisor). With filtered
+    * degrees the identity |A'∪B'| = da' + db' − n_common holds exactly
+    * over the filtered neighborhoods A' = {c ∈ N(a) : deg(c) ≤ hubCap};
+    * pairs whose EVERY shared neighbor is a hub have an empty filtered
+    * intersection and are absent — documented, consistent with the
+    * candidate generation that can't see them anyway.
+    * Shape: the once-each wedge pass, one und-sized degree-filter
+    * aggregate (node-keyed, no new edge-edge join), two node-keyed joins
+    * on the pair-sized candidate list. Unordered — callers append their
+    * own ORDER BY (registry wrapper: score desc, top 20). */
+  private[graft] def jaccardScoresOf(half: DataFrame, deg: DataFrame,
+      hubCap: Int): DataFrame = {
+    val und = half.select(col("u").as("src"), col("v").as("dst"))
+      .union(half.select(col("v").as("src"), col("u").as("dst")))
+    // filtered degree: how many of my neighbors survive the hub cap —
+    // the size of MY side of the filtered union
+    val degf = und
+      .join(deg.select(col("node").as("dst"), col("deg")), "dst")
+      .filter(col("deg") <= hubCap)
+      .groupBy(col("src")).agg(count(lit(1)).as("degf"))
+      .withColumnRenamed("src", "node")
+    val cand = commonNeighborCounts(half, deg, hubCap)
+    cand.join(half, cand("a") === half("u") && cand("b") === half("v"), "left_anti")
+      .join(degf.select(col("node").as("a"), col("degf").as("da")), "a")
+      .join(degf.select(col("node").as("b"), col("degf").as("db")), "b")
+      .select(col("a"), col("b"), col("n_common"),
+        expr("n_common * 1000000 div (da + db - n_common)").as("jaccard_micro"))
+  }
+
   /** NEIGHBORHOOD JACCARD link prediction: top-20 non-adjacent pairs by
-    * |N(a) ∩ N(b)| / |N(a) ∪ N(b)| — the third classic index beside
+    * |N'(a) ∩ N'(b)| / |N'(a) ∪ N'(b)| over HUB-FILTERED neighborhoods
+    * (see [[jaccardScoresOf]]) — the third classic index beside
     * [[commonNeighbors]] (raw count) and [[resourceAlloc]] (center
     * down-weighting), and the one that normalizes away BOTH endpoints'
     * degrees, so a pair of low-degree nodes sharing most of their small
     * neighborhoods outranks two hubs sharing a sliver. Exact by
-    * construction: |A∪B| = deg(a) + deg(b) − n_common, so the score is
-    * one non-negative integer micro-div — no floats anywhere. Rides the
-    * identical once-each wedge pass ([[commonNeighborCounts]]) plus two
-    * node-keyed degree joins on the CANDIDATE list (pair-sized, not
-    * corpus-sized); same [[WedgeHubCap]] semantics, same anti-join,
+    * construction over the filtered neighborhoods: |A'∪B'| = da' + db' −
+    * n_common, one non-negative integer micro-div — no floats anywhere.
+    * Rides the identical once-each wedge pass plus node-keyed joins on
+    * the CANDIDATE list (pair-sized, not corpus-sized); same
+    * [[WedgeHubCap]] semantics, same anti-join,
     * TakeOrderedAndProject head. */
   val jaccardSimilarity = GraftQuery(
     "graph_jaccard_similarity",
     (s, dir) => {
       val e = coPurchaseEdges(s, dir).cache()
       val deg = degrees(e).cache()
-      val cand = commonNeighborCounts(e, deg, WedgeHubCap)
-      cand.join(e, cand("a") === e("u") && cand("b") === e("v"), "left_anti")
-        .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
-        .select(col("a"), col("b"), col("n_common"),
-          expr("n_common * 1000000 div (da + db - n_common)").as("jaccard_micro"))
+      jaccardScoresOf(e, deg, WedgeHubCap)
         .orderBy(col("jaccard_micro").desc, col("a"), col("b")).limit(20)
     },
     Some(s"""WITH e AS (
@@ -761,6 +795,11 @@ object GraphOps {
               UNION ALL SELECT v AS src, u AS dst FROM e),
             deg AS MATERIALIZED (
               SELECT src AS node, count(*) AS deg FROM und GROUP BY src),
+            degf AS MATERIALIZED (
+              SELECT und.src AS node, count(*) AS degf
+              FROM und JOIN deg d ON d.node = und.dst
+              WHERE d.deg <= $WedgeHubCap
+              GROUP BY und.src),
             cand AS (
               SELECT w1.src AS a, w2.dst AS b, count(*) AS n_common
               FROM und w1 JOIN und w2 ON w1.dst = w2.src
@@ -768,9 +807,9 @@ object GraphOps {
               WHERE w1.src < w2.dst AND d.deg <= $WedgeHubCap
               GROUP BY w1.src, w2.dst)
             SELECT a, b, n_common,
-              n_common * 1000000 // (da.deg + db.deg - n_common) AS jaccard_micro
-            FROM cand JOIN deg da ON da.node = cand.a
-                      JOIN deg db ON db.node = cand.b
+              n_common * 1000000 // (da.degf + db.degf - n_common) AS jaccard_micro
+            FROM cand JOIN degf da ON da.node = cand.a
+                      JOIN degf db ON db.node = cand.b
             WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.a AND e.v = cand.b)
             ORDER BY jaccard_micro DESC, a, b LIMIT 20"""))
 
@@ -888,13 +927,19 @@ object GraphOps {
     * half-edge list — shared by graph_clustering_coeff and
     * [[graft.api.GraphAlgorithms.clusteringCoefficient]] so the
     * 2·tri/(deg·(deg−1)) exact-micro expression lives once. The input is
-    * eagerly checkpointed so degrees, orientation and the wedge pass all
-    * read materialized blocks instead of re-running the dedup shuffle.
+    * reused three ways (degrees, orientation, the wedge pass): `eager =
+    * true` (the facade path) materializes via localCheckpoint so those
+    * passes read blocks instead of re-running the dedup shuffle; `eager
+    * = false` (the registry path) keeps the lazy cache() so plan
+    * CONSTRUCTION runs no Spark jobs — plan linting stays job-free (the
+    * shingleCorpusOf/bpeStats discipline, r16 advisor).
     * @return (node, degree, n_triangles, coeff_micro), deg >= 2 only */
-  private[graft] def clusteringOf(half0: DataFrame): DataFrame = {
-    val half = half0.localCheckpoint(true)
-    val deg = degrees(half).localCheckpoint(true)
-    val o = orient(half, deg).localCheckpoint(true)
+  private[graft] def clusteringOf(half0: DataFrame,
+      eager: Boolean = false): DataFrame = {
+    def pin(df: DataFrame) = if (eager) df.localCheckpoint(true) else df.cache()
+    val half = pin(half0)
+    val deg = pin(degrees(half))
+    val o = pin(orient(half, deg))
     val tri = orientedWedges(o)
       .join(o.as("e3"), col("e3.src") === col("y") && col("e3.dst") === col("z"))
       .select(col("x"), col("y"), col("z"))

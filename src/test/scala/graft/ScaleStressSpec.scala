@@ -236,6 +236,146 @@ class ScaleStressSpec extends SparkTestBase {
     }
   }
 
+  // ------------------------------------------------------------- 100x tier
+
+  private val enabled100 = sys.env.get("GRAFT_SCALE_STRESS_100").contains("1")
+
+  /** Sum shuffle read/write bytes across all tasks between reset()s —
+    * the "do the decision shuffles move digests or documents" evidence
+    * the 10x tier reports only indirectly through wall clock. */
+  private class ShuffleTally extends org.apache.spark.scheduler.SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def reset(): Unit = { read.set(0L); write.set(0L) }
+    def gib: (Double, Double) =
+      (read.get / (1024.0 * 1024 * 1024), write.get / (1024.0 * 1024 * 1024))
+  }
+
+  /** 100x leg (r16 task 3): the "100 TB-ready" claim for the two
+    * scale-critical families rested on 10x evidence — this tier runs
+    * dedup LSH and graph-ANN build+search on a 100x-exploded sf0.1
+    * corpus (500k docs / 200k vectors) measuring wall, driver heap,
+    * TOTAL SHUFFLE BYTES and recall. Gated separately
+    * (GRAFT_SCALE_STRESS_100=1): the run takes ~10-20 min at local[4].
+    *
+    * Corpus shape: NOT the 10x tier's verbatim-replica clique. 100
+    * identical copies per doc would make the LSH OUTPUT quadratic
+    * (C(100,2)=4950 pairs per doc — measuring the fixture, not the
+    * operator), so copies carry a per-(doc, decade) filler suffix of 50
+    * unique words: copies within a decade stay verbatim duplicates
+    * (cluster size 10 — 10x the base corpus's duplication), decades of
+    * the same doc drop to Jaccard ≈ 1/3 (near-dup band, mostly below
+    * threshold), unrelated docs share nothing. Embedding copies get a
+    * per-(copy, dim) deterministic jitter (±0.05) so the 100x vector
+    * corpus is 200k DISTINCT points — recall@10 becomes a real
+    * navigation question, not a 100-way tie-break lottery. */
+  test("sf0.1 exploded 100x: dedup LSH + graph-ANN hold wall/heap/shuffle/recall") {
+    assume(enabled100, "100x scale evidence; set GRAFT_SCALE_STRESS_100=1")
+    val dir = Files.createTempDirectory("graft-scale100")
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    try {
+      val Copies100 = 100
+      // documents: decade-tagged filler, unique per (base doc, decade)
+      Tables.t(spark, baseSf, "documents")
+        .withColumn("copy", explode(expr(s"sequence(0L, ${Copies100 - 1}L)")))
+        .withColumn("text", concat(col("text"), lit(" "),
+          expr("""concat_ws(' ', transform(sequence(1, 50),
+                    i -> concat('z', cast(doc_id as string), 'd',
+                                cast(copy div 10 as string),
+                                'w', cast(i as string))))""")))
+        .withColumn("doc_id", col("doc_id") + col("copy") * KeyOff)
+        .drop("copy").repartition(GenFiles)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // embeddings: deterministic per-(copy, dim) jitter, 101 prime so no
+      // two copies share an offset pattern
+      Tables.t(spark, baseSf, "embeddings")
+        .withColumn("copy", explode(expr(s"sequence(0L, ${Copies100 - 1}L)")))
+        .withColumn("embedding",
+          expr("transform(embedding, (x, i) -> cast(x + ((copy * 31 + i) % 101 - 50) / 1000.0 as float))"))
+        .withColumn("vec_id", col("vec_id") + col("copy") * KeyOff)
+        .drop("copy").repartition(GenFiles)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+      // ---- dedup LSH at 100x
+      tally.reset()
+      val (nPairs, tDedup, df, _) = run("dedup_minhash", dir.toString)
+      Thread.sleep(1000) // listener bus drain
+      val (rdG, wrG) = tally.gib
+      val heapDedup = usedHeapGiB()
+      val planStr = df.queryExecution.executedPlan.toString
+      assert(!planStr.contains("CartesianProduct"),
+        s"dedup_minhash plans a CartesianProduct at 100x:\n$planStr")
+      assert(nPairs > 0, "the planted duplicate clusters must pair")
+      assert(heapDedup < 8.0, f"driver heap $heapDedup%.1f GiB after dedup at 100x")
+      // the scale claim, now in bytes: banding moves DIGESTS, never the
+      // 100x text corpus — total shuffle write stays in single-digit GiB
+      // on a corpus whose all-pairs candidate volume would be petabyte-
+      // shaped (generous bound: candidates are still millions of rows)
+      assert(wrG < 8.0,
+        f"dedup shuffle write $wrG%.1f GiB at 100x — digests-only claim broken?")
+      info(f"dedup_minhash 100x (500k docs): pairs=$nPairs wall=$tDedup%.1f s " +
+        f"heap=$heapDedup%.1f GiB shuffle r/w=$rdG%.2f/$wrG%.2f GiB")
+      spark.sharedState.cacheManager.clearCache()
+
+      // ---- graph-ANN at 100x: build with nlist ~ sqrt(n) — the build is
+      // O(n²/nlist) inside clusters, so the production rule is "grow
+      // nlist with the corpus, keep cluster size constant"; hubs stay
+      // derived (clamp(sqrt(n)) = 448 here)
+      val corpus100 = Tables.t(spark, dir.toString, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val n100 = corpus100.count()
+      val queries = Tables.t(spark, baseSf, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id"), col("embedding"))
+      tally.reset()
+      val tB0 = System.nanoTime()
+      val idx = graft.api.SimilaritySearch.graphAnnBuild(spark, corpus100,
+        nlist = math.sqrt(n100.toDouble).toInt)
+      val tBuild = (System.nanoTime() - tB0) / 1e9
+      Thread.sleep(1000)
+      val (rdB, wrB) = tally.gib
+      val exact = graft.api.SimilaritySearch.topK(spark, corpus100, queries, k = 10)
+        .select(col("q_id"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      tally.reset()
+      val tS0 = System.nanoTime()
+      val ann = graft.api.SimilaritySearch
+        .graphAnnSearch(spark, idx, queries, k = 10)
+        .select(col("q_id"), col("vec_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val tSearch = (System.nanoTime() - tS0) / 1e9
+      Thread.sleep(1000)
+      val (rdS, wrS) = tally.gib
+      val recall = (exact intersect ann).size.toDouble / exact.size
+      val heapAnn = usedHeapGiB()
+      info(f"graph-ANN 100x (n=$n100, nlist=${math.sqrt(n100.toDouble).toInt}, " +
+        f"derived hubs=${graft.api.SimilaritySearch.derivedHubs(n100)}): " +
+        f"build=$tBuild%.1f s (shuffle w=$wrB%.2f GiB r=$rdB%.2f GiB), " +
+        f"search=$tSearch%.1f s (shuffle w=$wrS%.2f GiB), " +
+        f"recall@10=$recall%.3f, heap=$heapAnn%.1f GiB")
+      assert(heapAnn < 8.0, f"driver heap $heapAnn%.1f GiB after ANN at 100x")
+      assert(recall >= 0.8,
+        f"recall@10 $recall%.3f at production knobs on the 100x corpus — " +
+          f"rederive the knobs, don't loosen the assertion")
+      // serving must stay lookup-shaped as the corpus grows: the per-call
+      // shuffle volume is beam-state-sized, orders of magnitude under the
+      // build's (which carries the kNN construction)
+      assert(wrS < wrB / 4,
+        f"search shuffle ($wrS%.2f GiB) should be a small fraction of build ($wrB%.2f GiB)")
+    } finally {
+      spark.sparkContext.removeSparkListener(tally)
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
   test("skewed explode: hot keys survive — AQE skew-split kicks in, queries complete") {
     assume(enabled, "scale-stress evidence run; set GRAFT_SCALE_STRESS=1")
     val dir = Files.createTempDirectory("graft-skew")

@@ -99,6 +99,39 @@ class DegenerateInputsSpec extends SparkTestBase {
     assert(DedupAlgorithms.exactDuplicates(tiny).count() == 2)
   }
 
+  test("dedup/similarity: exact-pair facades refuse >guard-row corpora unless exact = true") {
+    // the O(n²)/exact-verify baselines throw a NAMED contract error above
+    // ExactPairsGuardRows — a skimmed signature must not be able to fire
+    // an all-pairs cross join on a billion-row frame
+    val big = spark.range(SimilaritySearch.ExactPairsGuardRows + 1)
+      .select(col("id"), concat(lit("doc text "), col("id")).as("text"))
+    val eJac = intercept[IllegalArgumentException] {
+      DedupAlgorithms.jaccardPairs(big)
+    }
+    assert(eJac.getMessage.contains("jaccardPairs") &&
+      eJac.getMessage.contains("exact = true"), eJac.getMessage)
+    val eCont = intercept[IllegalArgumentException] {
+      DedupAlgorithms.containmentPairs(big)
+    }
+    assert(eCont.getMessage.contains("containmentPairs"), eCont.getMessage)
+    val bigVec = spark.range(SimilaritySearch.ExactPairsGuardRows + 1)
+      .select(col("id"), array(lit(1f), lit(0f)).as("emb"))
+    val eNd = intercept[IllegalArgumentException] {
+      SimilaritySearch.nearDupPairs(spark, bigVec)
+    }
+    assert(eNd.getMessage.contains("nearDupPairs") &&
+      eNd.getMessage.contains("exact = true"), eNd.getMessage)
+    // exact = true acknowledges the cost: plan construction succeeds (we
+    // don't execute the quadratic plan here — the guard is the subject)
+    SimilaritySearch.nearDupPairs(spark, bigVec, exact = true)
+    // and jaccardPairs with exact = true runs end-to-end on the big frame
+    // (its candidate path is df-capped, so this is cheap): unique texts
+    // share no shingles => zero pairs, proving small-corpus semantics are
+    // untouched by the knob
+    assert(DedupAlgorithms.jaccardPairs(
+      big.limit(200), exact = true).count() == 0)
+  }
+
   // ------------------------------------------------------------------
   // SimilaritySearch
   // ------------------------------------------------------------------

@@ -498,6 +498,24 @@ class EventAnalyticsSpec extends SparkTestBase {
       EventAnalytics.abLift(
         Seq.empty[(Long, String, Boolean)].toDF("u", "arm", "won"), "c")
     }
+    // r16 advisor: a null `converted` must be a named error, not a silent
+    // non-conversion — sum() skipping nulls would bias the readout with
+    // no signal at all
+    val nullConv = intercept[IllegalArgumentException] {
+      EventAnalytics.abLift(
+        Seq((1L, "c", Some(true)), (2L, "t", None), (3L, "t", Some(false)))
+          .toDF("u", "arm", "won"), "c")
+    }
+    assert(nullConv.getMessage.contains("null or non-boolean converted"),
+      nullConv.getMessage)
+    // an unparseable string coerces to null through the boolean cast —
+    // same named error, not a silent skip
+    val badStr = intercept[IllegalArgumentException] {
+      EventAnalytics.powerAnalysis(
+        Seq((1L, "c", "yes!"), (2L, "t", "true")).toDF("u", "arm", "won"), "c")
+    }
+    assert(badStr.getMessage.contains("null or non-boolean converted"),
+      badStr.getMessage)
   }
 
   test("cupedReadout: perfect correlation saturates; independence reads zero with ESS 1x") {

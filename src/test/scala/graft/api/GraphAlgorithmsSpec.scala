@@ -139,6 +139,24 @@ class GraphAlgorithmsSpec extends SparkTestBase {
     }
   }
 
+  test("jaccardSimilarity: hub cap filters numerator AND denominator consistently") {
+    import spark.implicits._
+    // a and b share hub h (degree 4 > cap 2) and non-hub c (degree 2).
+    // Filtered neighborhoods at hubCap=2: N'(a) = N'(b) = {c}, so
+    // n_common = 1 and jaccard = 1/(1+1-1) = 1.0 exactly. The pre-r17
+    // form charged h's edges to the union but not the intersection
+    // (1/(2+2-1) = 333333) — the advisor's inconsistency, pinned fixed.
+    val g = Seq((10L, 1L), (10L, 2L), (10L, 8L), (10L, 9L), // hub 10, deg 4
+      (20L, 1L), (20L, 2L)).toDF("x", "y") // non-hub 20, deg 2
+    val rows = GraphAlgorithms.jaccardSimilarity(g, hubCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(rows.get((1L, 2L)).contains((1L, 1000000L)), s"$rows")
+    // a pair whose EVERY shared neighbor is a hub is absent (empty
+    // filtered intersection — documented, not a score of 0)
+    assert(!rows.contains((8L, 9L)), s"$rows")
+  }
+
   test("labelPropagation: seeds clamp, labels spread with min-label ties, unlabeled islands stay out") {
     import spark.implicits._
     // path 1-2-3-4-5 seeded at the ends, traced through the SYNCHRONOUS
@@ -180,5 +198,14 @@ class GraphAlgorithmsSpec extends SparkTestBase {
         Seq((1L, 10L), (1L, 20L)).toDF("n", "lab"))
     }
     assert(e.getMessage.contains("conflicting seed labels"), e.getMessage)
+    // a seeded node with NO edges still appears with its clamped label —
+    // the clamp contract covers it even though it can't propagate
+    // (r16 advisor: edge-derived node sets silently dropped it)
+    val isolated = GraphAlgorithms.labelPropagation(pairs,
+      Seq((1L, 10L), (5L, 20L), (77L, 30L)).toDF("n", "lab"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(isolated.get(77L).contains(30L),
+      s"edge-absent seed must keep its clamped label: $isolated")
+    assert(isolated - 77L == rows, s"other labels must be unchanged: $isolated")
   }
 }

@@ -64,6 +64,54 @@ class EventInsightsSpec extends SparkTestBase {
       s"$alerts")
   }
 
+  test("the live alert feed fires both families under chopped delivery") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // u2 clicks and never purchases (abandonment once the watermark
+    // clears the 5-min deadline); u7's value series level-shifts hard
+    // (quiet ~1.0 for 12 observations, then 100.0 — PH alarms at the
+    // jump); u1 completes click->purchase inside the window (no alert)
+    val quiet = (0 until 12).map(i => (100L + i, 7L, ts(i), "metric", 1.0))
+    val shifted = (0 until 6).map(i => (200L + i, 7L, ts(12 + i), "metric", 100.0))
+    val events: Seq[(Long, Long, Timestamp, String, Double)] =
+      Seq((1L, 1L, ts(0), "click", 1.0), (2L, 1L, ts(2), "purchase", 1.0),
+        (3L, 2L, ts(1), "click", 1.0)) ++ quiet ++ shifted ++
+        // late ticks push the watermark far past u2's 6-min deadline
+        Seq((300L, 9L, ts(60), "noise", 1.0), (301L, 9L, ts(90), "noise", 1.0))
+    val src = MemoryStream[(Long, Long, Timestamp, String, Double)]
+    val feed = EventInsights.liveAlerts(
+      src.toDF().toDF("id", "key", "at", "kind", "v")
+        .withWatermark("at", "1 minute"),
+      step2 = "click", step3 = "purchase", lambda = 20.0)
+    val q = feed.writeStream.outputMode("append")
+      .format("memory").queryName("ei_alerts").start()
+    try {
+      // chopped delivery: the timer-based abandonment path needs the
+      // watermark to ADVANCE across batches, so deliver in several chops
+      // (an extra empty pass lets pending event-time timers fire)
+      val chopRng = new scala.util.Random(19)
+      var rest = events
+      while (rest.nonEmpty) {
+        val k = 1 + chopRng.nextInt(6)
+        src.addData(rest.take(k)); rest = rest.drop(k)
+        q.processAllAvailable()
+      }
+      q.processAllAvailable()
+      val got = spark.table("ei_alerts").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got.contains(("abandoned_click", "2")),
+        s"u2's unanswered click must alert: $got")
+      assert(got.contains(("level_shift", "7")),
+        s"u7's planted jump must alarm: $got")
+      assert(!got.exists(_._2 == "1"),
+        s"u1 completed the funnel inside the window — no alert: $got")
+      // the feed carries timestamps and diagnostics, not bare flags
+      val lvl = spark.table("ei_alerts")
+        .filter(col("alert") === "level_shift").head()
+      assert(lvl.getTimestamp(2) != null && lvl.getString(3).startsWith("ph="))
+    } finally q.stop()
+  }
+
   test("the live leg matches the batch windowed counts after chopped delivery") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

@@ -492,6 +492,17 @@ class PlanInvariantsSpec extends SparkTestBase {
       val s = df.queryExecution.executedPlan.toString
       assert(!s.contains("CartesianProduct"),
         s"$name plans a CartesianProduct:\n$s")
+      // the title's third claim, now actually asserted (r16 advisor): the
+      // facades are UNORDERED — the oracle ORDER BY lives in the registry
+      // wrappers only, so no facade may inherit a global range-partition
+      // sort (its scaladoc promises "one keyed shuffle")
+      val globalSorts = df.queryExecution.optimizedPlan.collect {
+        case so: org.apache.spark.sql.catalyst.plans.logical.Sort
+            if so.global => so
+      }
+      assert(globalSorts.isEmpty,
+        s"$name plans a global sort — facades must stay unordered:\n" +
+          df.queryExecution.optimizedPlan)
     }
   }
 

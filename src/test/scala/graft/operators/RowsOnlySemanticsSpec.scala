@@ -11,6 +11,9 @@ import org.apache.spark.sql.functions._
 class RowsOnlySemanticsSpec extends SparkTestBase {
 
   test("ev_cep_sequence: chains are ordered, window-bounded and non-overlapping per key") {
+    // r17: this entry gained a recursive-CTE DuckDB oracle (no longer
+    // rows-only); the invariants stay pinned here as a semantic backstop
+    // the hash compare can't express.
     // the automaton's three invariants on the fixture corpus: every match
     // spans forward in time, fits the 24-hour window, and — greedy
     // non-overlapping restart — a key's next chain starts AT OR AFTER the

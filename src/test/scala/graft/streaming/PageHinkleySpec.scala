@@ -32,7 +32,7 @@ class PageHinkleySpec extends SparkTestBase {
           m = m + (v - mean - PageHinkley.Delta)
           mMin = math.min(mMin, m)
           val ph = m - mMin
-          PhOut(e.event_id, u, n, ph, ph > PageHinkley.Lambda)
+          PhOut(e.event_id, u, n, ph, ph > PageHinkley.Lambda, e.ts)
         }
       }
     }
