@@ -81,7 +81,8 @@ object EventAnalytics {
     * One shuffle (by key), one ordered window pass; no self-join.
     * @param events (id, key, ts, value) — any column names; null values
     *               are the gaps to fill
-    * @return (event_id, user_id, v, filled) ordered by event_id */
+    * @return (event_id, user_id, v, filled), unordered (the facades never
+    *         inherit the registry's oracle ORDER BY — sort at the edge) */
   def forwardFill(events: DataFrame): DataFrame =
     EventOps.forwardFillOn(
       fourCol(events, "(id, key, ts, value)")
@@ -127,7 +128,7 @@ object EventAnalytics {
     * the tiny stats table broadcasts back), so results are independent
     * of aggregation order. Constant groups (std = 0) are dropped.
     * @param events (id, group, value) — any column names
-    * @return (event_id, event_type, value_r, z) ordered by event_id */
+    * @return (event_id, event_type, value_r, z), unordered */
   def anomalyZScore(events: DataFrame, threshold: Double = 3.0): DataFrame = {
     require(threshold > 0, s"threshold must be positive, got $threshold")
     EventOps.anomalyZscoreOn(
@@ -213,7 +214,11 @@ object EventAnalytics {
     * secondary sort: one keyed shuffle, per-partition (key, ts) order,
     * one sequential pass with constant per-task state — a hot key costs
     * time, never executor memory. Keys are compared as strings (cast
-    * from any type).
+    * from any type). Equal-timestamp events SPLIT ACROSS micro-batches
+    * process in arrival order, which can differ from the batch leg's
+    * (ts, etype) tie-break — a chain-start decision on such a tie may
+    * differ between the legs (Cep.stepChain documents why); the batch
+    * leg is canonical for sub-timestamp-resolution bursts.
     * @param events (key, type, ts) — any column names
     * @return (key, start_ts, end_ts) one row per completed chain */
   def cepSequence(events: DataFrame, steps: Seq[String],

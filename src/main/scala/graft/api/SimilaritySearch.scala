@@ -24,6 +24,24 @@ object SimilaritySearch {
     math.min(4096L,
       math.max(64L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
 
+  /** Hop count [[graphAnnSearch]] derives for an n-vector index when the
+    * caller leaves `hops = 0`: clamp(bitLength(n) − 6, 5, 16), i.e.
+    * ~log₂(n) minus a constant. Hops — not beam width — is the recall
+    * lever as the corpus grows: the hub backbone lands a beam NEAR the
+    * target region in O(1) hops, but the remaining walk through the
+    * short-link (kNN) graph grows with log of the corpus, and a beam
+    * that stops walking early returns its best-so-far — measured at the
+    * r17 100x stress point (n = 200k): recall@10 was 0.725 at the old
+    * fixed hops = 5 and stayed 0.725 at beam 16 → 64, but recovered to
+    * 0.950 at hops = 8 and 1.000 at hops = 12 = the derived value.
+    * Exposed for specs (the derivation is part of the public contract).
+    * Each hop costs two key-lookup joins, so serving latency scales with
+    * the derived value — pin `hops` explicitly to trade recall for
+    * latency. */
+  private[graft] def derivedHops(n: Long): Int =
+    math.min(16, math.max(5,
+      (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) - 6))
+
   /** Exact cosine top-k per query (the correctness baseline every ANN
     * route is measured against). Scores round to 4 dp with id tie-breaks,
     * so ranking is deterministic at any parallelism.
@@ -115,7 +133,8 @@ object SimilaritySearch {
     * run zero edge-list shuffles); blocks are reclaimed when the index
     * is dereferenced. */
   final case class GraphAnnIndex private[api] (
-      adjacency: DataFrame, corpus: DataFrame, entries: DataFrame)
+      adjacency: DataFrame, corpus: DataFrame, entries: DataFrame,
+      n: Long)
 
   /** Build a navigable-small-world ANN index over an arbitrary
     * (id, embedding) corpus — the public twin of the registry's
@@ -247,7 +266,7 @@ object SimilaritySearch {
         .distinct().localCheckpoint(true)
       spark.createDataFrame(lc.rdd, lc.schema)
     }
-    GraphAnnIndex(adj, c, entries)
+    GraphAnnIndex(adj, c, entries, n)
   }
 
   /** Beam search over a [[graphAnnBuild]] index — identical loop to the
@@ -256,14 +275,23 @@ object SimilaritySearch {
     * queries × `beamWidth` rows regardless of corpus size; each hop is
     * two key-lookup joins against the checkpointed index and one
     * beam-sized window; the corpus is never shuffled. Recall follows the
-    * registry's measured (beam × links) sweep (ann_graph_param_sweep).
+    * registry's measured (beam × links) sweep (ann_graph_param_sweep) —
+    * and, as the corpus grows, the HOP count (see [[derivedHops]]): the
+    * r16 fixed hops = 5 held recall 1.000 at n = 20k but decayed to
+    * 0.725 at n = 200k, so `hops = 0` (the default) now derives
+    * clamp(log₂(n) − 6, 5, 16) from the index size recorded at build
+    * time, the probedSalt/derivedHubs discipline applied to the last
+    * fixed serving constant. Pass an explicit positive `hops` to pin it.
     * @return (q_id, vec_id, cos_sim, rank) top-k per query */
   def graphAnnSearch(spark: SparkSession, index: GraphAnnIndex,
       queries: DataFrame, k: Int = 10, beamWidth: Int = 16,
-      hops: Int = 5): DataFrame = {
+      hops: Int = 0): DataFrame = {
+    require(hops >= 0,
+      s"hops must be >= 1 (or 0 to derive from the index size), got $hops")
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    val nHops = if (hops == 0) derivedHops(index.n) else hops
     Similarity.beamOverAdj(spark, index.adjacency, index.corpus,
-      index.entries, named(queries, "q_id", "q_emb"), beamWidth, hops, k,
+      index.entries, named(queries, "q_id", "q_emb"), beamWidth, nHops, k,
       excludeSelf = false)
   }
 

@@ -119,6 +119,13 @@ object EventInsights {
   def liveAlerts(events: DataFrame, step2: String, step3: String,
       withinSeconds: Long = 300L, delta: Double = 0.005,
       lambda: Double = 50.0): DataFrame = {
+    // streaming only, by contract: on a bounded frame the absence
+    // detector's event-time timers never fire, so every abandonment whose
+    // deadline is proven only by the END of the log (not by a later
+    // event) would silently vanish — batch callers get the complete
+    // answer from analyze().alerts instead
+    require(events.isStreaming,
+      "liveAlerts needs a streaming frame — use analyze(...).alerts for bounded logs")
     val ev = events.toDF("event_id", "user_id", "ts", "event_type", "value")
     val spark = ev.sparkSession
     import spark.implicits._

@@ -87,13 +87,13 @@ object EventOps {
     * running `last(ignoreNulls)` frame — no self-join, no per-gap
     * subqueries. Shared by ev_forward_fill and
     * [[graft.api.EventAnalytics.forwardFill]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * @return (event_id, user_id, v, filled) ordered by event_id */
   private[graft] def forwardFillOn(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("filled", last(col("v"), ignoreNulls = true).over(w))
       .select(col("event_id"), col("user_id"), col("v"), col("filled"))
-      .orderBy(col("event_id"))
   }
 
   /** The per-key resample grid over a (user_id, ts_us, …) frame:
@@ -114,6 +114,7 @@ object EventOps {
     * same-instant events, so a reading AT the instant is picked up).
     * Shared by ev_resample_grid and
     * [[graft.api.EventAnalytics.resample]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * @return (user_id, grid_ts, v_filled) */
   private[graft] def resampleLocfOn(ev: DataFrame, step: Long): DataFrame = {
     val grid = resampleGridOf(ev, step)
@@ -130,7 +131,6 @@ object EventOps {
       .filter(col("is_grid") === 1)
       .select(col("user_id"),
         expr("timestamp_micros(ts_us)").as("grid_ts"), col("v_filled"))
-      .orderBy(col("user_id"), col("grid_ts"))
   }
 
   /** Linear-interpolation resample over a (user_id, ts_us, event_id, v)
@@ -142,6 +142,7 @@ object EventOps {
     * Null-valued observations do not anchor (their ts_ev is null, so
     * prev/next always pair ts and v from the SAME event). Shared by
     * ev_resample_interpolate and [[graft.api.EventAnalytics.resample]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * @return (user_id, grid_ts, v_interp, mode) */
   private[graft] def resampleLinearOn(ev: DataFrame, step: Long): DataFrame = {
     val grid = resampleGridOf(ev, step)
@@ -171,7 +172,6 @@ object EventOps {
                              / cast(next_ts - prev_ts as double)) end""")
           .as("v_interp"),
         expr("case when next_ts is null then 'hold' else 'interp' end").as("mode"))
-      .orderBy(col("user_id"), col("grid_ts"))
   }
 
   /** Calendar units date_trunc actually understands — anything else
@@ -187,6 +187,7 @@ object EventOps {
     * event_id) order — one ranked window per (user, window) partition, no
     * self-join. Shared by ev_rate_limit and
     * [[graft.api.EventAnalytics.rateLimit]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * @return (event_id, user_id, window_start) ordered by event_id */
   private[graft] def rateLimitOn(ev: DataFrame, maxPer: Int,
       unit: String): DataFrame = {
@@ -199,7 +200,6 @@ object EventOps {
           .orderBy(col("ts"), col("event_id"))))
       .filter(col("rn") <= maxPer)
       .select(col("event_id"), col("user_id"), col("window_start"))
-      .orderBy(col("event_id"))
   }
 
   /** Per-group z-score anomaly flagging over a (event_id, event_type,
@@ -209,6 +209,7 @@ object EventOps {
     * cannot move a bit; the stats table is tiny and broadcast back.
     * Constant groups (std = 0) are dropped — z would be 0/0. Shared by
     * ev_anomaly_zscore and [[graft.api.EventAnalytics.anomalyZScore]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * @return (event_id, event_type, value_r, z) ordered by event_id */
   private[graft] def anomalyZscoreOn(ev: DataFrame,
       threshold: Double): DataFrame = {
@@ -230,7 +231,6 @@ object EventOps {
       .filter(abs(col("z")) >= threshold)
       .select(col("event_id"), col("event_type"),
         expr("floor(value * 1e6 + 0.5) / 1e6").as("value_r"), col("z"))
-      .orderBy(col("event_id"))
   }
 
   /** Weekly cohort retention over a (user_id, ts) frame: users bucketed
@@ -238,6 +238,7 @@ object EventOps {
     * two aggregates and one join, all key-partitioned. Shared by
     * ev_cohort_retention and
     * [[graft.api.EventAnalytics.cohortRetention]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * @return (cohort_week, week_offset, n_users) */
   private[graft] def cohortRetentionOn(ev: DataFrame): DataFrame = {
     val firstSeen = ev.groupBy(col("user_id"))
@@ -250,7 +251,6 @@ object EventOps {
         (datediff(col("act_week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
-      .orderBy(col("cohort_week"), col("week_offset"))
   }
 
   /** Strict ordered 3-step funnel over a (user_id, event_type, ts)
@@ -259,6 +259,7 @@ object EventOps {
     * minimums in ONE keyed pass — no self-joins; rates are non-negative
     * integer micro-divs with nullif guards. Shared by ev_funnel_steps and
     * [[graft.api.EventAnalytics.funnelSteps]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * @return (step, gate, n_users, conv_step_micro, conv_total_micro) */
   private[graft] def funnelStepsOn(ev: DataFrame,
       s1: String, s2: String, s3: String): DataFrame = {
@@ -289,7 +290,6 @@ object EventOps {
         row(1, s1, "u1", lit(1000000L), lit(1000000L)),
         row(2, s"${s2}_after_$s1", "u2", col("c2"), col("c2")),
         row(3, s"${s3}_after_$s2", "u3", col("c3s"), col("c3t")))))
-      .orderBy(col("step"))
   }
 
   /** Tumbling event-time window aggregate (size == step,
@@ -499,7 +499,8 @@ object EventOps {
   val cohortRetention = GraftQuery(
     "ev_cohort_retention",
     (s, dir) => cohortRetentionOn(
-      t(s, dir, "events").select(col("user_id"), col("ts"))),
+      t(s, dir, "events").select(col("user_id"), col("ts")))
+      .orderBy(col("cohort_week"), col("week_offset")),
     Some("""WITH first_seen AS (
               SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
               FROM events GROUP BY user_id),
@@ -523,7 +524,7 @@ object EventOps {
     "ev_anomaly_zscore",
     (s, dir) => anomalyZscoreOn(
       t(s, dir, "events").select(col("event_id"), col("event_type"), col("value")),
-      threshold = 3.0),
+      threshold = 3.0).orderBy(col("event_id")),
     Some("""WITH v AS (SELECT event_id, event_type, value,
                          CAST(floor(value * 1e6 + 0.5) AS HUGEINT) AS v6
                        FROM events),
@@ -705,7 +706,8 @@ object EventOps {
       t(s, dir, "events")
         .withColumn("v",
           when(col("event_type") === "error", lit(null)).otherwise(col("value")))
-        .select(col("event_id"), col("user_id"), col("ts"), col("v"))),
+        .select(col("event_id"), col("user_id"), col("ts"), col("v")))
+      .orderBy(col("event_id")),
     Some("""SELECT event_id, user_id, v,
               last_value(v IGNORE NULLS) OVER (
                 PARTITION BY user_id ORDER BY ts, event_id
@@ -717,6 +719,7 @@ object EventOps {
 
   /** The transition-count core over any (user_id, ts, event_id,
     * event_type) frame — shared by ev_transition_matrix and
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * [[graft.api.EventAnalytics.transitionMatrix]]. */
   private[graft] def transitionMatrixOn(ev: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -725,7 +728,6 @@ object EventOps {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("event_type"), col("next_type"))
   }
 
   /** EVENT-TYPE TRANSITION MATRIX: count (state -> next state) hops per
@@ -734,7 +736,8 @@ object EventOps {
     * a partial-aggregated count into at most |types|^2 groups. */
   val transitionMatrix = GraftQuery(
     "ev_transition_matrix",
-    (s, dir) => transitionMatrixOn(t(s, dir, "events")),
+    (s, dir) => transitionMatrixOn(t(s, dir, "events"))
+      .orderBy(col("event_type"), col("next_type")),
     Some("""SELECT event_type, next_type, count(*) AS n
             FROM (SELECT user_id, event_type,
                     lead(event_type, 1) OVER (
@@ -821,7 +824,8 @@ object EventOps {
       t(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("value").as("v")),
-      21600000000L), // 6 h in microseconds
+      21600000000L) // 6 h in microseconds
+      .orderBy(col("user_id"), col("grid_ts")),
     Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value AS v
                         FROM events),
             b AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
@@ -854,7 +858,7 @@ object EventOps {
     "ev_rate_limit",
     (s, dir) => rateLimitOn(
       t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
-      maxPer = 2, unit = "day"),
+      maxPer = 2, unit = "day").orderBy(col("event_id")),
     Some("""WITH r AS (
               SELECT event_id, user_id,
                 CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
@@ -996,7 +1000,8 @@ object EventOps {
       t(s, dir, "events")
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), col("value").as("v")),
-      21600000000L), // 6 h in microseconds
+      21600000000L) // 6 h in microseconds
+      .orderBy(col("user_id"), col("grid_ts")),
     Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value AS v
                         FROM events),
             b AS (SELECT user_id, min(ts_us) AS mn, max(ts_us) AS mx
@@ -1316,7 +1321,7 @@ object EventOps {
     "ev_funnel_steps",
     (s, dir) => funnelStepsOn(
       t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts")),
-      "view", "click", "purchase"),
+      "view", "click", "purchase").orderBy(col("step")),
     Some("""WITH e1 AS (
               SELECT user_id, event_type, ts,
                 min(CASE WHEN event_type = 'view' THEN ts END)
@@ -2500,6 +2505,7 @@ object EventOps {
 
   /** The first-touch core over any (user_id, ts, event_id, event_type)
     * frame and conversion type — shared by ev_first_touch_attribution and
+    * Unordered — the registry wrapper appends its oracle ORDER BY.
     * [[graft.api.EventAnalytics.firstTouchAttribution]]. */
   private[graft] def firstTouchOn(ev: DataFrame, conversion: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
@@ -2520,7 +2526,6 @@ object EventOps {
     attr.crossJoin(tot)
       .select(col("first_touch"), col("n_users"), col("n_purchases"),
         expr("cast(n_purchases * 1000000 div tot as bigint)").as("share_micro"))
-      .orderBy(col("first_touch"))
   }
 
   /** FIRST-TOUCH ATTRIBUTION: every purchase credits the event type of its
@@ -2532,7 +2537,8 @@ object EventOps {
     * integer-scaled. */
   lazy val firstTouch = GraftQuery(
     "ev_first_touch_attribution",
-    (s, dir) => firstTouchOn(t(s, dir, "events"), "purchase"),
+    (s, dir) => firstTouchOn(t(s, dir, "events"), "purchase")
+      .orderBy(col("first_touch")),
     Some("""WITH fe AS (
               SELECT user_id, event_type AS first_touch FROM (
                 SELECT user_id, event_type,

@@ -910,7 +910,12 @@ object Similarity {
   /** Beam width, hop count and entry-point count for [[annGraphTopK]] —
     * the three knobs of graph-ANN serving (HNSW's ef/efConstruction
     * analog). Fixed and oracle-mirrored so the unrolled search is
-    * deterministic. */
+    * deterministic. BeamHops = 5 EQUALS the public facade's size-derived
+    * value (SimilaritySearch.derivedHops: clamp(log₂(n) − 6, 5, 16)) at
+    * every test SF (≤ 2k vectors ⇒ floor 5), so the registry constant is
+    * the derivation evaluated at its own scale, not a divergent policy —
+    * the facade derives because the r17 100x stress point measured hop
+    * count (not beam width) as the recall lever on growing corpora. */
   private val BeamWidth = 16
   private val BeamHops = 5
   private val BeamEntries = 8
@@ -1219,8 +1224,18 @@ object Similarity {
   private[graft] def beamOverAdj(s: SparkSession, adj: DataFrame,
       e: DataFrame, ent: DataFrame, q: DataFrame, beamWidth: Int,
       hops: Int, k: Int, excludeSelf: Boolean): DataFrame = {
-    def score(cands: DataFrame): DataFrame = cands
-      .join(e, "vec_id")
+    // the BEAM side broadcasts in every per-hop join (it is queries ×
+    // beamWidth × links rows at most), so the corpus and the adjacency
+    // are only ever SCANNED map-side — never shuffled. Without the hint,
+    // both sides are checkpointed RDD relations with no stats and Spark
+    // picks a sort-merge join that re-shuffles the whole edge list EVERY
+    // hop: invisible at 10x, but the r17 100x shuffle tally measured
+    // 0.88 GiB of search-time shuffle (12 hops × the 200k-corpus
+    // adjacency) against a 0.39 GiB build — at a petabyte corpus that
+    // per-hop reshuffle IS the serving cost, and the scaladoc's "both
+    // broadcast-able" claim was aspirational until this hint.
+    def score(cands: DataFrame): DataFrame = e
+      .join(broadcast(cands), "vec_id")
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("vec_id"),
         round(cosine(s, "embedding", "q_emb"), 4).as("cos_sim"))
@@ -1243,8 +1258,9 @@ object Similarity {
     }
     var beam = prune(score(q.select(col("q_id")).crossJoin(ent)))
     (1 to hops).foreach { _ =>
-      val nbrs = beam.select(col("q_id"), col("vec_id").as("vec_a"))
-        .join(adj, "vec_a")
+      val nbrs = adj
+        .join(broadcast(beam.select(col("q_id"), col("vec_id").as("vec_a"))),
+          "vec_a")
         .select(col("q_id"), col("vec_b").as("vec_id")).distinct()
       beam = prune(score(nbrs).union(beam).distinct())
     }

@@ -98,7 +98,21 @@ object Cep {
     * steps, chain start, last step ts) state by a single event, emitting
     * a match (and restarting — greedy earliest-start, non-overlapping)
     * when the full chain completes inside `withinUs` of its first step.
-    * An event completes at most one chain, so the output is an Option. */
+    * An event completes at most one chain, so the output is an Option.
+    *
+    * EQUAL-TIMESTAMP TIE CAVEAT (found live by CepPropertySpec's r17
+    * seed): the batch leg canonicalizes equal-ts events by (ts, etype);
+    * a STREAM can deliver two equal-ts events in different micro-batches
+    * in either order, and a single-pass automaton cannot reorder state
+    * already advanced — so a chain whose START hinges on which tied
+    * event processes first may differ between the legs (mid-chain
+    * advances are immune: `ts > tPrev` is strict, so a tied event never
+    * advances a chain). Exact cross-leg tie parity would require
+    * buffering events in state until the watermark passes their
+    * timestamp — latency the detector deliberately does not spend. The
+    * pair/absence detectors have no such transition (all strict
+    * inequalities). Corpora with sub-timestamp-resolution bursts should
+    * treat the batch leg as canonical. */
   private[streaming] def stepChain(steps: Seq[String], withinUs: Long,
       key: String, ev: CepEvent, state: (Int, Long, Long))
       : (Option[SeqMatch], (Int, Long, Long)) = {

@@ -160,6 +160,30 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(SimilaritySearch.rangeSearch(spark, c, q, 1.01).count() == 0)
   }
 
+  test("graphAnn hop derivation: hops=0 walks clamp(log2(n) - 6, 5, 16) steps") {
+    // r17: the 100x stress point measured recall 0.725 at the old fixed
+    // hops = 5 (beam 16 -> 64 changed nothing; hops 12 restored 1.000),
+    // so the hop count joined hubs as a derived knob. The derivation
+    // function IS the contract.
+    assert(SimilaritySearch.derivedHops(1L) == 5, "tiny corpora keep the floor")
+    assert(SimilaritySearch.derivedHops(1024L) == 5) // bitLength 11 - 6 = 5
+    assert(SimilaritySearch.derivedHops(2048L) == 6) // first step above the floor
+    assert(SimilaritySearch.derivedHops(20000L) == 9)
+    assert(SimilaritySearch.derivedHops(200000L) == 12,
+      "the measured 100x recovery point")
+    assert(SimilaritySearch.derivedHops(100000000L) == 16,
+      "the 16 cap bounds serving latency (each hop = two key lookups)")
+    // the index records its build-time size; the facade derives from it
+    val idx0 = SimilaritySearch.graphAnnBuild(
+      spark, { import spark.implicits._; corpus().toDF("id", "vec") }, nlist = 2)
+    assert(idx0.n == corpus().size.toLong)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.graphAnnSearch(spark, idx0,
+        { import spark.implicits._
+          Seq((0L, Seq(1f, 0f, 0f, 0f))).toDF("qid", "qvec") }, hops = -1)
+    }
+  }
+
   test("graphAnn hub derivation: hubs=0 sizes the backbone as clamp(ceil(sqrt(n)), 64, 4096)") {
     import spark.implicits._
     // the derivation function IS the contract (r15 task: the probedSalt

@@ -110,6 +110,13 @@ class EventInsightsSpec extends SparkTestBase {
         .filter(col("alert") === "level_shift").head()
       assert(lvl.getTimestamp(2) != null && lvl.getString(3).startsWith("ph="))
     } finally q.stop()
+    // bounded frames are a named contract error (their timer-proven
+    // abandonments would silently vanish; analyze().alerts is the batch route)
+    val e = intercept[IllegalArgumentException] {
+      EventInsights.liveAlerts(
+        events.toDF("id", "key", "at", "kind", "v"), "click", "purchase")
+    }
+    assert(e.getMessage.contains("streaming"), e.getMessage)
   }
 
   test("the live leg matches the batch windowed counts after chopped delivery") {

@@ -464,7 +464,7 @@ class PlanInvariantsSpec extends SparkTestBase {
       "a pinned salt > 1 must replicate the build side")
   }
 
-  test("r16 alerting/experimentation facades: every window is keyed, no cartesian, no global sort") {
+  test("event facade family: every window is keyed, no cartesian, no global sort") {
     // the new facade functions inherit the registry cores' scale shapes;
     // pin them on user frames so a facade-side regression (a lost
     // partitionBy in a rename, a join key dropped by toDF) fails here
@@ -485,7 +485,24 @@ class PlanInvariantsSpec extends SparkTestBase {
       "scd2History" -> graft.api.EventAnalytics.scd2History(
         ev4.select(col("k"), col("at"), col("id"), lit("s").as("st"))),
       "ltvCohort" -> graft.api.EventAnalytics.ltvCohort(
-        ev3.select(col("k"), col("at"), lit(1.0).as("v"))))
+        ev3.select(col("k"), col("at"), lit(1.0).as("v"))),
+      // r17: the unordered-facade contract extended to the WHOLE event
+      // family — these cores used to end in the registry's oracle ORDER
+      // BY, a corpus-sized range-partition sort no facade caller asked for
+      "forwardFill" -> graft.api.EventAnalytics.forwardFill(ev4),
+      "resampleLocf" -> graft.api.EventAnalytics.resample(ev4),
+      "resampleLinear" -> graft.api.EventAnalytics.resample(ev4, linear = true),
+      "rateLimit" -> graft.api.EventAnalytics.rateLimit(
+        ev4.select(col("id"), col("k"), col("at"))),
+      "anomalyZScore" -> graft.api.EventAnalytics.anomalyZScore(
+        ev4.select(col("id"), lit("g").as("g"), col("v"))),
+      "cohortRetention" -> graft.api.EventAnalytics.cohortRetention(
+        ev3.select(col("k"), col("at"))),
+      "funnelSteps" -> graft.api.EventAnalytics.funnelSteps(ev3, "a", "b", "c"),
+      "transitionMatrix" -> graft.api.EventAnalytics.transitionMatrix(
+        ev4.select(col("id"), col("k"), col("at"), lit("t").as("ty"))),
+      "firstTouch" -> graft.api.EventAnalytics.firstTouchAttribution(
+        ev4.select(col("id"), col("k"), col("at"), lit("t").as("ty")), "t"))
     for ((name, df) <- frames) {
       assert(emptyPartitionWindows(df).isEmpty,
         s"$name declares an unpartitioned window")
