@@ -287,13 +287,33 @@ object SimilaritySearch {
       queries: DataFrame, k: Int = 10, beamWidth: Int = 16,
       hops: Int = 0): DataFrame = {
     require(hops >= 0,
-      s"hops must be >= 1 (or 0 to derive from the index size), got $hops")
+      s"hops must be >= 0 (0 — the default — derives from the index size, " +
+        s"the graphAnnBuild hubs=0 convention), got $hops")
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    // the beam side broadcasts every hop (that is WHY search shuffles
+    // zero bytes — see Similarity.beamOverAdj), so the query batch must
+    // stay broadcast-sized: queries × beamWidth rows per hop. Refuse a
+    // batch that would blow the broadcast limit with a named contract
+    // error instead of Spark's opaque 8 GB abort — serving is batched by
+    // nature; chunk the query frame and union the results.
+    val nQ = queries.limit(MaxSearchQueries + 1).count()
+    require(nQ <= MaxSearchQueries,
+      s"graphAnnSearch got > $MaxSearchQueries queries in one batch — the " +
+        s"beam broadcasts per hop, so chunk the query frame (e.g. by " +
+        s"pmod(hash(id), ceil(n/$MaxSearchQueries))) and union the results")
     val nHops = if (hops == 0) derivedHops(index.n) else hops
     Similarity.beamOverAdj(spark, index.adjacency, index.corpus,
       index.entries, named(queries, "q_id", "q_emb"), beamWidth, nHops, k,
       excludeSelf = false)
   }
+
+  /** Per-call query-batch ceiling for [[graphAnnSearch]]: the beam
+    * (queries × beamWidth rows, each ~tens of bytes) broadcasts at every
+    * hop, so 2¹⁸ queries × beam 16 ≈ 4M rows ≈ low hundreds of MB —
+    * comfortably inside Spark's broadcast limit with headroom for wide
+    * ids. Larger workloads chunk the query frame; each chunk reuses the
+    * same built index. */
+  val MaxSearchQueries: Int = 262144
 
   /** PRODUCT-QUANTIZATION asymmetric-distance top-k (the ADC of Jégou et
     * al. 2011) over arbitrary frames — the compression route: the corpus
@@ -424,17 +444,20 @@ object SimilaritySearch {
     * the verification-slice sizes these baselines exist for. */
   val ExactPairsGuardRows: Long = 100000L
 
-  /** Shared guard for the exact/all-pairs correctness baselines: count
-    * the frame (cheap — one column, no shuffle) and refuse with a named
-    * contract error when it exceeds [[ExactPairsGuardRows]] and the
-    * caller did not pass `exact = true`, naming the scale route to use
-    * instead. */
+  /** Shared guard for the exact/all-pairs correctness baselines: refuse
+    * with a named contract error when the frame exceeds
+    * [[ExactPairsGuardRows]] rows and the caller did not pass
+    * `exact = true`, naming the scale route to use instead. The probe is
+    * a LIMIT-bounded count — `df.limit(guard + 1).count()` reads at most
+    * guard + 1 rows and makes the identical accept/refuse decision, where
+    * a bare count() would itself execute the full upstream plan of the
+    * billion-row frame the guard exists to protect against (r17 review). */
   private[api] def guardExactPairs(fn: String, df: DataFrame,
       exact: Boolean, scaleRoute: String): Unit =
     if (!exact) {
-      val n = df.count()
+      val n = df.limit(ExactPairsGuardRows.toInt + 1).count()
       require(n <= ExactPairsGuardRows,
-        s"$fn: corpus has $n rows > $ExactPairsGuardRows — this is the " +
+        s"$fn: corpus has > $ExactPairsGuardRows rows — this is the " +
         s"exact-pairs correctness baseline (quadratic in the corpus); at " +
         s"this size use $scaleRoute, or pass exact = true to run it anyway")
     }

@@ -111,8 +111,10 @@ object EventInsights {
     * flatMapGroupsWithState over the same keyed shuffle family, so the
     * union is one watermarked query.
     * @param events streaming (id, key, ts, type, value) frame — any
-    *               column names, positional convention; `ts` must carry
-    *               an event-time watermark (withWatermark upstream)
+    *               column names, positional convention; id and key must
+    *               be INTEGRAL (the drift detector's state row is keyed
+    *               by longs — named contract error otherwise); `ts` must
+    *               carry an event-time watermark (withWatermark upstream)
     * @param step2/step3 abandonment pattern: a `step2` never answered by
     *               a `step3` within `withinSeconds`
     * @return streaming append feed (alert, key, at_ts, info) */
@@ -127,6 +129,17 @@ object EventInsights {
     require(events.isStreaming,
       "liveAlerts needs a streaming frame — use analyze(...).alerts for bounded logs")
     val ev = events.toDF("event_id", "user_id", "ts", "event_type", "value")
+    // the Page-Hinkley leg's state row is (long, long, ts, double), so id
+    // and key must be integral — fail with a named contract error here
+    // (the EventAnalytics.pageHinkley discipline) instead of a blind
+    // cast("long") that nulls a string key and kills the query at runtime
+    // with Spark's opaque non-nullable-field error (r17 review)
+    for (c <- Seq("event_id", "user_id")) {
+      val t = ev.schema(c).dataType.typeName
+      require(Seq("byte", "short", "integer", "long").contains(t),
+        s"liveAlerts needs an integral $c (the drift detector's state row " +
+          s"is keyed by longs), got $t")
+    }
     val spark = ev.sparkSession
     import spark.implicits._
     val abandoned = graft.streaming.Cep.detectAbsence(

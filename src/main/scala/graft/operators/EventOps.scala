@@ -88,7 +88,7 @@ object EventOps {
     * subqueries. Shared by ev_forward_fill and
     * [[graft.api.EventAnalytics.forwardFill]].
     * Unordered — the registry wrapper appends its oracle ORDER BY.
-    * @return (event_id, user_id, v, filled) ordered by event_id */
+    * @return (event_id, user_id, v, filled) */
   private[graft] def forwardFillOn(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -188,7 +188,7 @@ object EventOps {
     * self-join. Shared by ev_rate_limit and
     * [[graft.api.EventAnalytics.rateLimit]].
     * Unordered — the registry wrapper appends its oracle ORDER BY.
-    * @return (event_id, user_id, window_start) ordered by event_id */
+    * @return (event_id, user_id, window_start) */
   private[graft] def rateLimitOn(ev: DataFrame, maxPer: Int,
       unit: String): DataFrame = {
     require(TruncUnits(unit.toLowerCase),
@@ -210,7 +210,7 @@ object EventOps {
     * Constant groups (std = 0) are dropped — z would be 0/0. Shared by
     * ev_anomaly_zscore and [[graft.api.EventAnalytics.anomalyZScore]].
     * Unordered — the registry wrapper appends its oracle ORDER BY.
-    * @return (event_id, event_type, value_r, z) ordered by event_id */
+    * @return (event_id, event_type, value_r, z) */
   private[graft] def anomalyZscoreOn(ev: DataFrame,
       threshold: Double): DataFrame = {
     val v6 = ev.withColumn("v6",
@@ -719,8 +719,8 @@ object EventOps {
 
   /** The transition-count core over any (user_id, ts, event_id,
     * event_type) frame — shared by ev_transition_matrix and
-    * Unordered — the registry wrapper appends its oracle ORDER BY.
-    * [[graft.api.EventAnalytics.transitionMatrix]]. */
+    * [[graft.api.EventAnalytics.transitionMatrix]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY. */
   private[graft] def transitionMatrixOn(ev: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -2505,8 +2505,8 @@ object EventOps {
 
   /** The first-touch core over any (user_id, ts, event_id, event_type)
     * frame and conversion type — shared by ev_first_touch_attribution and
-    * Unordered — the registry wrapper appends its oracle ORDER BY.
-    * [[graft.api.EventAnalytics.firstTouchAttribution]]. */
+    * [[graft.api.EventAnalytics.firstTouchAttribution]].
+    * Unordered — the registry wrapper appends its oracle ORDER BY. */
   private[graft] def firstTouchOn(ev: DataFrame, conversion: String): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("us"), col("event_id"))

@@ -182,6 +182,15 @@ class SimilaritySearchSpec extends SparkTestBase {
         { import spark.implicits._
           Seq((0L, Seq(1f, 0f, 0f, 0f))).toDF("qid", "qvec") }, hops = -1)
     }
+    // the beam broadcasts per hop, so an over-sized query BATCH is a
+    // named contract error (chunk-and-union), not Spark's opaque 8 GB
+    // broadcast abort — the guard counts via limit(), so this is cheap
+    val bigQ = spark.range(SimilaritySearch.MaxSearchQueries + 1L)
+      .selectExpr("id", "array(1.0f, 0.0f, 0.0f, 0.0f) as q")
+    val eBatch = intercept[IllegalArgumentException] {
+      SimilaritySearch.graphAnnSearch(spark, idx0, bigQ)
+    }
+    assert(eBatch.getMessage.contains("chunk the query frame"), eBatch.getMessage)
   }
 
   test("graphAnn hub derivation: hubs=0 sizes the backbone as clamp(ceil(sqrt(n)), 64, 4096)") {

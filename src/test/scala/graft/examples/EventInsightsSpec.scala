@@ -117,6 +117,15 @@ class EventInsightsSpec extends SparkTestBase {
         events.toDF("id", "key", "at", "kind", "v"), "click", "purchase")
     }
     assert(e.getMessage.contains("streaming"), e.getMessage)
+    // a string key is a named contract error, not a blind cast("long")
+    // that nulls the key and kills the query at runtime (r17 review)
+    val strSrc = MemoryStream[(Long, String, Timestamp, String, Double)]
+    val eKey = intercept[IllegalArgumentException] {
+      EventInsights.liveAlerts(
+        strSrc.toDF().toDF("id", "key", "at", "kind", "v")
+          .withWatermark("at", "1 minute"), "click", "purchase")
+    }
+    assert(eKey.getMessage.contains("integral"), eKey.getMessage)
   }
 
   test("the live leg matches the batch windowed counts after chopped delivery") {
