@@ -302,9 +302,15 @@ object SimilaritySearch {
         s"beam broadcasts per hop, so chunk the query frame (e.g. by " +
         s"pmod(hash(id), ceil(n/$MaxSearchQueries))) and union the results")
     val nHops = if (hops == 0) derivedHops(index.n) else hops
+    // join strategy from the build-time corpus size: a small index keeps
+    // Spark's own unhinted plan (measured fastest at test scale); past
+    // the threshold the per-hop BEAM side is forced broadcast (the only
+    // shape that survives a corpus-sized edge list — unhinted re-shuffles
+    // the whole adjacency every hop) — see Similarity.beamOverAdj for the
+    // measured story
     Similarity.beamOverAdj(spark, index.adjacency, index.corpus,
       index.entries, named(queries, "q_id", "q_emb"), beamWidth, nHops, k,
-      excludeSelf = false)
+      excludeSelf = false, smallIndex = index.n <= SmallIndexMaxRows)
   }
 
   /** Per-call query-batch ceiling for [[graphAnnSearch]]: the beam
@@ -314,6 +320,15 @@ object SimilaritySearch {
     * ids. Larger workloads chunk the query frame; each chunk reuses the
     * same built index. */
   val MaxSearchQueries: Int = 262144
+
+  /** Corpus-size threshold below which [[graphAnnSearch]] keeps Spark's
+    * unhinted join plan (measured fastest at test scale — hints only
+    * subtract there). Above it, the per-hop re-shuffle of the n × 14-row
+    * adjacency that the unhinted plan chooses becomes the serving cost
+    * (measured: 0.88 GiB at n = 200k), so the beam side is forced
+    * broadcast instead. 2¹⁶ keeps the unhinted plan's worst case at
+    * ~14 MB of adjacency per hop. */
+  val SmallIndexMaxRows: Long = 65536L
 
   /** PRODUCT-QUANTIZATION asymmetric-distance top-k (the ADC of Jégou et
     * al. 2011) over arbitrary frames — the compression route: the corpus

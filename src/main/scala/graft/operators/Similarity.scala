@@ -1223,19 +1223,29 @@ object Similarity {
     * window, corpus never shuffled. */
   private[graft] def beamOverAdj(s: SparkSession, adj: DataFrame,
       e: DataFrame, ent: DataFrame, q: DataFrame, beamWidth: Int,
-      hops: Int, k: Int, excludeSelf: Boolean): DataFrame = {
-    // the BEAM side broadcasts in every per-hop join (it is queries ×
-    // beamWidth × links rows at most), so the corpus and the adjacency
-    // are only ever SCANNED map-side — never shuffled. Without the hint,
-    // both sides are checkpointed RDD relations with no stats and Spark
-    // picks a sort-merge join that re-shuffles the whole edge list EVERY
-    // hop: invisible at 10x, but the r17 100x shuffle tally measured
-    // 0.88 GiB of search-time shuffle (12 hops × the 200k-corpus
-    // adjacency) against a 0.39 GiB build — at a petabyte corpus that
-    // per-hop reshuffle IS the serving cost, and the scaladoc's "both
-    // broadcast-able" claim was aspirational until this hint.
-    def score(cands: DataFrame): DataFrame = e
-      .join(broadcast(cands), "vec_id")
+      hops: Int, k: Int, excludeSelf: Boolean,
+      smallIndex: Boolean = true): DataFrame = {
+    // Join strategy is SIZE-AWARE (r17, measured three ways). At TEST
+    // scale Spark's own unhinted choice is best — hints only subtract:
+    // forcing the beam side everywhere doubled the bench-scale
+    // ann_graph_topk wall (1.9 s → 4.2 s at sf0.1: the beam DIFFERS per
+    // hop, so every hop pays a fresh broadcast round-trip that the
+    // unhinted plan never pays), and forcing the adjacency/corpus side
+    // still read +0.5 s vs unhinted on an A/B of the two binaries. But
+    // UNHINTED collapses at scale: both sides are checkpointed RDD
+    // relations with no stats, Spark sort-merges, and the whole edge
+    // list re-shuffles EVERY hop — invisible at 10x, but the 100x
+    // shuffle tally measured 0.88 GiB of search-time shuffle (12 hops ×
+    // the 200k-corpus adjacency) against a 0.39 GiB build; at a petabyte
+    // corpus that per-hop reshuffle IS the serving cost. So `smallIndex`
+    // (decided by callers from the build-time n) keeps Spark's unhinted
+    // choice, and a large index forces the per-hop BEAM broadcast
+    // (queries × beamWidth × links rows — fixed per-hop latency, zero
+    // corpus movement, the only shape that survives a corpus-sized edge
+    // list). Both routes return identical rows (spec-pinned).
+    def score(cands: DataFrame): DataFrame =
+      (if (smallIndex) cands.join(e, "vec_id")
+       else e.join(broadcast(cands), "vec_id"))
       .join(broadcast(q), "q_id")
       .select(col("q_id"), col("vec_id"),
         round(cosine(s, "embedding", "q_emb"), 4).as("cos_sim"))
@@ -1258,9 +1268,10 @@ object Similarity {
     }
     var beam = prune(score(q.select(col("q_id")).crossJoin(ent)))
     (1 to hops).foreach { _ =>
-      val nbrs = adj
-        .join(broadcast(beam.select(col("q_id"), col("vec_id").as("vec_a"))),
-          "vec_a")
+      val beamKeys = beam.select(col("q_id"), col("vec_id").as("vec_a"))
+      val nbrs =
+        (if (smallIndex) beamKeys.join(adj, "vec_a")
+         else adj.join(broadcast(beamKeys), "vec_a"))
         .select(col("q_id"), col("vec_b").as("vec_id")).distinct()
       beam = prune(score(nbrs).union(beam).distinct())
     }

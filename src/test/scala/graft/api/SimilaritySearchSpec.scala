@@ -193,6 +193,24 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(eBatch.getMessage.contains("chunk the query frame"), eBatch.getMessage)
   }
 
+  test("graphAnn broadcast routes: small-index and large-index plans return identical rows") {
+    import spark.implicits._
+    // the size-aware hint (broadcast the reusable index side below
+    // SmallIndexMaxRows, the per-hop beam above) is a PLAN choice only —
+    // both routes must emit the same (q_id, vec_id, cos_sim, rank) set
+    val c = corpus().toDF("id", "vec")
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("qid", "qvec")
+    val idx = SimilaritySearch.graphAnnBuild(spark, c, nlist = 2)
+    def run(small: Boolean) = graft.operators.Similarity.beamOverAdj(
+        spark, idx.adjacency, idx.corpus, idx.entries,
+        q.toDF("q_id", "q_emb"), beamWidth = 16,
+        hops = 5, k = 5, excludeSelf = false, smallIndex = small)
+      .collect().map(_.toSeq).toSet
+    assert(run(small = true) == run(small = false),
+      "broadcast direction changed the result set")
+  }
+
   test("graphAnn hub derivation: hubs=0 sizes the backbone as clamp(ceil(sqrt(n)), 64, 4096)") {
     import spark.implicits._
     // the derivation function IS the contract (r15 task: the probedSalt
