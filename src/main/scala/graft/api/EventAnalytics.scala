@@ -18,6 +18,24 @@ import graft.operators.EventOps
   * watermark on the ts column, which session_window requires). */
 object EventAnalytics {
 
+  /** Is a cast of this type to LONG lossless? The integral primitives,
+    * plus DECIMAL(p ≤ 18, 0) — the shape JDBC ingests hand back for
+    * NUMBER(n,0) columns (r17 second review: a typeName allowlist of the
+    * four primitives rejected decimal ids the old cast handled exactly).
+    * decimal(19+,0) stays rejected: its range exceeds Long and the cast
+    * CAN overflow. Shared by the stateful-detector facades whose state
+    * rows are keyed by longs. */
+  private[graft] def integralLike(
+      dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ByteType => true
+    case _: org.apache.spark.sql.types.ShortType => true
+    case _: org.apache.spark.sql.types.IntegerType => true
+    case _: org.apache.spark.sql.types.LongType => true
+    case d: org.apache.spark.sql.types.DecimalType =>
+      d.scale == 0 && d.precision <= 18
+    case _ => false
+  }
+
   private def threeCol(df: DataFrame, shape: String): DataFrame = {
     require(df.columns.length == 3,
       s"expected a three-column $shape frame, got ${df.columns.length} columns")
@@ -338,9 +356,10 @@ object EventAnalytics {
     val ev0 = fourCol(events, "(id, key, ts, value)")
       .toDF("event_id", "user_id", "ts", "v")
     for (c <- Seq("event_id", "user_id")) {
-      val t = ev0.schema(c).dataType.typeName
-      require(Seq("byte", "short", "integer", "long").contains(t),
-        s"pageHinkley needs integral $c, got $t")
+      val t = ev0.schema(c).dataType
+      require(integralLike(t),
+        s"pageHinkley needs an integral (or decimal(<=18,0)) $c, " +
+          s"got ${t.typeName}")
     }
     val ev = ev0.select(col("event_id").cast("long").as("event_id"),
       col("user_id").cast("long").as("user_id"),

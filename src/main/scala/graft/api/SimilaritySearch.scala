@@ -289,18 +289,34 @@ object SimilaritySearch {
     require(hops >= 0,
       s"hops must be >= 0 (0 — the default — derives from the index size, " +
         s"the graphAnnBuild hubs=0 convention), got $hops")
+    require(beamWidth >= 1 && beamWidth <= 1024,
+      s"beamWidth must be in [1, 1024], got $beamWidth " +
+        "(0 would return silently empty results; the beam broadcasts " +
+        "per hop, so width multiplies the broadcast volume)")
     graft.functions.VectorFunctions.ensureRegistered(spark)
     // the beam side broadcasts every hop (that is WHY search shuffles
-    // zero bytes — see Similarity.beamOverAdj), so the query batch must
-    // stay broadcast-sized: queries × beamWidth rows per hop. Refuse a
-    // batch that would blow the broadcast limit with a named contract
-    // error instead of Spark's opaque 8 GB abort — serving is batched by
-    // nature; chunk the query frame and union the results.
-    val nQ = queries.limit(MaxSearchQueries + 1).count()
-    require(nQ <= MaxSearchQueries,
-      s"graphAnnSearch got > $MaxSearchQueries queries in one batch — the " +
-        s"beam broadcasts per hop, so chunk the query frame (e.g. by " +
-        s"pmod(hash(id), ceil(n/$MaxSearchQueries))) and union the results")
+    // zero bytes — see Similarity.beamOverAdj), so the PER-HOP BROADCAST
+    // VOLUME — queries × beamWidth × links candidate rows, plus the
+    // q_emb-carrying query frame itself — must stay broadcast-sized.
+    // The cap therefore scales DOWN with both beamWidth and the
+    // embedding width (r17 second review: a count-only guard was
+    // defeated by beamWidth = 64 × 1024-float embeddings — exactly the
+    // opaque 8 GB abort it claimed to prevent): MaxSearchQueries is
+    // calibrated at beam 16 / dim 64, and wider settings shrink the
+    // admitted batch proportionally. Refuse with a named contract error;
+    // serving is batched by nature — chunk the query frame and union.
+    val dim = queries.limit(1).collect().headOption
+      .flatMap(r => scala.util.Try(r.getSeq[Any](1).length).toOption)
+      .getOrElse(0)
+    val cap = math.max(1L,
+      MaxSearchQueries.toLong * 16L / beamWidth * 64L / math.max(64, dim))
+    val nQ = queries.limit((cap + 1).toInt).count()
+    require(nQ <= cap,
+      s"graphAnnSearch got > $cap queries in one batch (cap = " +
+        s"$MaxSearchQueries scaled by beamWidth $beamWidth and embedding " +
+        s"width $dim — the beam broadcasts per hop), so chunk the query " +
+        s"frame (e.g. by pmod(hash(id), cast(ceil(n / $cap.0) as int))) " +
+        "and union the results")
     val nHops = if (hops == 0) derivedHops(index.n) else hops
     // join strategy from the build-time corpus size: a small index keeps
     // Spark's own unhinted plan (measured fastest at test scale); past

@@ -130,15 +130,17 @@ object EventInsights {
       "liveAlerts needs a streaming frame — use analyze(...).alerts for bounded logs")
     val ev = events.toDF("event_id", "user_id", "ts", "event_type", "value")
     // the Page-Hinkley leg's state row is (long, long, ts, double), so id
-    // and key must be integral — fail with a named contract error here
-    // (the EventAnalytics.pageHinkley discipline) instead of a blind
-    // cast("long") that nulls a string key and kills the query at runtime
-    // with Spark's opaque non-nullable-field error (r17 review)
+    // and key must cast losslessly to long — fail with a named contract
+    // error here (the EventAnalytics.pageHinkley discipline, sharing its
+    // integralLike predicate, which also admits decimal(<=18,0) JDBC ids)
+    // instead of a blind cast("long") that nulls a string key and kills
+    // the query at runtime with Spark's opaque non-nullable-field error
+    // (r17 review, widened by the second pass)
     for (c <- Seq("event_id", "user_id")) {
-      val t = ev.schema(c).dataType.typeName
-      require(Seq("byte", "short", "integer", "long").contains(t),
-        s"liveAlerts needs an integral $c (the drift detector's state row " +
-          s"is keyed by longs), got $t")
+      val t = ev.schema(c).dataType
+      require(EventAnalytics.integralLike(t),
+        s"liveAlerts needs an integral (or decimal(<=18,0)) $c (the drift " +
+          s"detector's state row is keyed by longs), got ${t.typeName}")
     }
     val spark = ev.sparkSession
     import spark.implicits._

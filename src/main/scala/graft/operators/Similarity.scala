@@ -1224,7 +1224,7 @@ object Similarity {
   private[graft] def beamOverAdj(s: SparkSession, adj: DataFrame,
       e: DataFrame, ent: DataFrame, q: DataFrame, beamWidth: Int,
       hops: Int, k: Int, excludeSelf: Boolean,
-      smallIndex: Boolean = true): DataFrame = {
+      smallIndex: Boolean): DataFrame = {
     // Join strategy is SIZE-AWARE (r17, measured three ways). At TEST
     // scale Spark's own unhinted choice is best — hints only subtract:
     // forcing the beam side everywhere doubled the bench-scale
@@ -1286,8 +1286,17 @@ object Similarity {
     * width and long-link count. */
   private def beamRun(s: SparkSession, ctx: BeamContext,
       beamWidth: Int, links: Int): DataFrame =
+    // smallIndex = true EXPLICITLY (the flag has no default — r17 second
+    // review: a silent default let callers inherit the scale-unsafe
+    // route): the registry corpora are test-SF-sized by construction
+    // (≤ 2k vectors; the DuckDB oracle unrolls the identical plan), and
+    // deriving the flag here would cost a count() job during plan
+    // construction, which the registry keeps job-free (the clusteringOf
+    // eager-flag discipline). Corpora past SmallIndexMaxRows go through
+    // the public facade, which derives the flag from the build-time n.
     beamOverAdj(s, adjFor(ctx, links),
-      ctx.e, ctx.ent, ctx.q, beamWidth, BeamHops, 10, excludeSelf = true)
+      ctx.e, ctx.ent, ctx.q, beamWidth, BeamHops, 10, excludeSelf = true,
+      smallIndex = true)
 
   /** The Spark beam search shared by [[annGraphTopK]] and
     * [[annGraphRecall]]: returns the final (q_id, vec_id, cos_sim, rank)

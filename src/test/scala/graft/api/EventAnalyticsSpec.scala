@@ -565,6 +565,19 @@ class EventAnalyticsSpec extends SparkTestBase {
       EventAnalytics.pageHinkley(
         Seq((1L, "u", ts(0), 1.0)).toDF("a", "b", "c", "d"))
     }
+    // decimal(<=18,0) ids — the JDBC NUMBER(n,0) shape — cast losslessly
+    // to long and are ACCEPTED (r17 second review: the primitive-only
+    // allowlist rejected what the old cast handled exactly); decimal
+    // WITH scale or 19+ digits stays a named error (the cast can lose)
+    assert(EventAnalytics.pageHinkley(
+      Seq((1L, 2L, ts(0), 1.0)).toDF("a", "b", "c", "d")
+        .selectExpr("cast(a as decimal(18,0)) a", "cast(b as decimal(10,0)) b", "c", "d"))
+      .count() == 1L)
+    intercept[IllegalArgumentException] {
+      EventAnalytics.pageHinkley(
+        Seq((1L, 2L, ts(0), 1.0)).toDF("a", "b", "c", "d")
+          .selectExpr("cast(a as decimal(19,0)) a", "b", "c", "d"))
+    }
     intercept[IllegalArgumentException] { EventAnalytics.scd2History(three) }
     val empty = Seq.empty[(Long, String, Timestamp)].toDF("a", "b", "c")
     assert(EventAnalytics.cepPairs(empty, "a", "b").count() == 0)

@@ -191,6 +191,21 @@ class SimilaritySearchSpec extends SparkTestBase {
       SimilaritySearch.graphAnnSearch(spark, idx0, bigQ)
     }
     assert(eBatch.getMessage.contains("chunk the query frame"), eBatch.getMessage)
+    // the cap scales DOWN with beamWidth (r17 second review: a
+    // count-only guard was defeated by wide beams): at beam 64 the
+    // admitted batch shrinks 4x, so 65537 queries already refuse
+    val midQ = spark.range(65537L)
+      .selectExpr("id", "array(1.0f, 0.0f, 0.0f, 0.0f) as q")
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.graphAnnSearch(spark, idx0, midQ, beamWidth = 64)
+    }
+    // beamWidth 0 is a named error, never a silently empty result
+    val e0 = intercept[IllegalArgumentException] {
+      SimilaritySearch.graphAnnSearch(spark, idx0,
+        { import spark.implicits._
+          Seq((0L, Seq(1f, 0f, 0f, 0f))).toDF("qid", "qvec") }, beamWidth = 0)
+    }
+    assert(e0.getMessage.contains("beamWidth"), e0.getMessage)
   }
 
   test("graphAnn broadcast routes: small-index and large-index plans return identical rows") {
