@@ -2793,15 +2793,27 @@ object EventOps {
             GROUP BY state, event_type
             ORDER BY state, event_type"""))
 
-  /** VALUE-QUANTILE SKETCH (rows-only; QuantileSketchSpec is the
-    * correctness pin): the corpus' p50/p90/p99 value percentiles from ONE
-    * pass of the mergeable log₂-bucketed [[graft.functions.QuantileSketch]]
-    * — the monitoring-grade percentile surface whose buffer (16 KB of
-    * longs) shuffles instead of values, usable in batch and streaming
-    * folds alike where percentile_approx cannot go. Reported numbers are
+  /** VALUE-QUANTILE SKETCH (FULLY ORACLED since r17, formerly rows-only;
+    * QuantileSketchSpec stays as the property pin): the corpus'
+    * p50/p90/p99 value percentiles from ONE pass of the mergeable
+    * log₂-bucketed [[graft.functions.QuantileSketch]] — the
+    * monitoring-grade percentile surface whose buffer (16 KB of longs)
+    * shuffles instead of values, usable in batch and streaming folds
+    * alike where percentile_approx cannot go. Reported numbers are
     * bucket LOWER EDGES: deterministic, within 6.25% relative below the
-    * true order statistic (the documented sketch guarantee), identical on
-    * any engine/shard/arrival order. */
+    * true order statistic (the documented sketch guarantee), identical
+    * on any engine/shard/arrival order.
+    *
+    * The oracle exists because the bucketing is a MONOTONE map (v₁ ≤ v₂
+    * ⇒ bucket(v₁) ≤ bucket(v₂)), so the sketch's bucket-cumulative rank
+    * walk lands on bucket(x_(r)) for the true order statistic x_(r) at
+    * rank ⌈q·n⌉ — i.e. quantile(q) = grid-floor(x_(r)) where the grid is
+    * 2^e·(1 + s/16). DuckDB computes the same edge with exact
+    * power-of-two arithmetic: e = floor(log2(x)) (exact — libm log2 is
+    * exact on powers of two and the floor is unambiguous elsewhere),
+    * x/2^e and the ×16 floor both exact, the final product a pure
+    * power-of-two scaling of a 5-bit-mantissa value. Validated
+    * bit-for-bit against the Spark sketch before landing. */
   lazy val valueQuantileSketch = GraftQuery(
     "ev_value_quantile_sketch",
     (s, dir) => {
@@ -2812,7 +2824,27 @@ object EventOps {
           sk.quantile(0.99))))
         .toDF("n", "p50_lower", "p90_lower", "p99_lower")
     },
-    None)
+    Some("""WITH v AS (SELECT CAST(value AS DOUBLE) AS x FROM events),
+            s AS (SELECT x, row_number() OVER (ORDER BY x) AS r,
+                    count(*) OVER () AS n FROM v),
+            q AS (SELECT unnest([0.5, 0.9, 0.99]) AS qq),
+            pick AS (
+              SELECT qq, n, x FROM q JOIN s
+                ON s.r = greatest(1, CAST(ceil(qq * s.n) AS BIGINT))),
+            gf AS (
+              SELECT qq, n,
+                CASE WHEN x <= 0 OR floor(log2(x)) < -64 THEN 0.0
+                     WHEN floor(log2(x)) >= 64
+                       THEN power(2, 63) * (1 + 15.0/16)
+                     ELSE power(2, floor(log2(x))) *
+                          (1 + floor((x / power(2, floor(log2(x))) - 1) * 16) / 16)
+                END AS edge
+              FROM pick)
+            SELECT CAST(max(n) AS BIGINT) AS n,
+              max(CASE WHEN qq = 0.5 THEN edge END) AS p50_lower,
+              max(CASE WHEN qq = 0.9 THEN edge END) AS p90_lower,
+              max(CASE WHEN qq = 0.99 THEN edge END) AS p99_lower
+            FROM gf"""))
 
   /** SCD TYPE-2 HISTORY: collapse each user's daily-state change log into
     * validity intervals — (user, state, valid_from, valid_to, is_current)
