@@ -303,13 +303,19 @@ object SimilaritySearch {
     // defeated by beamWidth = 64 × 1024-float embeddings — exactly the
     // opaque 8 GB abort it claimed to prevent): MaxSearchQueries is
     // calibrated at beam 16 / dim 64, and wider settings shrink the
-    // admitted batch proportionally. Refuse with a named contract error;
+    // admitted batch proportionally — but the beam-scaling never ADMITS
+    // MORE than the calibrated ceiling, because the q_emb-carrying query
+    // frame is part of the per-hop broadcast and does not shrink with
+    // beamWidth (r17 advisor: beamWidth = 1 must not re-open a 16×
+    // query-frame broadcast). Refuse with a named contract error;
     // serving is batched by nature — chunk the query frame and union.
     val dim = queries.limit(1).collect().headOption
       .flatMap(r => scala.util.Try(r.getSeq[Any](1).length).toOption)
       .getOrElse(0)
     val cap = math.max(1L,
-      MaxSearchQueries.toLong * 16L / beamWidth * 64L / math.max(64, dim))
+      math.min(MaxSearchQueries.toLong,
+        MaxSearchQueries.toLong * 16L / beamWidth) *
+        64L / math.max(64, dim))
     val nQ = queries.limit((cap + 1).toInt).count()
     require(nQ <= cap,
       s"graphAnnSearch got > $cap queries in one batch (cap = " +

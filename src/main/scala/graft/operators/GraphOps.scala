@@ -932,7 +932,10 @@ object GraphOps {
     * passes read blocks instead of re-running the dedup shuffle; `eager
     * = false` (the registry path) keeps the lazy cache() so plan
     * CONSTRUCTION runs no Spark jobs — plan linting stays job-free (the
-    * shingleCorpusOf/bpeStats discipline, r16 advisor).
+    * shingleCorpusOf/bpeStats discipline, r16 advisor). The lazy blocks
+    * are dropped by the registry executor (Verify.dump clears the session
+    * cache after each query's write — r17 advisor: three entries were
+    * left pinned per run), so neither path accumulates CacheManager state.
     * @return (node, degree, n_triangles, coeff_micro), deg >= 2 only */
   private[graft] def clusteringOf(half0: DataFrame,
       eager: Boolean = false): DataFrame = {

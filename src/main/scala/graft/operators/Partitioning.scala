@@ -59,8 +59,16 @@ object Partitioning {
         .orderBy(col("pid")),
     None)
 
-  /** Approximate distinct (HLL++) — no oracle: DuckDB's approx sketch is a
-    * different algorithm; the exact counterpart is verified in q16_distinct. */
+  /** Approximate distinct (HLL++), bounded-oracled: the raw estimate
+    * cannot be reproduced in DuckDB (its approx sketch is a different
+    * algorithm), so the ESTIMATE stays engine-side and the COMPARED
+    * surface is the exact count plus a within-5% verdict — the estimate
+    * is deterministic on fixed data (HLL++ register updates are
+    * order-independent max-merges), so the boolean is a stable value the
+    * oracle asserts as the accuracy CONTRACT: if the sketch drifts
+    * outside 5% of exact, the row goes false and the hash compare turns
+    * red (r17 judge task 3 — the ev_hll_rollup treatment). The estimate
+    * algebra itself stays pinned by RowsOnlySemanticsSpec. */
   val approxDistinct = GraftQuery(
     "q27_approx_distinct",
     (s, dir) =>
@@ -69,8 +77,14 @@ object Partitioning {
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) * 100 <=
+            col("exact_parts") * 5).as("within_5pct"))
         .orderBy(col("l_returnflag")),
-    None)
+    Some("""SELECT l_returnflag,
+              CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+              TRUE AS within_5pct
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   val all: Seq[GraftQuery] = Seq(hash, range, roundRobin, approxDistinct)
 }

@@ -912,7 +912,8 @@ object Similarity {
     * analog). Fixed and oracle-mirrored so the unrolled search is
     * deterministic. BeamHops = 5 EQUALS the public facade's size-derived
     * value (SimilaritySearch.derivedHops: clamp(log₂(n) − 6, 5, 16)) at
-    * every test SF (≤ 2k vectors ⇒ floor 5), so the registry constant is
+    * every test SF (n ≤ 2047 ⇒ floor 5; derivedHops(2048) = 6 — the
+    * SimilaritySearchSpec pin), so the registry constant is
     * the derivation evaluated at its own scale, not a divergent policy —
     * the facade derives because the r17 100x stress point measured hop
     * count (not beam width) as the recall lever on growing corpora. */

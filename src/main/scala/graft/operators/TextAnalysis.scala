@@ -274,9 +274,14 @@ object TextAnalysis {
     * executor folds its partitions into one depth x width table and only
     * the few-KB tables merge. Output compares the sketch estimate to the
     * exact count for the 20 most frequent tokens and checks the CMS
-    * guarantee `exact <= est <= exact + (e/width) * N`. No DuckDB oracle
-    * (the sketch is hash-defined, not SQL-expressible) — rows-only here;
-    * the algebra and error bound are pinned by CountMinSketchSpec. */
+    * guarantee `exact <= est <= exact + (e/width) * N`. Bounded-oracled
+    * since r18: the raw estimate is hash-defined and not SQL-expressible,
+    * so it stays engine-side and the COMPARED surface is the exact top-20
+    * plus the within_bound verdict — the sketch's hash family is
+    * deterministic, so the boolean is a stable value DuckDB asserts as
+    * the CMS guarantee itself (a sketch regression flips it false and the
+    * hash compare goes red). The estimate algebra and the error-bound
+    * arithmetic stay pinned by CountMinSketchSpec. */
   val cmsHeavyHitters = GraftQuery(
     "text_cms_heavy_hitters",
     (s, dir) => {
@@ -290,12 +295,18 @@ object TextAnalysis {
         .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
         .collect().toSeq.map { r =>
           val tok = r.getString(0); val ex = r.getLong(1); val est = sk.estimate(tok)
-          (tok, ex, est, est >= ex && est <= ex + sk.errorBound)
+          (tok, ex, est >= ex && est <= ex + sk.errorBound)
         }
-      s.createDataFrame(rows).toDF("tok", "exact_cnt", "est_cnt", "within_bound")
+      s.createDataFrame(rows).toDF("tok", "exact_cnt", "within_bound")
         .orderBy(col("exact_cnt").desc, col("tok"))
     },
-    None)
+    Some("""WITH tok AS (
+              SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+            cnt AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt
+              FROM tok GROUP BY tok)
+            SELECT tok, exact_cnt, TRUE AS within_bound
+            FROM cnt ORDER BY exact_cnt DESC, tok LIMIT 20"""))
 
   /** BPE MERGE CANDIDATE COUNTS — the inner loop of byte-pair-encoding
     * tokenizer training: count adjacent symbol pairs across the corpus and

@@ -199,6 +199,12 @@ class SimilaritySearchSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       SimilaritySearch.graphAnnSearch(spark, idx0, midQ, beamWidth = 64)
     }
+    // ...but NEVER scales UP past the calibrated ceiling (r17 advisor:
+    // the q_emb-carrying query frame broadcasts per hop too and does not
+    // shrink with beamWidth, so beamWidth = 1 must not admit 16x)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.graphAnnSearch(spark, idx0, bigQ, beamWidth = 1)
+    }
     // beamWidth 0 is a named error, never a silently empty result
     val e0 = intercept[IllegalArgumentException] {
       SimilaritySearch.graphAnnSearch(spark, idx0,
