@@ -37,6 +37,13 @@ object Bench {
         (Option.empty[LatencyReading], 0.0)
       else repeatedReading(LatencyReps)(latencyProbe(spark))
     val latency = latencyReading.map(_.hist)
+    // Async-progress-tracking reading beside the synchronous one: the
+    // walCommit/commitOffsets fsyncs leave the critical path (the
+    // at-least-once tradeoff; see latencyAsyncProbe).
+    val (latencyAsync, latencyAsyncSpread) =
+      if (sys.env.get("SPARK_GRAFT_SOL").contains("off"))
+        (Option.empty[LatencyReading], 0.0)
+      else repeatedReading(LatencyReps)(latencyAsyncProbe(spark))
     // Continuous-trigger record-transit latency: the mode built for the
     // map-only shape the reference's 8 ms task-to-task figure measures
     // (micro-batch p50 above is the per-batch floor, ~19x that baseline).
@@ -192,14 +199,18 @@ object Bench {
     // bookkeeping, unattributed = trigger scheduling overhead the
     // durationMs map doesn't itemize). Medians come from the SAME rep the
     // reported histogram came from (the min-p50 window).
-    val phaseJson = latencyReading.map(_.phases).filter(_.nonEmpty).fold("") {
-      ph =>
+    def phaseJsonOf(key: String, r: Option[LatencyReading]): String =
+      r.map(_.phases).filter(_.nonEmpty).fold("") { ph =>
         val fields = ph.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + s"\":$v" }.mkString("{", ",", "}")
-        s""","latency_phase_ms":$fields"""
-    }
+        s""","$key":$fields"""
+      }
+    val asyncJson = latencyAsync.map(_.hist).fold("")(h =>
+      f""","latency_async_ms_p50":${h.p50Ms},"latency_async_ms_p95":${h.p95Ms},"latency_async_ms_p99":${h.p99Ms},"latency_async_ms_mean":${h.meanMs}%.1f,"latency_async_ms_p50_spread":$latencyAsyncSpread%.2f""") +
+      phaseJsonOf("latency_async_phase_ms", latencyAsync)
     val lat = latency.fold("")(h =>
-      f""","latency_ms_p50":${h.p50Ms},"latency_ms_p95":${h.p95Ms},"latency_ms_p99":${h.p99Ms},"latency_ms_mean":${h.meanMs}%.1f,"latency_ms_p50_spread":$latencySpread%.2f""") + phaseJson +
+      f""","latency_ms_p50":${h.p50Ms},"latency_ms_p95":${h.p95Ms},"latency_ms_p99":${h.p99Ms},"latency_ms_mean":${h.meanMs}%.1f,"latency_ms_p50_spread":$latencySpread%.2f""") +
+      phaseJsonOf("latency_phase_ms", latencyReading) + asyncJson +
       latencyCont.fold("")(h =>
         f""","latency_continuous_ms_p50":${h.p50Ms},"latency_continuous_ms_p95":${h.p95Ms},"latency_continuous_ms_p99":${h.p99Ms},"latency_continuous_ms_mean":${h.meanMs}%.1f,"latency_continuous_ms_p50_spread":$latencyContSpread%.2f""")
     // Self-reported contention telemetry: round 8's driver-captured bench
@@ -293,11 +304,41 @@ object Bench {
     * the engine's per-batch latency floor (planning + execution + commit),
     * the micro-batch analog of the reference's task-to-task latency
     * figure. Uses the same AppRegistry histogram the ops surface serves. */
-  private def latencyProbe(spark: SparkSession): Option[LatencyReading] = {
-    try {
-      val q = graft.streaming.GraftSource
+  private def latencyProbe(spark: SparkSession): Option[LatencyReading] =
+    measureLatency(spark, "latency probe") {
+      graft.streaming.GraftSource
         .rate(spark, rowsPerSecond = 10000, payloadBytes = 100, numPartitions = 4)
         .writeStream.format("noop").start()
+    }
+
+  /** The same probe with ASYNC PROGRESS TRACKING (SPARK-39591): offset-log
+    * and commit-log writes leave the trigger's critical path — exactly the
+    * walCommit + commitOffsets ~2/3 of the synchronous floor the phase
+    * decomposition attributes (the r16->r17 p50 drift's home). The
+    * tradeoff is the reference's own at-least-once mode: on failure the
+    * query replays from the last ASYNC-persisted offset (at-least-once)
+    * instead of the last batch (exactly-once) — so this reading is
+    * reported beside the synchronous one, not in place of it. Spark
+    * allowlists the Kafka and memory sinks for async tracking; the probe
+    * uses the memory sink (bounded here: ~250k tiny rows over the window)
+    * since noop is not on the list. */
+  private def latencyAsyncProbe(spark: SparkSession): Option[LatencyReading] = {
+    val r = measureLatency(spark, "latency async probe") {
+      graft.streaming.GraftSource
+        .rate(spark, rowsPerSecond = 10000, payloadBytes = 100, numPartitions = 4)
+        .writeStream.format("memory").queryName("graft_async_probe")
+        .option("asyncProgressTrackingEnabled", "true")
+        .start()
+    }
+    spark.catalog.dropTempView("graft_async_probe")
+    r
+  }
+
+  private def measureLatency(spark: SparkSession, tag: String)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : Option[LatencyReading] = {
+    try {
+      val q = start
       // try/finally from the instant the stream exists: an exception between
       // start() and stop() would otherwise leave the probe stream running
       // under the batch suite, polluting its timings.
@@ -331,7 +372,7 @@ object Bench {
           val phases =
             if (phaseMed.isEmpty) phaseMed
             else phaseMed + ("unattributed" -> unattributed)
-          System.err.println(s"[bench] latency probe: $h phases=$phases")
+          System.err.println(s"[bench] $tag: $h phases=$phases")
           h.map(LatencyReading(_, phases))
         } finally reg.close()
       } finally if (q.isActive) q.stop()
@@ -342,7 +383,7 @@ object Bench {
       // warns. Benign by construction: the query is fully terminated before
       // the warning prints (reproduces after every streaming stop in the
       // test suites too), so no probe stream can leak into the batch suite.
-    } catch { case e: Throwable => System.err.println(s"[bench] latency probe: $e"); None }
+    } catch { case e: Throwable => System.err.println(s"[bench] $tag: $e"); None }
   }
 
   /** @return (max steady-state batch rate, spread over the top-5 samples

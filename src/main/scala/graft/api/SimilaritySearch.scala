@@ -125,6 +125,60 @@ object SimilaritySearch {
       .filter(col("rank") <= k)
   }
 
+  /** HIERARCHICAL (coarse x fine) IVF top-k — the 100 TB route past
+    * [[ivfTopK]]'s nlist <= 256 cap: [[graft.operators.KMeans
+    * .trainHierarchical]] trains coarseK x fineK effective cells (up to
+    * 65,536), the corpus is inverted into (coarse, fine) once, and each
+    * query scores only the posting lists of its `nprobeCoarse` nearest
+    * coarse cells x `nprobeFine` nearest fine cells within each — at the
+    * 256 x 256 maximum with nprobe 8 x 8 a query touches ~1/1024 of the
+    * corpus vs flat-IVF's floor of nprobe/256. 100 TB shape: both
+    * centroid tables are model-sized and broadcast, routing is map-side,
+    * the probe list (queries x nprobeCoarse x nprobeFine rows) broadcasts
+    * to the one corpus-sized cell-key join. Exactness is recovered at
+    * nprobeCoarse = coarseK, nprobeFine = fineK (spec-pinned).
+    * @return (q_id, vec_id, cos_sim, rank) top-k per query */
+  def ivfHierTopK(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+      k: Int = 10, coarseK: Int = 4, fineK: Int = 4,
+      nprobeCoarse: Int = 2, nprobeFine: Int = 2,
+      trainIters: Int = 5): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val c = named(corpus, "vec_id", "embedding")
+    val q = named(queries, "q_id", "q_emb")
+    val (hier, _, _) =
+      KMeans.trainHierarchical(spark, c, coarseK, fineK, trainIters)
+    val inverted = KMeans.assignToHier(spark,
+        KMeans.assignToCentroids(spark, c, hier.coarse)
+          .select(col("vec_id"), col("embedding"), col("cluster")),
+        hier.fine)
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("f_id"))
+    val pw = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_cos").desc, col("c_id"))
+    val coarseProbes = q
+      .crossJoin(broadcast(KMeans.centroidFrame(spark, hier.coarse)))
+      .select(col("q_id"), col("q_emb"), col("c_id"),
+        round(expr("graft_cosine(q_emb, c_emb)"), 4).as("c_cos"))
+      .withColumn("pn", row_number().over(pw))
+      .filter(col("pn") <= nprobeCoarse)
+      .select(col("q_id"), col("q_emb"), col("c_id").as("cluster"))
+    val fw = Window.partitionBy(col("q_id"), col("cluster"))
+      .orderBy(col("f_cos").desc, col("f_id"))
+    val probes = coarseProbes
+      .join(broadcast(KMeans.fineFrame(spark, hier.fine)), Seq("cluster"))
+      .select(col("q_id"), col("q_emb"), col("cluster"), col("f_id"),
+        round(expr("graft_cosine(q_emb, f_emb)"), 4).as("f_cos"))
+      .withColumn("pn", row_number().over(fw))
+      .filter(col("pn") <= nprobeFine)
+      .select(col("q_id"), col("q_emb"), col("cluster"), col("f_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    inverted.join(broadcast(probes), Seq("cluster", "f_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(expr("graft_cosine(embedding, q_emb)"), 4).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** A built graph-ANN index over a user corpus: the SYMMETRIZED serving
     * adjacency (short kNN links within trained cells + hub long links,
     * both directions, deduplicated), the projected corpus, and the

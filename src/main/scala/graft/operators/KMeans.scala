@@ -109,4 +109,117 @@ object KMeans {
     corpus.unpersist()
     (centroids, it, objective.result())
   }
+
+  /** A trained two-level centroid set: `fine((c, f))` is fine centroid f
+    * inside coarse cell c. Effective cell count = `fine.size` — up to
+    * coarseK x fineK = 256 x 256 = 65,536, the route past [[train]]'s
+    * packed-argmax radix cap (k <= 256). The whole model is
+    * cells x dim doubles (<= 33 MB at the 65,536 x 64 maximum) — always
+    * driver- and broadcast-sized, never corpus-sized. */
+  final case class HierCentroids(coarse: Array[Array[Double]],
+      fine: Map[(Int, Int), Array[Double]]) {
+    def cells: Int = fine.size
+  }
+
+  /** Model-sized (cluster, f_id, f_emb) frame from a fine-centroid map —
+    * the broadcast side of every hierarchical assignment join. */
+  private[graft] def fineFrame(s: SparkSession,
+      fine: Map[(Int, Int), Array[Double]]): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.parallelize(fine.toSeq.sortBy(_._1).map {
+        case ((c, f), emb) => Row(c.toLong, f.toLong, emb.map(_.toFloat).toSeq)
+      }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("f_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("f_emb",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+
+  /** Fine-level nearest-centroid assignment of a coarse-assigned corpus
+    * (`assigned` carries vec_id, embedding, cluster): each vector scores
+    * ONLY its own coarse cell's fine centroids — the join key is the
+    * coarse cell, the fine table is broadcast (model-sized), and the
+    * argmax is the same packed-long partial aggregate as
+    * [[assignToCentroids]] (radix 256 over f_id), so one narrow row per
+    * vector crosses the exchange regardless of fineK.
+    * @return (vec_id, embedding, cluster, f_id, cos_sim) */
+  private[graft] def assignToHier(s: SparkSession, assigned: DataFrame,
+      fine: Map[(Int, Int), Array[Double]]): DataFrame = {
+    require(fine.keys.forall(_._2 < 256), "fine ids must fit radix 256")
+    graft.functions.VectorFunctions.ensureRegistered(s)
+    assigned.join(broadcast(fineFrame(s, fine)), Seq("cluster"))
+      .select(col("vec_id"), col("embedding"), col("cluster"), col("f_id"),
+        floor(expr("graft_cosine(embedding, f_emb)") * lit(1e6) + lit(0.5))
+          .as("cs_scaled"))
+      .withColumn("packed",
+        (col("cs_scaled") + 1000000L) * 256L + (lit(255L) - col("f_id")))
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(max(col("packed")).as("best"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("cluster"),
+        (lit(255L) - (col("best") % 256)).as("f_id"),
+        expr("((best div 256) - 1000000) / 1e6").as("cos_sim"))
+  }
+
+  /** Two-level coarse x fine Lloyd training — the production IVF route
+    * past [[train]]'s k <= 256 radix cap: effective k = coarseK x fineK
+    * (<= 65,536 cells). Coarse runs [[train]] unchanged; then Lloyd's
+    * iterates over ALL coarse cells' fine centroids SIMULTANEOUSLY — one
+    * assignment (cell-key join against the broadcast fine table + packed
+    * argmax) and one update (groupBy (cluster, f_id) of dim partial sums)
+    * per tick, so the per-iteration cost model is exactly [[train]]'s:
+    * the corpus shuffles one narrow row per vector, the driver sees only
+    * the model (cells x dim doubles). Fine seeds are deterministic — the
+    * fineK lowest vec_ids of each coarse cell (one narrow window shuffle,
+    * model-sized output). Cells left empty in an iteration keep their
+    * previous centroid (standard Lloyd practice).
+    * @return (model, fine iterations run, fine objective history) */
+  def trainHierarchical(s: SparkSession, e: DataFrame, coarseK: Int,
+      fineK: Int, maxIters: Int = 10,
+      tol: Double = 1e-4): (HierCentroids, Int, Seq[Double]) = {
+    require(fineK >= 1 && fineK <= 256,
+      s"fineK must be in [1, 256] (packed argmax radix), got $fineK")
+    val (coarse, _, _) = train(s, e, coarseK, maxIters, tol)
+    val assigned = assignToCentroids(s,
+        e.select(col("vec_id"), col("embedding")), coarse)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+      .localCheckpoint(true) // coarse cells are fixed across fine ticks
+    val sw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster")).orderBy(col("vec_id"))
+    var fine: Map[(Int, Int), Array[Double]] = assigned
+      .withColumn("rn", row_number().over(sw)).filter(col("rn") <= fineK)
+      .select(col("cluster"), (col("rn") - 1).cast("long").as("f_id"),
+        col("embedding"))
+      .collect().map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        r.getSeq[Float](2).map(_.toDouble).toArray).toMap
+    require(fine.nonEmpty, "hierarchical training needs a non-empty corpus")
+    val Dim = fine.head._2.length
+    var it = 0
+    var moved = Double.MaxValue
+    val objective = Seq.newBuilder[Double]
+    while (it < maxIters && moved > tol) {
+      val af = assignToHier(s, assigned, fine)
+      val aggs = Seq(count(lit(1)).as("n"), sum(col("cos_sim")).as("obj")) ++
+        (0 until Dim).map(i =>
+          sum(col("embedding").getItem(i).cast("double")).as(s"s$i"))
+      val stats = af.groupBy(col("cluster"), col("f_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      objective += stats.map(_.getDouble(3)).sum
+      val next = fine ++ stats.map { r =>
+        val key = (r.getLong(0).toInt, r.getLong(1).toInt)
+        val n = r.getLong(2).toDouble
+        key -> (0 until Dim).map(i => r.getDouble(4 + i) / n).toArray
+      }
+      moved = fine.map { case (key, a) =>
+        val b = next(key)
+        math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+      }.max
+      fine = next
+      it += 1
+    }
+    (HierCentroids(coarse, fine), it, objective.result())
+  }
 }

@@ -1585,6 +1585,114 @@ object Similarity {
              LEFT JOIN ht ON ht.q_id = e.q_id
              GROUP BY e.q_id ORDER BY e.q_id"""))
 
+  /** Two-level deterministic cell assignment shared by the hierarchical
+    * IVF entry: coarse = nearest of the 4 seed embeddings (vec_id < 4),
+    * fine = nearest of the member's coarse cell's OWN 4 lowest-vec_id
+    * seeds — [[kmeansAssign]]'s packed-argmax trick at both levels (radix
+    * 8, 4-dp cosine, ties toward the lowest seed id). The fine-seed
+    * window shuffles one narrow row per vector once; its output (and
+    * both seed tables) is model-sized and broadcast, so each level costs
+    * exactly one partial-agg argmax shuffle — the
+    * [[graft.operators.KMeans.trainHierarchical]] serving shape with the
+    * trained centroids replaced by deterministic seeds so DuckDB can
+    * reproduce every cell boundary. */
+  private def hierAssign(s: SparkSession, e: DataFrame): DataFrame = {
+    val cs = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val coarse = e.crossJoin(broadcast(cs))
+      .select(col("vec_id"), col("embedding"), col("c_id"),
+        floor(cosine(s, "embedding", "c_emb") * lit(1e4) + lit(0.5))
+          .as("cs_scaled"))
+      .withColumn("packed",
+        (col("cs_scaled") + 10000L) * 8L + (lit(7L) - col("c_id")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("packed")).as("best"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+        (lit(7L) - (col("best") % 8)).as("coarse"))
+    val sw = Window.partitionBy(col("coarse")).orderBy(col("vec_id"))
+    val fs = coarse.withColumn("rn", row_number().over(sw))
+      .filter(col("rn") <= 4)
+      .select(col("coarse"), (col("rn") - 1).cast("long").as("f_id"),
+        col("embedding").as("f_emb"))
+    coarse.join(broadcast(fs), Seq("coarse"))
+      .select(col("vec_id"), col("embedding"), col("coarse"), col("f_id"),
+        floor(cosine(s, "embedding", "f_emb") * lit(1e4) + lit(0.5))
+          .as("fs_scaled"))
+      .withColumn("packed",
+        (col("fs_scaled") + 10000L) * 8L + (lit(7L) - col("f_id")))
+      .groupBy(col("vec_id"), col("coarse"))
+      .agg(max(col("packed")).as("best"), first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("coarse"),
+        (lit(7L) - (col("best") % 8)).as("f_id"))
+  }
+
+  /** HIERARCHICAL (coarse x fine) IVF top-k: the inverted file keyed by
+    * TWO nested quantizer levels — 4 coarse cells x up to 4 fine cells
+    * each = 16 effective posting lists here, the shape that takes
+    * production IVF past the flat quantizer's k <= 256 radix cap (256
+    * coarse x 256 fine = 65,536 cells; see KMeans.trainHierarchical and
+    * the api.SimilaritySearch.ivfHierTopK serving twin, which swap these
+    * deterministic seeds for trained centroids). Each query (a corpus
+    * member, so its cell IS its routing) scores only its own
+    * (coarse, fine) posting list. 100 TB shape: both seed tables and the
+    * query batch broadcast, routing and scoring are map-side, and the
+    * only corpus-sized exchanges are the two argmax partial-aggs and the
+    * final per-query top-k — cell granularity grew 16x over ann_ivf with
+    * zero additional corpus shuffles. */
+  val annIvfHier = GraftQuery(
+    "ann_ivf_hier_topk",
+    (s, dir) => {
+      val m = hierAssign(s, t(s, dir, "embeddings")).cache()
+      val q = m.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("coarse"), col("f_id"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      m.join(broadcast(q), Seq("coarse", "f_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(cosine(s, "embedding", "q_emb"), 4).as("cos_sim"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy(col("q_id"), col("rank"))
+    },
+    Some(s"""WITH cseeds AS (SELECT vec_id AS c_id, embedding AS c_emb
+                             FROM embeddings WHERE vec_id < 4),
+             cscore AS (SELECT e.vec_id, e.embedding, s.c_id,
+                 floor(${sqlCos("e.embedding", "s.c_emb")} * 1e4 + 0.5) AS cs
+               FROM embeddings e CROSS JOIN cseeds s),
+             coarse AS (SELECT vec_id, embedding, coarse FROM (
+                 SELECT vec_id, embedding, c_id AS coarse,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cs DESC, c_id) AS rn
+                 FROM cscore) WHERE rn = 1),
+             fseeds AS (SELECT coarse, CAST(rn - 1 AS BIGINT) AS f_id,
+                 embedding AS f_emb FROM (
+                 SELECT coarse, vec_id, embedding,
+                   row_number() OVER (PARTITION BY coarse
+                     ORDER BY vec_id) AS rn
+                 FROM coarse) WHERE rn <= 4),
+             fscore AS (SELECT c.vec_id, c.embedding, c.coarse, f.f_id,
+                 floor(${sqlCos("c.embedding", "f.f_emb")} * 1e4 + 0.5) AS fs
+               FROM coarse c JOIN fseeds f USING (coarse)),
+             cells AS (SELECT vec_id, embedding, coarse, f_id FROM (
+                 SELECT vec_id, embedding, coarse, f_id,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY fs DESC, f_id) AS rn
+                 FROM fscore) WHERE rn = 1),
+             q AS (SELECT vec_id AS q_id, embedding AS q_emb, coarse, f_id
+                   FROM cells WHERE vec_id < 8),
+             scored AS (SELECT q.q_id, m.vec_id,
+                 round(${sqlCos("m.embedding", "q.q_emb")}, 4) AS cos_sim
+               FROM cells m JOIN q USING (coarse, f_id)
+               WHERE m.vec_id <> q.q_id),
+             ranked AS (SELECT q_id, vec_id, cos_sim,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos_sim DESC, vec_id) AS rank
+               FROM scored)
+             SELECT q_id, vec_id, cos_sim, CAST(rank AS INTEGER) AS rank
+             FROM ranked WHERE rank <= 10 ORDER BY q_id, rank"""))
+
   /** EMBEDDING-SPACE OUTLIER SCORING (OOD data cleaning): distance of each
     * vector to its label's centroid, z-scored within the label — the
     * "drop the weird samples" gate embedding pipelines run before
@@ -2764,7 +2872,7 @@ object Similarity {
       annRangeSearch, quantizeInt8, kmeansAssignQ, kmeansUpdate, semanticDedup,
       pqAssign, annPqTopK, annPqRerank, annIvfPq, annKnnGraph, powerIteration,
       randomProjection, annRecallEval, annGraphTopK, annGraphRecall,
-      annIvfTrained, annIvfTrainedRecall, oodScore,
+      annIvfTrained, annIvfTrainedRecall, annIvfHier, oodScore,
       centroidDrift, dimTruncationEval, probeSweep,
       normProfile, labelMargin, quantError, embThresholdSweep,
       embThresholdSweepSampled, ivfBalance, semanticDecontam, annMipsTopK,

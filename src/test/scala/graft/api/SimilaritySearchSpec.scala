@@ -71,6 +71,31 @@ class SimilaritySearchSpec extends SparkTestBase {
     assert(full === exact, "nprobe = nlist must recover the exact top-k")
   }
 
+  test("ivfHierTopK routes through nested cells and recovers exactness at full probe") {
+    import spark.implicits._
+    val c = corpus().toDF("id", "vec")
+    val q = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("qid", "qvec")
+    // 2 coarse cells on the two planted clusters, each split into 2 fine
+    // posting lists: probing ONE coarse cell (both its fine lists) must
+    // stay inside the query's cluster
+    val hier = SimilaritySearch.ivfHierTopK(spark, c, q, k = 8,
+      coarseK = 2, fineK = 2, nprobeCoarse = 1, nprobeFine = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    assert(hier(0L).map(_._2).forall(id => id < 100L || id == 999L),
+      s"query 0 must probe into cluster A: ${hier(0L).toSeq}")
+    assert(hier(1L).map(_._2).forall(id => id >= 100L && id < 999L),
+      s"query 1 must probe into cluster B: ${hier(1L).toSeq}")
+    // probing every coarse and fine cell scans the whole corpus: results
+    // must equal the exact scan (the ivfTopK pin, one level deeper)
+    val full = SimilaritySearch.ivfHierTopK(spark, c, q, k = 5,
+      coarseK = 2, fineK = 2, nprobeCoarse = 2, nprobeFine = 2)
+      .select("q_id", "vec_id", "cos_sim", "rank").collect().toSet
+    val exact = SimilaritySearch.topK(spark, c, q, k = 5)
+      .select("q_id", "vec_id", "cos_sim", "rank").collect().toSet
+    assert(full === exact, "full hier probe must recover the exact top-k")
+  }
+
   test("pqTopK ranks by compressed asymmetric distance into the right cluster") {
     import spark.implicits._
     val c = corpus().toDF("id", "vec")
