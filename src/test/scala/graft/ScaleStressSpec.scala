@@ -626,6 +626,76 @@ class ScaleStressSpec extends SparkTestBase {
     }
   }
 
+  /** 100x prefix-sum / packing leg (r18): the curation family's scale
+    * backbone — packByBudget's two-phase exclusive prefix sum (range
+    * buckets -> driver-side bucket bases -> partition-local window) —
+    * at 100x the sf0.1 documents corpus. The replicas stack ABOVE each
+    * other in doc_id order (copy c shifts by c x KeyOff), so the global
+    * exclusive prefix has a closed form: replica c's offset for base doc
+    * d must equal c x T + offset_1x(d), with T the base corpus's total
+    * token count — exactness of the DISTRIBUTED sum at 100x is checked
+    * row-for-row against the 1x output, not spot-sampled. Also asserted:
+    * shuffle scales ~linearly (the projected (doc_id, n_tokens) rows
+    * move, never text — a single-task global window would instead funnel
+    * the whole corpus through one reducer), and driver heap stays flat
+    * (the only collect in the op is the P bucket totals, P = shuffle
+    * parallelism, corpus-independent). */
+  test("100x prefix-sum packing: offsets exact at scale, linear shuffle, flat driver heap") {
+    assume(enabled100, "100x scale evidence; set GRAFT_SCALE_STRESS_100=1")
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    def drain(): Unit = Thread.sleep(600)
+    try {
+      val base = Tables.t(spark, baseSf, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .localCheckpoint(true)
+      val docs100 = base.withColumn("copy", explode(expr("sequence(0L, 99L)")))
+        .select((col("doc_id") + col("copy") * KeyOff).as("doc_id"),
+          col("text"))
+        .repartition(GenFiles).localCheckpoint(true)
+      val n1 = base.count()
+      assert(docs100.count() == n1 * 100, "replica explode must be exact")
+
+      tally.reset()
+      val p1 = operators.Sampling.packByBudget(spark, base, 512)
+        .localCheckpoint(true)
+      drain(); val g1 = tally.gib._2
+      tally.reset()
+      val t0 = System.nanoTime()
+      val p100 = operators.Sampling.packByBudget(spark, docs100, 512)
+        .localCheckpoint(true)
+      val wall = (System.nanoTime() - t0) / 1e9
+      drain(); val g100 = tally.gib._2
+
+      val T = p1.agg(sum(col("n_tokens"))).head().getLong(0)
+      val bad = p100
+        .withColumn("copy", expr(s"doc_id div $KeyOff"))
+        .withColumn("base_id", expr(s"doc_id % $KeyOff"))
+        .join(p1.select(col("doc_id").as("base_id"),
+          (col("seq_id") * 512 + col("seq_offset")).as("base_start")),
+          "base_id")
+        .filter(col("seq_id") * 512 + col("seq_offset") =!=
+          col("copy") * T + col("base_start"))
+        .count()
+      assert(bad == 0,
+        s"$bad rows diverge from the closed-form 100x prefix offsets — " +
+          "the distributed sum broke at scale")
+      val ratio = g100 / math.max(g1, 1e-3)
+      assert(ratio < 300.0,
+        f"prefix-sum 100x/1x shuffle ratio $ratio%.0f — superlinear " +
+          "(is the text column riding through the exchange?)")
+      val heap = usedHeapGiB()
+      assert(heap < 8.0,
+        f"driver heap $heap%.1f GiB — bucket bases must stay P-sized")
+      info(f"prefix-sum 100x (${n1 * 100} docs, T=$T tokens/replica): " +
+        f"shuffle $g1%.3f -> $g100%.2f GiB ($ratio%.0fx for 100x rows), " +
+        f"wall $wall%.1f s, heap=$heap%.1f GiB")
+    } finally {
+      spark.sparkContext.removeSparkListener(tally)
+      spark.catalog.clearCache() // packByBudget caches its projection
+    }
+  }
+
   test("skewed explode: hot keys survive — AQE skew-split kicks in, queries complete") {
     assume(enabled, "scale-stress evidence run; set GRAFT_SCALE_STRESS=1")
     val dir = Files.createTempDirectory("graft-skew")

@@ -37,6 +37,9 @@ class PlanLintSpec extends SparkTestBase {
     // the sweep's scale route; sample rate is the tuning knob at 100 TB
     "emb_threshold_sweep_sampled",
     // crossJoin(broadcast(k centroids / seed set)) — nearest-seed assignment
+    // (ann_ivf_hier_topk: the same scoring against the 4 coarse seeds;
+    // the fine level joins on the coarse cell key, not cross)
+    "ann_ivf_hier_topk",
     "emb_kmeans_assign", "emb_kmeans_update", "dedup_semantic",
     "emb_silhouette",
     // inherit kmeansAssign's 8-seed crossJoin (trained coarse quantizer),
