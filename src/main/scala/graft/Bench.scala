@@ -144,33 +144,42 @@ object Bench {
         (sfOf(sfDir), smallDirs) match {
           case (Some(sfMain), ds) if ds.nonEmpty =>
             val smallPts = ds.map { d =>
-              val times = headline.map { qq =>
-                val reps = (1 to 3).map { _ =>
+              val times = headline.flatMap { qq =>
+                val reps = (1 to 3).flatMap { _ =>
                   val t0 = System.nanoTime()
-                  try qq.run(spark, d).write.format("noop").mode("overwrite").save()
-                  catch { case _: Throwable => () }
-                  (System.nanoTime() - t0) / 1e9
+                  val ok =
+                    try {
+                      qq.run(spark, d).write.format("noop").mode("overwrite").save()
+                      true
+                    } catch { case _: Throwable => false }
+                  if (ok) Some((System.nanoTime() - t0) / 1e9) else None
                 }
-                qq.name -> reps.min
+                // a query that fails at this SF gets NO point — recording
+                // the fast-fail elapsed time would fabricate the curve
+                // and the slope (the JSON shows null instead)
+                if (reps.isEmpty) None else Some(qq.name -> reps.min)
               }.toMap
               (sfOf(d).get, times)
             }
-            val mainTimes = results.map(r => r._1 -> r._2).toMap
+            // main-SF anchor: only queries whose timed loop succeeded
+            val mainTimes = results.filter(_._4).map(r => r._1 -> r._2).toMap
             val pts = (smallPts :+ (sfMain, mainTimes)).sortBy(_._1)
             val sfsArr = pts.map(p => f"${p._1}%s").mkString("[", ",", "]")
             val names = headline.map(_.name)
             val timesJson = names.map { n =>
               "\"" + n + "\":" + pts.map(p =>
-                f"${p._2.getOrElse(n, 0.0)}%.3f").mkString("[", ",", "]")
+                p._2.get(n).map(v => f"$v%.3f").getOrElse("null"))
+                .mkString("[", ",", "]")
             }.mkString("{", ",", "}")
             val (loSf, loT) = pts(pts.length - 2)
             val (hiSf, hiT) = pts.last
             val slopeJson = names.map { n =>
-              val a = loT.getOrElse(n, 0.0); val b = hiT.getOrElse(n, 0.0)
-              val s =
-                if (a > 0 && b > 0) math.log(b / a) / math.log(hiSf / loSf)
-                else 0.0
-              "\"" + n + f"\":$s%.2f"
+              (loT.get(n), hiT.get(n)) match {
+                case (Some(a), Some(b)) if a > 0 && b > 0 =>
+                  val sl = math.log(b / a) / math.log(hiSf / loSf)
+                  "\"" + n + f"\":$sl%.2f"
+                case _ => "\"" + n + "\":null"
+              }
             }.mkString("{", ",", "}")
             s""","scaling":{"sfs":$sfsArr,"reps_small_sf":3,"times":$timesJson,"slope_top_decade":$slopeJson}"""
           case _ => ""
@@ -263,21 +272,27 @@ object Bench {
     * and the spread a denominator. */
   private val LatencyReps = 3
 
-  /** Run a latency probe `reps` times; return the min-p50 histogram (the
+  /** Run a latency probe `reps` times; return the min-p50 reading (the
     * quietest scheduling window — the same estimator as the per-query
     * min) plus the p50 spread ((max − min) / max(min, 1)) across reps.
-    * Probes that fail (None) are dropped; all-failed returns (None, 0). */
-  private def repeatedProbe(reps: Int)(
-      probe: => Option[graft.ops.AppRegistry.LatencyHistogram])
-      : (Option[graft.ops.AppRegistry.LatencyHistogram], Double) = {
+    * Probes that fail (None) are dropped; all-failed returns (None, 0).
+    * ONE estimator for both probe shapes (bare histogram + phase-carrying
+    * reading) so the selection/spread policy cannot silently diverge. */
+  private def repeatedBy[T](reps: Int)(probe: => Option[T])(
+      p50Of: T => Long): (Option[T], Double) = {
     val hs = (1 to reps).flatMap(_ => probe)
     if (hs.isEmpty) (None, 0.0)
     else {
-      val p50s = hs.map(_.p50Ms)
-      (Some(hs.minBy(_.p50Ms)),
+      val p50s = hs.map(p50Of)
+      (Some(hs.minBy(p50Of)),
         (p50s.max - p50s.min).toDouble / math.max(p50s.min, 1L))
     }
   }
+
+  private def repeatedProbe(reps: Int)(
+      probe: => Option[graft.ops.AppRegistry.LatencyHistogram])
+      : (Option[graft.ops.AppRegistry.LatencyHistogram], Double) =
+    repeatedBy(reps)(probe)(_.p50Ms)
 
   /** One micro-batch latency rep: the percentile histogram plus the
     * per-phase medians (ms) of the SAME probe window, so the reported
@@ -286,18 +301,11 @@ object Bench {
       hist: graft.ops.AppRegistry.LatencyHistogram,
       phases: Map[String, Long])
 
-  /** [[repeatedProbe]] for phase-carrying readings: min-p50 rep wins,
+  /** [[repeatedBy]] for phase-carrying readings: min-p50 rep wins,
     * spread over the reps' p50s. */
   private def repeatedReading(reps: Int)(probe: => Option[LatencyReading])
-      : (Option[LatencyReading], Double) = {
-    val rs = (1 to reps).flatMap(_ => probe)
-    if (rs.isEmpty) (None, 0.0)
-    else {
-      val p50s = rs.map(_.hist.p50Ms)
-      (Some(rs.minBy(_.hist.p50Ms)),
-        (p50s.max - p50s.min).toDouble / math.max(p50s.min, 1L))
-    }
-  }
+      : (Option[LatencyReading], Double) =
+    repeatedBy(reps)(probe)(_.hist.p50Ms)
 
   /** Batch-latency percentiles at a small trigger: a 10k rows/s stream is
     * far below saturation, so each micro-batch's triggerExecution time IS

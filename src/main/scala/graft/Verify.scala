@@ -31,7 +31,13 @@ object Verify {
         // is the only consumer, so drop those blocks here instead of
         // letting 300 queries accumulate them in the CacheManager
         // (r17 advisor: clusteringOf left three entries pinned per run).
-        spark.catalog.clearCache()
+        // Own try: the parquet above is already GOOD — a clearCache
+        // hiccup (executor lost mid-unpersist) must not fall into the
+        // catch and overwrite it with a red marker.
+        try spark.catalog.clearCache()
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name clearCache after success: $e")
+        }
       } catch { case e: Throwable =>
         val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name FAILED: $msg")

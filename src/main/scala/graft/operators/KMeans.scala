@@ -23,21 +23,26 @@ import org.apache.spark.sql.functions._
 object KMeans {
   private val DefaultDim = 64 // the fixture's width; train() infers per corpus
 
-  /** Driver-side centroid set → broadcast-small (c_id, c_emb) frame.
-    * graft_cosine is float32-typed like the corpus, so the copy the
-    * executors score against is float too (doubles stay driver-side for
-    * the movement check). */
+  /** 1-partition model frame: long id columns + a FLOAT32 copy of each
+    * centroid — the broadcast side of every assignment join. One builder
+    * for both quantizer levels so the float32-downcast discipline
+    * (graft_cosine is float32-typed like the corpus; doubles stay
+    * driver-side for the movement check) lives in exactly one place. */
+  private def modelFrame(s: SparkSession, idCols: Seq[String],
+      embCol: String, rows: Seq[(Seq[Long], Array[Double])]): DataFrame = {
+    import org.apache.spark.sql.types._
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.map { case (ids, emb) =>
+        Row.fromSeq(ids :+ emb.map(_.toFloat).toSeq) }, 1),
+      StructType(idCols.map(StructField(_, LongType)) :+
+        StructField(embCol, ArrayType(FloatType))))
+  }
+
+  /** Driver-side centroid set → broadcast-small (c_id, c_emb) frame. */
   private[graft] def centroidFrame(s: SparkSession,
       centroids: Array[Array[Double]]): DataFrame =
-    s.createDataFrame(
-      s.sparkContext.parallelize(centroids.zipWithIndex.toSeq.map {
-        case (c, i) => Row(i.toLong, c.map(_.toFloat).toSeq) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("c_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("c_emb",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
+    modelFrame(s, Seq("c_id"), "c_emb",
+      centroids.zipWithIndex.toSeq.map { case (c, i) => (Seq(i.toLong), c) })
 
   /** Nearest-centroid assignment of a (vec_id, embedding) corpus against a
     * driver-side centroid set — the packed-long argmax shared by the
@@ -125,18 +130,9 @@ object KMeans {
     * the broadcast side of every hierarchical assignment join. */
   private[graft] def fineFrame(s: SparkSession,
       fine: Map[(Int, Int), Array[Double]]): DataFrame =
-    s.createDataFrame(
-      s.sparkContext.parallelize(fine.toSeq.sortBy(_._1).map {
-        case ((c, f), emb) => Row(c.toLong, f.toLong, emb.map(_.toFloat).toSeq)
-      }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("cluster",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("f_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("f_emb",
-          org.apache.spark.sql.types.ArrayType(
-            org.apache.spark.sql.types.FloatType)))))
+    modelFrame(s, Seq("cluster", "f_id"), "f_emb",
+      fine.toSeq.sortBy(_._1).map {
+        case ((c, f), emb) => (Seq(c.toLong, f.toLong), emb) })
 
   /** Fine-level nearest-centroid assignment of a coarse-assigned corpus
     * (`assigned` carries vec_id, embedding, cluster): each vector scores

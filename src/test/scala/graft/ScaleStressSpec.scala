@@ -522,7 +522,8 @@ class ScaleStressSpec extends SparkTestBase {
       tally.reset()
       val t1 = System.nanoTime()
       val lv1 = operators.GraphOps.louvainRun(half1)
-      drain()
+      val wall1 = (System.nanoTime() - t1) / 1e9 // before drain's sleep —
+      drain() //          both walls measure ONLY their run, symmetrically
       val lou1 = tally.gib._2
       tally.reset()
       val t100 = System.nanoTime()
@@ -530,9 +531,10 @@ class ScaleStressSpec extends SparkTestBase {
       val wall100 = (System.nanoTime() - t100) / 1e9
       drain()
       val lou100 = tally.gib._2
-      val wall1 = (t100 - t1) / 1e9
-      assert(lv100.levels.map(_._4) == lv100.levels.map(_._4).sorted,
-        "louvain 100x: modularity must be non-decreasing across levels")
+      Seq(lv1 -> "1x", lv100 -> "100x").foreach { case (lv, tag) =>
+        assert(lv.levels.map(_._4) == lv.levels.map(_._4).sorted,
+          s"louvain $tag: modularity must be non-decreasing across levels")
+      }
       val louRatio = lou100 / math.max(lou1, 1e-3)
       // Louvain's bound is looser than ktruss's 300 because replica runs
       // are NOT independent: the modularity gain 4m·Δw − 2k·d_c couples
