@@ -42,11 +42,15 @@ class ScaleStressSpec extends SparkTestBase {
   // BFS frontier volume grows with the 10x edge fact each hop),
   // ev_kmv_overlap (the two-phase K-minimum-values top-K under 10x
   // segment cardinality — no reducer may see a segment's full user set)
+  // round-18 addition: ann_ivf_hier_topk (two nested argmax assignments +
+  // the per-cell fine-seed window over the 10x vector corpus; cells stay
+  // 16 posting lists while members grow 10x)
   private val Heavy = Seq("dedup_minhash", "dedup_rewrite", "q43_join_six",
     "ann_ivfpq_topk", "pipeline_tokenize_pack", "dedup_cdc_chunks",
     "graph_hits", "ann_mmr_topk", "dedup_exact_substring", "graph_ktruss",
     "lm_transfer_matrix", "graph_bipartite_c4", "graph_louvain",
-    "ann_graph_topk", "graph_betweenness", "ev_kmv_overlap")
+    "ann_graph_topk", "graph_betweenness", "ev_kmv_overlap",
+    "ann_ivf_hier_topk")
 
   /** Fact replicas get shifted surrogate keys; joins fan the extra volume
     * onto the SAME dimension rows — the realistic 10x growth shape (more
