@@ -702,6 +702,66 @@ class ScaleStressSpec extends SparkTestBase {
     }
   }
 
+  /** 100x token-level text leg (r18): the text family's scale shape is
+    * explode -> groupBy (shuffle ~ token occurrences, model side ~ the
+    * vocabulary) — this leg meters text_tfidf, the family's heaviest
+    * member (tf per (doc, term), df per term, broadcast 1-row corpus
+    * count, per-doc top-3 window), at 100x the sf0.1 documents corpus.
+    * The replica structure gives a SHARP exactness oracle: doc count and
+    * every df both scale exactly 100x, so idf = ln(N/df) is INVARIANT
+    * and each replica doc's (term, tf, score, rank) rows must equal its
+    * base doc's bit-for-bit — checked row-for-row via a join, not
+    * spot-checked. Shuffle must scale ~linearly in token volume (the
+    * vocabulary does not grow, so the df side stays model-sized). */
+  test("100x token-level text analysis: tfidf replica-exact, shuffle linear in token volume") {
+    assume(enabled100, "100x scale evidence; set GRAFT_SCALE_STRESS_100=1")
+    val tally = new ShuffleTally
+    spark.sparkContext.addSparkListener(tally)
+    def drain(): Unit = Thread.sleep(600)
+    try {
+      val dir = Files.createTempDirectory("graft-text100")
+      Tables.t(spark, baseSf, "documents")
+        .withColumn("copy", explode(expr("sequence(0L, 99L)")))
+        .withColumn("doc_id", col("doc_id") + col("copy") * KeyOff)
+        .drop("copy").repartition(GenFiles)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      tally.reset()
+      val r1 = SparkEntry.queries("text_tfidf")(spark, baseSf)
+        .localCheckpoint(true)
+      drain(); val g1 = tally.gib._2
+      tally.reset()
+      val t0 = System.nanoTime()
+      val r100 = SparkEntry.queries("text_tfidf")(spark, dir.toString)
+        .localCheckpoint(true)
+      val wall = (System.nanoTime() - t0) / 1e9
+      drain(); val g100 = tally.gib._2
+
+      val n1 = r1.count()
+      assert(r100.count() == n1 * 100,
+        "every replica doc must produce exactly the base top-3 rows")
+      val bad = r100
+        .withColumn("base_id", expr(s"doc_id % $KeyOff"))
+        .join(r1.select(col("doc_id").as("base_id"), col("rank"),
+            col("term").as("b_term"), col("tf").as("b_tf"),
+            col("score_scaled").as("b_score")),
+          Seq("base_id", "rank"))
+        .filter(col("term") =!= col("b_term") ||
+          col("tf") =!= col("b_tf") || col("score_scaled") =!= col("b_score"))
+        .count()
+      assert(bad == 0,
+        s"$bad replica rows diverge from the base tfidf — idf invariance broke")
+      val ratio = g100 / math.max(g1, 1e-3)
+      assert(ratio < 300.0,
+        f"tfidf 100x/1x shuffle ratio $ratio%.0f — superlinear in tokens")
+      val heap = usedHeapGiB()
+      assert(heap < 8.0, f"driver heap $heap%.1f GiB after tfidf 100x")
+      info(f"tfidf 100x (${n1 * 100} result rows): shuffle $g1%.3f -> " +
+        f"$g100%.2f GiB ($ratio%.0fx for 100x tokens), wall $wall%.1f s, " +
+        f"heap=$heap%.1f GiB")
+    } finally spark.sparkContext.removeSparkListener(tally)
+  }
+
   test("skewed explode: hot keys survive — AQE skew-split kicks in, queries complete") {
     assume(enabled, "scale-stress evidence run; set GRAFT_SCALE_STRESS=1")
     val dir = Files.createTempDirectory("graft-skew")
