@@ -759,6 +759,60 @@ class ScaleStressSpec extends SparkTestBase {
       info(f"tfidf 100x (${n1 * 100} result rows): shuffle $g1%.3f -> " +
         f"$g100%.2f GiB ($ratio%.0fx for 100x tokens), wall $wall%.1f s, " +
         f"heap=$heap%.1f GiB")
+
+      // ---- LM scoring on the same 100x corpus: p(w2|w1) = c_bg / c_w1
+      // and both counts scale exactly 100x, so every replica doc's
+      // (n_bigrams, sum_scaled, avg_p) must equal its base doc's —
+      // the lm family's replica-invariance oracle (model stays
+      // observed-bigram-sized; the corpus is scanned exactly twice)
+      tally.reset()
+      val l1 = SparkEntry.queries("lm_bigram_score")(spark, baseSf)
+        .localCheckpoint(true)
+      drain(); val lg1 = tally.gib._2
+      tally.reset()
+      val lt0 = System.nanoTime()
+      val l100 = SparkEntry.queries("lm_bigram_score")(spark, dir.toString)
+        .localCheckpoint(true)
+      val lWall = (System.nanoTime() - lt0) / 1e9
+      drain(); val lg100 = tally.gib._2
+      val ln1 = l1.count()
+      assert(l100.count() == ln1 * 100,
+        "every replica doc must produce a bigram-score row")
+      val lBad = l100
+        .withColumn("base_id", expr(s"doc_id % $KeyOff"))
+        .join(l1.select(col("doc_id").as("base_id"),
+            col("n_bigrams").as("b_n"), col("sum_scaled").as("b_sum"),
+            col("avg_p").as("b_avg")),
+          Seq("base_id"))
+        .filter(col("n_bigrams") =!= col("b_n") ||
+          col("sum_scaled") =!= col("b_sum") || col("avg_p") =!= col("b_avg"))
+        .count()
+      assert(lBad == 0,
+        s"$lBad replica rows diverge from the base LM scores — " +
+          "bigram-probability invariance broke")
+      // The cross-scale ratio here legitimately exceeds 100x (measured
+      // ~356x): at 1x Spark broadcasts the model for the scoring join
+      // (map-side, near-zero shuffle); at 100x the stats-blind estimate
+      // demotes it to a shuffle join — the CORRECT 100 TB plan (a
+      // web-scale bigram model is not broadcastable), which costs one
+      // extra LINEAR pass of the fact through the exchange. So the
+      // scale-honest bound is absolute bytes per bigram occurrence
+      // (linear-with-constant), plus a loose ratio ceiling far under the
+      // ~10,000x an accidental fact x fact join would read.
+      val totalBigrams100 = l100.agg(sum(col("n_bigrams"))).head().getLong(0)
+      val bytesPerBigram = lg100 * 1024 * 1024 * 1024 / totalBigrams100
+      assert(bytesPerBigram < 128.0,
+        f"lm_bigram 100x: $bytesPerBigram%.0f shuffled bytes per bigram " +
+          "occurrence — the fact is crossing the exchange more than the " +
+          "model-build + scoring-join passes allow")
+      val lRatio = lg100 / math.max(lg1, 1e-3)
+      assert(lRatio < 1000.0,
+        f"lm_bigram 100x/1x shuffle ratio $lRatio%.0f — quadratic in the corpus")
+      val lHeap = usedHeapGiB()
+      assert(lHeap < 8.0, f"driver heap $lHeap%.1f GiB after lm 100x")
+      info(f"lm_bigram 100x (${ln1 * 100} docs, $totalBigrams100 bigrams): " +
+        f"shuffle $lg1%.3f -> $lg100%.2f GiB ($lRatio%.0fx, " +
+        f"$bytesPerBigram%.0f B/bigram), wall $lWall%.1f s, heap=$lHeap%.1f GiB")
     } finally spark.sparkContext.removeSparkListener(tally)
   }
 
