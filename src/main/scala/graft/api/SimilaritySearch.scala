@@ -314,13 +314,35 @@ object SimilaritySearch {
     // window-join and hub explode once per union branch — the most
     // expensive build stage doubled (r15 review)
     val half = knn.union(lnk).localCheckpoint(true)
+    // serving layout (r18): the symmetrized adjacency and the corpus are
+    // checkpointed ON their lookup keys (hash-partitioned + sorted within
+    // partitions, partition count derived from the structure's size — the
+    // registry's Similarity.servingParts discipline), so every search hop
+    // exchanges only beam-sized frames; the index itself never re-shuffles.
+    // The keyed re-layout runs AFTER the constraint-killing rebase, so the
+    // second checkpoint carries no renamed lineage for the Union rewrite
+    // to trip on.
+    val dim = c.select(col("embedding")).limit(1).collect()
+      .headOption.flatMap(r =>
+        scala.util.Try(r.getSeq[Any](0).length).toOption).getOrElse(64)
     val adj = {
       val lc = half
         .union(half.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
         .distinct().localCheckpoint(true)
       spark.createDataFrame(lc.rdd, lc.schema)
+        .repartition(
+          graft.operators.Similarity.servingParts(
+            n * (shortLinks + longLinks) * 2, 24), col("vec_a"))
+        .sortWithinPartitions(col("vec_a"))
+        .localCheckpoint(true)
     }
-    GraphAnnIndex(adj, c, entries, n)
+    val cKeyed = c
+      .repartition(
+        graft.operators.Similarity.servingParts(n, 8 + 4L * dim),
+        col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .localCheckpoint(true)
+    GraphAnnIndex(adj, cKeyed, entries, n)
   }
 
   /** Beam search over a [[graphAnnBuild]] index — identical loop to the

@@ -112,11 +112,19 @@ object Relational {
       val li = t(s, dir, "lineitem")
       // Star-join shape: lineitem (the fact table) is the streamed/probe
       // side; the segment-filtered customer x orders result is the build
-      // side. At bench SF that becomes a small broadcast; at 100 TB AQE
-      // falls back to a shuffle join on orderkey — either way the fact
-      // table is never the build side.
+      // side of a SHUFFLE_HASH join (hinted, r18). Unhinted, Spark's
+      // size-only estimator priced the pruned lineitem scan under the
+      // 10 MB broadcast threshold while any join output is
+      // product-estimated huge — so the STATIC plan collected and
+      // broadcast the 600k-row FACT as the build side every run (measured
+      // 0.91 s min; the hinted shuffle-hash plan reads 0.55 s). The hint
+      // is the 100 TB plan too: both sides exchange on the join key, the
+      // smaller (filtered co) side builds per-partition hash tables, no
+      // sort of the fact, and AQE still coalesces/skew-splits the
+      // exchanges — the fact table is never the build side at any scale.
       val co = c.join(o, col("c_custkey") === col("o_custkey"))
         .select(col("o_orderkey"), col("o_orderdate"))
+        .hint("shuffle_hash")
       li.join(co, col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         // exact cents: the top-10 RANKING must not depend on double
@@ -834,6 +842,16 @@ object Relational {
       t(s, dir, "customer")
         .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
         .join(orders96, col("c_custkey") === col("o_custkey"))
+        // SHUFFLE_HASH hint on the dim chain (r18, same finding as q3):
+        // unhinted, the size-only estimator made the STATIC plan broadcast
+        // the pruned 600k-row lineitem scan as the build side of this join
+        // (join outputs are product-estimated, so the chain always looks
+        // bigger than the fact) — a per-run driver collect + hash build of
+        // the whole fact table (measured 1.02 s min vs 0.85 s hinted). The
+        // hinted shape holds at 100 TB: fact and chain exchange on the
+        // orderkey, the chain builds per-partition, the fact is never
+        // collected, sorted, or broadcast.
+        .hint("shuffle_hash")
         .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
         .join(broadcast(t(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey") &&

@@ -1101,16 +1101,30 @@ object Similarity {
     * reps, the 3 sweep cells sharing a links value) reuse the blocks
     * instead of re-shuffling the edge list per call. */
   private case class BeamContext(knn: DataFrame, lnkAll: DataFrame,
-      ent: DataFrame, q: DataFrame, e: DataFrame) {
+      ent: DataFrame, q: DataFrame, e: DataFrame, n: Long) {
     val adjByLinks = scala.collection.concurrent.TrieMap.empty[Int, DataFrame]
   }
 
-  /** The memoized serving adjacency for a links prefix. */
+  /** The memoized serving adjacency for a links prefix, laid out on its
+    * lookup key ([[servingParts]] partitions derived from the edge count:
+    * n × (3 kNN + links) half-edges, symmetrized). */
   private def adjFor(ctx: BeamContext, links: Int): DataFrame =
     ctx.adjByLinks.getOrElseUpdate(links,
       symmetrizedAdj(ctx.knn.union(
         ctx.lnkAll.filter(col("j") <= links)
-          .select(col("vec_a"), col("vec_b")))))
+          .select(col("vec_a"), col("vec_b"))),
+        servingParts(ctx.n * (3 + links) * 2, 24)))
+
+  /** Partition count for a checkpointed serving structure, derived from
+    * its estimated size (~64 MB per partition, the AQE advisory default):
+    * the registry's 2k-vector corpora collapse to one partition (stage
+    * scheduling floor, not 32 near-empty tasks per hop) while a
+    * billion-row index spreads over thousands — scale-adaptive, never a
+    * constant tuned to either local mode or a cluster. */
+  private[graft] def servingParts(rows: Long, bytesPerRow: Long): Int = {
+    val target = 64L << 20
+    math.max(1L, math.min(1L << 20, (rows * bytesPerRow + target - 1) / target)).toInt
+  }
 
   /** Largest long-link count any parameterization uses — the sweep's
     * upper bound; [[LongLinks]] <= this. */
@@ -1141,9 +1155,17 @@ object Similarity {
   /** Build the graph-ANN context (the expensive, combo-independent part:
     * k-means quantizer + kNN graph). */
   private def beamContextImpl(s: SparkSession, dir: String): BeamContext = {
-    val (knn, lnkAll, ent, q, eSmall) = beamBuildFrames(s, dir)
+    val (knn, lnkAll, ent, q, eSmall, n) = beamBuildFrames(s, dir)
+    // the corpus lookup table is checkpointed ON its lookup key (hash by
+    // vec_id, sorted within partitions, size-derived partition count): the
+    // per-hop scoring join then only ever exchanges the beam-sized
+    // candidate frame — the index side ships zero bytes per hop at every
+    // scale (r18: the unkeyed layout re-exchanged + re-sorted both
+    // checkpointed sides on every hop of every search)
+    val eKeyed = eSmall.repartition(servingParts(n, 8 + 4L * Dim), col("vec_id"))
+      .sortWithinPartitions(col("vec_id"))
     BeamContext(knn.localCheckpoint(true), lnkAll.localCheckpoint(true), ent,
-      q, eSmall.localCheckpoint(true))
+      q, eKeyed.localCheckpoint(true), n)
   }
 
   /** The un-checkpointed build frames (knn edges, j-tagged long-link
@@ -1154,7 +1176,7 @@ object Similarity {
     * the whole table). Production path checkpoints these via
     * [[beamContextImpl]]. */
   private[graft] def beamBuildFrames(s: SparkSession, dir: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, Long) = {
     val e = t(s, dir, "embeddings")
     // kNN edges within TRAINED cells (the ann_ivf_trained quantizer), not
     // the metadata label cells ann_knn_graph demonstrates: a navigable
@@ -1199,18 +1221,23 @@ object Similarity {
     // projected (vec_id, embedding) pairs from checkpointed blocks, not a
     // fresh parquet scan each hop
     val eSmall = e.select(col("vec_id"), col("embedding"))
-    (knn, lnkAll, ent, q, eSmall)
+    (knn, lnkAll, ent, q, eSmall, n)
   }
 
   /** Symmetrize + materialize an (vec_a, vec_b) half-edge list into the
-    * serving adjacency. Factored so [[beamRun]] can memoize the result per
-    * links prefix ([[adjFor]]) instead of re-shuffling it on every search
-    * call — the symmetrize + distinct is the only corpus-edge-sized work
-    * in the serving path. */
-  private def symmetrizedAdj(adjHalf: DataFrame): DataFrame =
+    * serving adjacency, checkpointed ON its lookup key: hash-partitioned
+    * by vec_a (`parts` partitions, derived from the edge count by the
+    * caller) and sorted within partitions. Factored so [[beamRun]] can
+    * memoize the result per links prefix ([[adjFor]]) instead of
+    * re-shuffling it on every search call — with the keyed layout the
+    * per-hop neighbor-expansion join exchanges only the beam keys; the
+    * edge list itself never moves again at any scale. */
+  private def symmetrizedAdj(adjHalf: DataFrame, parts: Int): DataFrame =
     adjHalf
       .union(adjHalf.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
-      .distinct().localCheckpoint(true)
+      .distinct()
+      .repartition(parts, col("vec_a")).sortWithinPartitions(col("vec_a"))
+      .localCheckpoint(true)
 
   /** The frame-generic synchronous beam search over a PREBUILT
     * symmetrized adjacency — [[beamRun]]'s loop, shared with the public
@@ -1260,21 +1287,46 @@ object Similarity {
     // throws "key not found: vec_id#N". The rebase yields a constraint-
     // free relation over the same blocks; the beam is queries × beamWidth
     // rows, so the extra row boundary costs nothing.
+    //
+    // Dedup discipline (r18): the candidate dedup exchanges are KEYED so
+    // each one doubles as the clustering the next operator needs —
+    // dropDuplicates(q_id, vec_id) equals distinct() because cos_sim is a
+    // pure function of (q_id, vec_id) (route-equality spec-pinned). In
+    // prune, repartition(q_id) clusters the dedup AND the beam window
+    // (hashpartitioning on a subset of the dedup keys satisfies its
+    // ClusteredDistribution), so union→dedup→rank costs one beam-sized
+    // exchange instead of the two the old distinct()+window pair paid.
     def prune(scored: DataFrame): DataFrame = {
       val lc = scored
+        .repartition(col("q_id"))
+        .dropDuplicates("q_id", "vec_id")
         .withColumn("rn", row_number().over(wB)).filter(col("rn") <= beamWidth)
         .select(col("q_id"), col("vec_id"), col("cos_sim"))
         .localCheckpoint(true)
       s.createDataFrame(lc.rdd, lc.schema)
     }
+    // smallIndex: adj and e come from [[symmetrizedAdj]]/[[beamContextImpl]]
+    // (or the facade's build) checkpointed ON their lookup keys, so the
+    // expansion join exchanges only the beam keys and the scoring join only
+    // the candidate frame — re-keyed here to the corpus layout's partition
+    // count so EnsureRequirements matches the two sides without moving the
+    // index. An unkeyed caller frame still plans correctly (Spark inserts
+    // the exchanges the old route always paid).
+    val eParts =
+      if (smallIndex) e.rdd.getNumPartitions
+      else s.sessionState.conf.numShufflePartitions
     var beam = prune(score(q.select(col("q_id")).crossJoin(ent)))
     (1 to hops).foreach { _ =>
       val beamKeys = beam.select(col("q_id"), col("vec_id").as("vec_a"))
       val nbrs =
-        (if (smallIndex) beamKeys.join(adj, "vec_a")
-         else adj.join(broadcast(beamKeys), "vec_a"))
-        .select(col("q_id"), col("vec_b").as("vec_id")).distinct()
-      beam = prune(score(nbrs).union(beam).distinct())
+        (if (smallIndex)
+          beamKeys.join(adj, "vec_a")
+            .select(col("q_id"), col("vec_b").as("vec_id"))
+            .repartition(eParts, col("vec_id"))
+            .dropDuplicates("q_id", "vec_id")
+         else adj.join(broadcast(beamKeys), "vec_a")
+           .select(col("q_id"), col("vec_b").as("vec_id")).distinct())
+      beam = prune(score(nbrs).union(beam))
     }
     (if (excludeSelf) beam.filter(col("vec_id") =!= col("q_id")) else beam)
       .withColumn("rank", row_number().over(wB))
