@@ -1164,8 +1164,13 @@ object Similarity {
     // checkpointed sides on every hop of every search)
     val eKeyed = eSmall.repartition(servingParts(n, 8 + 4L * Dim), col("vec_id"))
       .sortWithinPartitions(col("vec_id"))
-    BeamContext(knn.localCheckpoint(true), lnkAll.localCheckpoint(true), ent,
-      q, eKeyed.localCheckpoint(true), n)
+    // q and ent are tiny but referenced EVERY hop (q is broadcast into each
+    // scoring join): checkpointed once here so a search never re-scans
+    // parquet for them per hop (r18: each hop's query re-read the
+    // embeddings footer + filter for the 8-row query frame)
+    BeamContext(knn.localCheckpoint(true), lnkAll.localCheckpoint(true),
+      ent.localCheckpoint(true), q.localCheckpoint(true),
+      eKeyed.localCheckpoint(true), n)
   }
 
   /** The un-checkpointed build frames (knn edges, j-tagged long-link
