@@ -1323,14 +1323,19 @@ object Similarity {
     var beam = prune(score(q.select(col("q_id")).crossJoin(ent)))
     (1 to hops).foreach { _ =>
       val beamKeys = beam.select(col("q_id"), col("vec_id").as("vec_a"))
+      // expansion is the SAME shape on both routes (r18, measured): the
+      // beam keys broadcast onto the keyed adjacency — beamKeys is bounded
+      // by queries × beamWidth (the graphAnnSearch batch cap sizes exactly
+      // this frame), so the broadcast is guard-bounded at any corpus size,
+      // and the adjacency side never moves. The routes differ only in the
+      // scoring join and dedup keying below.
+      val expanded = adj.join(broadcast(beamKeys), "vec_a")
+        .select(col("q_id"), col("vec_b").as("vec_id"))
       val nbrs =
-        (if (smallIndex)
-          beamKeys.join(adj, "vec_a")
-            .select(col("q_id"), col("vec_b").as("vec_id"))
-            .repartition(eParts, col("vec_id"))
+        if (smallIndex)
+          expanded.repartition(eParts, col("vec_id"))
             .dropDuplicates("q_id", "vec_id")
-         else adj.join(broadcast(beamKeys), "vec_a")
-           .select(col("q_id"), col("vec_b").as("vec_id")).distinct())
+        else expanded.distinct()
       beam = prune(score(nbrs).union(beam))
     }
     (if (excludeSelf) beam.filter(col("vec_id") =!= col("q_id")) else beam)
