@@ -322,9 +322,12 @@ object SimilaritySearch {
     // The keyed re-layout runs AFTER the constraint-killing rebase, so the
     // second checkpoint carries no renamed lineage for the Union rewrite
     // to trip on.
-    val dim = c.select(col("embedding")).limit(1).collect()
-      .headOption.flatMap(r =>
-        scala.util.Try(r.getSeq[Any](0).length).toOption).getOrElse(64)
+    // width probe skips null embeddings (r18 advisor: a null FIRST row
+    // used to silently default dim=64 and undersize cKeyed by up to 16×
+    // for wide corpora — sizing only, never correctness)
+    val dim = c.filter(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+      .headOption.map(_.getInt(0)).filter(_ > 0).getOrElse(64)
     val adj = {
       val lc = half
         .union(half.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
@@ -334,14 +337,18 @@ object SimilaritySearch {
           graft.operators.Similarity.servingParts(
             n * (shortLinks + longLinks) * 2, 24), col("vec_a"))
         .sortWithinPartitions(col("vec_a"))
-        .localCheckpoint(true)
+        .transform(graft.operators.Similarity.pinServing)
     }
+    // the two LONG-LIVED serving structures go through pinServing: with a
+    // reliable checkpoint dir configured on the session they survive
+    // executor loss (r19; build intermediates above stay localCheckpoint —
+    // losing one only fails the build call itself, which is rerunnable)
     val cKeyed = c
       .repartition(
         graft.operators.Similarity.servingParts(n, 8 + 4L * dim),
         col("vec_id"))
       .sortWithinPartitions(col("vec_id"))
-      .localCheckpoint(true)
+      .transform(graft.operators.Similarity.pinServing)
     GraphAnnIndex(adj, cKeyed, entries, n)
   }
 
@@ -408,7 +415,11 @@ object SimilaritySearch {
     // measured story
     Similarity.beamOverAdj(spark, index.adjacency, index.corpus,
       index.entries, named(queries, "q_id", "q_emb"), beamWidth, nHops, k,
-      excludeSelf = false, smallIndex = index.n <= SmallIndexMaxRows)
+      excludeSelf = false, smallIndex = index.n <= SmallIndexMaxRows,
+      // beam row bound for the loop's explicit exchange widths (the hop
+      // loop runs AQE-off, so partition counts must be size-derived, not
+      // coalesced): nQ was just counted for the batch-cap check above
+      beamRows = math.max(1L, nQ) * beamWidth)
   }
 
   /** Per-call query-batch ceiling for [[graphAnnSearch]]: the beam

@@ -540,7 +540,14 @@ object GraphOps {
     * column rides the existing wedge pass for free. */
   private[graft] def commonNeighborCounts(
       half: DataFrame, deg: DataFrame, hubCap: Int): DataFrame = {
-    val o = orient(half, deg)
+    // cached (r19): the oriented list feeds SIX join inputs below (both
+    // sides of three wedge joins), and uncached Catalyst re-executes the
+    // orient half⨝deg⨝deg chain under every one of them — the committed
+    // before-plan shows the repeated exchange+sort+SMJ subtrees. One
+    // in-memory copy, the same discipline as the callers' cached e/deg
+    // (and the GraphAlgorithms facade, which already pins its oriented
+    // list).
+    val o = orient(half, deg).cache()
     // neighbor lists keyed by the wedge CENTER c, carrying the center's
     // own degree and the neighbor's (deg, id) rank; capped centers are
     // excluded on both lists

